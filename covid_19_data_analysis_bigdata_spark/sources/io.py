@@ -1,0 +1,86 @@
+"""Typed scan layer: parquet in, fixture round-trips, partitioned sinks.
+
+All reads are metadata-only on schema (parquet footer / pinned
+StructType) — no inference pass.  The one ingest repair the corpus
+needs: ``events.ts`` is parquet ``TIMESTAMP(NANOS)`` which Spark 4.1.2
+refuses to read; with ``spark.sql.legacy.parquet.nanosAsLong=true`` it
+arrives as bigint nanoseconds and is converted to a µs TimestampType via
+*integer* division (ns epoch values ≈ 1.7e18 exceed double's 53-bit
+mantissa, so a float division would corrupt low microseconds).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark import schemas
+from covid_19_data_analysis_bigdata_spark.session import ensure_confs
+
+#: Root for engine-written fixtures (CSV/JSONL round-trips, partitioned
+#: sinks).  Never inside /root/testdata (read-only).
+FIXTURE_ROOT = os.path.join(tempfile.gettempdir(), "covid19_bigdata_spark_fixtures")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table from ``sf_dir`` with its repaired schema."""
+    ensure_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def fixture_dir(sf_dir: str, kind: str) -> str:
+    """Deterministic scratch dir for a given (scale factor, fixture kind)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(FIXTURE_ROOT, tag, kind)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def roundtrip_csv(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Write ``name`` to CSV once, read back with the pinned explicit schema.
+
+    Models the reference's CSV ingest path (JHU/Kaggle COVID CSVs,
+    SURVEY.md §2 cat. 1) without ``inferSchema`` — the read is a single
+    pass with a declared StructType.
+    """
+    out = os.path.join(fixture_dir(sf_dir, "csv"), name)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, name).write.mode("overwrite").option(
+            "header", True
+        ).csv(out)
+    return (
+        spark.read.schema(schemas.TABLES[name])
+        .option("header", True)
+        .csv(out)
+    )
+
+
+def roundtrip_jsonl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Write ``name`` as JSON-lines once, read back with explicit schema."""
+    out = os.path.join(fixture_dir(sf_dir, "jsonl"), name)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, name).write.mode("overwrite").json(out)
+    return spark.read.schema(schemas.TABLES[name]).json(out)
+
+
+def partitioned_sink(spark: SparkSession, sf_dir: str) -> str:
+    """Write lineitem partitioned by ``l_returnflag``; return the path.
+
+    Partition layout is the primary pruning lever at 100 TB: a filter on
+    the partition column becomes directory pruning, never a data scan.
+    """
+    out = os.path.join(fixture_dir(sf_dir, "sink"), "lineitem_by_flag")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "lineitem").write.partitionBy(
+            "l_returnflag"
+        ).mode("overwrite").parquet(out)
+    return out

@@ -1,0 +1,128 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs each ``queries()[name]`` on Spark and the matching
+``oracle_sql()[name]`` on DuckDB over the same sf dir, then compares
+row-count, column-name set, and order-insensitive values (exact
+equality — stricter than any value-hash the driver could use).
+
+Usage:
+    python tools/check.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    """Canonicalize a cell value for cross-engine comparison."""
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    return v
+
+
+def to_multiset(columns, rows):
+    """Rows → sorted list of tuples with columns ordered by name."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as E
+    from covid_19_data_analysis_bigdata_spark.session import get_spark
+
+    qs, orc = E.queries(), E.oracle_sql()
+    names = args.names or sorted(qs)
+    missing = [n for n in names if n not in qs]
+    if missing:
+        print(f"unknown queries: {missing}")
+        return 2
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        p = os.path.join(args.sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    n_pass = n_fail = n_weak = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, args.sf)
+            scols = df.columns
+            srows = df.collect()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in orc:
+            print(f"WEAK {name}: rows={len(srows)} cols={sorted(scols)} ({time.time()-t0:.1f}s)")
+            n_weak += 1
+            continue
+        try:
+            rel = con.sql(orc[name])
+            ocols = rel.columns
+            orows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if not problems:
+            sm, om = to_multiset(scols, [tuple(r) for r in srows]), to_multiset(ocols, orows)
+            if sm != om:
+                diffs = [(a, b) for a, b in zip(sm, om) if a != b]
+                problems.append(f"values differ in {len(diffs)} rows; first: spark={diffs[0][0]} oracle={diffs[0][1]}")
+        if problems:
+            print(f"FAIL {name}: " + " | ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_weak} weak, {n_fail} fail / {len(names)} total")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
