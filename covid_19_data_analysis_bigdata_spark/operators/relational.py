@@ -1,1 +1,320 @@
-"""Projection / filter / cleaning / sort / set operators (categories 2, 6, 7)."""
+"""Projection / filter / cleaning / sort / set operators (SURVEY.md §2
+categories 2, 6, 7).
+
+Reference analogs: column select + computed metrics, date filtering,
+null cleanup and type casts of the COVID frame, top-N country tables.
+Everything here stays inside whole-stage codegen (no Python in the row
+path) and keeps predicates sargable so parquet pushdown engages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+
+# --------------------------------------------------------------------------
+# Category 2 — projection, filter, cleaning
+# --------------------------------------------------------------------------
+
+
+@query(
+    "project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+    FROM lineitem
+    """,
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select + computed columns + alias (revenue = extprice × (1 − disc)).
+
+    Per-row IEEE double arithmetic with identical operation order is
+    bit-deterministic across engines, so the raw products are emitted —
+    rounding here would *introduce* mismatches (Spark rounds HALF_UP,
+    DuckDB half-even).  Rounding is reserved for order-dependent
+    aggregates (SURVEY.md §5.3.3).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rev.alias("revenue"),
+        (rev * (1 + F.col("l_tax"))).alias("charged"),
+    )
+
+
+@query(
+    "filter_simple",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity > 30
+    """,
+)
+def filter_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single sargable predicate — reaches the parquet reader as a pushed filter."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "filter_compound",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus = 'F' AND o_totalprice BETWEEN 10000 AND 150000)
+       OR (o_orderpriority LIKE '1-%' AND o_orderstatus IN ('O', 'P')
+           AND NOT o_totalprice < 5000)
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/IN/BETWEEN/LIKE/NOT combined predicate."""
+    o = load_table(spark, sf_dir, "orders")
+    pred = (
+        (F.col("o_orderstatus") == "F")
+        & F.col("o_totalprice").between(10000, 150000)
+    ) | (
+        F.col("o_orderpriority").like("1-%")
+        & F.col("o_orderstatus").isin("O", "P")
+        & ~(F.col("o_totalprice") < 5000)
+    )
+    return o.filter(pred).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+@query(
+    "filter_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos,
+           coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0)
+                                                                AS bal_filled,
+           nullif(c_mktsegment, 'BUILDING')                     AS seg_nb,
+           (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) IS NULL
+                                                                AS is_neg
+    FROM customer
+    """,
+)
+def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isNull/coalesce/nullif + na.fill semantics.
+
+    The corpus has no nulls (FIXTURES.md), so nulls are manufactured
+    in-query: negative balances become NULL, then repaired with
+    ``na.fill`` — the reference's missing-value cleanup step.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    bal_pos = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        F.col("c_acctbal")
+    )
+    out = c.select(
+        "c_custkey",
+        bal_pos.alias("bal_pos"),
+        bal_pos.alias("bal_filled"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nb"),
+        bal_pos.isNull().alias("is_neg"),
+    )
+    return out.na.fill({"bal_filled": 0.0})
+
+
+@query(
+    "dedup_distinct",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT row dedup — partial+final hash aggregate underneath."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+    )
+
+
+@query(
+    "cast_types",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(floor(l_quantity) AS INTEGER)  AS qty_int,
+           CAST(l_shipdate AS DATE)            AS ship_date,
+           CAST(l_orderkey AS VARCHAR)         AS key_str,
+           CAST(CAST(l_partkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(l_linenumber AS DOUBLE)        AS line_dbl
+    FROM lineitem
+    """,
+)
+def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit casts string↔int↔double↔date (reference's inferSchema cleanup).
+
+    Note: double→int casts are written as ``floor`` first — Spark
+    truncates while DuckDB rounds, so the raw cast is not portable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_partkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("l_linenumber").cast("double").alias("line_dbl"),
+    )
+
+
+@query("sample_rows")  # weak oracle: sampling seeds differ across engines
+def sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (reference analog: EDA eyeballing).
+
+    Deterministic for a fixed seed *within* Spark, but no cross-engine
+    oracle exists (DuckDB's sampler draws differently) → rows-only check.
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .sample(fraction=0.1, seed=42)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# Category 6 — sort, limit, top-k
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_multikey",
+    oracle="SELECT c_custkey, c_nationkey, c_acctbal FROM customer",
+)
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort, desc-nulls-last + asc mix.
+
+    The driver's hash is order-insensitive so the oracle is the same
+    row *set*; the point is exercising SortExec (a full range-partition
+    exchange + per-partition sort at scale).
+    """
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .orderBy(F.desc_nulls_last("c_acctbal"), F.asc("c_custkey"))
+    )
+
+
+@query(
+    "topk_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by totalprice (top-10 countries analog).
+
+    Compiles to TakeOrderedAndProject: each partition keeps a 10-row
+    heap, the driver merges heaps — no global sort, no full shuffle, so
+    it is O(k) memory at any scale.  Tie-break on o_orderkey so both
+    engines select identical rows.
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 10 OFFSET 10
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination slice over a total order."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(10)
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Category 7 — set operations (customer segment slices)
+# --------------------------------------------------------------------------
+
+
+def _building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+
+
+def _high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+
+
+_BUILDING_SQL = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_HIBAL_SQL = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000"
+
+
+@query("set_union_all", oracle=f"{_BUILDING_SQL} UNION ALL {_HIBAL_SQL}")
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union — no shuffle at all, partitions are simply concatenated."""
+    return _building(spark, sf_dir).unionAll(_high_balance(spark, sf_dir))
+
+
+@query("set_union_distinct", oracle=f"{_BUILDING_SQL} UNION {_HIBAL_SQL}")
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union = bag union + distinct (one hash aggregate)."""
+    return (
+        _building(spark, sf_dir).union(_high_balance(spark, sf_dir)).distinct()
+    )
+
+
+@query("set_intersect", oracle=f"{_BUILDING_SQL} INTERSECT {_HIBAL_SQL}")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers in both slices (set semantics)."""
+    return _building(spark, sf_dir).intersect(_high_balance(spark, sf_dir))
+
+
+@query("set_except", oracle=f"{_BUILDING_SQL} EXCEPT ALL {_HIBAL_SQL}")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers in BUILDING but not high-balance (bag semantics)."""
+    return _building(spark, sf_dir).exceptAll(_high_balance(spark, sf_dir))
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of frames whose column ORDER differs — resolved by name."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_acctbal"
+    )
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_acctbal", "c_custkey")
+    return a.unionByName(b)

@@ -1,1 +1,149 @@
-"""Scan / source / sink operators (SURVEY.md §2 category 1)."""
+"""Scan / source / sink operators (SURVEY.md §2 category 1).
+
+Reference analogs: CSV ingest of COVID time-series, JSON API pulls,
+saving the cleaned dataset.  At 100 TB the load-bearing properties are
+all here: metadata-only schemas, column pruning reaching the parquet
+scan, and partitioned layouts so later filters become directory pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.sources.io import (
+    load_table,
+    partitioned_sink,
+    roundtrip_csv,
+    roundtrip_jsonl,
+)
+
+
+@query("scan_parquet", oracle="SELECT * FROM nation")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan, all columns, all rows."""
+    return load_table(spark, sf_dir, "nation")
+
+
+@query(
+    "scan_projected",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+)
+def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned scan: only 2 of 11 lineitem columns reach the reader.
+
+    Catalyst's ColumnPruning pushes the projection into the parquet
+    ReadSchema — verified by the plan test in tests/test_plans.py.  At
+    100 TB this is the difference between reading 2 columns' pages and
+    reading the whole table.
+    """
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@query(
+    "scan_events_ns",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           count(*)              AS cnt,
+           round(sum(value), 4)  AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the TIMESTAMP(NANOS) events table correctly (§1.3.1 gotcha).
+
+    Emits day-truncated buckets only — raw ns timestamps must never
+    appear in checked output (ns vs µs truncation would break the
+    value-hash).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@query("read_csv_schema", oracle="SELECT * FROM nation")
+def read_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest with an explicit pinned StructType (no inferSchema).
+
+    Reference analog: reading the JHU/Kaggle COVID CSVs.  Inference is
+    a full extra pass over the data — banned at scale; the pinned
+    schema makes the read single-pass and type-stable.
+    """
+    return roundtrip_csv(spark, sf_dir, "nation")
+
+
+@query("read_json_lines", oracle="SELECT * FROM region")
+def read_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest with explicit schema (reference analog: OWID/API JSON)."""
+    return roundtrip_jsonl(spark, sf_dir, "region")
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT l_linestatus,
+           count(*)                  AS cnt,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write + pruned read-back aggregate.
+
+    The read-back filter on the partition column (`l_returnflag='R'`)
+    is satisfied by directory pruning — no data from other partitions
+    is touched.  This layout choice is the primary pruning lever for a
+    100 TB fact table.
+    """
+    path = partitioned_sink(spark, sf_dir)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "create_view_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                     AS cnt,
+           round(sum(o_totalprice), 4)  AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def create_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temp view + SQL-string entry point (the reference's main query style).
+
+    ``spark.sql`` parses to the same unresolved logical plan the
+    DataFrame API builds — both entry points share one engine path
+    (SURVEY.md §3.2).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*)                    AS cnt,
+               round(sum(o_totalprice), 4) AS total
+        FROM v_orders
+        GROUP BY o_orderpriority
+        """
+    )
