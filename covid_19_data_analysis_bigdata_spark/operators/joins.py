@@ -1,1 +1,295 @@
-"""Join operators (SURVEY.md §2 category 3)."""
+"""Join operators (SURVEY.md §2 category 3).
+
+Reference analog: joining the COVID case table with country/population
+lookups.  Physical strategy discipline for 100 TB:
+
+- Bounded dimensions are *broadcast* (`F.broadcast`) — zero shuffle of
+  the fact table.
+- Large-large joins go sort-merge (`hint("merge")`) — both sides
+  shuffle-partitioned on the key; AQE splits skewed partitions.
+- Non-equi joins have no hash path (nested loop); they appear here on
+  bounded inputs only, and anything quadratic in a *fact* table is
+  banned (SURVEY.md §4.3.5) — the scalable as-of variant is a single
+  window pass, not a join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand, p.p_type, l.l_quantity
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim): BroadcastHashJoin, no shuffle of lineitem.
+
+    `part` is a bounded dimension; shipping it to every executor means
+    the 100 TB fact side streams through map-side joins untouched.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey, "inner"
+    ).select("l_orderkey", "l_linenumber", "p_brand", "p_type", "l_quantity")
+
+
+@query(
+    "join_sortmerge",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           l.l_linenumber, l.l_quantity
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi-join forced to SortMergeJoin via the merge hint.
+
+    A join hint (not a session conf) pins the strategy so the choice
+    survives lazy planning regardless of the driver's session settings.
+    Both sides hash-partition on the key; AQE handles skew splitting.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    return o.hint("merge").join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "join_multiway_star",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(*)                     AS order_cnt,
+           round(sum(o.o_totalprice), 4) AS total
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join rollup (country→continent analog).
+
+    All three dimensions broadcast; the only shuffle is the final
+    aggregation's — the fact table is never repartitioned for joining.
+    """
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT p.p_partkey,
+           count(l.l_orderkey)       AS li_cnt,
+           round(sum(l.l_quantity), 4) AS sum_qty
+    FROM part p LEFT JOIN lineitem l ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with null extension: parts with no lineitems keep cnt=0."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, li.l_partkey == p.p_partkey, "left")
+        .groupBy("p_partkey")
+        .agg(
+            F.count("l_orderkey").alias("li_cnt"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH hi AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+         oc AS (SELECT o_custkey, count(*) AS order_cnt FROM orders GROUP BY o_custkey)
+    SELECT coalesce(hi.c_custkey, oc.o_custkey) AS custkey,
+           hi.c_acctbal AS acctbal,
+           oc.order_cnt AS order_cnt
+    FROM hi FULL OUTER JOIN oc ON hi.c_custkey = oc.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer on partially-overlapping key sets, nulls on both sides."""
+    c = load_table(spark, sf_dir, "customer")
+    hi = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_acctbal")
+    oc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+    return hi.join(oc, hi.c_custkey == oc.o_custkey, "full").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        "order_cnt",
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style semi join: customers having ≥1 urgent order.
+
+    Left-semi short-circuits on first match and never duplicates rows —
+    at scale this beats join+distinct by the whole dedup shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti join: customers with no urgent order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT a.r_name AS a_name, b.r_name AS b_name
+    FROM region a CROSS JOIN region b
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever on bounded inputs (5×5 here)."""
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("a_name"))
+    b = r.select(F.col("r_name").alias("b_name"))
+    return a.crossJoin(b)
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s.s_suppkey AS s_key, t.s_suppkey AS t_key,
+           s.s_acctbal AS s_bal, t.s_acctbal AS t_bal
+    FROM supplier s JOIN supplier t
+      ON s.s_suppkey <> t.s_suppkey
+     AND s.s_acctbal BETWEEN t.s_acctbal - 100 AND t.s_acctbal
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join (balance within 100 below another's).
+
+    Physically a BroadcastNestedLoopJoin — acceptable only because
+    supplier is a bounded dimension.  The fact-scale analog of this
+    pattern must be bucketed first (SURVEY.md §4.3.5).
+    """
+    sup = load_table(spark, sf_dir, "supplier")
+    s = sup.select(
+        F.col("s_suppkey").alias("s_key"), F.col("s_acctbal").alias("s_bal")
+    )
+    t = sup.select(
+        F.col("s_suppkey").alias("t_key"), F.col("s_acctbal").alias("t_bal")
+    )
+    return s.join(
+        t,
+        (F.col("s_key") != F.col("t_key"))
+        & F.col("s_bal").between(F.col("t_bal") - 100, F.col("t_bal")),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         views     AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           v.event_id AS view_id
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts >= p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the NEXT view at-or-after it
+    per user (align-two-time-series-on-nearest-date analog).
+
+    Spark has no native ASOF; the scalable form is a single window pass:
+    union both streams, sort within user by time, and carry the nearest
+    view id backward with ``first(..., ignorenulls=True)`` over the
+    following frame.  One shuffle on user_id, zero join blowup — this
+    holds at 100 TB where a candidate-pair join would not.  (DuckDB
+    cross-checks with its native ASOF JOIN.)
+
+    Direction note: "next at-or-after" rather than "latest at-or-before"
+    keeps equal-timestamp semantics identical in both engines; at equal
+    ts the view sorts after the purchase via the is_purchase flag and is
+    still matched by the >= inequality.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("vid"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_purchase"), F.asc("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn("view_id", F.first("vid", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "view_id",
+        )
+    )
