@@ -56,3 +56,331 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT count(*)                          AS cnt,
+           round(sum(l_quantity), 4)         AS sum_qty,
+           round(avg(l_extendedprice), 4)    AS avg_price,
+           min(l_extendedprice)              AS min_price,
+           max(l_extendedprice)              AS max_price,
+           min(CAST(l_shipdate AS DATE))     AS first_ship,
+           max(CAST(l_shipdate AS DATE))     AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand totals, no keys (world-totals analog) — single-row result.
+
+    Partial aggregation reduces each partition to one row before the
+    1-partition final stage, so the exchanged volume is O(#partitions).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+    )
+
+
+@query(
+    "agg_ratio",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_discount) / sum(l_extendedprice), 6)
+               AS discount_rate,
+           round(sum(l_quantity) / count(*), 6) AS qty_per_item
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived per-group ratio, sum(a)/sum(b) — the mortality-rate shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+            / F.sum("l_extendedprice"),
+            6,
+        ).alias("discount_rate"),
+        F.round(F.sum("l_quantity") / F.count(F.lit(1)), 6).alias("qty_per_item"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT c_nationkey,
+           count(DISTINCT c_mktsegment) AS distinct_segments,
+           count(DISTINCT c_custkey)    AS distinct_customers,
+           count(*)                     AS cnt
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per nation (expand + two-phase agg in Spark)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.countDistinct("c_mktsegment").alias("distinct_segments"),
+        F.countDistinct("c_custkey").alias("distinct_customers"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query("agg_approx_distinct")  # weak: HLL++ estimate is engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path for distincts.
+
+    The sketch is associative (mergeable partials), so it scales where
+    exact distinct's expand-shuffle does not.  Estimates differ across
+    engines → rows-only check.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6)              AS sd_qty,
+           round(var_samp(l_quantity), 6)                 AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6)    AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Descriptive statistics per group (stddev/variance/corr/covar)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_linestatus,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS p75
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (both engines interpolate
+    linearly over the sorted group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+@query("agg_approx_percentile")  # weak: GK-sketch estimate is engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna sketch quantiles — mergeable, bounded-memory,
+    the percentile path that survives 100 TB (exact percentile needs a
+    per-group sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(1000)
+        ).alias("approx_p50_p90")
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 30)            AS cnt_big,
+           round(coalesce(sum(l_extendedprice)
+                 FILTER (WHERE l_quantity > 30), 0), 4)        AS sum_big,
+           round(sum(CASE WHEN l_discount > 0.05
+                          THEN l_extendedprice ELSE 0 END), 4) AS sum_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: count_if / sum(CASE WHEN ...) —
+    cases-above-threshold counts analog."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = F.col("l_quantity") > 30
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(big).alias("cnt_big"),
+        F.round(
+            F.coalesce(F.sum(F.when(big, F.col("l_extendedprice"))), F.lit(0.0)),
+            4,
+        ).alias("sum_big"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))
+                .otherwise(0.0)
+            ),
+            4,
+        ).alias("sum_discounted"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           count(*)                             AS cnt
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set per group, emitted sorted for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           grouping_id(r_name, n_name) AS gid,
+           count(*)                    AS customer_cnt,
+           round(sum(c_acctbal), 4)    AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals nation→region→grand (country→continent→world)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("customer_cnt"),
+        F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping_id(l_returnflag, l_linestatus) AS gid,
+           count(*)                                AS cnt,
+           round(sum(l_quantity), 4)               AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                     AS cnt,
+           round(sum(o_totalprice), 4)  AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL entry point."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*)                    AS cnt,
+               round(sum(o_totalprice), 4) AS total
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@query(
+    "pivot_wide",
+    oracle="""
+    SELECT user_id,
+           round(sum(value) FILTER (WHERE event_type = 'view'), 4)     AS view,
+           round(sum(value) FILTER (WHERE event_type = 'click'), 4)    AS click,
+           round(sum(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase,
+           round(sum(value) FILTER (WHERE event_type = 'signup'), 4)   AS signup,
+           round(sum(value) FILTER (WHERE event_type = 'error'), 4)    AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (JHU wide-format reshape analog).
+
+    The pivot value list is EXPLICIT: implicit pivot first runs a
+    distinct-values job over the whole table — a full extra pass that
+    is banned at 100 TB (SURVEY.md §4.3.2).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 4))
+    )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, var, val
+    FROM lineitem
+    UNPIVOT (val FOR var IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt, the inverse reshape (narrow per-metric rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "var",
+        "val",
+    )

@@ -1,1 +1,258 @@
-"""Window-function operators (SURVEY.md §2 category 5)."""
+"""Window-function operators (SURVEY.md §2 category 5).
+
+Reference analogs: daily-new-cases via lag-diff, 7-day moving average,
+cumulative cases, rank within continent, top-N per group.  Each spec
+compiles to one WindowExec: a single hash-partition shuffle on the
+partition keys, then a per-partition sort — no joins, no self-joins.
+
+Determinism rule (SURVEY.md §5.3.2): every orderBy feeding
+lag/lead/row_number/ntile carries a unique tie-break key (event_id /
+o_orderkey / c_custkey).  events timestamps are ns-unique so ts alone
+is total, but the tie-break stays for engine-portability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+
+def _by_user_time() -> Window:
+    return Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+
+
+@query(
+    "win_lag_diff",
+    oracle="""
+    SELECT event_id, user_id,
+           value - lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def win_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-new-cases shape: value − lag(value) per user over time."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value", 1).over(_by_user_time())).alias("delta"),
+    )
+
+
+@query(
+    "win_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             - epoch_ms(ts) AS gap_ms
+    FROM events
+    """,
+)
+def win_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap to the next event in milliseconds.
+
+    Output is an epoch-ms difference, not a raw timestamp: ms is the
+    common truncation grain of Spark's µs and DuckDB's ns clocks
+    (SURVEY.md §5.3.4).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_millis(F.lead("ts", 1).over(_by_user_time()))
+            - F.unix_millis(F.col("ts"))
+        ).alias("gap_ms"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+               AS ma7
+    FROM events
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average (7-day moving average analog)."""
+    w = _by_user_time().rowsBetween(-6, Window.currentRow)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("ma7"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, value,
+           round(sum(value) OVER (PARTITION BY event_type ORDER BY value
+                                  RANGE BETWEEN 10 PRECEDING AND CURRENT ROW),
+                 4) AS near_sum
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: sum over peers within 10 below current.
+
+    Range frames are tie-safe by construction — all peers of the order
+    value share one frame — so no tie-break key is needed.
+    """
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(-10, Window.currentRow)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "value",
+        F.round(F.sum("value").over(w), 4).alias("near_sum"),
+    )
+
+
+@query(
+    "win_cumsum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS cum_value
+    FROM events
+    """,
+)
+def win_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum (cumulative-cases analog)."""
+    w = _by_user_time().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("cum_value"),
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+               AS rnk,
+           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+               AS drnk
+    FROM customer
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank within nation (country-rank analog).
+
+    rank() is tie-stable: equal balances share a rank in both engines,
+    so no tie-break is required for the rank *values*.
+    """
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "win_row_number_topk",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rk
+        FROM customer
+    ) WHERE rk <= 3
+    """,
+)
+def win_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per nation via row_number (top-N countries per continent).
+
+    The per-group top-k idiom at scale: one shuffle on the group key,
+    heap-bounded sort, filter — never a global sort.  Tie-break on
+    c_custkey makes the selected rows identical across engines.
+    """
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "win_ntile_pctrank",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4)       OVER w            AS quartile,
+           round(percent_rank() OVER w, 6)  AS prank,
+           round(cume_dist()    OVER w, 6)  AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles + percent_rank + cume_dist of order totals.
+
+    ntile assigns by row position, which is tie-UNSTABLE — the unique
+    o_orderkey tie-break makes the assignment total and portable.
+    """
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT event_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value)  OVER w AS last_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event value per user-day over the full-partition frame."""
+    w = (
+        Window.partitionBy("user_id", F.col("ts").cast("date"))
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+    )
