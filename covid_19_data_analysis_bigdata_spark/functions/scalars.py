@@ -1,1 +1,410 @@
-"""Scalar function families (SURVEY.md §2 category 8)."""
+"""Scalar function families (SURVEY.md §2 category 8).
+
+Reference analogs: country-name cleanup, date parsing/bucketing, rate
+math, severity banding, API-JSON parsing.  One query per family, each
+emitting several function results as aliased columns.  Everything stays
+JVM-side inside whole-stage codegen — no Python in the row path.
+
+Cross-engine portability notes baked in below (learned by probing):
+- day-of-week: Spark is 1=Sunday, DuckDB 0=Sunday → both converted to
+  ISO (1=Monday..7=Sunday).
+- DuckDB regexp_replace needs the explicit ``'g'`` flag to match
+  Spark's replace-all default.
+- DuckDB map extraction ``m['k']`` yields a single-element list.
+- round() on *stored* data is avoided (HALF_UP vs half-even divergence);
+  round appears only after transcendental functions where binary
+  halfway cases cannot occur.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+
+@query(
+    "str_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                          AS name_upper,
+           lower(c_mktsegment)                    AS seg_lower,
+           trim(concat('  ', c_name, ' '))        AS name_trimmed,
+           substring(c_name, 1, 8)                AS name_prefix,
+           concat_ws('|', c_mktsegment, c_name)   AS seg_name,
+           CAST(length(c_name) AS INTEGER)        AS name_len,
+           replace(c_name, 'Customer', 'C')       AS name_short,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded
+    FROM customer
+    """,
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/trim/substring/concat_ws/length/replace/lpad."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias(
+            "name_trimmed"
+        ),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias(
+            "name_short"
+        ),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias(
+            "nation_padded"
+        ),
+    )
+
+
+@query(
+    "str_split_regex",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1)                    AS first_word,
+           split_part(p_name, ' ', 2)                    AS second_word,
+           regexp_extract(p_brand, '([0-9]+)', 1)        AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')   AS devoweled,
+           starts_with(p_name, 'small')                  AS is_small,
+           contains(p_type, 'ECO')                       AS is_eco
+    FROM part
+    """,
+)
+def str_split_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split/regexp_extract/regexp_replace/startswith/contains."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.startswith(F.col("p_name"), F.lit("small")).alias("is_small"),
+        F.contains(F.col("p_type"), F.lit("ECO")).alias("is_eco"),
+    )
+
+
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)     AS yr,
+           CAST(month(o_orderdate) AS INTEGER)    AS mth,
+           CAST(day(o_orderdate) AS INTEGER)      AS dom,
+           CAST(quarter(o_orderdate) AS INTEGER)  AS qtr,
+           CAST(isodow(o_orderdate) AS INTEGER)   AS iso_dow,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+           CAST(date_diff('month', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INTEGER) AS months_since,
+           CAST(o_orderdate AS DATE) + 30         AS plus_30d,
+           last_day(CAST(o_orderdate AS DATE))    AS month_end
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/quarter/ISO-dow/dayofyear/date_trunc/datediff/
+    date_add/months-since/last_day (date-bucketing analog)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    dd = d.cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mth"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        # Spark dayofweek: 1=Sunday..7=Saturday → ISO 1=Monday..7=Sunday.
+        (((F.dayofweek(d) + 5) % 7) + 1).alias("iso_dow"),
+        F.dayofyear(d).alias("doy"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.datediff(dd, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        (
+            (F.year(d) * 12 + F.month(d)) - F.lit(1995 * 12 + 1)
+        ).alias("months_since"),
+        F.date_add(dd, 30).alias("plus_30d"),
+        F.last_day(dd).alias("month_end"),
+    )
+
+
+@query(
+    "ts_funcs",
+    oracle="""
+    SELECT event_id,
+           epoch_ms(ts) // 1000                   AS epoch_sec,
+           epoch_ms(ts)                           AS epoch_msec,
+           CAST(hour(ts) AS INTEGER)              AS hr,
+           CAST(minute(ts) AS INTEGER)            AS mins,
+           epoch_ms(ts + INTERVAL 1 HOUR)         AS plus_1h_ms,
+           epoch_ms(date_trunc('hour', ts))       AS hour_bucket_ms
+    FROM events
+    """,
+)
+def ts_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unix epoch / hour / minute / interval arithmetic on event time.
+
+    All timestamp-valued results leave as epoch-ms integers — the
+    common grain of Spark's µs and DuckDB's ns clocks (SURVEY.md §5.3.4).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        F.expr("unix_millis(ts) DIV 1000").alias("epoch_sec"),
+        F.unix_millis(ts).alias("epoch_msec"),
+        F.hour(ts).alias("hr"),
+        F.minute(ts).alias("mins"),
+        F.unix_millis(ts + F.expr("INTERVAL 1 HOUR")).alias("plus_1h_ms"),
+        F.unix_millis(F.date_trunc("hour", ts)).alias("hour_bucket_ms"),
+    )
+
+
+@query(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 30000)               AS abs_centered,
+           ceil(l_quantity / 7)                       AS ceil_weeks,
+           floor(l_quantity / 7)                      AS floor_weeks,
+           round(sqrt(l_extendedprice), 6)            AS sqrt_price,
+           round(pow(l_discount + 1, 3), 6)           AS pow_disc,
+           round(ln(l_extendedprice), 6)              AS ln_price,
+           round(exp(l_discount), 6)                  AS exp_disc,
+           greatest(l_quantity, CAST(l_linenumber AS DOUBLE)) AS biggest,
+           least(l_quantity, CAST(l_linenumber AS DOUBLE))    AS smallest,
+           sign(l_extendedprice - 30000)              AS price_sign,
+           CAST(l_orderkey % 7 AS BIGINT)             AS key_mod
+    FROM lineitem
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/ceil/floor/sqrt/pow/ln/exp/greatest/least/sign/mod.
+
+    Transcendentals (sqrt/pow/ln/exp) are rounded to 6dp: libm vs JVM
+    Math may differ in the last ulp; binary doubles never land exactly
+    on a decimal halfway point after a transcendental, so the rounding
+    itself is portable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(price - 30000).alias("abs_centered"),
+        F.ceil(q / 7).alias("ceil_weeks"),
+        F.floor(q / 7).alias("floor_weeks"),
+        F.round(F.sqrt(price), 6).alias("sqrt_price"),
+        F.round(F.pow(F.col("l_discount") + 1, 3), 6).alias("pow_disc"),
+        F.round(F.log(price), 6).alias("ln_price"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.greatest(q, F.col("l_linenumber").cast("double")).alias("biggest"),
+        F.least(q, F.col("l_linenumber").cast("double")).alias("smallest"),
+        F.signum(price - 30000).alias("price_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "cond_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 150000 THEN 'critical'
+                WHEN o_totalprice >= 50000  THEN 'high'
+                WHEN o_totalprice >= 10000  THEN 'medium'
+                ELSE 'low' END                          AS severity,
+           CASE WHEN o_orderstatus = 'F' THEN 'final' ELSE 'open' END AS state,
+           nullif(o_orderstatus, 'P')                    AS status_np,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+           CASE WHEN nullif(o_orderstatus, 'P') IS NOT NULL
+                THEN 'known' ELSE 'pending' END          AS nvl2_style
+    FROM orders
+    """,
+)
+def cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN ladder / if / nullif / nvl / nvl2 (severity banding)."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    status_np = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        F.when(price >= 150000, "critical")
+        .when(price >= 50000, "high")
+        .when(price >= 10000, "medium")
+        .otherwise("low")
+        .alias("severity"),
+        F.expr("if(o_orderstatus = 'F', 'final', 'open')").alias("state"),
+        status_np.alias("status_np"),
+        F.expr("nvl(nullif(o_orderstatus, 'P'), 'PENDING')").alias(
+            "status_filled"
+        ),
+        F.expr("nvl2(nullif(o_orderstatus, 'P'), 'known', 'pending')").alias(
+            "nvl2_style"
+        ),
+    )
+
+
+@query(
+    "hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                 AS text_md5,
+           sha256(text)              AS text_sha256,
+           md5(concat(lang, source)) AS meta_md5
+    FROM documents
+    """,
+)
+def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content hashes — the dedup keys of category 10.
+
+    md5/sha2 are spec-identical across engines; xxhash64/crc32 are
+    seeded differently per engine and are kept out of checked output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.concat("lang", "source")).alias("meta_md5"),
+    )
+
+
+@query(
+    "array_funcs",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id,
+           CAST(len(words) AS INTEGER)              AS n_words,
+           list_slice(words, 1, 3)                  AS first3,
+           list_contains(words, 'data')             AS has_data,
+           CAST(list_position(words, 'data') AS BIGINT) AS pos_data,
+           list_sort(list_distinct(words))          AS vocab,
+           list_sort(list_distinct(list_cat(list_slice(words, 1, 2),
+                                            list_slice(words, -2, -1)))) AS ends
+    FROM w
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/slice/contains/position/distinct/sort/union on word arrays."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.slice(words, 1, 3).alias("first3"),
+        F.array_contains(words, "data").alias("has_data"),
+        F.array_position(words, "data").alias("pos_data"),
+        F.array_sort(F.array_distinct(words)).alias("vocab"),
+        F.array_sort(
+            F.array_distinct(
+                F.concat(F.slice(words, 1, 2), F.slice(words, -2, 2))
+            )
+        ).alias("ends"),
+    )
+
+
+@query(
+    "array_hof",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_aggregate(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')), 6)                                       AS l2_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           round(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               'sum'), 6)                                        AS vec_sum,
+           list_transform(list_slice(embedding, 1, 3),
+                          x -> CAST(x AS DOUBLE) * 2)            AS first3_doubled
+    FROM embeddings
+    """,
+)
+def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order transform/filter/aggregate on embedding vectors.
+
+    Elements are cast float→double INSIDE the lambdas so both engines
+    accumulate in double (SURVEY.md §1.3.3); reductions are sequential
+    left-to-right in both, so 6dp rounding closes the gap.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    emb,
+                    F.lit(0.0),
+                    lambda acc, x: acc + dbl(x) * dbl(x),
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + dbl(x)), 6
+        ).alias("vec_sum"),
+        F.transform(F.slice(emb, 1, 3), lambda x: dbl(x) * 2).alias(
+            "first3_doubled"
+        ),
+    )
+
+
+@query(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           map_keys(MAP(['k'], [CAST(props->>'$.k' AS BIGINT)]))   AS prop_keys,
+           MAP(['k'], [CAST(props->>'$.k' AS BIGINT)])['k'][1]     AS k_value,
+           CAST(cardinality(MAP(['k'], [CAST(props->>'$.k' AS BIGINT)]))
+                AS INTEGER)                                        AS map_size
+    FROM events
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_map/map_keys/element_at/size over parsed event props.
+
+    DuckDB's map extraction returns the bare value (Spark's element_at
+    likewise), so the two agree; the map itself is not emitted — map
+    cell encodings differ across drivers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.size(m).alias("map_size"),
+    )
+
+
+@query(
+    "json_funcs",
+    oracle="""
+    SELECT event_id,
+           props->>'$.k'                        AS k_str,
+           CAST(props->>'$.k' AS BIGINT)        AS k_int,
+           CAST(json_valid(props) AS BOOLEAN)   AS is_valid
+    FROM events
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object / from_json-with-schema / validity (API-JSON parsing)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k BIGINT").getField("k").alias("k_int"),
+        F.get_json_object("props", "$.k").isNotNull().alias("is_valid"),
+    )
