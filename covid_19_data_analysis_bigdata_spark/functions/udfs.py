@@ -1,1 +1,223 @@
-"""UDF / UDAF / UDTF surface (SURVEY.md §2 category 11)."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2 category 11) + the
+multimodal binary-column plumbing.
+
+Cost ladder, fastest first (SURVEY.md §4.3.6):
+1. built-in expressions (JVM, whole-stage codegen) — everything outside
+   this module;
+2. ``pandas_udf`` / ``applyInPandas`` / ``mapInPandas`` — Arrow batch
+   transfer, vectorized numpy/pandas compute;
+3. row-at-a-time ``@F.udf`` — one Python round-trip per row; kept ONLY
+   as the surface demonstration (`udf_python_scalar`), banned on any
+   100 TB hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+
+@query(
+    "udf_python_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 100000 THEN 'large'
+                WHEN o_totalprice >= 20000  THEN 'medium'
+                ELSE 'small' END AS size_label
+    FROM orders
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (custom severity label).
+
+    Every row crosses JVM→Python→JVM individually — serialization cost
+    dominates.  Exists to demonstrate the surface; the identical logic
+    compiles to a CASE ladder (cond_funcs) that runs ~100× faster.
+    """
+
+    @F.udf(StringType())
+    def size_label(price: float) -> str:
+        if price >= 100000:
+            return "large"
+        if price >= 20000:
+            return "medium"
+        return "small"
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", size_label("o_totalprice").alias("size_label"))
+
+
+@query(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT event_id,
+           round((value - avg(value) OVER ()) / stddev_samp(value) OVER (), 6)
+               AS zscore
+    FROM events
+    """,
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF: z-score of event value.
+
+    The global mean/stddev are computed once JVM-side and broadcast as
+    a 1-row frame; the pandas_udf then runs pure vectorized numpy over
+    Arrow batches — no per-row Python.
+    """
+
+    @F.pandas_udf("double")
+    def zscore(v: pd.Series, mean: pd.Series, sd: pd.Series) -> pd.Series:
+        return (v - mean) / sd
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.avg("value").alias("mean_v"), F.stddev_samp("value").alias("sd_v")
+    )
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .select(
+            "event_id",
+            F.round(
+                zscore(F.col("value"), F.col("mean_v"), F.col("sd_v")), 6
+            ).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "udaf_applyinpandas",
+    oracle="""
+    SELECT user_id,
+           round(regr_slope(value, epoch_ms(ts) / 86400000.0), 6)
+               AS slope_per_day,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def udaf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF: per-user linear-regression slope of value over
+    time (the reference class's trend-forecasting core).
+
+    ``applyInPandas`` ships each user's rows as one Arrow batch to a
+    numpy closed-form least-squares.  The x axis is centered before the
+    product sums — at epoch-day magnitudes the uncentered formula loses
+    ~9 digits to cancellation and would not match regr_slope.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_millis("ts") / F.lit(86400000.0)).alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def slope(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy()
+        y = pdf["y"].to_numpy()
+        xc = x - x.mean()
+        yc = y - y.mean()
+        denom = (xc * xc).sum()
+        s = float((xc * yc).sum() / denom) if denom > 0 else None
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "slope_per_day": [round(s, 6) if s is not None else None],
+                "n": [len(pdf)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        slope, "user_id bigint, slope_per_day double, n bigint"
+    )
+
+
+@query(
+    "udtf_table_fn",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + CAST(t.g AS INTEGER) AS d
+    FROM orders, (SELECT unnest(generate_series(0, 4)) AS g) t
+    WHERE o_orderkey % 97 = 0 AND t.g <= o_orderkey % 5
+    """,
+)
+def udtf_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one order row → N date rows (date-range expansion).
+
+    A lateral-correlated Python table function demonstrates the UDTF
+    surface; the same expansion is expressible natively as
+    ``explode(sequence(...))``, which is what a 100 TB pipeline should
+    use (JVM-side, no Python worker).
+    """
+    from datetime import timedelta
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, d date")
+    class ExpandDates:
+        def eval(self, orderkey, orderdate):
+            for i in range(int(orderkey % 5) + 1):
+                yield orderkey, (orderdate + timedelta(days=i)).date()
+
+    spark.udtf.register("expand_dates", ExpandDates)
+    load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    ).createOrReplaceTempView("v_orders_udtf")
+    return spark.sql(
+        """
+        SELECT f.o_orderkey, f.d
+        FROM v_orders_udtf,
+             LATERAL expand_dates(o_orderkey, o_orderdate) f
+        """
+    )
+
+
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB))            AS n_bytes,
+           octet_length(CAST(text AS BLOB)) % 640      AS fake_width,
+           (octet_length(CAST(text AS BLOB)) * 7) % 480 AS fake_height,
+           octet_length(CAST(text AS BLOB)) % 10       AS fake_frames
+    FROM documents
+    """,
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: opaque ``binary`` payloads
+    decoded via Arrow-batched ``mapInPandas``.
+
+    The Spark-side plumbing is real — binary column, schema-typed
+    output, Arrow batch shape, partition-preserving map — while the
+    codec itself is a deterministic STUB (real image/audio libraries
+    are not in this container).  A production decode swaps the stub
+    body for PIL/ffmpeg calls; nothing else changes.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            # STUB decode: deterministic pseudo-metadata derived from the
+            # payload bytes. Replace with a real codec (PIL / ffmpeg /
+            # soundfile) outside this container.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "fake_width": n % 640,
+                    "fake_height": (n * 7) % 480,
+                    "fake_frames": n % 10,
+                }
+            )
+
+    return d.mapInPandas(
+        decode,
+        "doc_id bigint, n_bytes bigint, fake_width bigint, "
+        "fake_height bigint, fake_frames bigint",
+    )

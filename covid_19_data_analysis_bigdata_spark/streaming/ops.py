@@ -1,1 +1,332 @@
-"""Structured Streaming operators over events (SURVEY.md §2 category 9)."""
+"""Structured Streaming operators over the events stream (SURVEY.md §2
+category 9).
+
+The reference class's "live dashboard" variant, realized with
+Structured Streaming: ``readStream`` over the static events parquet
+replayed via ``trigger(availableNow=True)`` into a memory sink; the
+*final* result table is what each query returns, so end-of-stream state
+equals the equivalent batch computation and most queries keep a strong
+DuckDB oracle.
+
+Event time is the repaired µs ``ts`` (ns parquet → bigint →
+timestamp_micros, same as the batch scan layer).  Watermarks bound the
+aggregation state so the same topology runs unbounded at scale
+(SURVEY.md §4.3.8).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.session import ensure_confs
+
+#: Raw on-disk schema (pre-repair): ts is bigint nanos under nanosAsLong.
+_RAW_EVENTS = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the ns→µs repair applied.
+
+    Streaming file sources require a declared schema (no inference
+    pass) — the same 100 TB discipline as the batch path.
+    """
+    ensure_confs(spark)
+    return (
+        spark.readStream.schema(_RAW_EVENTS)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+
+
+def run_to_table(spark: SparkSession, df: DataFrame, name: str, mode: str) -> DataFrame:
+    """Drive a streaming frame to completion into a memory sink.
+
+    ``availableNow`` processes the full backlog then stops — the replay
+    harness that makes final state comparable to batch.  Any prior
+    active query with the same name is stopped first so reruns in a
+    shared session are safe.
+    """
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+            q.awaitTermination()
+    handle = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    handle.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           count(*)             AS cnt,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY day, event_type
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day tumbling-window counts per event type.
+
+    Watermark bounds state to one day of open windows; complete output
+    at end-of-stream equals the batch day-bucket aggregation.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = run_to_table(spark, agg, "t_tumbling", "complete")
+    return out.select(
+        F.col("w.start").cast("date").alias("day"),
+        "event_type",
+        "cnt",
+        "sum_value",
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH buckets AS (
+        SELECT epoch_ms(time_bucket(INTERVAL '3 hours', ts)) AS s1,
+               epoch_ms(time_bucket(INTERVAL '3 hours', ts)) - 10800000 AS s0,
+               value
+        FROM events),
+    expanded AS (
+        SELECT s1 AS window_start_ms, value FROM buckets
+        UNION ALL
+        SELECT s0 AS window_start_ms, value FROM buckets)
+    SELECT window_start_ms,
+           count(*)             AS cnt,
+           round(sum(value), 4) AS sum_value
+    FROM expanded
+    GROUP BY window_start_ms
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour windows sliding every 3 hours, per-window event value sum.
+
+    Each event lands in exactly two overlapping windows; the oracle
+    expands the same two bucket starts per event in SQL.  Window starts
+    leave as epoch-ms integers (SURVEY.md §5.3.4).
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = run_to_table(spark, agg, "t_sliding", "complete")
+    return out.select(
+        F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+        "cnt",
+        "sum_value",
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g)
+    SELECT user_id,
+           min(epoch_ms(ts))    AS session_start_ms,
+           count(*)             AS cnt,
+           round(sum(value), 4) AS sum_value
+    FROM s
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap.
+
+    Native ``session_window`` keeps per-user open-session state bounded
+    by the watermark.  The oracle is the classic gaps-and-islands SQL:
+    a session break is a gap ≥ the timeout (Spark sessions span
+    [start, last+gap)), islands numbered by a running sum.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = run_to_table(spark, agg, "t_session", "complete")
+    return out.select(
+        "user_id",
+        F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+        "cnt",
+        "sum_value",
+    )
+
+
+@query("stream_watermark_late")  # weak: append-mode emission is engine-specific
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling: 1-hour watermark, hourly windows, APPEND mode.
+
+    Append emits a window only once the watermark passes its end, so
+    windows newer than (max event time − 1 h) at end-of-stream are
+    withheld — deliberately different from the batch result, hence the
+    rows-only check.  This is the state-bounding behavior that keeps an
+    unbounded 100 TB/day stream's memory flat.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = run_to_table(spark, agg, "t_late", "append")
+    return out.select(
+        F.unix_millis(F.col("w.start")).alias("window_start_ms"), "cnt"
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) within the watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per key
+    and expires key state once the watermark passes — bounded memory on
+    unbounded streams.  Only the key columns are emitted, so the result
+    set equals batch DISTINCT regardless of arrival order.
+    """
+    ev = events_stream(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", "1 day")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_table(spark, dedup, "t_dedup", "append")
+
+
+@query(
+    "stream_stateful_running",
+    oracle="""
+    SELECT user_id,
+           count(*)             AS cnt,
+           round(sum(value), 4) AS sum_value,
+           round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user aggregate via arbitrary stateful processing
+    (``applyInPandasWithState``).
+
+    Custom state machine: each trigger folds the user's new rows into a
+    (count, sum, max) state tuple and emits the updated state — the
+    update-mode running-total pattern.  End-of-stream state equals the
+    batch groupBy, giving a strong oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+
+    def fold(key, pdfs, state: GroupState):
+        cnt, total, mx = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = float(pdf["value"].max()) if len(pdf) else None
+            if batch_max is not None:
+                mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((cnt, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "cnt": [cnt],
+                "sum_value": [round(total, 4)],
+                "max_value": [round(mx, 4) if mx is not None else None],
+            }
+        )
+
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id bigint, cnt bigint, sum_value double, max_value double",
+        stateStructType="cnt bigint, sum_value double, max_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(spark, folded, "t_stateful", "update")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_nationkey, c.c_mktsegment
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich the stream with a static dimension (user → customer).
+
+    Stream-static inner joins need no state at all: each micro-batch
+    hash-joins against the (broadcast) static side — the standard
+    dimension-enrichment topology at scale.
+    """
+    from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+    ev = events_stream(spark, sf_dir).select("event_id", "user_id")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
+    ).select("event_id", "user_id", "c_nationkey", "c_mktsegment")
+    return run_to_table(spark, joined, "t_static_join", "append")
