@@ -1,0 +1,75 @@
+"""Headline benchmark (driver contract: one JSON line).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, warm timings
+(each query runs once to warm scan/code paths, then once measured,
+``collect()`` included), and prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Compare against BASELINE.md §2: Spark local-mode fixed overhead is
+~0.3–1.3 s/query; the algorithmic outlier to watch is llm_sim_topk,
+which must run via the vectorized mapInPandas matmul (sub-second),
+never the naive SQL-lambda all-pairs form (35.7 s at sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "agg_groupby",          # BASELINE q1 pricing-summary shape
+    "join_multiway_star",   # star join + rollup
+    "join_sortmerge",       # large-large shuffle join
+    "win_moving_avg",       # BASELINE w_moving_avg shape
+    "win_row_number_topk",  # BASELINE topk_rank shape
+    "topk_limit",           # BASELINE q3-style top-N
+    "llm_sim_topk",         # BASELINE sim_knn shape (vectorized path)
+    "llm_dedup_fuzzy",      # MinHash-LSH pipeline
+    "llm_text_tokens",      # tokenize + count
+    "stream_tumbling_counts",  # streaming replay harness
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from covid_19_data_analysis_bigdata_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, sf_dir).collect()  # warm
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

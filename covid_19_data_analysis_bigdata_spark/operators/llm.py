@@ -141,6 +141,10 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         d.select("doc_id", _shingles(_words()).alias("shingles"))
         .filter(F.size("shingles") > 0)
+        # The shingle table feeds three consumers (minhash, and both
+        # sides of the verify join); persisting it collapses the DAG
+        # from ~4 full re-shingling passes to one.
+        .persist()
     )
 
     tok = sh.select("doc_id", F.explode("shingles").alias("tok"))
@@ -165,6 +169,9 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = (
         minhash.select("doc_id", F.explode(band_structs).alias("bs"))
         .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        # Both sides of the bucket self-join read this; persist so the
+        # minhash aggregation runs once.
+        .persist()
     )
 
     a = bands.alias("a")

@@ -1,0 +1,55 @@
+"""Physical-plan assertions for strategy-sensitive queries (SURVEY.md §5.4).
+
+These are the 100 TB guardrails: if a refactor silently turns the
+broadcast join into a shuffle, or un-prunes a scan, these fail before
+any benchmark does.
+"""
+
+import __spark_entry__ as E
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = E.queries()[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sortmerge_join_is_sortmerge(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_sortmerge")
+    assert "SortMergeJoin" in plan
+
+
+def test_star_join_never_shuffles_fact_for_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_multiway_star")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_projection_pruned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_projected")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read and "l_comment" not in read
+
+
+def test_filter_pushed_to_parquet(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_simple")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThan(l_quantity,30" in pushed
+
+
+def test_partition_pruning_on_sink_readback(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sink_parquet_partitioned")
+    assert "PartitionFilters" in plan and "l_returnflag" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_limit")
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,86 @@
+"""Algebraic cross-operator identities (SURVEY.md §5.4).
+
+These validate operators against each other rather than against the
+oracle: union additivity, dedup idempotence, rollup totals, cumsum
+closure — cheap invariants that hold at every scale factor.
+"""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+
+def _q(spark, sf_dir, name):
+    return E.queries()[name](spark, sf_dir)
+
+
+def test_union_all_count_additivity(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").count()
+    hibal = c.filter(F.col("c_acctbal") > 5000).count()
+    assert _q(spark, sf_dir, "set_union_all").count() == building + hibal
+
+
+def test_intersect_plus_except_partitions_left_side(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").count()
+    inter = _q(spark, sf_dir, "set_intersect").count()
+    exc = _q(spark, sf_dir, "set_except").count()
+    assert inter + exc == building
+
+
+def test_distinct_idempotent(spark, sf_dir):
+    d = _q(spark, sf_dir, "dedup_distinct")
+    assert d.count() == d.distinct().count()
+
+
+def test_rollup_grand_total_matches_global(spark, sf_dir):
+    roll = _q(spark, sf_dir, "agg_rollup")
+    grand = roll.filter(F.col("gid") == 3).collect()
+    assert len(grand) == 1
+    total_customers = load_table(spark, sf_dir, "customer").count()
+    assert grand[0]["customer_cnt"] == total_customers
+
+
+def test_cumsum_final_value_equals_group_sum(spark, sf_dir):
+    cum = _q(spark, sf_dir, "win_cumsum")
+    finals = cum.groupBy("user_id").agg(F.max("cum_value").alias("final"))
+    ev = load_table(spark, sf_dir, "events")
+    sums = ev.groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("expect"))
+    joined = finals.join(sums, "user_id").collect()
+    for row in joined:
+        # cum_value is rounded per-prefix; allow the final rounding ulp.
+        assert abs(row["final"] - row["expect"]) < 1e-3, row
+
+
+def test_semi_plus_anti_partitions_customers(spark, sf_dir):
+    total = load_table(spark, sf_dir, "customer").count()
+    semi = _q(spark, sf_dir, "join_semi").count()
+    anti = _q(spark, sf_dir, "join_anti").count()
+    assert semi + anti == total
+
+
+def test_topk_is_subset_of_sorted(spark, sf_dir):
+    top = {r["o_orderkey"] for r in _q(spark, sf_dir, "topk_limit").collect()}
+    allkeys = {
+        r["o_orderkey"]
+        for r in load_table(spark, sf_dir, "orders").select("o_orderkey").collect()
+    }
+    assert top <= allkeys and len(top) == 10
+
+
+def test_fuzzy_dedup_pairs_are_ordered_and_above_tau(spark, sf_dir):
+    rows = _q(spark, sf_dir, "llm_dedup_fuzzy").collect()
+    for r in rows:
+        assert r["a_id"] < r["b_id"]
+        assert r["jaccard"] >= 0.5
+
+
+def test_knn_returns_k_per_probe(spark, sf_dir):
+    from collections import Counter
+
+    rows = _q(spark, sf_dir, "llm_knn_per_query").collect()
+    per_probe = Counter(r["probe_id"] for r in rows)
+    assert set(per_probe) == set(range(10))
+    assert all(v == 5 for v in per_probe.values())

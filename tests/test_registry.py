@@ -1,0 +1,69 @@
+"""Registry contract tests (SURVEY.md §2: every inventory ID wired)."""
+
+import __spark_entry__ as E
+
+EXPECTED_IDS = {
+    # cat 1
+    "scan_parquet", "scan_projected", "scan_events_ns", "read_csv_schema",
+    "read_json_lines", "sink_parquet_partitioned", "create_view_sql",
+    # cat 2
+    "project_compute", "filter_simple", "filter_compound",
+    "filter_null_handling", "dedup_distinct", "cast_types", "sample_rows",
+    # cat 3
+    "join_broadcast", "join_sortmerge", "join_multiway_star",
+    "join_left_outer", "join_full_outer", "join_semi", "join_anti",
+    "join_cross", "join_theta_range", "join_asof",
+    # cat 4
+    "agg_global", "agg_groupby", "agg_ratio", "agg_count_distinct",
+    "agg_approx_distinct", "agg_stats", "agg_percentile",
+    "agg_approx_percentile", "agg_filtered", "agg_collect", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "pivot_wide", "unpivot_melt",
+    # cat 5
+    "win_lag_diff", "win_lead", "win_moving_avg", "win_range_frame",
+    "win_cumsum", "win_rank_dense", "win_row_number_topk",
+    "win_ntile_pctrank", "win_first_last",
+    # cat 6
+    "sort_multikey", "topk_limit", "limit_offset",
+    # cat 7
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "set_union_by_name",
+    # cat 8
+    "str_funcs", "str_split_regex", "date_funcs", "ts_funcs", "math_funcs",
+    "cond_funcs", "hash_funcs", "array_funcs", "array_hof", "map_funcs",
+    "json_funcs",
+    # cat 9
+    "stream_tumbling_counts", "stream_sliding", "stream_session",
+    "stream_watermark_late", "stream_dedup", "stream_stateful_running",
+    "stream_static_join",
+    # cat 10
+    "llm_dedup_exact", "llm_dedup_fuzzy", "llm_sim_cosine_pairs",
+    "llm_sim_topk", "llm_knn_per_query", "llm_centroids",
+    "llm_semantic_groupby", "llm_text_tokens", "llm_tfidf",
+    "llm_text_stats", "llm_ngrams", "llm_multimodal_struct",
+    # cat 11
+    "udf_python_scalar", "udf_pandas_vectorized", "udaf_applyinpandas",
+    "udtf_table_fn",
+    # extensions beyond the inventory
+    "multimodal_decode_stub",
+}
+
+#: Queries intentionally shipped without a DuckDB oracle (weak check).
+WEAK_IDS = {
+    "sample_rows",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "stream_watermark_late",
+}
+
+
+def test_inventory_complete():
+    qs = E.queries()
+    missing = EXPECTED_IDS - set(qs)
+    assert not missing, f"inventory IDs not implemented: {sorted(missing)}"
+
+
+def test_oracles_cover_strong_queries():
+    qs, orc = E.queries(), E.oracle_sql()
+    assert set(orc) <= set(qs)
+    weak = set(qs) - set(orc)
+    assert weak == WEAK_IDS, f"unexpected weak-oracle set: {sorted(weak)}"
