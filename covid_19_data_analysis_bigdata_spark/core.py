@@ -53,6 +53,7 @@ def load_all() -> None:
         aggregates,
         windows,
         llm,
+        textprep,
     )
     from covid_19_data_analysis_bigdata_spark.functions import (  # noqa: F401
         scalars,

@@ -1,0 +1,662 @@
+"""Training-data preparation operators (driver-mandated extension).
+
+The large-scale-pipeline surface beyond SURVEY.md §2 category 10:
+language identification, quality scoring, BPE-ish token counting,
+document fingerprinting (rolling hash), SimHash dedup, n-gram Jaccard
+dedup, embedding-cosine near-dup, and IVF-bucketed approximate
+nearest-neighbor search.
+
+Cross-engine determinism: every hash used here is a portable polynomial
+hash over ASCII codes mod 1e9+7 (identical arithmetic in Spark SQL
+lambdas and DuckDB ``list_reduce``), never an engine builtin whose seed
+differs (xxhash64 is fine *inside* MinHash-LSH where only bucket
+equality matters, but not where the hash value itself is output).
+
+Scale design (SURVEY.md §4.3): everything is linear per document and
+partial+final aggregated; the three pair-producing dedups prune the
+candidate space first (SimHash bands, df-capped inverted index,
+blocked-matmul threshold) — nothing materializes all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.operators.llm import (
+    _cosine,
+    _d,
+    _shingles,
+    _words,
+)
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+MOD = 1_000_000_007
+SIMHASH_BITS = 24
+SIMHASH_BLOCKS = 4  # 4 × 6-bit blocks; hamming ≤ 3 ⇒ ≥1 block equal
+NGRAM_TAU = 0.5
+NGRAM_DF_MAX = 50  # inverted-index df cap (hot-gram prune)
+EMB_TAU = 0.40
+IVF_NPROBE = 2
+IVF_TOPK = 3
+
+#: Marker-word sets for the language-ID heuristic.  The corpus text is
+#: synthetic (one shared vocabulary regardless of the ``lang`` column),
+#: so the sets partition that vocabulary; with real text these would be
+#: per-language stopword lists — the dataflow is identical.
+LANG_MARKERS = {
+    "en": ["the", "a", "data", "table"],
+    "es": ["row", "column", "value", "line"],
+    "de": ["join", "merge", "group", "sort"],
+    "fr": ["filter", "scan", "window", "batch"],
+    "zh": ["spark", "hash", "stream", "vector"],
+}
+
+_MARKER_VALUES = ", ".join(
+    f"('{w}', '{lang}')" for lang, ws in LANG_MARKERS.items() for w in ws
+)
+
+#: Portable polynomial string hash: acc₀=7, acc = (acc·31 + ascii) mod p.
+#: Spark and DuckDB agree bit-for-bit (verified; all intermediates < 2⁶³).
+_POLY_SQL = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+    "list_transform(string_split({col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(acc, x) -> (acc * 31 + x) % {MOD})"
+)
+
+
+def _polyhash(col: Column) -> Column:
+    return F.aggregate(
+        F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(7).cast("long"),
+        lambda acc, x: (acc * 31 + x) % MOD,
+    )
+
+
+def _bigrams(words: Column) -> Column:
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(words, i), F.element_at(words, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_lang_id",
+    oracle=f"""
+    WITH markers(tok, mlang) AS (VALUES {_MARKER_VALUES}),
+    tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents),
+    scores AS (SELECT t.doc_id, m.mlang, count(*) AS hits
+               FROM tok t JOIN markers m USING (tok)
+               GROUP BY 1, 2),
+    best AS (SELECT doc_id, mlang
+             FROM scores
+             QUALIFY row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY hits DESC, mlang) = 1)
+    SELECT d.lang, coalesce(b.mlang, 'unk') AS pred_lang, count(*) AS cnt
+    FROM documents d LEFT JOIN best b USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID: score each document against
+    per-language marker-word sets, predict the argmax, emit the
+    (true lang × predicted lang) confusion counts.
+
+    The marker table is a broadcast dimension (bounded: vocabulary-
+    sized); scoring is one token join + partial+final count — linear in
+    corpus size, no per-document state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(
+        [(w, lang) for lang, ws in LANG_MARKERS.items() for w in ws],
+        "tok string, mlang string",
+    )
+    tok = d.select("doc_id", F.explode(_words()).alias("tok"))
+    scores = (
+        tok.join(F.broadcast(markers), "tok")
+        .groupBy("doc_id", "mlang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("mlang"))
+    best = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "mlang")
+    )
+    return (
+        d.join(best, "doc_id", "left")
+        .select(
+            "lang", F.coalesce("mlang", F.lit("unk")).alias("pred_lang")
+        )
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, n_chars,
+               string_split(lower(text), ' ') AS words
+        FROM documents)
+    SELECT doc_id,
+           len(words) AS n_words,
+           round(len(list_distinct(words)) * 1.0 / len(words), 4) AS ttr,
+           round(len(list_filter(words, x -> x IN ('the', 'a'))) * 1.0
+                 / len(words), 4) AS stop_ratio,
+           round((n_chars - len(words) + 1) * 1.0 / len(words), 4)
+               AS avg_word_len,
+           CASE WHEN len(words) >= 60
+                     AND len(list_distinct(words)) * 1.0 / len(words) >= 0.25
+                THEN 'good'
+                WHEN len(words) >= 20 THEN 'ok'
+                ELSE 'short' END AS quality
+    FROM w
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals — word count, type-token ratio,
+    stopword ratio, mean word length — banded into a quality label.
+
+    Pure array expressions over the split text (no explode, no shuffle):
+    each document is scored independently in one codegen stage, the
+    shape a 100 TB quality-filter pass needs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = _words()
+    n_words = F.size(words)
+    ttr = F.size(F.array_distinct(words)) / n_words.cast("double")
+    stop_ratio = (
+        F.size(F.filter(words, lambda x: (x == "the") | (x == "a")))
+        / n_words.cast("double")
+    )
+    avg_word_len = (F.col("n_chars") - n_words + 1) / n_words.cast("double")
+    quality = (
+        F.when((n_words >= 60) & (ttr >= 0.25), "good")
+        .when(n_words >= 20, "ok")
+        .otherwise("short")
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        quality.alias("quality"),
+    )
+
+
+@query(
+    "llm_token_count_bpe",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text),
+                                  '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+        FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, x -> regexp_matches(x, '^[a-z]')))
+               AS n_word_tokens,
+           list_aggregate(list_transform(toks,
+               x -> CAST(floor((length(x) + 3) / 4.0) AS BIGINT)), 'sum')
+               AS n_bpe_est
+    FROM t
+    """,
+)
+def llm_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex tokenizer: alpha runs, digit
+    runs, and single symbols are tokens; the BPE estimate charges
+    ⌈len/4⌉ subword units per token (the common chars-per-token prior).
+
+    One regexp pass + array folds per document — no Python, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+    )
+    bpe = F.aggregate(
+        F.transform(
+            toks, lambda x: F.floor((F.length(x) + 3) / 4.0).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.rlike("^[a-z]"))).alias(
+            "n_word_tokens"
+        ),
+        bpe.alias("n_bpe_est"),
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+               FROM documents),
+    sh AS (SELECT doc_id, words,
+                  [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                   for i in generate_series(1, len(words)-2)] AS shingles
+           FROM w WHERE len(words) >= 3)
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                   list_transform(words, x -> {_POLY_SQL.format(col='x')})),
+               (acc, h) -> (acc * 131 + h) % {MOD}) AS doc_fp,
+           list_aggregate(
+               list_transform(shingles, x -> {_POLY_SQL.format(col='x')}),
+               'min') AS min_shingle_fp
+    FROM sh
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by rolling hash: an order-sensitive
+    polynomial fold over the word-hash sequence (whole-document
+    fingerprint), plus the winnowing anchor — the minimum shingle hash
+    (robust to local edits; equal min-fingerprints are near-dup
+    candidates).
+
+    Both fingerprints are per-row array folds (no shuffle); the hash is
+    the portable mod-p polynomial so the oracle matches bit-for-bit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = _words()
+    doc_fp = F.aggregate(
+        F.transform(words, _polyhash),
+        F.lit(7).cast("long"),
+        lambda acc, h: (acc * 131 + h) % MOD,
+    )
+    min_fp = F.array_min(F.transform(_shingles(words), _polyhash))
+    return (
+        d.filter(F.size(words) >= 3)
+        .select(
+            "doc_id",
+            doc_fp.alias("doc_fp"),
+            min_fp.alias("min_shingle_fp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup variants
+# --------------------------------------------------------------------------
+
+
+def _simhash_bit_sql() -> str:
+    """DuckDB CTEs computing the 24-bit SimHash per document."""
+    return f"""
+    tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents),
+    th AS (SELECT doc_id, {_POLY_SQL.format(col='tok')} AS h FROM tok),
+    bits AS (SELECT doc_id, i,
+                    sum(CASE WHEN (h // (1::BIGINT << i)) % 2 = 1
+                             THEN 1 ELSE -1 END) AS s
+             FROM th, generate_series(0, {SIMHASH_BITS - 1}) AS t(i)
+             GROUP BY doc_id, i),
+    fp AS (SELECT doc_id,
+                  sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                      AS simhash
+           FROM bits GROUP BY doc_id)
+    """
+
+
+@query(
+    "llm_dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_bit_sql()},
+    bands AS (SELECT doc_id, j,
+                     (simhash // (1::BIGINT << (6 * j))) % 64 AS bval
+              FROM fp, generate_series(0, {SIMHASH_BLOCKS - 1}) AS t(j)),
+    cand AS (SELECT a.doc_id AS doc_id, b.doc_id AS other
+             FROM bands a JOIN bands b
+               ON a.j = b.j AND a.bval = b.bval AND a.doc_id <> b.doc_id
+             GROUP BY 1, 2)
+    SELECT fp.doc_id, fp.simhash, count(cand.other) AS n_cands
+    FROM fp LEFT JOIN cand ON fp.doc_id = cand.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup index: 24-bit weighted-majority fingerprint per
+    document, banded into 4 × 6-bit blocks (pigeonhole: hamming ≤ 3 ⇒
+    at least one block matches), emitting each document's fingerprint
+    and its count of block-sharing candidate partners.
+
+    100 TB design: the bit-majority is one partial+final aggregate over
+    (doc, bit); candidate generation is an equi-join on (block, value)
+    — the block buckets shard the pair space, no all-pairs stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words()).alias("tok"))
+    th = tok.select("doc_id", _polyhash(F.col("tok")).alias("h"))
+    bits = (
+        th.select(
+            "doc_id",
+            "h",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+            ).alias("i"),
+        )
+        .withColumn(
+            "contrib",
+            F.when(
+                (F.col("h") / F.pow(F.lit(2.0), F.col("i")))
+                .cast("long") % 2 == 1,
+                1,
+            ).otherwise(-1),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    fp = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.pow(F.lit(2.0), F.col("i")).cast("long")
+            ).otherwise(0)
+        ).alias("simhash")
+    )
+    bands = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            (F.col("simhash") / F.lit(float(1 << (6 * j))))
+                            .cast("long")
+                            % 64
+                        ).alias("bval"),
+                    )
+                    for j in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.j", "b.bval")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("other"))
+        .distinct()
+    )
+    return (
+        fp.join(cand, "doc_id", "left")
+        .groupBy("doc_id", "simhash")
+        .agg(F.count("other").alias("n_cands"))
+    )
+
+
+@query(
+    "llm_dedup_ngram",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+               FROM documents),
+    bg AS (SELECT doc_id,
+                  list_distinct([words[i] || ' ' || words[i+1]
+                                 for i in generate_series(1, len(words)-1)])
+                      AS grams
+           FROM w WHERE len(words) >= 2),
+    tok AS (SELECT doc_id, unnest(grams) AS g FROM bg),
+    df AS (SELECT g, count(*) AS df FROM tok GROUP BY g),
+    cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+             JOIN df ON a.g = df.g
+             WHERE df.df <= {NGRAM_DF_MAX}
+             GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(grams) AS n FROM bg),
+    inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+              FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT c.a_id, c.b_id,
+           round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM cand c
+    JOIN inter i USING (a_id, b_id)
+    JOIN sizes sa ON c.a_id = sa.doc_id
+    JOIN sizes sb ON c.b_id = sb.doc_id
+    WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {NGRAM_TAU}
+    """,
+)
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup: candidate pairs from a df-capped
+    inverted index (documents sharing ≥1 gram whose document frequency
+    is ≤ {NGRAM_DF_MAX}), verified by exact Jaccard over the full gram
+    sets, kept at J ≥ τ.
+
+    The df cap is the scale lever: hot grams (stopword-like bigrams)
+    would otherwise create quadratic candidate buckets; capping df
+    bounds every bucket while real near-dups still share rare grams.
+    Verify recomputes exact Jaccard from the full sets, so the cap can
+    only lose candidates, never corrupt a score.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select("doc_id", _bigrams(_words()).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .persist()  # feeds the index and both verify sides
+    )
+    tok = bg.select("doc_id", F.explode("grams").alias("g"))
+    df = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    rare = tok.join(
+        F.broadcast(df.filter(F.col("df") <= NGRAM_DF_MAX)), "g"
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sa = bg.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("ga"))
+    sb = bg.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gb"))
+    verified = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("i", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "jaccard",
+            F.col("i")
+            / (F.size("ga") + F.size("gb") - F.col("i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= NGRAM_TAU)
+    )
+    return verified.select(
+        "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@query(
+    "llm_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= {EMB_TAU}
+    """,
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine ≥ τ, computed
+    by the Arrow-batched blocked matmul (each batch × broadcast matrix,
+    thresholded inside numpy so only survivors cross back to the JVM).
+
+    At 100 TB the broadcast matrix becomes an LSH/IVF-bucketed join
+    (random-hyperplane buckets for cosine); the per-batch threshold
+    filter is unchanged.  Output is tiny by construction (τ prunes).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = e.toPandas()  # bounded at test scale; LSH/IVF prune at 100 TB
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def near_batches(batches):
+        all_ids, all_mat, all_norms = bc.value
+        for batch in batches:
+            vids = batch["vec_id"].to_numpy(dtype=np.int64)
+            vmat = np.array(batch["embedding"].tolist(), dtype=np.float64)
+            vnorms = np.sqrt((vmat * vmat).sum(axis=1))
+            sims = (vmat @ all_mat.T) / (vnorms[:, None] * all_norms[None, :])
+            sims = np.round(sims, 6)
+            keep = (sims >= EMB_TAU) & (all_ids[None, :] > vids[:, None])
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"a_id": vids[r], "b_id": all_ids[c], "cos_sim": sims[r, c]}
+            )
+
+    return e.mapInPandas(near_batches, "a_id bigint, b_id bigint, cos_sim double")
+
+
+# --------------------------------------------------------------------------
+# IVF approximate nearest neighbor
+# --------------------------------------------------------------------------
+
+_IVF_CENT_SQL = """
+    ex AS (SELECT vec_id, label, ord,
+                  CAST(embedding[ord] AS DOUBLE) AS val
+           FROM embeddings, generate_series(1, 64) AS t(ord)),
+    cent AS (SELECT label AS cell, ord, avg(val) AS c
+             FROM ex GROUP BY label, ord),
+    dists AS (SELECT e.vec_id, c.cell,
+                     sum((e.val - c.c) * (e.val - c.c)) AS dist2
+              FROM ex e JOIN cent c ON e.ord = c.ord
+              GROUP BY e.vec_id, c.cell),
+    assigned AS (SELECT vec_id, cell
+                 FROM dists
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY dist2, cell) = 1)
+"""
+
+
+@query(
+    "llm_ann_ivf",
+    oracle=f"""
+    WITH {_IVF_CENT_SQL},
+    probecells AS (SELECT vec_id AS probe_id, cell
+                   FROM dists WHERE vec_id < 5
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist2, cell)
+                           <= {IVF_NPROBE}),
+    cand AS (SELECT pc.probe_id, a.vec_id AS neighbor_id, pc.cell
+             FROM probecells pc JOIN assigned a USING (cell)
+             WHERE a.vec_id <> pc.probe_id)
+    SELECT c.probe_id, c.neighbor_id, c.cell,
+           round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                        CAST(n.embedding AS DOUBLE[])), 6)
+               AS sim
+    FROM cand c
+    JOIN embeddings p ON p.vec_id = c.probe_id
+    JOIN embeddings n ON n.vec_id = c.neighbor_id
+    QUALIFY row_number() OVER (
+        PARTITION BY c.probe_id
+        ORDER BY round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                              CAST(n.embedding AS DOUBLE[])),
+                       6) DESC, c.neighbor_id) <= {IVF_TOPK}
+    """,
+)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbor: the label centroids
+    act as the coarse quantizer (k=10 cells), every vector is assigned
+    to its nearest cell, and each probe searches only its ``nprobe``=2
+    nearest cells — top-3 neighbors by cosine within the probed cells.
+
+    This is the 100 TB scale path for similarity search: the centroid
+    table is broadcast (k×64 doubles regardless of corpus size), cell
+    assignment is one linear scan, and the probe join touches
+    nprobe/k of the corpus instead of all of it.  Brute-force recall
+    baseline: ``llm_knn_per_query``.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "val"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg(_d(F.col("val"))).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell"), "centroid")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda x, c: (_d(x) - c) * (_d(x) - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell", dist2.alias("dist2"))
+        .persist()  # feeds both the assignment and the probe-cell ranks
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    assigned = (
+        dists.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+    probecells = (
+        dists.filter(F.col("vec_id") < 5)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("probe_id"), "cell")
+    )
+    pe = e.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pemb"))
+    ne = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nemb")
+    )
+    cand = (
+        F.broadcast(probecells)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "cell")
+    )
+    sim = F.round(_cosine(F.col("pemb"), F.col("nemb")), 6)
+    w_top = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(pe), "probe_id")
+        .join(ne, "neighbor_id")
+        .select("probe_id", "neighbor_id", "cell", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= IVF_TOPK)
+        .drop("rk")
+    )

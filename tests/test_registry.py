@@ -45,6 +45,10 @@ EXPECTED_IDS = {
     "udtf_table_fn",
     # extensions beyond the inventory
     "multimodal_decode_stub",
+    # training-data prep extensions (textprep.py)
+    "llm_lang_id", "llm_quality_score", "llm_token_count_bpe",
+    "llm_fingerprint", "llm_dedup_simhash", "llm_dedup_ngram",
+    "llm_dedup_embedding", "llm_ann_ivf",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
