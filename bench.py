@@ -33,6 +33,10 @@ HEADLINE = [
     "llm_dedup_fuzzy",      # MinHash-LSH pipeline
     "llm_text_tokens",      # tokenize + count
     "stream_tumbling_counts",  # streaming replay harness
+    "llm_ann_ivf",          # IVF-bucketed ANN (similarity scale path)
+    "llm_dedup_embedding",  # thresholded blocked-matmul near-dup
+    "llm_lang_id",          # marker-scoring language ID
+    "join_bucketed",        # co-located join, no input shuffle
 ]
 
 

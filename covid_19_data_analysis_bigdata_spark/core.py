@@ -54,6 +54,7 @@ def load_all() -> None:
         windows,
         llm,
         textprep,
+        scale,
     )
     from covid_19_data_analysis_bigdata_spark.functions import (  # noqa: F401
         scalars,

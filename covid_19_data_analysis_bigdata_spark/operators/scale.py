@@ -1,0 +1,162 @@
+"""Shuffle-engineering operators: the 100 TB mitigation techniques.
+
+Skewed keys and repeated co-located joins are the two classic cluster
+killers.  These operators demonstrate the standard mitigations as
+checkable queries whose results are provably identical to the plain
+form (each carries the plain form as its DuckDB oracle):
+
+- salted two-phase aggregation — hot grouping keys are sharded across
+  a deterministic salt before the partial aggregate, so no single
+  reducer owns a hot key;
+- salted join — the bounded side is replicated across the salt space,
+  the skewed side is salted, and the join key becomes (key, salt);
+- bucketed join — both sides are written bucketed on the join key, so
+  the sort-merge join reads co-located buckets with no Exchange on
+  either input (the layout every repeatedly-joined 100 TB fact table
+  should have).
+
+AQE's skew-join splitting handles *detected* skew at runtime; these
+are the static layouts for skew you know about at design time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir, load_table
+
+SALTS = 8
+
+
+@query(
+    "agg_skew_salted",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                   AS cnt,
+           round(sum(l_quantity), 4)  AS sum_qty,
+           round(avg(l_discount), 6)  AS avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 3-value (maximally hot)
+    grouping key: partial aggregates on (key, salt), final combine on
+    key.  The salt is deterministic (orderkey mod 8), so the result is
+    bit-identical to the direct groupBy the oracle runs.
+
+    avg is decomposed into (sum, count) across the phases — only
+    algebraic aggregates survive salting; holistic ones need sketches.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(SALTS)))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("p_cnt"),
+            F.sum("l_quantity").alias("p_qty"),
+            F.sum("l_discount").alias("p_disc"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("p_cnt").alias("cnt"),
+            F.round(F.sum("p_qty"), 4).alias("sum_qty"),
+            F.round(F.sum("p_disc") / F.sum("p_cnt"), 6).alias("avg_disc"),
+        )
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT n.n_name,
+           count(*)                      AS orders_cnt,
+           round(sum(o.o_totalprice), 4) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join: the fact side gets a deterministic salt, the
+    bounded dimension is exploded across all salt values, and the join
+    key becomes (key, salt) — a hot customer's rows land on up to 8
+    reducers instead of one.  Identical output to the plain join.
+
+    At 100 TB the dimension replication cost is salts × |dim|, which is
+    why only bounded sides are replicated (same rule as broadcasting).
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.col("o_orderkey"), F.lit(SALTS))
+    )
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALTS - 1)))
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("orders_cnt"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+def _bucketed_table(
+    spark: SparkSession, sf_dir: str, name: str, key: str, buckets: int = 8
+) -> str:
+    """Write ``name`` as an external parquet table bucketed on ``key``."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tbl = f"bkt_{tag.replace('.', '_')}_{name}"
+    out = os.path.join(fixture_dir(sf_dir, "bucketed"), name)
+    if not spark.catalog.tableExists(tbl):
+        (
+            load_table(spark, sf_dir, name)
+            .write.bucketBy(buckets, key)
+            .sortBy(key)
+            .option("path", out)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    return tbl
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*)                      AS orders_cnt,
+           round(sum(o.o_totalprice), 4) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two tables pre-bucketed on the join key: both scans emit
+    the bucket-hash distribution the sort-merge join needs, so neither
+    input is shuffled (no Exchange below the join — pinned by a plan
+    test).
+
+    This is the co-location layout for a fact table joined on the same
+    key query after query: pay the bucketed write once, skip the join
+    shuffle forever after.  Broadcast is disabled for this query so the
+    bucketed sort-merge path is what actually runs at any size.
+    """
+    ot = _bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    ct = _bucketed_table(spark, sf_dir, "customer", "c_custkey")
+    o, c = spark.table(ot), spark.table(ct)
+    joined = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("orders_cnt"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )

@@ -53,3 +53,21 @@ def test_partition_pruning_on_sink_readback(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "topk_limit")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_has_no_input_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_bucketed")
+    assert plan.count("Bucketed: true") == 2
+    # Tree section = lines up to the first blank line.  Everything at or
+    # below the SortMergeJoin must be Exchange-free (the join reads the
+    # bucket-colocated scans directly); the final group-by above the
+    # join keeps its one small Exchange.
+    tree = plan.splitlines()
+    tree = tree[: tree.index("")] if "" in tree else tree
+    join_at = next(i for i, l in enumerate(tree) if "SortMergeJoin" in l)
+    assert not any("Exchange" in l for l in tree[join_at:])
+
+
+def test_ivf_broadcasts_centroids(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_ann_ivf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

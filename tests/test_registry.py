@@ -49,6 +49,8 @@ EXPECTED_IDS = {
     "llm_lang_id", "llm_quality_score", "llm_token_count_bpe",
     "llm_fingerprint", "llm_dedup_simhash", "llm_dedup_ngram",
     "llm_dedup_embedding", "llm_ann_ivf",
+    # shuffle-engineering techniques (scale.py)
+    "agg_skew_salted", "join_skew_salted", "join_bucketed",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
