@@ -55,6 +55,7 @@ def load_all() -> None:
         llm,
         textprep,
         scale,
+        multimodal,
     )
     from covid_19_data_analysis_bigdata_spark.functions import (  # noqa: F401
         scalars,

@@ -1,0 +1,199 @@
+"""Multimodal-column pipeline stages beyond the decode stub.
+
+The driver mandate treats image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Python stages.
+This module adds the three standard stages downstream of decode:
+
+- resize     — recompute target dimensions under a max-edge constraint;
+- frame-sample — explode a video payload into a strided subset of
+  frame rows (1 → N batch shape);
+- feature-extract — reduce a payload to a small numeric feature vector
+  (the embedding precursor).
+
+Codecs are deterministic STUBS (no PIL/ffmpeg in this container): each
+derives its outputs arithmetically from the payload bytes, so every
+stage keeps a strong DuckDB oracle while the Spark-side plumbing —
+binary column, Arrow batch shape, schema-typed output, partition
+preservation — is exactly what a real codec drops into.
+
+Scale: all three are ``mapInPandas`` over the natural input partitions
+(no shuffle, no state); a 100 TB media corpus streams through them
+batch by batch with bounded executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+MOD = 1_000_000_007
+MAX_EDGE = 256
+FRAME_STRIDE = 3
+
+
+@query(
+    "multimodal_resize_stub",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               octet_length(CAST(text AS BLOB)) % 640 + 64      AS w,
+               (octet_length(CAST(text AS BLOB)) * 7) % 480 + 64 AS h
+        FROM documents)
+    SELECT doc_id, w, h,
+           CASE WHEN greatest(w, h) <= {MAX_EDGE} THEN w
+                ELSE CAST(floor(w * {MAX_EDGE}.0 / greatest(w, h)) AS BIGINT)
+           END AS out_w,
+           CASE WHEN greatest(w, h) <= {MAX_EDGE} THEN h
+                ELSE CAST(floor(h * {MAX_EDGE}.0 / greatest(w, h)) AS BIGINT)
+           END AS out_h
+    FROM m
+    """,
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: cap the longer edge at {MAX_EDGE} px preserving
+    aspect ratio.  The decode (payload → width/height) is the stub; the
+    resize arithmetic, Arrow batching, and schema are production-real.
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def resize(batches):
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            w = (n % 640 + 64).astype("int64")
+            h = ((n * 7) % 480 + 64).astype("int64")
+            # STUB decode above; real resize math below.  Multiply
+            # before dividing (w·E/longest, never w·(E/longest)) so the
+            # double result is exact whenever the true quotient is —
+            # the oracle computes in this order too.
+            import numpy as np
+
+            longest = pd.concat([w, h], axis=1).max(axis=1)
+            out_w = np.where(
+                longest <= MAX_EDGE, w, np.floor(w * float(MAX_EDGE) / longest)
+            ).astype("int64")
+            out_h = np.where(
+                longest <= MAX_EDGE, h, np.floor(h * float(MAX_EDGE) / longest)
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "w": w,
+                    "h": h,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                }
+            )
+
+    return d.mapInPandas(
+        resize, "doc_id bigint, w bigint, h bigint, out_w bigint, out_h bigint"
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               octet_length(CAST(text AS BLOB))          AS n,
+               octet_length(CAST(text AS BLOB)) % 10 + 2 AS n_frames
+        FROM documents)
+    SELECT doc_id,
+           CAST(f AS BIGINT)                              AS frame_idx,
+           (n * 1000003 + f * 8191) % {MOD}               AS frame_sig
+    FROM (SELECT doc_id, n,
+                 unnest(range(0, n_frames, {FRAME_STRIDE})) AS f
+          FROM m)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage: each video payload (stub: 2–11 frames)
+    explodes into every {FRAME_STRIDE}rd frame with a per-frame
+    signature — the 1 → N batch shape a real ffmpeg frame extractor
+    produces, with bounded output rows per input row.
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def sample(batches):
+        for pdf in batches:
+            out_id, out_idx, out_sig = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                # STUB decode: frame count from payload size.
+                for f in range(0, n % 10 + 2, FRAME_STRIDE):
+                    out_id.append(doc_id)
+                    out_idx.append(f)
+                    out_sig.append((n * 1000003 + f * 8191) % MOD)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "frame_idx": out_idx, "frame_sig": out_sig}
+            )
+
+    return d.mapInPandas(
+        sample, "doc_id bigint, frame_idx bigint, frame_sig bigint"
+    )
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, lower(text) AS t,
+               length(text) * 1.0 AS n
+        FROM documents)
+    SELECT doc_id,
+           round(length(regexp_replace(t, '[^aeiou]', '', 'g')) / n, 6)
+               AS f_vowel,
+           round(length(regexp_replace(t, '[^b-df-hj-np-tv-z]', '', 'g')) / n, 6)
+               AS f_consonant,
+           round(length(regexp_replace(t, '[^ ]', '', 'g')) / n, 6)
+               AS f_space
+    FROM m
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage: reduce each payload to a small numeric
+    signature (byte-class ratios — the stub stand-in for a real
+    image/audio embedding).  Vectorized pandas string ops inside the
+    Arrow batch; output is the fixed-width feature row an embedding
+    model would emit.
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def extract(batches):
+        for pdf in batches:
+            t = pdf["text"].str.lower()
+            n = pdf["text"].str.len().astype("float64")
+            # No rounding here: pandas rounds half-to-even, while Spark
+            # and DuckDB round half away from zero — final rounding
+            # happens in the Spark plan so all three engines agree.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "f_vowel": t.str.count("[aeiou]") / n,
+                    "f_consonant": t.str.count("[b-df-hj-np-tv-z]") / n,
+                    "f_space": t.str.count(" ") / n,
+                }
+            )
+
+    raw = d.mapInPandas(
+        extract,
+        "doc_id bigint, f_vowel double, f_consonant double, f_space double",
+    )
+    return raw.select(
+        "doc_id",
+        F.round("f_vowel", 6).alias("f_vowel"),
+        F.round("f_consonant", 6).alias("f_consonant"),
+        F.round("f_space", 6).alias("f_space"),
+    )

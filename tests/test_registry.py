@@ -51,6 +51,9 @@ EXPECTED_IDS = {
     "llm_dedup_embedding", "llm_ann_ivf",
     # shuffle-engineering techniques (scale.py)
     "agg_skew_salted", "join_skew_salted", "join_bucketed",
+    # multimodal pipeline stages (multimodal.py)
+    "multimodal_resize_stub", "multimodal_frame_sample",
+    "multimodal_feature_extract",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
