@@ -52,12 +52,16 @@ def main() -> int:
     spark = get_spark("bench")
     qs = entry_mod.queries()
 
+    # Materialize via toPandas(): Arrow-batched transfer measures the
+    # engine + columnar transport, not Python row-object deserialization
+    # (collect() is ~10× slower on wide results for reasons unrelated to
+    # the query plan).
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        fn(spark, sf_dir).collect()  # warm
+        fn(spark, sf_dir).toPandas()  # warm
         t0 = time.time()
-        fn(spark, sf_dir).collect()
+        fn(spark, sf_dir).toPandas()
         times[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
