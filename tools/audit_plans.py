@@ -1,0 +1,72 @@
+"""Physical-plan audit: sweep every registered query and flag scale smells.
+
+Flags (SURVEY.md §4.3 discipline):
+- BatchEvalPython        — row-at-a-time Python UDF in the plan (only
+                           ``udf_python_scalar`` is allowed to have one);
+- CartesianProduct       — unpruned cross product (only ``join_cross``
+                           is allowed; theta joins should be broadcast
+                           nested-loop, similarity ops pre-pruned);
+- exchanges > 6          — shuffle-heavy plan worth a second look.
+
+Usage: python tools/audit_plans.py [--sf DIR] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: Queries that exist to demonstrate the Python-eval surface itself.
+ALLOWED_ROW_UDF = {"udf_python_scalar", "udtf_table_fn"}
+ALLOWED_CARTESIAN = {"join_cross"}
+EXCHANGE_BUDGET = 6
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = "/root/testdata/sf0.01"
+    if "--sf" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+        args = [a for a in args if a != sf_dir]
+
+    from covid_19_data_analysis_bigdata_spark import core
+    from covid_19_data_analysis_bigdata_spark.session import get_spark
+
+    core.load_all()
+    spark = get_spark("plan-audit")
+    names = args or sorted(core.QUERIES)
+
+    issues = 0
+    for name in names:
+        try:
+            df = core.QUERIES[name](spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERROR {name}: {exc}")
+            issues += 1
+            continue
+        flags = []
+        if "BatchEvalPython" in plan and name not in ALLOWED_ROW_UDF:
+            flags.append("row-UDF")
+        if "CartesianProduct" in plan and name not in ALLOWED_CARTESIAN:
+            flags.append("cartesian")
+        n_ex = sum(
+            1
+            for line in plan.splitlines()
+            if line.strip().startswith(("+- Exchange", ":- Exchange", "Exchange ("))
+        )
+        if n_ex > EXCHANGE_BUDGET:
+            flags.append(f"exchanges={n_ex}")
+        if flags:
+            issues += 1
+            print(f"FLAG {name}: {', '.join(flags)}")
+    print(f"{len(names)} plans audited, {issues} flagged")
+    return 1 if issues else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
