@@ -330,3 +330,62 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
     ).select("event_id", "user_id", "c_nationkey", "c_mktsegment")
     return run_to_table(spark, joined, "t_static_join", "append")
+
+
+@query(
+    "stream_file_sink",
+    oracle="""
+    SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE value > 10
+    GROUP BY event_type
+    """,
+)
+def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet file sink with checkpointed exactly-once
+    delivery: filter/project the stream, append to a parquet directory
+    under a checkpoint, run the backlog to completion, then batch-read
+    the sink back and aggregate.
+
+    The checkpoint makes reruns no-ops (the backlog is already
+    committed), so the read-back aggregate equals the batch computation
+    — which is exactly the exactly-once guarantee the oracle verifies.
+    At 100 TB this is the landing-zone topology: streams append
+    partitioned parquet; downstream batch jobs read the sink.
+    """
+    from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir
+
+    src = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("value") > 10)
+        .select("event_id", "event_type", "value")
+    )
+    root = fixture_dir(sf_dir, "stream_sink")
+    out = os.path.join(root, "data")
+    ckpt = os.path.join(root, "ckpt")
+    for q in spark.streams.active:
+        if q.name == "t_file_sink":
+            q.stop()
+            q.awaitTermination()
+    handle = (
+        src.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .queryName("t_file_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    handle.awaitTermination()
+    back_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    back = spark.read.schema(back_schema).parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

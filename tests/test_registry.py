@@ -54,6 +54,8 @@ EXPECTED_IDS = {
     # multimodal pipeline stages (multimodal.py)
     "multimodal_resize_stub", "multimodal_frame_sample",
     "multimodal_feature_extract",
+    # streaming file sink (checkpointed exactly-once landing zone)
+    "stream_file_sink",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
