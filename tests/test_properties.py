@@ -84,3 +84,63 @@ def test_knn_returns_k_per_probe(spark, sf_dir):
     per_probe = Counter(r["probe_id"] for r in rows)
     assert set(per_probe) == set(range(10))
     assert all(v == 5 for v in per_probe.values())
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r["l_returnflag"]: (r["cnt"], r["sum_qty"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["cnt"], r["sum_qty"])
+        for r in _q(spark, sf_dir, "agg_skew_salted").collect()
+    }
+    assert salted == plain
+
+
+def test_resize_respects_max_edge_and_aspect(spark, sf_dir):
+    for r in _q(spark, sf_dir, "multimodal_resize_stub").collect():
+        if max(r["w"], r["h"]) <= 256:
+            assert (r["out_w"], r["out_h"]) == (r["w"], r["h"])
+        else:
+            assert max(r["out_w"], r["out_h"]) == 256
+            # floor() may shrink the short edge by at most one pixel.
+            expect = r["w"] / r["h"]
+            got = r["out_w"] / r["out_h"]
+            assert abs(expect - got) / expect < 0.05, r
+
+
+def test_frame_sample_stride_and_bounds(spark, sf_dir):
+    from collections import defaultdict
+
+    frames = defaultdict(list)
+    for r in _q(spark, sf_dir, "multimodal_frame_sample").collect():
+        frames[r["doc_id"]].append(r["frame_idx"])
+    for idxs in frames.values():
+        assert sorted(idxs) == list(range(0, 3 * len(idxs), 3))
+
+
+def test_ivf_neighbors_come_from_probed_cells_only(spark, sf_dir):
+    rows = _q(spark, sf_dir, "llm_ann_ivf").collect()
+    assert rows, "IVF returned nothing"
+    per_probe = {}
+    for r in rows:
+        per_probe.setdefault(r["probe_id"], set()).add(r["cell"])
+    for cells in per_probe.values():
+        assert len(cells) <= 2  # nprobe = 2
+
+
+def test_simhash_fingerprint_fits_24_bits(spark, sf_dir):
+    for r in _q(spark, sf_dir, "llm_dedup_simhash").collect():
+        assert 0 <= r["simhash"] < (1 << 24)
+
+
+def test_lang_id_confusion_covers_all_docs(spark, sf_dir):
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["cnt"] for r in _q(spark, sf_dir, "llm_lang_id").collect()) == total
