@@ -56,6 +56,7 @@ def load_all() -> None:
         textprep,
         scale,
         multimodal,
+        timeseries,
     )
     from covid_19_data_analysis_bigdata_spark.functions import (  # noqa: F401
         scalars,

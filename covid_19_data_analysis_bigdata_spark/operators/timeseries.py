@@ -1,0 +1,142 @@
+"""Time-series operators (reference analogs: trend forecasting and
+daily-series alignment — SURVEY.md §0.3's regression/resample stages).
+
+Both work on the per-(user, day) daily series derived from ``events``:
+daily sums are rounded *at the aggregation boundary* so the two engines
+fold identical inputs downstream, and the regression x-axis is an
+integer day index (never raw timestamps — SURVEY.md §1.3/§5.3.4, and
+ns-vs-µs truncation would skew the slope).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+EPOCH = "2000-01-01"
+
+_DAILY_SQL = """
+    daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 4)                AS dsum
+        FROM events
+        GROUP BY 1, 2)
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("dsum"))
+
+
+@query(
+    "ts_trend_forecast",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    fitted AS (
+        SELECT user_id,
+               count(*) AS n_days,
+               regr_slope(dsum, datediff('day', DATE '{EPOCH}', day))
+                   AS slope,
+               regr_intercept(dsum, datediff('day', DATE '{EPOCH}', day))
+                   AS icept,
+               max(datediff('day', DATE '{EPOCH}', day)) AS last_x
+        FROM daily
+        GROUP BY user_id
+        HAVING count(*) >= 2)
+    SELECT user_id, n_days,
+           round(slope, 6)                         AS slope,
+           round(icept, 6)                         AS intercept,
+           round(slope * (last_x + 1) + icept, 4)  AS next_day_forecast
+    FROM fitted
+    """,
+)
+def ts_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend + next-day forecast over the daily series
+    (the reference class's MLlib-regression stage reduced to its
+    aggregate core: closed-form OLS via ``regr_slope``/``regr_intercept``).
+
+    One partial+final aggregate per user — the regression moments
+    (Σx, Σy, Σxy, Σx²) combine associatively, so this scales exactly
+    like a sum.  x is an integer day index from a fixed epoch.
+    """
+    x = F.datediff(F.col("day"), F.lit(EPOCH))
+    fitted = (
+        _daily(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.regr_slope(F.col("dsum"), x.cast("double")).alias("slope"),
+            F.regr_intercept(F.col("dsum"), x.cast("double")).alias("icept"),
+            F.max(x).alias("last_x"),
+        )
+        .filter(F.col("n_days") >= 2)
+    )
+    return fitted.select(
+        "user_id",
+        "n_days",
+        F.round("slope", 6).alias("slope"),
+        F.round("icept", 6).alias("intercept"),
+        F.round(
+            F.col("slope") * (F.col("last_x") + 1) + F.col("icept"), 4
+        ).alias("next_day_forecast"),
+    )
+
+
+@query(
+    "ts_resample_ffill",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(min(day), max(day),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM daily
+        GROUP BY user_id),
+    j AS (SELECT s.user_id, s.day, d.dsum
+          FROM spine s LEFT JOIN daily d USING (user_id, day))
+    SELECT user_id, day,
+           last_value(dsum IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled,
+           CAST(dsum IS NULL AS BOOLEAN) AS was_gap
+    FROM j
+    """,
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily resampling with forward-fill: build each user's
+    full date spine (min..max day), left-join the observed daily sums,
+    and carry the last observation forward across gaps (the standard
+    alignment step before comparing/forecasting time series).
+
+    The spine is generated per key with ``sequence`` (no driver-side
+    date loop); the fill is one window pass.  Spine size is bounded by
+    the date span, not the event count — safe however hot a key is.
+    """
+    daily = _daily(spark, sf_dir)
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("dsum", ignorenulls=True).over(w).alias("filled"),
+        F.col("dsum").isNull().alias("was_gap"),
+    )

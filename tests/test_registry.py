@@ -56,6 +56,8 @@ EXPECTED_IDS = {
     "multimodal_feature_extract",
     # streaming file sink (checkpointed exactly-once landing zone)
     "stream_file_sink",
+    # time-series analytics (timeseries.py)
+    "ts_trend_forecast", "ts_resample_ffill",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
