@@ -57,6 +57,8 @@ def load_all() -> None:
         scale,
         multimodal,
         timeseries,
+        reports,
+        sqlsurface,
     )
     from covid_19_data_analysis_bigdata_spark.functions import (  # noqa: F401
         scalars,

@@ -1,0 +1,146 @@
+"""Composite report queries — the reference's dashboard shapes.
+
+The COVID-analytics class's headline reports are compositions:
+aggregate first, then window over the aggregate (share of world total,
+day-over-day growth, month-over-month change — SURVEY.md §0.3).  The
+atomic pieces live in aggregates.py/windows.py; these exercise the
+composed pipelines end-to-end.
+
+Determinism: aggregates are rounded at the aggregation boundary before
+feeding the window stage, so both engines window over identical values
+(SURVEY.md §5.3.3); every window order carries a unique tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+
+@query(
+    "report_share_of_total",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name,
+               round(sum(o.o_totalprice), 4) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name)
+    SELECT n_name, revenue,
+           round(100 * revenue / sum(revenue) OVER (), 6) AS share_pct
+    FROM rev
+    """,
+)
+def report_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total report: each nation's revenue as a percentage of
+    the grand total (cases-by-country share of world total analog).
+
+    Aggregate → unpartitioned window-sum over the *aggregated* rows
+    (25 nations), so the full-frame window is over a bounded frame —
+    the window never sees fact-table cardinality.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "revenue",
+        F.round(100 * F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "share_pct"
+        ),
+    )
+
+
+@query(
+    "report_growth_rate",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 4)                AS dsum
+        FROM events
+        GROUP BY 1, 2)
+    SELECT event_type, day, dsum,
+           round(100 * (dsum - lag(dsum) OVER w) / lag(dsum) OVER w, 6)
+               AS growth_pct
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def report_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day growth rate of the daily aggregate per series
+    (daily-new-cases growth-rate analog): aggregate to (series, day),
+    then lag-percent over the aggregated series.
+
+    ``day`` is unique within a series, so the lag order is total
+    without an extra tie-break; the first day's growth is NULL in both
+    engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("dsum"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("dsum").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "dsum",
+        F.round(100 * (F.col("dsum") - prev) / prev, 6).alias("growth_pct"),
+    )
+
+
+@query(
+    "report_period_compare",
+    oracle="""
+    WITH monthly AS (
+        SELECT n.n_name,
+               CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+               round(sum(o.o_totalprice), 4)                    AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2)
+    SELECT n_name, month, revenue,
+           round(revenue - lag(revenue) OVER w, 4) AS mom_delta
+    FROM monthly
+    WINDOW w AS (PARTITION BY n_name ORDER BY month)
+    """,
+)
+def report_period_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month comparison per nation (period-over-period case
+    counts analog): monthly rollup, then a lag delta along the month
+    axis within each nation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    return monthly.select(
+        "n_name",
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 4).alias(
+            "mom_delta"
+        ),
+    )

@@ -58,6 +58,10 @@ EXPECTED_IDS = {
     "stream_file_sink",
     # time-series analytics (timeseries.py)
     "ts_trend_forecast", "ts_resample_ffill",
+    # composite dashboard reports (reports.py)
+    "report_share_of_total", "report_growth_rate", "report_period_compare",
+    # SQL subquery surface (sqlsurface.py)
+    "sql_subquery_in", "sql_subquery_not_exists", "sql_subquery_scalar_corr",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
