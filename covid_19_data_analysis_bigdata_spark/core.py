@@ -59,6 +59,7 @@ def load_all() -> None:
         timeseries,
         reports,
         sqlsurface,
+        iterative,
     )
     from covid_19_data_analysis_bigdata_spark.functions import (  # noqa: F401
         scalars,

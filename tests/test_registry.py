@@ -62,6 +62,8 @@ EXPECTED_IDS = {
     "report_share_of_total", "report_growth_rate", "report_period_compare",
     # SQL subquery surface (sqlsurface.py)
     "sql_subquery_in", "sql_subquery_not_exists", "sql_subquery_scalar_corr",
+    # iterative algorithms + sorted layout (iterative.py)
+    "ml_kmeans_lloyd", "sink_parquet_sorted",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).

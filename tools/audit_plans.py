@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALLOWED_ROW_UDF = {"udf_python_scalar", "udtf_table_fn"}
 ALLOWED_CARTESIAN = {"join_cross"}
 EXCHANGE_BUDGET = 6
+#: Iterative algorithms pay per-iteration shuffles by nature (argmin +
+#: centroid recompute per Lloyd step); they get a wider budget.
+EXCHANGE_OVERRIDES = {"ml_kmeans_lloyd": 16}
 
 
 def main() -> int:
@@ -59,7 +62,7 @@ def main() -> int:
             for line in plan.splitlines()
             if line.strip().startswith(("+- Exchange", ":- Exchange", "Exchange ("))
         )
-        if n_ex > EXCHANGE_BUDGET:
+        if n_ex > EXCHANGE_OVERRIDES.get(name, EXCHANGE_BUDGET):
             flags.append(f"exchanges={n_ex}")
         if flags:
             issues += 1
