@@ -60,6 +60,7 @@ def load_all() -> None:
         reports,
         sqlsurface,
         iterative,
+        etl,
     )
     from covid_19_data_analysis_bigdata_spark.functions import (  # noqa: F401
         scalars,

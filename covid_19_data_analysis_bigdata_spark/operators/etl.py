@@ -1,0 +1,124 @@
+"""ETL / CDC primitives: upsert, keep-latest, and history intervals.
+
+The maintenance operations every warehouse pipeline performs between
+queries.  Parquet has no MERGE; these express the standard patterns as
+pure dataflow, which is also how they scale — an upsert is a shuffle
+on the key either way, and writing it as a join keeps Catalyst/AQE in
+charge of the physical strategy.
+
+Timestamp discipline: interval bounds are emitted as epoch
+*milliseconds* — ns (DuckDB-native) and µs (Spark post-repair)
+truncate to identical ms values, so the oracle compares exactly
+(SURVEY.md §1.3.1 forbids raw ts in outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+
+@query(
+    "etl_upsert_scd1",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey, 'VIP' AS c_mktsegment, round(c_acctbal * 1.1, 4)
+                   AS c_acctbal
+        FROM customer WHERE c_acctbal > 5000)
+    SELECT b.c_custkey,
+           coalesce(u.c_mktsegment, b.c_mktsegment) AS segment,
+           round(coalesce(u.c_acctbal, b.c_acctbal), 4) AS acctbal
+    FROM customer b LEFT JOIN updates u USING (c_custkey)
+    """,
+)
+def etl_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 upsert: an updates table overwrites matching keys in the
+    base table, non-matching base rows pass through.
+
+    Implemented as the generic priority union (updates ranked above
+    base per key, ``row_number() = 1``) rather than a bespoke coalesce
+    join: the same dataflow handles inserts, updates, and multi-source
+    precedence, and it is one shuffle on the key — the minimum any
+    merge does.
+    """
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 4).alias("acctbal"),
+        F.lit(0).alias("prio"),
+    )
+    updates = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(
+            "c_custkey",
+            F.lit("VIP").alias("segment"),
+            F.round(F.col("c_acctbal") * 1.1, 4).alias("acctbal"),
+            F.lit(1).alias("prio"),
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("prio"))
+    return (
+        base.unionByName(updates)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("c_custkey", "segment", "acctbal")
+    )
+
+
+@query(
+    "etl_keep_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def etl_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest compaction: one row per key — the most recent event
+    (ts desc, event_id desc tie-break).  The CDC log-compaction step
+    that turns an append stream into current state; one shuffle on the
+    key, no self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@query(
+    "etl_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_ms(ts) AS valid_from_ms,
+           lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS valid_to_ms,
+           value
+    FROM events
+    """,
+)
+def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history building: each event's validity interval runs from
+    its own timestamp to the next event's per key (NULL = still
+    current).  One window pass; bounds in epoch ms (ns and µs truncate
+    identically, so the oracle compares exactly).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    from_ms = F.unix_millis("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        from_ms.alias("valid_from_ms"),
+        F.lead(from_ms).over(w).alias("valid_to_ms"),
+        "value",
+    )

@@ -64,6 +64,8 @@ EXPECTED_IDS = {
     "sql_subquery_in", "sql_subquery_not_exists", "sql_subquery_scalar_corr",
     # iterative algorithms + sorted layout (iterative.py)
     "ml_kmeans_lloyd", "sink_parquet_sorted",
+    # ETL / CDC primitives (etl.py)
+    "etl_upsert_scd1", "etl_keep_latest", "etl_scd2_intervals",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
