@@ -39,52 +39,86 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_trend_forecast",
     oracle=f"""
     WITH {_DAILY_SQL},
-    fitted AS (
+    pts AS (
         SELECT user_id,
-               count(*) AS n_days,
-               regr_slope(dsum, datediff('day', DATE '{EPOCH}', day))
-                   AS slope,
-               regr_intercept(dsum, datediff('day', DATE '{EPOCH}', day))
-                   AS icept,
-               max(datediff('day', DATE '{EPOCH}', day)) AS last_x
-        FROM daily
+               datediff('day', DATE '{EPOCH}', day)     AS x,
+               CAST(round(dsum * 10000) AS BIGINT)      AS y4
+        FROM daily),
+    mom AS (
+        SELECT user_id,
+               count(*)   AS n,
+               sum(x)     AS sx,
+               sum(y4)    AS sy,
+               sum(x * y4) AS sxy,
+               sum(x * x) AS sxx,
+               max(x)     AS last_x
+        FROM pts
         GROUP BY user_id
-        HAVING count(*) >= 2)
+        HAVING count(*) >= 2),
+    fitted AS (
+        SELECT user_id, n AS n_days, last_x,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope4,
+               (sy - ((n * sxy - sx * sy)
+                      / (n * sxx - sx * sx)) * sx) / n    AS icept4
+        FROM mom)
     SELECT user_id, n_days,
-           round(slope, 6)                         AS slope,
-           round(icept, 6)                         AS intercept,
-           round(slope * (last_x + 1) + icept, 4)  AS next_day_forecast
+           round(slope4 / 10000, 6)                          AS slope,
+           round(icept4 / 10000, 6)                          AS intercept,
+           round((slope4 * (last_x + 1) + icept4) / 10000, 4)
+               AS next_day_forecast
     FROM fitted
     """,
 )
 def ts_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user linear trend + next-day forecast over the daily series
     (the reference class's MLlib-regression stage reduced to its
-    aggregate core: closed-form OLS via ``regr_slope``/``regr_intercept``).
+    aggregate core: closed-form OLS).
 
-    One partial+final aggregate per user — the regression moments
-    (Σx, Σy, Σxy, Σx²) combine associatively, so this scales exactly
-    like a sum.  x is an integer day index from a fixed epoch.
+    Determinism at any scale: the regression moments are **exact
+    integers** — y is the 4-dp daily sum scaled ×10⁴ to BIGINT, x an
+    integer day index — so Σx, Σy, Σxy, Σx² are order-independent, and
+    slope/intercept are the same IEEE divisions of the same integers in
+    both engines, bit-for-bit.  (``regr_slope`` over doubles flips 6-dp
+    rounding boundaries at sf0.1 because its float moments are
+    summation-order-dependent — found by the sf0.1 sweep.)  Integer
+    moments also combine associatively, so the aggregate is still one
+    partial+final pass that scales like a sum.
     """
-    x = F.datediff(F.col("day"), F.lit(EPOCH))
-    fitted = (
+    x = F.datediff(F.col("day"), F.lit(EPOCH)).cast("long")
+    y4 = F.round(F.col("dsum") * 10000).cast("long")
+    mom = (
         _daily(spark, sf_dir)
+        .select("user_id", x.alias("x"), y4.alias("y4"))
         .groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.regr_slope(F.col("dsum"), x.cast("double")).alias("slope"),
-            F.regr_intercept(F.col("dsum"), x.cast("double")).alias("icept"),
-            F.max(x).alias("last_x"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y4").alias("sy"),
+            F.sum(F.col("x") * F.col("y4")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.max("x").alias("last_x"),
         )
-        .filter(F.col("n_days") >= 2)
+        .filter(F.col("n") >= 2)
+    )
+    slope4 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fitted = mom.select(
+        "user_id",
+        F.col("n").alias("n_days"),
+        "last_x",
+        slope4.alias("slope4"),
+        ((F.col("sy") - slope4 * F.col("sx")) / F.col("n")).alias("icept4"),
     )
     return fitted.select(
         "user_id",
         "n_days",
-        F.round("slope", 6).alias("slope"),
-        F.round("icept", 6).alias("intercept"),
+        F.round(F.col("slope4") / 10000, 6).alias("slope"),
+        F.round(F.col("icept4") / 10000, 6).alias("intercept"),
         F.round(
-            F.col("slope") * (F.col("last_x") + 1) + F.col("icept"), 4
+            (F.col("slope4") * (F.col("last_x") + 1) + F.col("icept4"))
+            / 10000,
+            4,
         ).alias("next_day_forecast"),
     )
 
