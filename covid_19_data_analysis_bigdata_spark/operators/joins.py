@@ -293,3 +293,45 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "view_id",
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (SELECT c_custkey,
+                      nullif(c_mktsegment, 'BUILDING') AS seg,
+                      c_acctbal
+               FROM customer),
+    s AS (SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg
+          FROM customer)
+    SELECT s.seg, count(*) AS cnt, round(sum(c.c_acctbal), 4) AS bal
+    FROM c JOIN s ON c.seg IS NOT DISTINCT FROM s.seg
+    GROUP BY s.seg
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping (the corpus has no
+    NULLs, so they are manufactured with ``nullif``).
+
+    Scale note: NULL join keys are the classic hidden skew bomb — every
+    NULL row hashes to one reducer.  A null-safe join makes that
+    explicit and greppable; when NULL-matching is NOT wanted, filter
+    NULLs before the shuffle instead of letting them ride to one
+    partition.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        "c_acctbal",
+    )
+    s = c.select("seg").distinct().select(F.col("seg").alias("s_seg"))
+    return (
+        c.join(s, c.seg.eqNullSafe(s.s_seg))
+        .groupBy("s_seg")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("c_acctbal"), 4).alias("bal"),
+        )
+        .select(F.col("s_seg").alias("seg"), "cnt", "bal")
+    )

@@ -31,6 +31,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # Adaptive execution: runtime re-planning at shuffle boundaries.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Runtime-settable, so externally-built sessions (the driver's plain
+    # session defaults to 200) also get a parallelism-matched value; AQE
+    # coalesces further downward per-stage.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

@@ -66,6 +66,8 @@ EXPECTED_IDS = {
     "ml_kmeans_lloyd", "sink_parquet_sorted",
     # ETL / CDC primitives (etl.py)
     "etl_upsert_scd1", "etl_keep_latest", "etl_scd2_intervals",
+    # null-safe join (joins.py)
+    "join_null_safe",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
