@@ -660,3 +660,35 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= IVF_TOPK)
         .drop("rk")
     )
+
+
+@query(
+    "str_edit_distance",
+    oracle="""
+    SELECT a.n_name AS a_name, b.n_name AS b_name,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_name < b.n_name
+    WHERE levenshtein(a.n_name, b.n_name) <= 6
+    """,
+)
+def str_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein fuzzy matching over a dimension's name column (the
+    country-name-cleanup analog: 'Untied States' -> 'United States').
+
+    All-pairs is fine *on a bounded dimension* (25 nations); for
+    corpus-scale string dedup the blocked/LSH dedups above are the
+    path — edit distance is the verify metric, never the candidate
+    generator.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("a_name"))
+    b = n.select(F.col("n_name").alias("b_name"))
+    return (
+        a.join(b, F.col("a_name") < F.col("b_name"))
+        .select(
+            "a_name",
+            "b_name",
+            F.levenshtein("a_name", "b_name").alias("dist"),
+        )
+        .filter(F.col("dist") <= 6)
+    )

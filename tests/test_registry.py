@@ -68,6 +68,8 @@ EXPECTED_IDS = {
     "etl_upsert_scd1", "etl_keep_latest", "etl_scd2_intervals",
     # null-safe join (joins.py)
     "join_null_safe",
+    # edit-distance fuzzy matching (textprep.py)
+    "str_edit_distance",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
