@@ -71,3 +71,28 @@ def test_bucketed_join_has_no_input_shuffle(spark, sf_dir):
 def test_ivf_broadcasts_centroids(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_ann_ivf")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sim_topk_runs_vectorized_not_sql_lambdas(spark, sf_dir):
+    # The bench-critical guard (SURVEY.md §7.3.1): top-k similarity must
+    # go through the Arrow-batched mapInPandas matmul, never per-pair
+    # SQL lambdas (200× slower) or a cartesian join.
+    plan = _plan(spark, sf_dir, "llm_sim_topk")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fuzzy_dedup_has_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_dedup_fuzzy")
+    assert "CartesianProduct" not in plan
+
+
+def test_lang_id_broadcasts_markers(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_lang_id")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_broadcasts_probes_not_corpus(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_knn_per_query")
+    assert "BroadcastNestedLoopJoin" in plan
