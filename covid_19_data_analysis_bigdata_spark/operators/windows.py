@@ -256,3 +256,65 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("value").over(w).alias("first_val"),
         F.last("value").over(w).alias("last_val"),
     )
+
+
+@query(
+    "win_sessionize_batch",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, value, epoch_ms(ts) AS t_ms,
+               CASE WHEN epoch_ms(ts)
+                         - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                         > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id, event_id, value, t_ms,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY t_ms, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_no
+        FROM marked)
+    SELECT user_id, session_no,
+           count(*)                       AS n_events,
+           round(sum(value), 4)           AS session_value,
+           (max(t_ms) - min(t_ms)) / 1000 AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts
+    after a >30-minute silence; session id is the running count of
+    session starts.  The batch twin of ``stream_session`` — two window
+    passes plus one aggregate, no self-join, no state store.
+
+    Gap boundaries compare epoch *milliseconds* (ns and µs truncate
+    identically) so both engines cut sessions at the same events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t_ms = F.unix_millis("ts")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        t_ms.alias("t_ms"),
+        F.when(
+            t_ms - F.lag(t_ms).over(w_order) > 30 * 60 * 1000, 1
+        ).otherwise(0).alias("new_session"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.withColumn(
+        "session_no", F.sum("new_session").over(w_run)
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+        ((F.max("t_ms") - F.min("t_ms")) / 1000).alias("duration_s"),
+    )

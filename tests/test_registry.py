@@ -70,6 +70,8 @@ EXPECTED_IDS = {
     "join_null_safe",
     # edit-distance fuzzy matching (textprep.py)
     "str_edit_distance",
+    # batch gaps-and-islands sessionization (windows.py)
+    "win_sessionize_batch",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
