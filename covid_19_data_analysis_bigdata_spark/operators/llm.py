@@ -99,11 +99,11 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_dedup_fuzzy",
-    oracle=f"""
-    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
-               FROM documents),
+#: The exhaustive fuzzy-pair SQL (CTE body), shared by the fuzzy-dedup
+#: oracle and the dedup-cluster oracle (textprep.llm_dedup_clusters).
+FUZZY_PAIRS_CTES = f"""
+    w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+          FROM documents),
     sh AS (SELECT doc_id,
                   list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
                                  for i in generate_series(1, len(words)-2)])
@@ -113,13 +113,22 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
     inter AS (SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS i
               FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-    SELECT ai AS a_id, bi AS b_id,
-           round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON ai = sa.doc_id
-    JOIN sizes sb ON bi = sb.doc_id
-    WHERE i * 1.0 / (sa.n + sb.n - i) >= {FUZZY_TAU}
+              GROUP BY 1, 2),
+    fuzzy_pairs AS (
+        SELECT ai AS a_id, bi AS b_id,
+               round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON ai = sa.doc_id
+        JOIN sizes sb ON bi = sb.doc_id
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= {FUZZY_TAU})
+"""
+
+
+@query(
+    "llm_dedup_fuzzy",
+    oracle=f"""
+    WITH {FUZZY_PAIRS_CTES}
+    SELECT a_id, b_id, jaccard FROM fuzzy_pairs
     """,
 )
 def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:

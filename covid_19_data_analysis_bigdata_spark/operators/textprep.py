@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.operators.llm import (
+    FUZZY_PAIRS_CTES,
     _cosine,
     _d,
     _shingles,
@@ -691,4 +692,76 @@ def str_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("a_name", "b_name").alias("dist"),
         )
         .filter(F.col("dist") <= 6)
+    )
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {FUZZY_PAIRS_CTES},
+    edges AS (SELECT a_id AS u, b_id AS v FROM fuzzy_pairs
+              UNION SELECT b_id, a_id FROM fuzzy_pairs),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+    SELECT u AS doc_id, min(v) AS component, count(*) AS cluster_reach
+    FROM reach
+    GROUP BY u
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    verified near-dup pair graph, labeling every document with the
+    minimum doc_id reachable from it (the cluster representative a
+    keep-one-per-cluster dedup retains).
+
+    Min-label propagation, one hop per iteration, iterations fixed at
+    8 (near-dup components are verify-pruned cliques-with-frays; their
+    diameter is far below that).  Per iteration: one join of the edge
+    list against the current labels + a min-aggregate — the standard
+    scalable CC dataflow (the large-star/small-star family at cluster
+    scale).  Only the bounded pair graph participates, never the
+    corpus.  The DuckDB oracle computes the same components by
+    recursive-CTE transitive closure.
+    """
+    from covid_19_data_analysis_bigdata_spark.operators.llm import (
+        llm_dedup_fuzzy,
+    )
+
+    pairs = llm_dedup_fuzzy(spark, sf_dir).select("a_id", "b_id").persist()
+    edges = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).toDF("u", "v")
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(8):
+        via_nbr = (
+            edges.join(labels, edges.v == labels.node)
+            .select(F.col("u").alias("node"), "label")
+        )
+        labels = (
+            labels.unionByName(via_nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            # Each iteration references `labels` twice (self + via-nbr):
+            # without lineage truncation the plan doubles per round
+            # (2^8 blowup).  localCheckpoint materializes the ~|V|-row
+            # label table and restarts lineage — the required idiom for
+            # iterative Spark dataflows.
+            .localCheckpoint(eager=True)
+        )
+    # cluster_reach mirrors the oracle's closure count: the component
+    # size as seen from each node (component members = reachable set).
+    comp_sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_reach")
+    )
+    return (
+        labels.join(comp_sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("component"),
+            "cluster_reach",
+        )
     )

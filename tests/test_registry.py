@@ -72,6 +72,8 @@ EXPECTED_IDS = {
     "str_edit_distance",
     # batch gaps-and-islands sessionization (windows.py)
     "win_sessionize_batch",
+    # connected-components dedup clustering (textprep.py)
+    "llm_dedup_clusters",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
