@@ -61,6 +61,7 @@ def load_all() -> None:
         sqlsurface,
         iterative,
         etl,
+        llmprep,
     )
     from covid_19_data_analysis_bigdata_spark.functions import (  # noqa: F401
         scalars,

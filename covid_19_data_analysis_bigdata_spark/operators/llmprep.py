@@ -1,0 +1,238 @@
+"""LLM training-set assembly operators: chunk, pack, decontaminate,
+vocab.
+
+The last mile of a training-data pipeline after dedup/quality/text
+analysis (operators/textprep.py): slice documents into context-window
+chunks, pack short documents into fixed-size training sequences, drop
+documents that leak evaluation content, and build the frequency-ranked
+vocabulary.
+
+Everything is per-row array math or one window/aggregate pass —
+linear, partial+final, no Python.  Chunk identity uses the portable
+polynomial hash (see textprep) so chunks can be traced across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.operators.llm import _shingles, _words
+from covid_19_data_analysis_bigdata_spark.operators.textprep import (
+    _POLY_SQL,
+    _polyhash,
+)
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+CHUNK = 32  # tokens per chunk
+STRIDE = 24  # chunk start stride (CHUNK - STRIDE = 8 tokens overlap)
+PACK_BIN = 256  # tokens per packed training sequence
+DECON_MIN_HITS = 2  # shingle overlaps that disqualify a document
+EVAL_DOCS = 5  # doc_id < 5 plays the held-out eval set
+
+
+@query(
+    "llm_chunk_documents",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+               FROM documents),
+    ks AS (
+        SELECT doc_id, words,
+               unnest(range(0,
+                   CAST(greatest(ceil((len(words) - {CHUNK}) / {STRIDE}.0), 0)
+                        AS BIGINT) + 1)) AS k
+        FROM w),
+    chunks AS (
+        SELECT doc_id,
+               CAST(k AS BIGINT) AS chunk_idx,
+               list_slice(words, k * {STRIDE} + 1,
+                          k * {STRIDE} + {CHUNK}) AS chunk
+        FROM ks)
+    SELECT doc_id, chunk_idx,
+           len(chunk) AS n_tokens,
+           {_POLY_SQL.format(col="array_to_string(chunk, ' ')")} AS chunk_hash
+    FROM chunks
+    """,
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: slide a {CHUNK}-token window with
+    stride {STRIDE} ({CHUNK - STRIDE}-token overlap) over each
+    document, emitting per-chunk token counts and a traceable chunk
+    hash.
+
+    Chunk count per document is ⌈(n−C)/S⌉+1 — computed arithmetically,
+    so the explode is exactly sized (no filter-after-generate waste).
+    Per-row array slicing only; chunking 100 TB is one codegen'd scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = _words()
+    n_chunks = F.greatest(
+        F.ceil((F.size(words) - CHUNK) / float(STRIDE)), F.lit(0)
+    ).cast("long")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks),
+                lambda k: F.struct(
+                    k.cast("long").alias("chunk_idx"),
+                    F.slice(words, k * STRIDE + 1, CHUNK).alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.chunk").alias("n_tokens"),
+        _polyhash(F.array_join("c.chunk", " ")).alias("chunk_hash"),
+    )
+
+
+@query(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, n_tok,
+                 sum(n_tok) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+          FROM w)
+    SELECT CAST(floor((cum - n_tok) / {PACK_BIN}.0) AS BIGINT) AS seq_id,
+           count(*)     AS n_docs,
+           sum(n_tok)   AS n_tokens,
+           min(doc_id)  AS first_doc,
+           max(doc_id)  AS last_doc
+    FROM c
+    GROUP BY seq_id
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents in doc_id order and cut
+    every {PACK_BIN} tokens — each document's sequence is determined by
+    the running token total before it (contiguous packing, the
+    deterministic streaming cousin of first-fit bin packing).
+
+    One global cumulative-sum window.  At 100 TB the single ORDER BY
+    doc_id window is the scale constraint to respect: ids are assigned
+    per partition-range (range-partitioned cumsum), exactly what
+    Spark's window already does under AQE.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_words())
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select("doc_id", n_tok.alias("n_tok")).withColumn(
+        "cum", F.sum("n_tok").over(w)
+    )
+    seq = F.floor((F.col("cum") - F.col("n_tok")) / float(PACK_BIN)).cast(
+        "long"
+    )
+    return (
+        c.groupBy(seq.alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                 for i in generate_series(1, len(words)-2)])
+                      AS shingles
+           FROM w WHERE len(words) >= 3),
+    eval_set AS (SELECT DISTINCT unnest(shingles) AS sh FROM sh
+                 WHERE doc_id < {EVAL_DOCS}),
+    hits AS (SELECT t.doc_id, count(DISTINCT t.sh) AS n_hits
+             FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh
+                   WHERE doc_id >= {EVAL_DOCS}) t
+             JOIN eval_set e ON t.sh = e.sh
+             GROUP BY t.doc_id)
+    SELECT s.doc_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) >= {DECON_MIN_HITS} AS BOOLEAN)
+               AS contaminated
+    FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    WHERE s.doc_id >= {EVAL_DOCS}
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval decontamination: flag training documents sharing ≥
+    {DECON_MIN_HITS} word-trigram shingles with the held-out eval set
+    (doc_id < {EVAL_DOCS} stands in for the benchmark corpus).
+
+    The eval shingle set is a broadcast dimension (bounded by eval-set
+    size, not corpus size); the overlap count is one token join +
+    aggregate — the same linear shape however large training gets.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles(_words()).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    eval_set = (
+        sh.filter(F.col("doc_id") < EVAL_DOCS)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") >= EVAL_DOCS)
+    hits = (
+        train.select("doc_id", F.explode("shingles").alias("sh"))
+        .join(F.broadcast(eval_set), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_hits"))
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= DECON_MIN_HITS).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+@query(
+    "llm_build_vocab",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents),
+    freq AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok)
+    SELECT tok,
+           freq,
+           row_number() OVER (ORDER BY freq DESC, tok) AS vocab_id
+    FROM freq
+    QUALIFY vocab_id <= 100
+    """,
+)
+def llm_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary build: top-100 tokens by corpus
+    frequency with dense ids (freq desc, token asc tie-break — the
+    id assignment every tokenizer build performs).
+
+    Token counting is partial+final; the rank runs over the *vocabulary*
+    (bounded), not the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(_words()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    return (
+        freq.withColumn("vocab_id", F.row_number().over(w))
+        .filter(F.col("vocab_id") <= 100)
+    )

@@ -74,6 +74,9 @@ EXPECTED_IDS = {
     "win_sessionize_batch",
     # connected-components dedup clustering (textprep.py)
     "llm_dedup_clusters",
+    # training-set assembly (llmprep.py)
+    "llm_chunk_documents", "llm_pack_sequences", "llm_decontaminate",
+    "llm_build_vocab",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
