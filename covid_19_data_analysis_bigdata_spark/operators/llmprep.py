@@ -115,18 +115,38 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the running token total before it (contiguous packing, the
     deterministic streaming cousin of first-fit bin packing).
 
-    One global cumulative-sum window.  At 100 TB the single ORDER BY
-    doc_id window is the scale constraint to respect: ids are assigned
-    per partition-range (range-partitioned cumsum), exactly what
-    Spark's window already does under AQE.
+    Global cumsum WITHOUT the single-partition window trap: a plain
+    ``Window.orderBy`` funnels the whole corpus through one task.
+    Instead: range-partition by doc_id, per-partition window cumsum,
+    and add each partition's broadcast prefix offset (#partitions
+    scalars on the driver — bounded regardless of corpus size).  The
+    result is identical to the global window for any partition
+    boundary placement.
     """
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(_words())
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    t = (
+        d.select("doc_id", n_tok.alias("n_tok"))
+        .repartitionByRange(8, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
     )
-    c = d.select("doc_id", n_tok.alias("n_tok")).withColumn(
-        "cum", F.sum("n_tok").over(w)
+    part_sums = t.groupBy("pid").agg(F.sum("n_tok").alias("psum"))
+    w_prefix = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # The prefix window runs over #partitions rows, not the corpus.
+    offsets = part_sums.select(
+        "pid",
+        (F.sum("psum").over(w_prefix) - F.col("psum")).alias("offset"),
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.join(F.broadcast(offsets), "pid").withColumn(
+        "cum", F.col("offset") + F.sum("n_tok").over(w_local)
     )
     seq = F.floor((F.col("cum") - F.col("n_tok")) / float(PACK_BIN)).cast(
         "long"
