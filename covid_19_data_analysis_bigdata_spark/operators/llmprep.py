@@ -242,8 +242,11 @@ def llm_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency with dense ids (freq desc, token asc tie-break — the
     id assignment every tokenizer build performs).
 
-    Token counting is partial+final; the rank runs over the *vocabulary*
-    (bounded), not the corpus.
+    Token counting is partial+final; the top-100 cut happens via the
+    distributed top-k heap (``TakeOrderedAndProject``) BEFORE the id
+    window, so the single-partition rank only ever sees 100 rows —
+    at web scale the raw type count (misspellings, junk) is not
+    actually bounded, the pruned vocabulary is.
     """
     d = load_table(spark, sf_dir, "documents")
     freq = (
@@ -251,8 +254,6 @@ def llm_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    top = freq.orderBy(F.desc("freq"), F.asc("tok")).limit(100)
     w = Window.orderBy(F.desc("freq"), F.asc("tok"))
-    return (
-        freq.withColumn("vocab_id", F.row_number().over(w))
-        .filter(F.col("vocab_id") <= 100)
-    )
+    return top.withColumn("vocab_id", F.row_number().over(w))
