@@ -389,3 +389,72 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@query(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT event_type,
+           count(*)             AS cnt,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch is handed to arbitrary batch
+    code (here: filter + append to a parquet landing dir) — the
+    production pattern for sinks Structured Streaming lacks natively
+    (JDBC upserts, multi-table writes).
+
+    Correctness shape: batch-id-based idempotence.  foreachBatch offers
+    at-least-once delivery, so the writer keys files by batch_id —
+    reprocessing a batch overwrites its own files instead of
+    duplicating rows.  The end-of-stream read-back then equals the
+    batch computation, which the oracle checks.
+    """
+    from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir
+
+    root = fixture_dir(sf_dir, "stream_fe_batch")
+    out = os.path.join(root, "data")
+    ckpt = os.path.join(root, "ckpt")
+    src = events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "signup")
+    ).select("event_id", "event_type", "value")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Partition by batch id: replays of an already-committed batch
+        # overwrite their own partition (idempotent at-least-once).
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    for q in spark.streams.active:
+        if q.name == "t_foreach_batch":
+            q.stop()
+            q.awaitTermination()
+    handle = (
+        src.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .queryName("t_foreach_batch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    handle.awaitTermination()
+    back_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    back = spark.read.schema(back_schema).parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )

@@ -77,6 +77,8 @@ EXPECTED_IDS = {
     # training-set assembly (llmprep.py)
     "llm_chunk_documents", "llm_pack_sequences", "llm_decontaminate",
     "llm_build_vocab",
+    # foreachBatch streaming sink
+    "stream_foreach_batch",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
