@@ -144,3 +144,55 @@ def test_simhash_fingerprint_fits_24_bits(spark, sf_dir):
 def test_lang_id_confusion_covers_all_docs(spark, sf_dir):
     total = load_table(spark, sf_dir, "documents").count()
     assert sum(r["cnt"] for r in _q(spark, sf_dir, "llm_lang_id").collect()) == total
+
+
+def test_approx_distinct_within_sketch_error(spark, sf_dir):
+    # HLL++ has no exact oracle; bound it against the exact distinct.
+    approx = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in _q(spark, sf_dir, "agg_approx_distinct").collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("cnt"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, a in approx.items():
+        assert abs(a - exact[k]) <= max(3, 0.15 * exact[k]), (k, a, exact[k])
+
+
+def test_approx_percentile_brackets_exact(spark, sf_dir):
+    rows = _q(spark, sf_dir, "agg_approx_percentile").collect()
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    for r in rows:
+        for c in r.asDict():
+            if c.startswith(("p25", "p50", "p75", "q")):
+                assert lo <= r[c] <= hi, (c, r[c])
+
+
+def test_sample_rows_fraction_plausible(spark, sf_dir):
+    n = _q(spark, sf_dir, "sample_rows").count()
+    total = load_table(spark, sf_dir, "orders").count()
+    # seeded 10% sample: loose binomial envelope, deterministic per seed
+    assert 0.02 * total <= n <= 0.25 * total, (n, total)
+
+
+def test_pack_sequences_conserves_tokens(spark, sf_dir):
+    packed = _q(spark, sf_dir, "llm_pack_sequences")
+    total_packed = packed.agg(F.sum("n_tokens")).first()[0]
+    d = load_table(spark, sf_dir, "documents")
+    total_tokens = d.select(
+        F.sum(F.size(F.split(F.lower("text"), " "))).alias("s")
+    ).first()["s"]
+    assert total_packed == total_tokens
+
+
+def test_decontaminate_never_flags_eval_docs(spark, sf_dir):
+    rows = _q(spark, sf_dir, "llm_decontaminate").collect()
+    assert all(r["doc_id"] >= 5 for r in rows)
+    flagged = sum(1 for r in rows if r["contaminated"])
+    assert 0 <= flagged < len(rows)
