@@ -335,3 +335,36 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("s_seg").alias("seg"), "cnt", "bal")
     )
+
+
+@query(
+    "join_shuffle_hash",
+    oracle="""
+    SELECT s.s_nationkey,
+           count(*)                   AS parts,
+           round(sum(p.p_retailprice), 4) AS retail
+    FROM part p JOIN supplier s ON p.p_partkey % 100 = s.s_suppkey % 100
+    WHERE p.p_size <= 25
+    GROUP BY s.s_nationkey
+    """,
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled hash join — Spark's third join strategy (hint
+    ``shuffle_hash``): both sides shuffle on the key, the smaller
+    builds an in-memory hash table per partition, no sort.
+
+    Beats sort-merge when one side is much smaller per partition but
+    too big to broadcast whole; the per-partition build side must fit
+    in executor memory — that is the 100 TB constraint to respect when
+    choosing it over merge.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    s = load_table(spark, sf_dir, "supplier")
+    joined = p.join(
+        s.hint("shuffle_hash"),
+        F.pmod(p.p_partkey, F.lit(100)) == F.pmod(s.s_suppkey, F.lit(100)),
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("parts"),
+        F.round(F.sum("p_retailprice"), 4).alias("retail"),
+    )

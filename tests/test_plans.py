@@ -96,3 +96,9 @@ def test_lang_id_broadcasts_markers(spark, sf_dir):
 def test_knn_broadcasts_probes_not_corpus(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_knn_per_query")
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_shuffle_hash_join_is_hash_not_merge(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_shuffle_hash")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -79,6 +79,8 @@ EXPECTED_IDS = {
     "llm_build_vocab",
     # foreachBatch streaming sink
     "stream_foreach_batch",
+    # third join strategy (joins.py)
+    "join_shuffle_hash",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
