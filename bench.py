@@ -37,6 +37,7 @@ HEADLINE = [
     "llm_dedup_embedding",  # thresholded blocked-matmul near-dup
     "llm_lang_id",          # marker-scoring language ID
     "join_bucketed",        # co-located join, no input shuffle
+    "pipeline_full_report",  # end-to-end 5-table composition flagship
 ]
 
 

@@ -144,3 +144,93 @@ def report_period_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mom_delta"
         ),
     )
+
+
+@query(
+    "pipeline_full_report",
+    oracle="""
+    WITH monthly AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        GROUP BY 1, 2, 3),
+    nation_tot AS (
+        SELECT region, nation,
+               round(sum(revenue), 4)  AS total_rev,
+               count(*)                AS n_months
+        FROM monthly GROUP BY 1, 2),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY region
+                                  ORDER BY total_rev DESC, nation) AS rk,
+               round(100 * total_rev /
+                     sum(total_rev) OVER (PARTITION BY region), 6)
+                   AS region_share_pct
+        FROM nation_tot)
+    SELECT region, nation, rk, total_rev, region_share_pct, n_months
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def pipeline_full_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole notebook as one dataflow: fact ⋈ four
+    dimensions → revenue metric → monthly rollup → per-nation totals →
+    rank + share-of-region → top-3 nations per region (the
+    top-countries-per-continent dashboard).
+
+    Composition check for the engine: dimension broadcasts, partial+
+    final aggregation at two grains, and windows over the *aggregated*
+    frame (25 nations) all in one lazy plan — the fact table is
+    scanned exactly once.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1995-01-01"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    monthly = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    nation_tot = monthly.groupBy("region", "nation").agg(
+        F.round(F.sum("revenue"), 4).alias("total_rev"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    w_rank = Window.partitionBy("region").orderBy(
+        F.desc("total_rev"), F.asc("nation")
+    )
+    w_share = Window.partitionBy("region")
+    return (
+        nation_tot.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "region_share_pct",
+            F.round(
+                100 * F.col("total_rev") / F.sum("total_rev").over(w_share), 6
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select(
+            "region", "nation", "rk", "total_rev", "region_share_pct",
+            "n_months",
+        )
+    )

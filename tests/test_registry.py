@@ -81,6 +81,8 @@ EXPECTED_IDS = {
     "stream_foreach_batch",
     # third join strategy (joins.py)
     "join_shuffle_hash",
+    # end-to-end composition flagship (reports.py)
+    "pipeline_full_report",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
