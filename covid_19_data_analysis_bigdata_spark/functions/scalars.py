@@ -408,3 +408,37 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json("props", "k BIGINT").getField("k").alias("k_int"),
         F.get_json_object("props", "$.k").isNotNull().alias("is_valid"),
     )
+
+
+@query(
+    "safe_arith_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice / nullif(o_custkey % 3, 0), 4) AS safe_div,
+           TRY_CAST(o_orderpriority AS BIGINT)               AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num
+    FROM orders
+    """,
+)
+def safe_arith_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe SQL surface: ``try_divide`` / ``try_cast`` return
+    NULL instead of raising under ANSI mode (division by zero, bad
+    casts) — mandatory on dirty 100 TB inputs, where one malformed row
+    must not kill a 1000-executor stage.
+
+    A third of the divisors are zero (custkey mod 3) and degrade
+    gracefully to NULL; `'1-URGENT'` fails the full cast but its first
+    character parses.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide("o_totalprice", F.pmod(F.col("o_custkey"), F.lit(3))),
+            4,
+        ).alias("safe_div"),
+        F.col("o_orderpriority").try_cast("bigint").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias(
+            "prio_num"
+        ),
+    )

@@ -83,6 +83,8 @@ EXPECTED_IDS = {
     "join_shuffle_hash",
     # end-to-end composition flagship (reports.py)
     "pipeline_full_report",
+    # error-safe arithmetic surface (scalars.py)
+    "safe_arith_funcs",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check).
