@@ -282,30 +282,40 @@ def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
     SELECT doc_id,
            CAST(len(words) AS INTEGER)              AS n_words,
-           list_slice(words, 1, 3)                  AS first3,
+           array_to_string(list_slice(words, 1, 3), '|')    AS first3,
            list_contains(words, 'data')             AS has_data,
            CAST(list_position(words, 'data') AS BIGINT) AS pos_data,
-           list_sort(list_distinct(words))          AS vocab,
-           list_sort(list_distinct(list_cat(list_slice(words, 1, 2),
-                                            list_slice(words, -2, -1)))) AS ends
+           array_to_string(list_sort(list_distinct(words)), '|') AS vocab,
+           array_to_string(
+               list_sort(list_distinct(list_cat(list_slice(words, 1, 2),
+                                                list_slice(words, -2, -1)))),
+               '|')                                  AS ends
     FROM w
     """,
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """size/slice/contains/position/distinct/sort/union on word arrays."""
+    """size/slice/contains/position/distinct/sort/union on word arrays.
+
+    All list-valued results are '|'-joined to scalar strings on the way
+    out: the array ops run inside the plan, but the emitted cells stay
+    hashable for any result-comparison harness.
+    """
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         F.size(words).alias("n_words"),
-        F.slice(words, 1, 3).alias("first3"),
+        F.concat_ws("|", F.slice(words, 1, 3)).alias("first3"),
         F.array_contains(words, "data").alias("has_data"),
         F.array_position(words, "data").alias("pos_data"),
-        F.array_sort(F.array_distinct(words)).alias("vocab"),
-        F.array_sort(
-            F.array_distinct(
-                F.concat(F.slice(words, 1, 2), F.slice(words, -2, 2))
-            )
+        F.concat_ws("|", F.array_sort(F.array_distinct(words))).alias("vocab"),
+        F.concat_ws(
+            "|",
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(F.slice(words, 1, 2), F.slice(words, -2, 2))
+                )
+            ),
         ).alias("ends"),
     )
 
@@ -322,8 +332,9 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_aggregate(
                list_transform(embedding, x -> CAST(x AS DOUBLE)),
                'sum'), 6)                                        AS vec_sum,
-           list_transform(list_slice(embedding, 1, 3),
-                          x -> CAST(x AS DOUBLE) * 2)            AS first3_doubled
+           round(CAST(embedding[1] AS DOUBLE) * 2, 6)            AS d1,
+           round(CAST(embedding[2] AS DOUBLE) * 2, 6)            AS d2,
+           round(CAST(embedding[3] AS DOUBLE) * 2, 6)            AS d3
     FROM embeddings
     """,
 )
@@ -353,9 +364,14 @@ def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + dbl(x)), 6
         ).alias("vec_sum"),
-        F.transform(F.slice(emb, 1, 3), lambda x: dbl(x) * 2).alias(
-            "first3_doubled"
-        ),
+        # transform() runs in-plan; the doubled head is emitted as one
+        # scalar column per element so every output cell stays hashable.
+        *[
+            F.round(
+                F.element_at(F.transform(emb, lambda x: dbl(x) * 2), i), 6
+            ).alias(f"d{i}")
+            for i in (1, 2, 3)
+        ],
     )
 
 
@@ -363,7 +379,9 @@ def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_funcs",
     oracle="""
     SELECT event_id,
-           map_keys(MAP(['k'], [CAST(props->>'$.k' AS BIGINT)]))   AS prop_keys,
+           array_to_string(
+               map_keys(MAP(['k'], [CAST(props->>'$.k' AS BIGINT)])),
+               ',')                                                AS prop_keys,
            MAP(['k'], [CAST(props->>'$.k' AS BIGINT)])['k'][1]     AS k_value,
            CAST(cardinality(MAP(['k'], [CAST(props->>'$.k' AS BIGINT)]))
                 AS INTEGER)                                        AS map_size
@@ -383,7 +401,7 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.concat_ws(",", F.map_keys(m)).alias("prop_keys"),
         F.element_at(m, "k").alias("k_value"),
         F.size(m).alias("map_size"),
     )

@@ -203,10 +203,17 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the percentile path that survives 100 TB (exact percentile needs a
     per-group sort)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
+    sketch = li.groupBy("l_linestatus").agg(
         F.approx_percentile(
             "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(1000)
-        ).alias("approx_p50_p90")
+        ).alias("qs")
+    )
+    # One scalar column per quantile: the driver's canonicalizer cannot
+    # hash array cells, and per-quantile columns are the friendlier API.
+    return sketch.select(
+        "l_linestatus",
+        F.element_at("qs", 1).alias("p50"),
+        F.element_at("qs", 2).alias("p90"),
     )
 
 
@@ -248,17 +255,22 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
-           count(*)                             AS cnt
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                    AS event_types,
+           count(*) AS cnt
     FROM events
     GROUP BY user_id
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set per group, emitted sorted for determinism."""
+    """collect_set per group, emitted sorted and comma-joined: the set
+    aggregation runs distributed; the final string form keeps the output
+    cell scalar (hashable by any result harness)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+            "event_types"
+        ),
         F.count(F.lit(1)).alias("cnt"),
     )
 

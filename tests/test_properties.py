@@ -166,12 +166,11 @@ def test_approx_distinct_within_sketch_error(spark, sf_dir):
 
 def test_approx_percentile_brackets_exact(spark, sf_dir):
     rows = _q(spark, sf_dir, "agg_approx_percentile").collect()
-    ev = load_table(spark, sf_dir, "events")
-    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    assert rows, "approx_percentile returned no groups"
     for r in rows:
-        for c in r.asDict():
-            if c.startswith(("p25", "p50", "p75", "q")):
-                assert lo <= r[c] <= hi, (c, r[c])
+        assert lo <= r["p50"] <= r["p90"] <= hi, r
 
 
 def test_sample_rows_fraction_plausible(spark, sf_dir):
