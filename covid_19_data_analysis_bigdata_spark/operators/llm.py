@@ -52,6 +52,86 @@ def _words(col: str = "text") -> Column:
     return F.split(F.lower(F.col(col)), " ")
 
 
+def _pair_group_frame(vecs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Replicate block-tagged vectors into block-pair group rows.
+
+    ``vecs`` carries (blk, vec_id, embedding); ``pairs`` is the tiny
+    candidate block-pair table (bi <= bj) and is broadcast.  Side 'a'
+    rows carry block bi's vectors, side 'b' rows block bj's (omitted
+    when bi == bj — the group fn self-pairs side 'a').  Grouping the
+    result by (bi, bj) shuffles each task exactly the two blocks it
+    compares: per-task memory is O(2·block), never O(corpus), so the
+    plan holds at any scale by choosing the block count.
+    """
+    bp = F.broadcast(pairs)
+    a = bp.join(vecs, bp["bi"] == vecs["blk"]).select(
+        "bi", "bj", F.lit("a").alias("side"), "vec_id", "embedding"
+    )
+    b = (
+        bp.filter(F.col("bi") < F.col("bj"))
+        .join(vecs, bp["bj"] == vecs["blk"])
+        .select("bi", "bj", F.lit("b").alias("side"), "vec_id", "embedding")
+    )
+    return a.unionByName(b)
+
+
+def _pair_sims_fn(tau=None, topk=None, out_col="sim"):
+    """Per-block-pair cosine kernel for ``applyInPandas``.
+
+    One numpy matmul between the two blocks; emits (min_id, max_id, sim)
+    rounded to 6dp, optionally threshold-filtered (``tau``) and/or
+    locally pruned to the per-group top-k under the full
+    (-sim, a_id, b_id) ordering — so a global merge with the same
+    ordering is exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fn(key, pdf):
+        bi, bj = key
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        empty = pd.DataFrame(
+            {
+                "a_id": np.array([], np.int64),
+                "b_id": np.array([], np.int64),
+                out_col: np.array([], np.float64),
+            }
+        )
+        if len(a) == 0 or (bi != bj and len(b) == 0):
+            return empty
+        aids = a["vec_id"].to_numpy(np.int64)
+        amat = np.array(a["embedding"].tolist(), np.float64)
+        if bi == bj:
+            bids, bmat = aids, amat
+        else:
+            bids = b["vec_id"].to_numpy(np.int64)
+            bmat = np.array(b["embedding"].tolist(), np.float64)
+        anorm = np.sqrt((amat * amat).sum(axis=1))
+        bnorm = np.sqrt((bmat * bmat).sum(axis=1))
+        sims = np.round(
+            (amat @ bmat.T) / (anorm[:, None] * bnorm[None, :]), 6
+        )
+        if bi == bj:
+            keep = aids[:, None] < bids[None, :]
+        else:
+            keep = np.ones_like(sims, dtype=bool)
+        if tau is not None:
+            keep &= sims >= tau
+        r, c = np.nonzero(keep)
+        if len(r) == 0:
+            return empty
+        u, v = aids[r], bids[c]
+        a_id, b_id = np.minimum(u, v), np.maximum(u, v)
+        s = sims[r, c]
+        if topk is not None and len(s) > topk:
+            order = np.lexsort((b_id, a_id, -s))[:topk]
+            a_id, b_id, s = a_id[order], b_id[order], s[order]
+        return pd.DataFrame({"a_id": a_id, "b_id": b_id, out_col: s})
+
+    return fn
+
+
 def _shingles(words: Column) -> Column:
     """Distinct word-trigram shingles of a document."""
     return F.array_distinct(
@@ -258,53 +338,34 @@ def llm_sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-20 most-similar vector pairs.
+    """Global top-20 most-similar vector pairs, fully distributed.
 
-    Bench path (SURVEY.md §7.3.1): Arrow-batched ``mapInPandas`` with a
-    blocked numpy matmul — each batch of vectors is multiplied against
-    the broadcast matrix and reduced to its local top-k, then Spark
-    merges the tiny per-batch heaps (TakeOrderedAndProject).  This is
-    ~200× faster than per-pair SQL lambdas.  At 100 TB the broadcast
-    matrix is replaced by an LSH/IVF-bucketed join; the per-batch
-    top-k + global merge shape is unchanged.
+    Exact block-pair plan (SURVEY.md §7.3.1 / §4.3 rule 4 — nothing is
+    ever collected to the driver): vectors are hashed into B blocks,
+    the B·(B+1)/2 block pairs are the tasks, and each task runs ONE
+    numpy matmul over the two blocks it owns, pruned to a local top-k
+    under the same (-sim, a_id, b_id) order the global merge uses — so
+    the final TakeOrderedAndProject over ≤ B²·k tiny rows is exact.
+    Per-task memory is two blocks, never the corpus; at 100 TB you
+    raise B so a block fits an executor, and the same plan holds.  The
+    sub-quadratic approximate path is ``llm_ann_ivf``.
     """
-    import numpy as np
-    import pandas as pd
-
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf = e.toPandas()  # bounded at test scale; LSH/IVF prune at 100 TB
-    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
-
-    def topk_batches(batches):
-        all_ids, all_mat, all_norms = bc.value
-        for batch in batches:
-            vids = batch["vec_id"].to_numpy(dtype=np.int64)
-            vmat = np.array(batch["embedding"].tolist(), dtype=np.float64)
-            vnorms = np.sqrt((vmat * vmat).sum(axis=1))
-            sims = (vmat @ all_mat.T) / (vnorms[:, None] * all_norms[None, :])
-            out_a, out_b, out_s = [], [], []
-            for r in range(len(vids)):
-                mask = all_ids > vids[r]
-                if not mask.any():
-                    continue
-                s, cand = sims[r][mask], all_ids[mask]
-                k = min(TOPK, len(s))
-                idx = np.argpartition(-s, k - 1)[:k]
-                out_a.extend([vids[r]] * k)
-                out_b.extend(cand[idx])
-                out_s.extend(s[idx])
-            yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "sim": out_s})
-
-    pairs = e.mapInPandas(topk_batches, "a_id bigint, b_id bigint, sim double")
-    return (
-        pairs.select("a_id", "b_id", F.round("sim", 6).alias("sim"))
-        .orderBy(F.desc("sim"), F.asc("a_id"), F.asc("b_id"))
-        .limit(TOPK)
+    B = 8
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.pmod("vec_id", F.lit(B)).cast("int").alias("blk"),
+        "vec_id",
+        "embedding",
+    )
+    bi = spark.range(B).select(F.col("id").cast("int").alias("bi"))
+    bj = spark.range(B).select(F.col("id").cast("int").alias("bj"))
+    pairs = bi.join(bj, F.col("bi") <= F.col("bj"))
+    grouped = _pair_group_frame(e, pairs)
+    local = grouped.groupBy("bi", "bj").applyInPandas(
+        _pair_sims_fn(topk=TOPK, out_col="sim"),
+        "a_id bigint, b_id bigint, sim double",
+    )
+    return local.orderBy(F.desc("sim"), F.asc("a_id"), F.asc("b_id")).limit(
+        TOPK
     )
 
 
