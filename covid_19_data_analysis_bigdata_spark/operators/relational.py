@@ -169,18 +169,28 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_rows")  # weak oracle: sampling seeds differ across engines
+@query(
+    "sample_rows",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE (o_orderkey * 1103515245 + 12345) % 1000000007 % 1000 < 100
+    """,
+)
 def sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample (reference analog: EDA eyeballing).
+    """Deterministic ~10% hash sample (reference analog: EDA eyeballing).
 
-    Deterministic for a fixed seed *within* Spark, but no cross-engine
-    oracle exists (DuckDB's sampler draws differently) → rows-only check.
+    Keyed LCG-style hash sampling instead of ``df.sample``: the bucket
+    ``(k·a + c) mod p mod 1000`` is exact integer arithmetic, identical
+    in every engine, so the sample is reproducible across runs, engines
+    and partitionings — the property a training-data pipeline needs for
+    repeatable holdouts.  (Seeded ``df.sample`` is deterministic only
+    within one engine; per-partition RNG draws have no cross-engine
+    oracle.)  Pure column expression: filter-pushed, scale-free.
     """
-    return (
-        load_table(spark, sf_dir, "orders")
-        .sample(fraction=0.1, seed=42)
-        .select("o_orderkey", "o_totalprice")
-    )
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (F.col("o_orderkey") * 1103515245 + 12345) % 1000000007 % 1000
+    return o.filter(bucket < 100).select("o_orderkey", "o_totalprice")
 
 
 # --------------------------------------------------------------------------

@@ -209,15 +209,28 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_watermark_late")  # weak: append-mode emission is engine-specific
+@query(
+    "stream_watermark_late",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    w AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, count(*) AS cnt
+          FROM events GROUP BY 1)
+    SELECT epoch_ms(ws) AS window_start_ms, cnt
+    FROM w, m
+    WHERE ws + INTERVAL '1 hour' <= mx - INTERVAL '1 hour'
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data handling: 1-hour watermark, hourly windows, APPEND mode.
 
     Append emits a window only once the watermark passes its end, so
     windows newer than (max event time − 1 h) at end-of-stream are
-    withheld — deliberately different from the batch result, hence the
-    rows-only check.  This is the state-bounding behavior that keeps an
-    unbounded 100 TB/day stream's memory flat.
+    withheld.  The ``availableNow`` replay makes that final state
+    deterministic — after the last data batch a no-data batch advances
+    the watermark to (global max ts − δ) and flushes every window whose
+    end ≤ it — which is exactly the batch SQL in the oracle.  This is
+    the state-bounding behavior that keeps an unbounded 100 TB/day
+    stream's memory flat.
     """
     ev = events_stream(spark, sf_dir)
     agg = (

@@ -6,7 +6,10 @@ Flags (SURVEY.md §4.3 discipline):
 - CartesianProduct       — unpruned cross product (only ``join_cross``
                            is allowed; theta joins should be broadcast
                            nested-loop, similarity ops pre-pruned);
-- exchanges > 6          — shuffle-heavy plan worth a second look.
+- exchanges > 6          — shuffle-heavy plan worth a second look;
+- nested output type     — array/map/struct column in a registered
+                           query's output schema (result-comparison
+                           harnesses cannot canonicalize nested cells).
 
 Usage: python tools/audit_plans.py [--sf DIR] [name ...]
 """
@@ -53,6 +56,13 @@ def main() -> int:
             issues += 1
             continue
         flags = []
+        nested = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if nested:
+            flags.append(f"nested-output={','.join(nested)}")
         if "BatchEvalPython" in plan and name not in ALLOWED_ROW_UDF:
             flags.append("row-UDF")
         if "CartesianProduct" in plan and name not in ALLOWED_CARTESIAN:
