@@ -439,10 +439,11 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def safe_arith_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Error-safe SQL surface: ``try_divide`` / ``try_cast`` return
-    NULL instead of raising under ANSI mode (division by zero, bad
-    casts) — mandatory on dirty 100 TB inputs, where one malformed row
-    must not kill a 1000-executor stage.
+    """Error-safe arithmetic: try_divide / try_cast degrade to NULL.
+
+    Under ANSI mode these return NULL instead of raising (division by
+    zero, bad casts) — mandatory on dirty 100 TB inputs, where one
+    malformed row must not kill a 1000-executor stage.
 
     A third of the divisors are zero (custkey mod 3) and degrade
     gracefully to NULL; `'1-URGENT'` fails the full cast but its first

@@ -117,18 +117,32 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Global cumsum WITHOUT the single-partition window trap: a plain
     ``Window.orderBy`` funnels the whole corpus through one task.
-    Instead: range-partition by doc_id, per-partition window cumsum,
-    and add each partition's broadcast prefix offset (#partitions
-    scalars on the driver — bounded regardless of corpus size).  The
-    result is identical to the global window for any partition
-    boundary placement.
+    Instead: bucket by doc_id range, per-bucket window cumsum, and add
+    each bucket's broadcast prefix offset (#buckets scalars — bounded
+    regardless of corpus size).  The bucket is derived arithmetically
+    from doc_id (monotone: every id in bucket p precedes every id in
+    bucket p+1), so the two consumers of the frame recompute identical
+    assignments — no dependence on the engine's partition placement.
+    The result is identical to the global window for any bucket count.
     """
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(_words())
+    base = d.select("doc_id", n_tok.alias("n_tok"))
+    span = base.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    pid = F.least(
+        F.lit(7),
+        F.floor(
+            (F.col("doc_id") - F.col("lo"))
+            * 8
+            / (F.col("hi") - F.col("lo") + 1)
+        ),
+    ).cast("int")
     t = (
-        d.select("doc_id", n_tok.alias("n_tok"))
-        .repartitionByRange(8, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
+        base.crossJoin(F.broadcast(span))
+        .withColumn("pid", pid)
+        .drop("lo", "hi")
     )
     part_sums = t.groupBy("pid").agg(F.sum("n_tok").alias("psum"))
     w_prefix = (

@@ -769,14 +769,14 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum doc_id reachable from it (the cluster representative a
     keep-one-per-cluster dedup retains).
 
-    Min-label propagation, one hop per iteration, iterations fixed at
-    8 (near-dup components are verify-pruned cliques-with-frays; their
-    diameter is far below that).  Per iteration: one join of the edge
-    list against the current labels + a min-aggregate — the standard
-    scalable CC dataflow (the large-star/small-star family at cluster
-    scale).  Only the bounded pair graph participates, never the
-    corpus.  The DuckDB oracle computes the same components by
-    recursive-CTE transitive closure.
+    Min-label propagation, one hop per iteration, run to a verified
+    fixed point (a round that changes no label) rather than an assumed
+    diameter bound.  Per iteration: one join of the edge list against
+    the current labels + a min-aggregate — the standard scalable CC
+    dataflow (the large-star/small-star family at cluster scale).
+    Only the bounded pair graph participates, never the corpus.  The
+    DuckDB oracle computes the same components by recursive-CTE
+    transitive closure.
     """
     from covid_19_data_analysis_bigdata_spark.operators.llm import (
         llm_dedup_fuzzy,
@@ -789,22 +789,37 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(8):
+    # Fixed-point iteration: a round that changes no label proves
+    # convergence for ANY graph diameter (labels only ever decrease),
+    # instead of assuming a hop bound.  The change check is one count()
+    # over the bounded label table per round — driver-side scalars only.
+    for it in range(64):
         via_nbr = (
             edges.join(labels, edges.v == labels.node)
             .select(F.col("u").alias("node"), "label")
         )
-        labels = (
+        new_labels = (
             labels.unionByName(via_nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             # Each iteration references `labels` twice (self + via-nbr):
             # without lineage truncation the plan doubles per round
-            # (2^8 blowup).  localCheckpoint materializes the ~|V|-row
+            # (2^N blowup).  localCheckpoint materializes the ~|V|-row
             # label table and restarts lineage — the required idiom for
             # iterative Spark dataflows.
             .localCheckpoint(eager=True)
         )
+        changed = (
+            labels.withColumnRenamed("label", "old")
+            .join(new_labels, "node")
+            .filter(F.col("old") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - needs a >64-hop chain component
+        raise RuntimeError("label propagation did not converge in 64 rounds")
     # cluster_reach mirrors the oracle's closure count: the component
     # size as seen from each node (component members = reachable set).
     comp_sizes = labels.groupBy("label").agg(

@@ -11,6 +11,8 @@ mantissa, so a float division would corrupt low microseconds).
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import os
 import tempfile
 
@@ -34,10 +36,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the source parquet files (name+size+mtime).
+
+    Keys every cached fixture: regenerating the testdata changes the
+    fingerprint, so stale fixtures are abandoned instead of silently
+    compared against a fresh oracle.
+    """
+    h = hashlib.md5()
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        st = os.stat(p)
+        h.update(
+            f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        )
+    return h.hexdigest()[:12]
+
+
 def fixture_dir(sf_dir: str, kind: str) -> str:
     """Deterministic scratch dir for a given (scale factor, fixture kind)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(FIXTURE_ROOT, tag, kind)
+    path = os.path.join(
+        FIXTURE_ROOT, f"{tag}-{_source_fingerprint(sf_dir)}", kind
+    )
     os.makedirs(path, exist_ok=True)
     return path
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -316,7 +316,17 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_table(spark, folded, "t_stateful", "update")
+    out = run_to_table(spark, folded, "t_stateful", "update")
+    # Update mode appends one row per key per micro-batch; keep only the
+    # final state per key (cnt is monotone) so the result is identical
+    # whether the replay ran as one batch or many (multi-file source,
+    # maxFilesPerTrigger, etc.).
+    w_last = Window.partitionBy("user_id").orderBy(F.desc("cnt"))
+    return (
+        out.withColumn("rk", F.row_number().over(w_last))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
 
 
 @query(
