@@ -38,6 +38,10 @@ HEADLINE = [
     "llm_lang_id",          # marker-scoring language ID
     "join_bucketed",        # co-located join, no input shuffle
     "pipeline_full_report",  # end-to-end 5-table composition flagship
+    "llm_dedup_clusters",   # iterative connected components (slow tail)
+    "llm_dedup_ngram",      # blocked n-gram Jaccard dedup (slow tail)
+    "llm_decontaminate",    # train/eval overlap scrub (slow tail)
+    "scan_dpp_star_join",   # dynamic partition pruning on the fact scan
 ]
 
 

@@ -338,7 +338,7 @@ def llm_sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-20 most-similar vector pairs, fully distributed.
+    """Global top-20 most-similar vector pairs via exact block-pair merge.
 
     Exact block-pair plan (SURVEY.md §7.3.1 / §4.3 rule 4 — nothing is
     ever collected to the driver): vectors are hashed into B blocks,

@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.operators.llm import _shingles, _words
 from covid_19_data_analysis_bigdata_spark.operators.textprep import (
+    _MARKER_VALUES,
     _POLY_SQL,
+    LANG_MARKERS,
     _polyhash,
 )
 from covid_19_data_analysis_bigdata_spark.sources.io import load_table
@@ -271,3 +273,134 @@ def llm_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = freq.orderBy(F.desc("freq"), F.asc("tok")).limit(100)
     w = Window.orderBy(F.desc("freq"), F.asc("tok"))
     return top.withColumn("vocab_id", F.row_number().over(w))
+
+
+@query(
+    "llm_clean_corpus",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, text,
+                      string_split(lower(text), ' ') AS words
+               FROM documents),
+    markers(tok, mlang) AS (VALUES {_MARKER_VALUES}),
+    tok AS (SELECT doc_id, unnest(words) AS tok FROM w),
+    scores AS (SELECT t.doc_id, m.mlang, count(*) AS hits
+               FROM tok t JOIN markers m USING (tok)
+               GROUP BY 1, 2),
+    best AS (SELECT doc_id, mlang
+             FROM scores
+             QUALIFY row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY hits DESC, mlang) = 1),
+    dup AS (SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+            FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([words[i] || ' ' || words[i+1] || ' ' ||
+                                 words[i+2]
+                                 for i in generate_series(1, len(words)-2)])
+                      AS shingles
+           FROM w WHERE len(words) >= 3),
+    eval_set AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+                 WHERE doc_id < {EVAL_DOCS}),
+    hits AS (SELECT t.doc_id, count(DISTINCT t.s) AS n_hits
+             FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+                   WHERE doc_id >= {EVAL_DOCS}) t
+             JOIN eval_set e USING (s)
+             GROUP BY t.doc_id)
+    SELECT w.doc_id,
+           len(w.words)                       AS n_words,
+           coalesce(b.mlang, 'unk')           AS pred_lang,
+           CAST(w.doc_id <> d.keep_id AS BOOLEAN) AS is_dup,
+           coalesce(h.n_hits, 0)              AS n_eval_hits,
+           CAST(len(w.words) >= 20
+                AND coalesce(b.mlang, 'unk') = 'en'
+                AND w.doc_id = d.keep_id
+                AND w.doc_id >= {EVAL_DOCS}
+                AND coalesce(h.n_hits, 0) < {DECON_MIN_HITS}
+                AS BOOLEAN)                   AS kept
+    FROM w
+    JOIN dup d USING (doc_id)
+    LEFT JOIN best b USING (doc_id)
+    LEFT JOIN hits h ON w.doc_id = h.doc_id
+    """,
+)
+def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: one audit frame, four filters.
+
+    The C4-style assembly line as a single lazy plan — minimum length,
+    language ID (marker argmax = 'en'), exact dedup (keep the smallest
+    doc_id per content hash), and eval decontamination (< {DECON_MIN_HITS}
+    shared trigram shingles with the held-out set) — emitting one row
+    per document with each signal and the final ``kept`` verdict, so
+    the drop reason is always auditable (the property a production
+    pipeline needs more than the kept list itself).
+
+    Scale shape: two broadcast dimensions (markers, eval shingles), two
+    hash aggregates (lang scores, content groups), everything else
+    per-row array math; no operator materializes pairs or collects.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = _words()
+    n_words = F.size(words)
+
+    markers = spark.createDataFrame(
+        [(w, lang) for lang, ws in LANG_MARKERS.items() for w in ws],
+        "tok string, mlang string",
+    )
+    tok = d.select("doc_id", F.explode(words).alias("tok"))
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.desc("hits"), F.asc("mlang")
+    )
+    best = (
+        tok.join(F.broadcast(markers), "tok")
+        .groupBy("doc_id", "mlang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "mlang")
+    )
+
+    keep_ids = d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    dup = d.select("doc_id", F.md5("text").alias("content_hash")).join(
+        keep_ids, "content_hash"
+    )
+
+    sh = d.select("doc_id", _shingles(words).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    eval_set = (
+        sh.filter(F.col("doc_id") < EVAL_DOCS)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    hits = (
+        sh.filter(F.col("doc_id") >= EVAL_DOCS)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(eval_set), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_hits"))
+    )
+
+    pred = F.coalesce("mlang", F.lit("unk"))
+    n_eval_hits = F.coalesce("n_hits", F.lit(0))
+    kept = (
+        (n_words >= 20)
+        & (pred == "en")
+        & (F.col("doc_id") == F.col("keep_id"))
+        & (F.col("doc_id") >= EVAL_DOCS)
+        & (n_eval_hits < DECON_MIN_HITS)
+    )
+    return (
+        d.join(dup.select("doc_id", "keep_id"), "doc_id")
+        .join(best, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            pred.alias("pred_lang"),
+            (F.col("doc_id") != F.col("keep_id")).alias("is_dup"),
+            n_eval_hits.alias("n_eval_hits"),
+            kept.alias("kept"),
+        )
+    )

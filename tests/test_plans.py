@@ -50,6 +50,14 @@ def test_partition_pruning_on_sink_readback(spark, sf_dir):
     assert "PartitionFilters" in plan and "l_returnflag" in plan
 
 
+def test_dynamic_partition_pruning_on_star_join(spark, sf_dir):
+    """The partitioned fact scan must carry a runtime DPP filter — the
+    dim side is only known at execution, so static pruning can't fire."""
+    plan = _plan(spark, sf_dir, "scan_dpp_star_join")
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "dynamicpruning" in pf
+
+
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "topk_limit")
     assert "TakeOrderedAndProject" in plan
@@ -75,10 +83,12 @@ def test_ivf_broadcasts_centroids(spark, sf_dir):
 
 def test_sim_topk_runs_vectorized_not_sql_lambdas(spark, sf_dir):
     # The bench-critical guard (SURVEY.md §7.3.1): top-k similarity must
-    # go through the Arrow-batched mapInPandas matmul, never per-pair
-    # SQL lambdas (200× slower) or a cartesian join.
+    # go through the Arrow-batched block-pair matmul (applyInPandas →
+    # FlatMapGroupsInPandas), never per-pair SQL lambdas (200× slower)
+    # or a cartesian join, and the global merge must be a top-k, not a
+    # full sort.
     plan = _plan(spark, sf_dir, "llm_sim_topk")
-    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
 

@@ -5,10 +5,11 @@ import __spark_entry__ as E
 EXPECTED_IDS = {
     # cat 1
     "scan_parquet", "scan_projected", "scan_events_ns", "read_csv_schema",
-    "read_json_lines", "sink_parquet_partitioned", "create_view_sql",
+    "read_json_lines", "sink_parquet_partitioned", "scan_dpp_star_join",
+    "create_view_sql",
     # cat 2
     "project_compute", "filter_simple", "filter_compound",
-    "filter_null_handling", "dedup_distinct", "cast_types", "sample_rows",
+    "filter_null_handling", "dedup_distinct", "cast_types", "sample_rows", "sample_stratified",
     # cat 3
     "join_broadcast", "join_sortmerge", "join_multiway_star",
     "join_left_outer", "join_full_outer", "join_semi", "join_anti",
@@ -34,7 +35,7 @@ EXPECTED_IDS = {
     # cat 9
     "stream_tumbling_counts", "stream_sliding", "stream_session",
     "stream_watermark_late", "stream_dedup", "stream_stateful_running",
-    "stream_static_join",
+    "stream_static_join", "stream_stream_join",
     # cat 10
     "llm_dedup_exact", "llm_dedup_fuzzy", "llm_sim_cosine_pairs",
     "llm_sim_topk", "llm_knn_per_query", "llm_centroids",
@@ -60,6 +61,7 @@ EXPECTED_IDS = {
     "ts_trend_forecast", "ts_resample_ffill",
     # composite dashboard reports (reports.py)
     "report_share_of_total", "report_growth_rate", "report_period_compare",
+    "report_local_supplier_volume",
     # SQL subquery surface (sqlsurface.py)
     "sql_subquery_in", "sql_subquery_not_exists", "sql_subquery_scalar_corr",
     # iterative algorithms + sorted layout (iterative.py)
@@ -76,7 +78,7 @@ EXPECTED_IDS = {
     "llm_dedup_clusters",
     # training-set assembly (llmprep.py)
     "llm_chunk_documents", "llm_pack_sequences", "llm_decontaminate",
-    "llm_build_vocab",
+    "llm_build_vocab", "llm_clean_corpus",
     # foreachBatch streaming sink
     "stream_foreach_batch",
     # third join strategy (joins.py)
@@ -87,12 +89,12 @@ EXPECTED_IDS = {
     "safe_arith_funcs",
 }
 
-#: Queries intentionally shipped without a DuckDB oracle (weak check).
+#: Queries intentionally shipped without a DuckDB oracle (weak check):
+#: sketch estimates (HLL++, Greenwald-Khanna) are engine-specific by
+#: construction; both carry error-envelope property tests instead.
 WEAK_IDS = {
-    "sample_rows",
     "agg_approx_distinct",
     "agg_approx_percentile",
-    "stream_watermark_late",
 }
 
 
