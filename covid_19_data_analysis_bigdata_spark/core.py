@@ -67,5 +67,8 @@ def load_all() -> None:
         scalars,
         udfs,
     )
-    from covid_19_data_analysis_bigdata_spark.sources import scans  # noqa: F401
+    from covid_19_data_analysis_bigdata_spark.sources import (  # noqa: F401
+        pysource,
+        scans,
+    )
     from covid_19_data_analysis_bigdata_spark.streaming import ops  # noqa: F401

@@ -136,6 +136,56 @@ def udaf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udaf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(l_quantity AS BIGINT)) / 100.0
+                 / sum(CAST(l_quantity AS BIGINT)), 6) AS wavg_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF: quantity-weighted mean price per flag.
+
+    The third vectorized-UDF shape (``pandas_udf`` used directly inside
+    ``groupBy().agg()``, complementing scalar and grouped-map): Spark
+    runs it with partial Arrow batches per group, no full-group
+    materialization in the plan.  Cross-engine determinism: the inputs
+    are pre-scaled to exact integers (price cents × integral quantity),
+    so both engines sum identical int64s and perform the identical
+    final double division — no float-accumulation-order dependence.
+    """
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def wavg(cents: pd.Series, qty: pd.Series) -> float:
+        c = cents.to_numpy(np.int64)
+        q = qty.to_numpy(np.int64)
+        return float((c * q).sum() / 100.0 / q.sum())
+
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in
+    # aggregates in one agg(), so the row count is a second pandas UDF.
+    @F.pandas_udf("long")
+    def n_rows(qty: pd.Series) -> int:
+        return len(qty)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("cents", "qty"), 6).alias("wavg_price"),
+        n_rows("qty").alias("n"),
+    )
+
+
+@query(
     "udtf_table_fn",
     oracle="""
     SELECT o_orderkey,

@@ -63,6 +63,22 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_dedup_embedding_runs_blocked_not_cartesian(spark, sf_dir):
+    # The τ-threshold cosine dedup must run as block-pair Arrow tasks,
+    # never an all-pairs join, and must keep the threshold inside the
+    # kernel (no JVM-side pair materialization).
+    plan = _plan(spark, sf_dir, "llm_dedup_embedding")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_clean_corpus_has_no_row_udf(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_clean_corpus")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bucketed_join_has_no_input_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_bucketed")
     assert plan.count("Bucketed: true") == 2
