@@ -195,3 +195,43 @@ def test_decontaminate_never_flags_eval_docs(spark, sf_dir):
     assert all(r["doc_id"] >= 5 for r in rows)
     flagged = sum(1 for r in rows if r["contaminated"])
     assert 0 <= flagged < len(rows)
+
+
+def test_clean_corpus_kept_docs_satisfy_every_filter(spark, sf_dir):
+    rows = _q(spark, sf_dir, "llm_clean_corpus").collect()
+    d_total = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == d_total  # one audit row per document
+    for r in rows:
+        if r["kept"]:
+            assert r["n_words"] >= 20
+            assert r["pred_lang"] == "en"
+            assert not r["is_dup"]
+            assert r["doc_id"] >= 5
+            assert r["n_eval_hits"] < 2
+
+
+def test_stream_stream_join_matches_respect_window(spark, sf_dir):
+    rows = _q(spark, sf_dir, "stream_stream_join").collect()
+    assert rows, "no click->purchase matches in the corpus"
+    for r in rows:
+        delta = r["purchase_ms"] - r["click_ms"]
+        assert 0 <= delta <= 30 * 60 * 1000, r
+
+
+def test_stratified_sample_respects_strata(spark, sf_dir):
+    rows = _q(spark, sf_dir, "sample_stratified").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["o_orderstatus"], 0)
+        by[r["o_orderstatus"]] += 1
+    assert set(by) <= {"F", "O"}  # 0% strata truly excluded
+    totals = {
+        r["o_orderstatus"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # ~20% of F, ~5% of O under a loose binomial envelope
+    assert 0.05 * totals["F"] <= by.get("F", 0) <= 0.40 * totals["F"]
+    assert 0.005 * totals["O"] <= by.get("O", 0) <= 0.15 * totals["O"]
