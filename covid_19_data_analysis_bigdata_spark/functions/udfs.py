@@ -271,3 +271,88 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_bytes bigint, fake_width bigint, "
         "fake_height bigint, fake_frames bigint",
     )
+
+
+@query(
+    "udf_mapinarrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+    FROM lineitem
+    WHERE l_quantity > 45
+    """,
+)
+def udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: zero-copy RecordBatch compute, no pandas layer.
+
+    The fourth Python-integration shape (after scalar pandas_udf,
+    grouped-map, grouped-agg): batches arrive as pyarrow RecordBatches
+    and the arithmetic runs in Arrow compute kernels — one less
+    conversion than pandas for purely columnar math.  The filter stays
+    JVM-side (pushed to the scan); only survivors cross the Arrow
+    boundary.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def charge(batches):
+        for b in batches:
+            price = b.column("l_extendedprice")
+            disc = b.column("l_discount")
+            tax = b.column("l_tax")
+            # Left unrounded: per-row IEEE arithmetic is bit-identical
+            # across engines, while any decimal rounding of 60k per-row
+            # products is guaranteed to hit half-way boundary cases
+            # where round implementations differ (determinism rule:
+            # round aggregates, never per-row values).
+            charged = pc.multiply(
+                pc.multiply(price, pc.subtract(pa.scalar(1.0), disc)),
+                pc.add(pa.scalar(1.0), tax),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), charged],
+                names=["l_orderkey", "l_linenumber", "charged"],
+            )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        )
+    )
+    return li.mapInArrow(
+        charge, "l_orderkey bigint, l_linenumber int, charged double"
+    )
+
+
+@query(
+    "obs_metrics_passthrough",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def obs_metrics_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``observe()``: pipeline metrics riding the plan for free.
+
+    Production jobs need row counts / sums of what a stage actually
+    processed without a second scan; ``observe`` attaches aggregate
+    metrics to the plan that are collected as a side effect of the
+    action (here: rows passed and total price).  The rows flow through
+    unchanged — the oracle verifies passthrough; tests/test_properties
+    asserts the observed metrics equal the oracle-checked aggregates.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return o.observe(
+        "open_orders_metrics",
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.round(F.sum("o_totalprice"), 4).alias("price_seen"),
+    ).select("o_orderkey", "o_totalprice")

@@ -82,8 +82,10 @@ def report_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def report_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: revenue where customer and supplier share a
-    nation, per Asian nation, over a two-year window.
+    """TPC-H Q5 shape: local-supplier revenue per Asian nation.
+
+    Revenue where customer and supplier share a nation, per nation in
+    ASIA, over a two-year order-date window.
 
     Six-table star: the three bounded dimensions (region→nation→
     supplier) collapse into one broadcast build side, so the fact

@@ -196,3 +196,90 @@ def create_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "read_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                    AS cnt,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def read_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read-back aggregate (the third columnar format).
+
+    ORC carries the same pruning levers as parquet (stripe statistics,
+    column projection, predicate pushdown) and Spark supports it
+    natively — the oracle runs on the original table, so the check
+    verifies the round-trip loses nothing.  The write is filtered to
+    'F' orders so the read-back is also a pushdown demonstration:
+    only the needed columns reach the scan.
+    """
+    import os
+
+    from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir
+
+    out = os.path.join(fixture_dir(sf_dir, "orc"), "orders_f")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderstatus") == "F"
+        ).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+@query(
+    "catalog_managed_table",
+    oracle="""
+    SELECT n_regionkey,
+           count(*)                 AS n_nations,
+           round(avg(len(n_name)), 4) AS avg_name_len
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def catalog_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed catalog table: saveAsTable → spark.table → aggregate.
+
+    The warehouse path (catalog metadata + managed storage) is how a
+    cluster shares curated datasets between jobs without re-declaring
+    schemas; `spark.table` resolves name → files → pinned schema from
+    the metastore.  Overwrite mode makes reruns idempotent.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    from covid_19_data_analysis_bigdata_spark.sources.io import (
+        _source_fingerprint,
+    )
+
+    # Keyed by source fingerprint: a different scale factor (or
+    # regenerated testdata) gets its own managed table, never a stale one.
+    name = f"eng_nation_{_source_fingerprint(sf_dir)}"
+    if not spark.catalog.tableExists(name):
+        # The default catalog is in-memory per session while the
+        # warehouse directory persists: a fresh session must clear any
+        # orphaned location before CREATE, or saveAsTable refuses.
+        warehouse = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir")
+        ).path
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        load_table(spark, sf_dir, "nation").write.mode(
+            "overwrite"
+        ).saveAsTable(name)
+    return (
+        spark.table(name)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.round(F.avg(F.length("n_name")), 4).alias("avg_name_len"),
+        )
+    )

@@ -235,3 +235,23 @@ def test_stratified_sample_respects_strata(spark, sf_dir):
     # ~20% of F, ~5% of O under a loose binomial envelope
     assert 0.05 * totals["F"] <= by.get("F", 0) <= 0.40 * totals["F"]
     assert 0.005 * totals["O"] <= by.get("O", 0) <= 0.15 * totals["O"]
+
+
+def test_observe_metrics_match_direct_aggregates(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    obs = Observation("open_orders_check")
+    df = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.round(F.sum("o_totalprice"), 4).alias("price_seen"),
+    )
+    df.count()  # one full pass; metrics ride it for free
+    got = obs.get
+    assert got["rows_seen"] == o.count()
+    assert got["price_seen"] == o.agg(
+        F.round(F.sum("o_totalprice"), 4)
+    ).first()[0]

@@ -6,7 +6,8 @@ EXPECTED_IDS = {
     # cat 1
     "scan_parquet", "scan_projected", "scan_events_ns", "read_csv_schema",
     "read_json_lines", "sink_parquet_partitioned", "scan_dpp_star_join",
-    "scan_python_datasource", "create_view_sql",
+    "scan_python_datasource", "read_orc_roundtrip",
+    "catalog_managed_table", "create_view_sql",
     # cat 2
     "project_compute", "filter_simple", "filter_compound",
     "filter_null_handling", "dedup_distinct", "cast_types", "sample_rows", "sample_stratified",
@@ -43,7 +44,8 @@ EXPECTED_IDS = {
     "llm_text_stats", "llm_ngrams", "llm_multimodal_struct",
     # cat 11
     "udf_python_scalar", "udf_pandas_vectorized", "udaf_applyinpandas",
-    "udaf_pandas_grouped_agg", "udtf_table_fn",
+    "udaf_pandas_grouped_agg", "udf_mapinarrow", "udtf_table_fn",
+    "obs_metrics_passthrough",
     # extensions beyond the inventory
     "multimodal_decode_stub",
     # training-data prep extensions (textprep.py)

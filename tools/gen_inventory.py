@@ -1,7 +1,8 @@
 """Generate OPERATORS.md — the registry-derived operator inventory.
 
 One row per registered query: module, oracle strength, and the first
-docstring line.  Regenerate after adding operators:
+docstring sentence (whole sentence, however the source wraps it).
+Regenerate after adding operators:
 
     python tools/gen_inventory.py > OPERATORS.md
 """
@@ -35,8 +36,16 @@ def main() -> int:
         short_mod = module.rsplit(".", 1)[-1]
         for name in by_module[module]:
             fn = core.QUERIES[name]
-            doc = (fn.__doc__ or "").strip().splitlines()
-            first = doc[0].strip() if doc else ""
+            # First paragraph, joined to one line, cut at the first
+            # sentence end — a complete summary regardless of how the
+            # docstring happens to wrap.
+            doc = (fn.__doc__ or "").strip()
+            para = " ".join(
+                line.strip() for line in doc.split("\n\n")[0].splitlines()
+            )
+            cut = para.find(". ")
+            first = para[: cut + 1] if cut != -1 else para
+            first = first.replace("|", "\\|")
             strength = "strong" if name in core.ORACLES else "weak"
             print(f"| `{name}` | {short_mod} | {strength} | {first} |")
     return 0
