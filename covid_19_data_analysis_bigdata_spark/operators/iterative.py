@@ -180,3 +180,103 @@ def sink_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         )
     )
+
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One unrolled integer-exact PageRank step (distribute → collect)."""
+    return f"""
+    r{i + 1} AS (
+        SELECT n.node,
+               CAST(150000 + (85 * coalesce(
+                        sum((r.r * e.w) // o.ow), 0)) // 100 AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN r{i} r  ON r.node = e.src
+        LEFT JOIN outw o  ON o.src = e.src
+        GROUP BY n.node)
+    """
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH edges AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               count(*) AS w
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+    nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
+    r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+    {",".join(_pr_iter_sql(i) for i in range(PR_ITERS))}
+    SELECT n.node AS n_nationkey, n.n_name, r.r AS pagerank
+    FROM nodes n JOIN r{PR_ITERS} r ON r.node = n.node
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-level trade graph, {PR_ITERS} unrolled
+    iterations in exact fixed-point integer arithmetic.
+
+    The graph is *aggregated out of the fact tables first*: one pass
+    over lineitem⋈orders⋈customer⋈supplier collapses ~N rows into a
+    ≤25×24-edge weighted digraph (supplier nation → customer nation,
+    weight = line count).  Iteration then runs over bounded tables
+    only — at 100 TB the expensive part is the single fact
+    aggregation, and the loop cost is independent of corpus size.
+
+    Determinism across engines: ranks are scaled BIGINTs ({PR_SCALE} =
+    1.0) and every step uses integer division (``div`` / ``//``), so
+    both engines walk the identical lattice — no float summation
+    order to diverge (damping 0.85 becomes ×85 ÷100 in integers).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()  # ≤600 rows; reused every iteration — never rescan facts
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = n.select(F.col("n_nationkey").alias("node"), "n_name")
+    ranks = nodes.select(
+        "node", F.lit(PR_SCALE).cast("long").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outw, "src")
+            .select("dst", F.expr("(r * w) div ow").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(
+            F.broadcast(contrib), nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(150000).cast("long")
+                + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+            ).alias("r"),
+        )
+    return ranks.join(F.broadcast(nodes), "node").select(
+        F.col("node").alias("n_nationkey"), "n_name", F.col("r").alias("pagerank")
+    )

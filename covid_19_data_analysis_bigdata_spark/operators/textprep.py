@@ -782,3 +782,94 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_reach",
         )
     )
+
+
+@query(
+    "llm_repetition_filter",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+               FROM documents),
+    uni AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(words) AS tok FROM w)
+        GROUP BY 1, 2),
+    unim AS (
+        SELECT doc_id, max(c) AS top_uni, sum(c) AS n_tok
+        FROM uni GROUP BY 1),
+    bg AS (
+        SELECT doc_id, bigram, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest([words[i] || ' ' || words[i+1]
+                             for i in generate_series(1, len(words)-1)])
+                         AS bigram
+              FROM w WHERE len(words) >= 2)
+        GROUP BY 1, 2),
+    bgm AS (SELECT doc_id, max(c) AS top_bi FROM bg GROUP BY 1)
+    SELECT u.doc_id,
+           u.n_tok,
+           u.top_uni,
+           coalesce(b.top_bi, 0) AS top_bi,
+           round(u.top_uni * 1.0 / u.n_tok, 6) AS uni_ratio,
+           round(coalesce(b.top_bi, 0) * 1.0
+                 / greatest(u.n_tok - 1, 1), 6) AS bi_ratio,
+           CAST(10 * u.top_uni < 3 * u.n_tok
+                AND 2 * coalesce(b.top_bi, 0) < greatest(u.n_tok - 1, 1)
+                AS INTEGER) AS keep
+    FROM unim u LEFT JOIN bgm b USING (doc_id)
+    """,
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: flag documents dominated
+    by one unigram (>30% of tokens) or one bigram (>50% of adjacent
+    pairs) — the boilerplate/spam signature in web-scale corpora.
+
+    Two explode→two-level-groupBy pipelines (token counts, then a
+    per-document max) — partial aggregation combines map-side, so the
+    shuffle carries (doc, gram) partial counts, never raw tokens.  The
+    keep decision is pure integer comparisons (10·top < 3·n), exact in
+    both engines; ratios are reported rounded for the dashboard.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = _words()
+
+    tok = d.select("doc_id", F.explode(words).alias("tok"))
+    unim = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_uni"), F.sum("c").alias("n_tok"))
+    )
+
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bgm = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bi"))
+    )
+
+    top_bi = F.coalesce(F.col("top_bi"), F.lit(0).cast("long"))
+    denom_bi = F.greatest(F.col("n_tok") - 1, F.lit(1).cast("long"))
+    return unim.join(bgm, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        "top_uni",
+        top_bi.alias("top_bi"),
+        F.round(F.col("top_uni") / F.col("n_tok"), 6).alias("uni_ratio"),
+        F.round(top_bi / denom_bi, 6).alias("bi_ratio"),
+        (
+            (10 * F.col("top_uni") < 3 * F.col("n_tok"))
+            & (2 * top_bi < denom_bi)
+        )
+        .cast("int")
+        .alias("keep"),
+    )

@@ -63,11 +63,15 @@ EXPECTED_IDS = {
     "ts_trend_forecast", "ts_resample_ffill",
     # composite dashboard reports (reports.py)
     "report_share_of_total", "report_growth_rate", "report_period_compare",
-    "report_local_supplier_volume",
+    "report_local_supplier_volume", "report_volume_shipping",
+    "report_market_share", "report_returned_items", "report_late_shipping",
+    "report_promo_share", "report_large_orders", "report_bracket_revenue",
+    "report_idle_customers",
     # SQL subquery surface (sqlsurface.py)
     "sql_subquery_in", "sql_subquery_not_exists", "sql_subquery_scalar_corr",
     # iterative algorithms + sorted layout (iterative.py)
-    "ml_kmeans_lloyd", "sink_parquet_sorted",
+    "ml_kmeans_lloyd", "sink_parquet_sorted", "graph_pagerank",
+    "llm_repetition_filter",
     # ETL / CDC primitives (etl.py)
     "etl_upsert_scd1", "etl_keep_latest", "etl_scd2_intervals",
     # null-safe join (joins.py)
