@@ -122,3 +122,46 @@ def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(from_ms).over(w).alias("valid_to_ms"),
         "value",
     )
+
+
+@query(
+    "etl_compact_small_files",
+    oracle="""
+    SELECT event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: 64-way fragmented table → 4 right-sized
+    files, verified lossless by aggregating the compacted copy.
+
+    The small-file problem is the classic ingest pathology (streaming
+    sinks and over-parallel writers emit thousands of KB-scale files;
+    every task then pays open/footer costs dwarfing the read).  The
+    cure is a periodic rewrite: read the fragmented table, coalesce to
+    a target file count sized near the 128 MB block sweet spot, write
+    once.  ``coalesce`` (not ``repartition``) merges partitions WITHOUT
+    a shuffle — compaction is IO-bound and needs no exchange at all.
+    The oracle aggregates the original events, so the check proves the
+    two rewrites preserved every row.
+    """
+    import os
+
+    from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir
+
+    root = fixture_dir(sf_dir, "compact")
+    frag, tidy = os.path.join(root, "fragmented"), os.path.join(root, "compacted")
+    if not os.path.exists(os.path.join(tidy, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
+        spark.read.parquet(frag).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(tidy)
+    back = spark.read.parquet(tidy)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

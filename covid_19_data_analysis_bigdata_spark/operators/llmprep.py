@@ -404,3 +404,136 @@ def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             kept.alias("kept"),
         )
     )
+
+
+#: Target mixture: up/down-sampling rate per source bucket, in permille.
+MIX_PERMILLE = {0: 1000, 1: 500, 2: 200, 3: 100}
+_MIX_CASE_SQL = (
+    "CASE (CAST(substr(source, 4) AS BIGINT) % 4) "
+    + " ".join(f"WHEN {k} THEN {v}" for k, v in MIX_PERMILLE.items())
+    + " END"
+)
+
+
+@query(
+    "llm_dataset_mix",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT source,
+               {_MIX_CASE_SQL} AS permille,
+               (doc_id * 2654435761) % 1000 AS bucket
+        FROM documents)
+    SELECT source,
+           permille          AS target_permille,
+           count(*)          AS n_total,
+           sum(CASE WHEN bucket < permille THEN 1 ELSE 0 END) AS n_kept,
+           round(sum(CASE WHEN bucket < permille THEN 1 ELSE 0 END)
+                 * 1000.0 / count(*), 4) AS realized_permille
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+)
+def llm_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixture sampling: hit per-source target rates with a
+    deterministic hash gate — the pretraining data-mix step (keep all
+    of the rare high-quality source, 10% of the crawl).
+
+    Each source bucket gets a permille rate; a document survives iff
+    ``(doc_id · 2654435761) mod 1000 < rate`` — a Knuth multiplicative
+    hash, so the gate is a pure row-local integer predicate: no
+    shuffle, no RNG state, reproducible across engines, runs, and
+    cluster sizes, and any subset of the corpus makes the identical
+    keep decision (critical when the mix is re-applied incrementally).
+    The output audits realized vs target rates per source.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    permille = F.expr(_MIX_CASE_SQL)
+    bucket = (F.col("doc_id") * F.lit(2654435761).cast("long")) % 1000
+    kept = F.when(bucket < F.col("permille"), 1).otherwise(0)
+    return (
+        d.select("source", permille.alias("permille"), bucket.alias("bucket"))
+        .groupBy("source", "permille")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("bucket") < F.col("permille"), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .select(
+            "source",
+            F.col("permille").alias("target_permille"),
+            "n_total",
+            "n_kept",
+            F.round(F.col("n_kept") * 1000.0 / F.col("n_total"), 4).alias(
+                "realized_permille"
+            ),
+        )
+    )
+
+
+@query(
+    "llm_embedding_quantize",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id,
+               len(embedding) AS n_dims,
+               list_aggregate(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+        FROM embeddings),
+    q AS (
+        SELECT e.vec_id, m.n_dims, m.mx,
+               list_transform(e.embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 127 / m.mx)
+                             AS BIGINT)) AS qv
+        FROM embeddings e JOIN m USING (vec_id)
+        WHERE m.mx > 0)
+    SELECT vec_id, n_dims,
+           round(127 / mx, 6)            AS inv_scale,
+           list_aggregate(qv, 'sum')     AS q_sum,
+           list_aggregate(qv, 'min')     AS q_min,
+           list_aggregate(qv, 'max')     AS q_max
+    FROM q
+    """,
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4×
+    storage/bandwidth lever for vector search at corpus scale.
+
+    Per vector: scale by 127/max|x| and round each component to an
+    integer in [-127, 127].  Pure array expressions (transform/
+    aggregate lambdas) — no explode, no shuffle, one codegen stage
+    per row.  Cross-engine exactness: components widen float→double
+    identically, multiply-before-divide keeps the scaled values
+    bit-identical, and both engines round half away from zero; the
+    check emits the quantized vector's (sum, min, max) signature as
+    scalar columns (nested outputs are barred from oracle queries).
+    """
+    from covid_19_data_analysis_bigdata_spark.operators.llm import _d
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform("embedding", lambda x: F.abs(_d(x))))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.round(_d(x) * 127 / F.col("mx")).cast("long"),
+    )
+    q_sum = F.aggregate(
+        F.col("qv"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            mx.alias("mx"),
+            "embedding",
+        )
+        .filter(F.col("mx") > 0)
+        .withColumn("qv", qv)
+        .select(
+            "vec_id",
+            "n_dims",
+            F.round(F.lit(127.0) / F.col("mx"), 6).alias("inv_scale"),
+            q_sum.alias("q_sum"),
+            F.array_min("qv").alias("q_min"),
+            F.array_max("qv").alias("q_max"),
+        )
+    )

@@ -174,3 +174,79 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("dsum", ignorenulls=True).over(w).alias("filled"),
         F.col("dsum").isNull().alias("was_gap"),
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'click'),
+    purchases AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    firstbuy AS (
+        SELECT c.event_id,
+               any_value(c.ts)  AS cts,
+               min(p.ts)        AS pts
+        FROM clicks c
+        LEFT JOIN purchases p
+               ON p.user_id = c.user_id
+              AND p.ts > c.ts
+              AND p.ts <= c.ts + INTERVAL 1 HOUR
+        GROUP BY c.event_id)
+    SELECT CAST(date_trunc('day', cts) AS DATE) AS day,
+           count(*)      AS n_clicks,
+           count(pts)    AS n_converted,
+           round(100.0 * count(pts) / count(*), 4) AS conv_pct,
+           round(avg(epoch_ms(pts) - epoch_ms(cts)), 4) AS avg_delay_ms
+    FROM firstbuy
+    GROUP BY 1
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: click → purchase conversion within one hour,
+    reported per day with the mean conversion delay.
+
+    The sequence match is an interval join (same user, purchase inside
+    (click, click+1h]) followed by a per-click min — the batch
+    equivalent of MATCH_RECOGNIZE's A-then-B pattern.  The join keys
+    on user_id, so pair blowup is bounded by per-user event density;
+    at 100 TB add a coarse time bucket to the equi-key (click and
+    purchase land in the same or adjacent bucket) to cap the
+    candidate window — semantics identical, worst case bounded.
+    Delays are epoch-millisecond differences (the cross-engine-safe
+    timestamp grain); conversion percentage divides exact counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id").alias("c_user"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    firstbuy = (
+        c.join(
+            p,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("pts") > F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.first("cts").alias("cts"), F.min("pts").alias("pts"))
+    )
+    return (
+        firstbuy.groupBy(
+            F.date_trunc("day", "cts").cast("date").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("pts").alias("n_converted"),
+            F.round(
+                100.0 * F.count("pts") / F.count(F.lit(1)), 4
+            ).alias("conv_pct"),
+            F.round(
+                F.avg(F.unix_millis("pts") - F.unix_millis("cts")), 4
+            ).alias("avg_delay_ms"),
+        )
+    )

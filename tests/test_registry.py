@@ -71,7 +71,8 @@ EXPECTED_IDS = {
     "sql_subquery_in", "sql_subquery_not_exists", "sql_subquery_scalar_corr",
     # iterative algorithms + sorted layout (iterative.py)
     "ml_kmeans_lloyd", "sink_parquet_sorted", "graph_pagerank",
-    "llm_repetition_filter",
+    "llm_repetition_filter", "etl_compact_small_files", "llm_dataset_mix",
+    "llm_embedding_quantize", "events_funnel_conversion",
     # ETL / CDC primitives (etl.py)
     "etl_upsert_scd1", "etl_keep_latest", "etl_scd2_intervals",
     # null-safe join (joins.py)
