@@ -42,6 +42,8 @@ HEADLINE = [
     "llm_dedup_ngram",      # blocked n-gram Jaccard dedup (slow tail)
     "llm_decontaminate",    # train/eval overlap scrub (slow tail)
     "scan_dpp_star_join",   # dynamic partition pruning on the fact scan
+    "report_volume_shipping",  # fact-fact-fact join, nation-pair matrix
+    "graph_pagerank",       # fact-aggregated graph + integer iteration
 ]
 
 

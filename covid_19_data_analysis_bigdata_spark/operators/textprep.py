@@ -823,22 +823,43 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     by one unigram (>30% of tokens) or one bigram (>50% of adjacent
     pairs) — the boilerplate/spam signature in web-scale corpora.
 
-    Two explode→two-level-groupBy pipelines (token counts, then a
-    per-document max) — partial aggregation combines map-side, so the
-    shuffle carries (doc, gram) partial counts, never raw tokens.  The
+    The max multiplicity of a gram within one document is row-local, so
+    the Spark side never explodes or shuffles: sort the gram array and
+    take the longest run of equal neighbors with one ``aggregate``
+    lambda — a single codegen stage per document, cost independent of
+    corpus size.  (The oracle computes the same number the relational
+    way, unnest→count→max — a genuinely independent formulation.)  The
     keep decision is pure integer comparisons (10·top < 3·n), exact in
     both engines; ratios are reported rounded for the dashboard.
     """
     d = load_table(spark, sf_dir, "documents")
     words = _words()
 
-    tok = d.select("doc_id", F.explode(words).alias("tok"))
-    unim = (
-        tok.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_uni"), F.sum("c").alias("n_tok"))
-    )
+    def _max_run(arr: Column) -> Column:
+        """Longest run of equal adjacent elements in a sorted array ==
+        the max multiplicity of any element."""
+        zero = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def step(acc, x):
+            # run==0 only before the first element, so no sentinel value
+            # for prev can ever collide with a real token
+            run = F.when(
+                (acc.getField("run") > 0) & (x == acc.getField("prev")),
+                acc.getField("run") + 1,
+            ).otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc.getField("best"), run).alias("best"),
+            )
+
+        return F.aggregate(
+            F.array_sort(arr), zero, step, lambda acc: acc.getField("best")
+        )
 
     bigrams = F.when(
         F.size(words) >= 2,
@@ -849,27 +870,28 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bgm = (
-        d.select("doc_id", F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_bi"))
-    )
 
     top_bi = F.coalesce(F.col("top_bi"), F.lit(0).cast("long"))
     denom_bi = F.greatest(F.col("n_tok") - 1, F.lit(1).cast("long"))
-    return unim.join(bgm, "doc_id", "left").select(
-        "doc_id",
-        "n_tok",
-        "top_uni",
-        top_bi.alias("top_bi"),
-        F.round(F.col("top_uni") / F.col("n_tok"), 6).alias("uni_ratio"),
-        F.round(top_bi / denom_bi, 6).alias("bi_ratio"),
-        (
-            (10 * F.col("top_uni") < 3 * F.col("n_tok"))
-            & (2 * top_bi < denom_bi)
+    return (
+        d.select(
+            "doc_id",
+            F.size(words).cast("long").alias("n_tok"),
+            _max_run(words).alias("top_uni"),
+            _max_run(bigrams).alias("top_bi"),
         )
-        .cast("int")
-        .alias("keep"),
+        .select(
+            "doc_id",
+            "n_tok",
+            "top_uni",
+            top_bi.alias("top_bi"),
+            F.round(F.col("top_uni") / F.col("n_tok"), 6).alias("uni_ratio"),
+            F.round(top_bi / denom_bi, 6).alias("bi_ratio"),
+            (
+                (10 * F.col("top_uni") < 3 * F.col("n_tok"))
+                & (2 * top_bi < denom_bi)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
     )
