@@ -396,3 +396,46 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var",
         "val",
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bin,
+           (CAST(round(o_totalprice * 100) AS BIGINT) // 5000000)
+               * 50000.0 AS bin_lo,
+           count(*)                    AS cnt,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value ($50k bins) — the profiling
+    aggregate behind every size/latency distribution dashboard.
+
+    Binning goes through exact integer cents (round to cents, then
+    integer-divide by 5,000,000) so the bin edge decision can never
+    fall to a floating-point ulp — the bin id is identical arithmetic
+    in both engines.  One groupBy on a derived dense key; partial
+    aggregation collapses each partition to its ≤~40 local bins before
+    the shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bin_id = F.expr(
+        "CAST(round(o_totalprice * 100) AS BIGINT) div 5000000"
+    )
+    return (
+        o.select("o_totalprice", bin_id.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 50000.0).alias("bin_lo"),
+            "cnt",
+            "total",
+        )
+    )

@@ -94,3 +94,106 @@ def sql_subquery_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c
         """
     )
+
+
+#: Shared text (ANSI; runs verbatim in Spark and DuckDB): above-average
+#: trade edges, then breadth-first reachability from NATION_0 bounded to
+#: 3 hops.  Integer edge weights and the cross-multiplied mean test keep
+#: every comparison exact in both engines.
+_EDGES_SQL = """
+    SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+           count(*) AS w
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE s.s_nationkey <> c.c_nationkey
+    GROUP BY 1, 2
+"""
+
+_REACH_OVER_EDGES_SQL = """
+    WITH RECURSIVE strong AS (
+        SELECT e.src, e.dst
+        FROM trade_edges e,
+             (SELECT sum(w) AS sw, count(*) AS ne FROM trade_edges) t
+        WHERE e.w * t.ne * 2 > t.sw),
+    start AS (
+        SELECT src AS node FROM strong
+        GROUP BY src ORDER BY count(*) DESC, src LIMIT 1),
+    reach(node, hop) AS (
+        SELECT node, 0 FROM start
+        UNION ALL
+        SELECT s.dst, r.hop + 1
+        FROM reach r JOIN strong s ON s.src = r.node
+        WHERE r.hop < 3)
+    SELECT n.n_name, min(r.hop) AS hops
+    FROM reach r JOIN nation n ON n.n_nationkey = r.node
+    GROUP BY n.n_name
+"""
+
+
+#: The oracle is the same statement with the cached view inlined as a
+#: plain CTE (DuckDB evaluates each CTE once, so no cache is needed).
+_REACH_ORACLE = _REACH_OVER_EDGES_SQL.replace(
+    "WITH RECURSIVE strong AS (",
+    f"WITH RECURSIVE trade_edges AS ({_EDGES_SQL}),\n    strong AS (",
+    1,
+)
+
+
+@query("sql_recursive_cte", oracle=_REACH_ORACLE)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE: minimum-hop reachability over the strong
+    (above-half-mean-weight) trade edges from the best-connected
+    nation, capped at 3 hops.
+
+    Spark re-executes a plain CTE at every reference, and the recursive
+    step references the edge list once per hop — so the one expensive
+    pass (the fact-table aggregation down to the ≤600-row digraph) is
+    cached first and registered as ``trade_edges``; the recursion's
+    per-hop self-joins then replay from memory, never the fact tables.
+    The hop cap bounds the path frontier under cycles; the oracle runs
+    the logically identical single SQL statement.
+    """
+    _views(
+        spark, sf_dir, "lineitem", "supplier", "orders", "customer", "nation"
+    )
+    edges = spark.sql(_EDGES_SQL).persist()
+    edges.createOrReplaceTempView("trade_edges")
+    return spark.sql(_REACH_OVER_EDGES_SQL)
+
+
+@query(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT n.n_name, top.c_name, top.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal
+             FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name
+             LIMIT 3) top
+    """,
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each nation's three richest
+    customers — the top-N-per-group idiom in its SQL-standard form.
+
+    Catalyst plans the lateral as a correlated join and the inner
+    ORDER BY + LIMIT per group; the window-function twin is
+    ``win_row_number_topk``.  Correlation stays in the inner WHERE
+    (the only placement Spark's decorrelator accepts), and the
+    (acctbal, name) sort is total, so the 3-row slice is unique.
+    """
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, top.c_name, top.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal
+                 FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name
+                 LIMIT 3) top
+        """
+    )

@@ -548,3 +548,59 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.avg("value"), 6).alias("avg_value"),
     )
+
+
+@query(
+    "stream_multi_batch_replay",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           count(*)             AS cnt,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY day, event_type
+    """,
+)
+def stream_multi_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-count independence: the same day-grain aggregate driven
+    through MANY micro-batches must equal the single-pass batch result.
+
+    The events table is rewritten as 8 files and replayed with
+    ``maxFilesPerTrigger=2`` (4+ micro-batches, arbitrary file order),
+    in complete mode with no watermark — so no row can be declared
+    late by an accident of file ordering, and the final table is
+    provably independent of how the backlog was chopped into triggers.
+    This is the guard rail for the production topology: incremental
+    state folding across triggers == one batch aggregation.  (The
+    bounded ``day × event_type`` grain is what makes complete-mode
+    state legal here.)
+    """
+    from covid_19_data_analysis_bigdata_spark.sources.io import (
+        fixture_dir,
+        load_table,
+    )
+
+    frag = os.path.join(fixture_dir(sf_dir, "stream8"), "events8")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        # ts back to raw ns so the streaming-side schema/repair path is
+        # byte-identical with the single-file source
+        load_table(spark, sf_dir, "events").withColumn(
+            "ts", (F.unix_micros("ts") * 1000).cast("long")
+        ).repartition(8).write.mode("overwrite").parquet(frag)
+    ev = (
+        spark.readStream.schema(_RAW_EVENTS)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(frag)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    agg = ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    out = run_to_table(spark, agg, "t_multibatch", "complete")
+    return out.select(
+        F.col("w.start").cast("date").alias("day"),
+        "event_type",
+        "cnt",
+        "sum_value",
+    )

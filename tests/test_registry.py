@@ -19,7 +19,7 @@ EXPECTED_IDS = {
     "agg_global", "agg_groupby", "agg_ratio", "agg_count_distinct",
     "agg_approx_distinct", "agg_stats", "agg_percentile",
     "agg_approx_percentile", "agg_filtered", "agg_collect", "agg_rollup",
-    "agg_cube", "agg_grouping_sets", "pivot_wide", "unpivot_melt",
+    "agg_cube", "agg_grouping_sets", "agg_histogram", "pivot_wide", "unpivot_melt",
     # cat 5
     "win_lag_diff", "win_lead", "win_moving_avg", "win_range_frame",
     "win_cumsum", "win_rank_dense", "win_row_number_topk",
@@ -36,6 +36,7 @@ EXPECTED_IDS = {
     # cat 9
     "stream_tumbling_counts", "stream_sliding", "stream_session",
     "stream_watermark_late", "stream_dedup", "stream_stateful_running",
+    "stream_multi_batch_replay",
     "stream_static_join", "stream_stream_join",
     # cat 10
     "llm_dedup_exact", "llm_dedup_fuzzy", "llm_sim_cosine_pairs",
@@ -69,6 +70,7 @@ EXPECTED_IDS = {
     "report_idle_customers",
     # SQL subquery surface (sqlsurface.py)
     "sql_subquery_in", "sql_subquery_not_exists", "sql_subquery_scalar_corr",
+    "sql_recursive_cte", "sql_lateral_topn",
     # iterative algorithms + sorted layout (iterative.py)
     "ml_kmeans_lloyd", "sink_parquet_sorted", "graph_pagerank",
     "llm_repetition_filter", "etl_compact_small_files", "llm_dataset_mix",
