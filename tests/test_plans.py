@@ -128,3 +128,70 @@ def test_shuffle_hash_join_is_hash_not_merge(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_shuffle_hash")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q5_report_broadcasts_all_dimensions(spark, sf_dir):
+    """Q5 shape: region/nation/supplier collapse to broadcast builds —
+    the fact tables shuffle only for the fact-fact joins."""
+    plan = _plan(spark, sf_dir, "report_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_trade_matrix_broadcasts_nation_both_sides(spark, sf_dir):
+    """Q7 shape: both nation lookups ride broadcasts; no cartesian."""
+    plan = _plan(spark, sf_dir, "report_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_items_pushes_returnflag_to_scan(spark, sf_dir):
+    """Q10 shape: the returnflag filter must reach the lineitem scan."""
+    plan = _plan(spark, sf_dir, "report_returned_items")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_returnflag,R" in l.replace(" ", "") for l in pushed)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_large_orders_prefilters_on_two_columns(spark, sf_dir):
+    """Q18 shape: the HAVING pre-aggregate reads only the two columns
+    it needs, and the final top-100 avoids a global sort."""
+    plan = _plan(spark, sf_dir, "report_large_orders")
+    assert "TakeOrderedAndProject" in plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any(
+        "l_orderkey" in l and "l_quantity" in l and "l_extendedprice" not in l
+        for l in reads
+    )
+
+
+def test_pagerank_iterates_over_cached_bounded_graph(spark, sf_dir):
+    """The expensive fact aggregation happens once; iterations must hit
+    the persisted edge list, never the fact tables again."""
+    plan = _plan(spark, sf_dir, "graph_pagerank")
+    assert "InMemoryTableScan" in plan
+
+
+def test_repetition_filter_has_no_shuffle(spark, sf_dir):
+    """Per-document max multiplicity is row-local: no Exchange at all."""
+    plan = _plan(spark, sf_dir, "llm_repetition_filter")
+    assert "Exchange" not in plan
+
+
+def test_dataset_mix_is_single_pass(spark, sf_dir):
+    """The mixture gate is a row-local predicate: exactly the one
+    aggregation exchange, no join."""
+    plan = _plan(spark, sf_dir, "llm_dataset_mix")
+    assert "Join" not in plan
+
+
+def test_embedding_quantize_has_no_shuffle_or_explode(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_embedding_quantize")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode; pure array lambdas
+
+
+def test_funnel_join_keys_on_user(spark, sf_dir):
+    """The interval join must be keyed (equi on user), not a pure
+    range cartesian."""
+    plan = _plan(spark, sf_dir, "events_funnel_conversion")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
