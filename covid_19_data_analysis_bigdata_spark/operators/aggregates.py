@@ -13,7 +13,7 @@ summation tree order differs between engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_19_data_analysis_bigdata_spark.core import query
@@ -438,4 +438,104 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             "total",
         )
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_count
+    FROM (
+        SELECT l_returnflag, l_quantity, count(*) AS c,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY count(*) DESC, l_quantity) AS rk
+        FROM lineitem
+        GROUP BY l_returnflag, l_quantity)
+    WHERE rk = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a deterministic
+    tie-break — engine-native ``mode()`` functions break ties
+    arbitrarily, so the portable form is count → rank → slice.
+
+    Two-level shape: the (group, value) count is a partial+final
+    aggregate over the fact; the window then ranks only the ≤|distinct
+    values| aggregated rows per group — window cardinality is bounded
+    by the value domain, not the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("c"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("c").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*)                                        AS n,
+               sum(CAST(l_quantity AS BIGINT))                 AS sx,
+               sum(CAST(round(l_extendedprice) AS BIGINT))     AS sy,
+               sum(CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT))               AS sxx,
+               sum(CAST(round(l_extendedprice) AS BIGINT)
+                   * CAST(round(l_extendedprice) AS BIGINT))   AS syy,
+               sum(CAST(l_quantity AS BIGINT)
+                   * CAST(round(l_extendedprice) AS BIGINT))   AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact integer moments — the
+    deterministic twin of ``corr()``.
+
+    Engine-native ``corr`` folds doubles in partition order, so its
+    last ulp (and a 6-dp rounding boundary) can differ between engines
+    and even between runs with different partitioning.  Here the five
+    moments are exact BIGINT sums (quantity, dollar-grain price —
+    overflow-safe to ~sf100), and the one float combination at the end
+    maps identical integers through identical IEEE ops in both engines.
+    This is also the scale-correct shape: moments combine
+    associatively, so partial aggregation works map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    corr = (nd * F.col("sxy") - sxd * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - sxd * F.col("sx"))
+        * (nd * F.col("syy") - syd * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
     )

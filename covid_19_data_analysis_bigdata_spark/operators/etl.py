@@ -165,3 +165,58 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@query(
+    "etl_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS cnt,
+           round(sum(CASE WHEN o_orderstatus = 'O'
+                          THEN o_totalprice * 1.1
+                          ELSE o_totalprice END), 4) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def etl_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: replace exactly one partition of a
+    partitioned table, leave every other partition byte-identical.
+
+    The warehouse backfill primitive: with
+    ``partitionOverwriteMode=dynamic`` an overwrite touches only the
+    partitions present in the incoming frame — here the 'O' partition
+    is rewritten with a 10% price uplift while 'F' and 'P' survive
+    untouched.  (Static mode would have dropped them: the difference
+    between a backfill and a data-loss incident.)  The oracle recomputes
+    the expected post-backfill state from the source table.
+    """
+    import os
+
+    from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir
+
+    root = fixture_dir(sf_dir, "dynover")
+    tbl = os.path.join(root, "orders_by_status")
+    done = os.path.join(root, "_BACKFILLED")
+    if not os.path.exists(done):
+        o = load_table(spark, sf_dir, "orders")
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tbl)
+        # Uplift left unrounded: the per-row IEEE product is
+        # bit-identical across engines, while rounding each product
+        # would hit half-cent boundary cases where round differs
+        # (aggregates are rounded, per-row values never).
+        patch = o.filter(F.col("o_orderstatus") == "O").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 1.1
+        )
+        (
+            patch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("o_orderstatus")
+            .parquet(tbl)
+        )
+        open(done, "w").close()
+    back = spark.read.parquet(tbl)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )

@@ -368,3 +368,78 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("parts"),
         F.round(F.sum("p_retailprice"), 4).alias("retail"),
     )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01')
+    SELECT a.o_orderkey,
+           count(b.o_orderkey) AS n_near
+    FROM u a
+    LEFT JOIN u b
+           ON b.o_orderkey <> a.o_orderkey
+          AND abs(datediff('day', a.d, b.d)) <= 3
+    GROUP BY a.o_orderkey
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join at fact scale via bucketing — the scalable form of
+    ``join_theta_range``'s nested-loop band join.
+
+    Each urgent 1996 order counts its neighbors within ±3 days.  A
+    naive |Δ| ≤ 3 predicate alone gives a nested-loop over all pairs;
+    binning day DIV 7 turns it into an EQUI-join: a ±3-day match
+    always lands in the same or an adjacent 7-day bucket, so probing
+    the 3 candidate buckets (one small explode on the probe side)
+    covers every match, then the exact band predicate filters within
+    the bucket.  Candidate volume drops from |A|·|B| to
+    |A|·3·(|B|/#buckets) — the bucket width tunes the trade-off, and
+    the shuffle is a plain hash partition on the bucket id.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    day = F.datediff(F.col("o_orderdate"), F.lit("1996-01-01").cast("date"))
+    u = o.select(F.col("o_orderkey").alias("k"), day.alias("d"))
+    probe = u.select(
+        "k",
+        "d",
+        F.explode(
+            F.array(
+                (F.col("d") - 3).cast("long") / 7,
+                F.col("d").cast("long") / 7,
+                (F.col("d") + 3).cast("long") / 7,
+            )
+        ).alias("bucket_raw"),
+    ).select(
+        "k", "d", F.floor("bucket_raw").cast("long").alias("bucket")
+    ).dropDuplicates(["k", "bucket"])
+    build = u.select(
+        F.col("k").alias("bk"),
+        F.col("d").alias("bd"),
+        F.floor(F.col("d").cast("long") / 7).cast("long").alias("bucket"),
+    )
+    hits = (
+        probe.join(build, "bucket")
+        .filter(
+            (F.col("bk") != F.col("k"))
+            & (F.abs(F.col("bd") - F.col("d")) <= 3)
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        u.join(hits, "k", "left")
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.coalesce("n_near", F.lit(0).cast("long")).alias("n_near"),
+        )
+    )

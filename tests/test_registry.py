@@ -14,12 +14,13 @@ EXPECTED_IDS = {
     # cat 3
     "join_broadcast", "join_sortmerge", "join_multiway_star",
     "join_left_outer", "join_full_outer", "join_semi", "join_anti",
-    "join_cross", "join_theta_range", "join_asof",
+    "join_cross", "join_theta_range", "join_range_binned", "join_asof",
     # cat 4
     "agg_global", "agg_groupby", "agg_ratio", "agg_count_distinct",
     "agg_approx_distinct", "agg_stats", "agg_percentile",
     "agg_approx_percentile", "agg_filtered", "agg_collect", "agg_rollup",
-    "agg_cube", "agg_grouping_sets", "agg_histogram", "pivot_wide", "unpivot_melt",
+    "agg_cube", "agg_grouping_sets", "agg_histogram", "agg_mode",
+    "agg_corr_exact", "pivot_wide", "unpivot_melt",
     # cat 5
     "win_lag_diff", "win_lead", "win_moving_avg", "win_range_frame",
     "win_cumsum", "win_rank_dense", "win_row_number_topk",
@@ -77,6 +78,7 @@ EXPECTED_IDS = {
     "llm_embedding_quantize", "events_funnel_conversion",
     # ETL / CDC primitives (etl.py)
     "etl_upsert_scd1", "etl_keep_latest", "etl_scd2_intervals",
+    "etl_partition_overwrite",
     # null-safe join (joins.py)
     "join_null_safe",
     # edit-distance fuzzy matching (textprep.py)
