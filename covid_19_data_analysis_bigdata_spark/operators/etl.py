@@ -220,3 +220,101 @@ def etl_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("o_totalprice"), 4).alias("total"),
     )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    SELECT 'acctbal_non_negative' AS rule,
+           (SELECT count(*) FROM customer)                    AS n_checked,
+           (SELECT count(*) FROM customer WHERE c_acctbal < 0) AS n_violations
+    UNION ALL
+    SELECT 'totalprice_positive',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'custkey_unique',
+           (SELECT count(*) FROM customer),
+           (SELECT coalesce(sum(c - 1), 0) FROM (
+                SELECT count(*) AS c FROM customer
+                GROUP BY c_custkey HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'events_ts_in_range',
+           (SELECT count(*) FROM events),
+           (SELECT count(*) FROM events
+            WHERE ts < TIMESTAMP '1995-01-01'
+               OR ts >= TIMESTAMP '2003-01-01')
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation audit (Deequ/dbt-test shape): five
+    declarative constraints — range, non-negativity, referential
+    integrity, key uniqueness, timestamp domain — evaluated in one
+    pass each, emitted as a (rule, checked, violations) audit frame.
+
+    Every rule is an aggregate or anti-join, never a row fetch: the
+    audit costs one scan per table plus one key-only shuffle for the
+    FK check, the same plans the engine's own operators use — so the
+    gate scales exactly as far as the queries it guards.
+    """
+    from covid_19_data_analysis_bigdata_spark.sources.io import load_table as lt
+
+    c = lt(spark, sf_dir, "customer")
+    o = lt(spark, sf_dir, "orders")
+    li = lt(spark, sf_dir, "lineitem")
+    ev = lt(spark, sf_dir, "events")
+
+    def rule(name, checked_df, viol_df):
+        return checked_df.agg(F.count(F.lit(1)).alias("n_checked")).crossJoin(
+            viol_df.agg(
+                F.coalesce(F.sum(F.lit(1)), F.lit(0))
+                .cast("long")
+                .alias("n_violations")
+            )
+        ).select(
+            F.lit(name).alias("rule"), "n_checked", "n_violations"
+        )
+
+    dup_excess = (
+        c.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("cc"))
+        .filter(F.col("cc") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("cc") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_violations")
+        )
+    )
+    frames = [
+        rule(
+            "acctbal_non_negative", c, c.filter(F.col("c_acctbal") < 0)
+        ),
+        rule(
+            "totalprice_positive", o, o.filter(F.col("o_totalprice") <= 0)
+        ),
+        rule(
+            "lineitem_fk_orders",
+            li,
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        c.agg(F.count(F.lit(1)).alias("n_checked"))
+        .crossJoin(dup_excess)
+        .select(F.lit("custkey_unique").alias("rule"), "n_checked", "n_violations"),
+        rule(
+            "events_ts_in_range",
+            ev,
+            ev.filter(
+                (F.col("ts") < "1995-01-01") | (F.col("ts") >= "2003-01-01")
+            ),
+        ),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

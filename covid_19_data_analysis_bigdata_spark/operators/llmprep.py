@@ -537,3 +537,61 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max("qv").alias("q_max"),
         )
     )
+
+
+@query(
+    "llm_bpe_merge_pairs",
+    oracle="""
+    WITH wf AS (
+        SELECT tok, count(*) AS freq
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+        GROUP BY tok),
+    chars AS (SELECT tok, freq, string_split(tok, '') AS cs FROM wf),
+    pairs AS (
+        SELECT freq,
+               unnest([cs[i] || cs[i+1]
+                       for i in generate_series(1, len(cs)-1)]) AS pair
+        FROM chars WHERE len(cs) >= 2)
+    SELECT pair, sum(freq) AS pair_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 50
+    """,
+)
+def llm_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, step one: corpus-weighted adjacent
+    symbol-pair counts — the statistic whose argmax becomes the next
+    merge rule.
+
+    The classic two-level reduction: token frequencies first (the word
+    table is vastly smaller than the corpus), then each *distinct*
+    token explodes into its character pairs weighted by that frequency
+    — so the expensive explode runs over the vocabulary, not the
+    corpus.  Top-50 via ``TakeOrderedAndProject`` with a total
+    (count, pair) order.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(_words()).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cs = F.split(F.col("tok"), "")
+    pairs = F.when(
+        F.length("tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok") - 1),
+            lambda i: F.concat(F.element_at(cs, i), F.element_at(cs, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        wf.select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(50)
+    )

@@ -283,3 +283,58 @@ def catalog_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.length("n_name")), 4).alias("avg_name_len"),
         )
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+                THEN o_orderpriority ELSE 'unknown' END AS priority,
+           count(*)                    AS cnt,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution via ``mergeSchema``: old files lack a column
+    added later; the merged scan surfaces it as NULL for old data.
+
+    The lakehouse reality — producers add columns mid-stream and a
+    reader must span both vintages.  Batch 1 (pre-1999 orders) is
+    written WITHOUT ``o_orderpriority``; batch 2 carries it.
+    ``mergeSchema=true`` unions the footer schemas at planning time;
+    the old files' missing column reads as NULL, normalized here to
+    'unknown'.  The oracle reconstructs the same split from the source
+    table, proving no rows were lost or mis-attributed across vintages.
+    """
+    import os
+
+    from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir
+
+    root = os.path.join(fixture_dir(sf_dir, "evolve"), "orders_versions")
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        o = load_table(spark, sf_dir, "orders")
+        old = o.filter(F.col("o_orderdate") < "1999-01-01").select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        new = o.filter(F.col("o_orderdate") >= "1999-01-01").select(
+            "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"
+        )
+        old.write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+        new.write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
+        open(os.path.join(root, "_DONE"), "w").close()
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "batch=1"), os.path.join(root, "batch=2")
+    )
+    return (
+        back.select(
+            F.coalesce("o_orderpriority", F.lit("unknown")).alias("priority"),
+            "o_totalprice",
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )

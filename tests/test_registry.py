@@ -6,7 +6,7 @@ EXPECTED_IDS = {
     # cat 1
     "scan_parquet", "scan_projected", "scan_events_ns", "read_csv_schema",
     "read_json_lines", "sink_parquet_partitioned", "scan_dpp_star_join",
-    "scan_python_datasource", "read_orc_roundtrip",
+    "scan_python_datasource", "read_orc_roundtrip", "scan_schema_evolution",
     "catalog_managed_table", "create_view_sql",
     # cat 2
     "project_compute", "filter_simple", "filter_compound",
@@ -78,7 +78,7 @@ EXPECTED_IDS = {
     "llm_embedding_quantize", "events_funnel_conversion",
     # ETL / CDC primitives (etl.py)
     "etl_upsert_scd1", "etl_keep_latest", "etl_scd2_intervals",
-    "etl_partition_overwrite",
+    "etl_partition_overwrite", "dq_expectations",
     # null-safe join (joins.py)
     "join_null_safe",
     # edit-distance fuzzy matching (textprep.py)
@@ -89,7 +89,7 @@ EXPECTED_IDS = {
     "llm_dedup_clusters",
     # training-set assembly (llmprep.py)
     "llm_chunk_documents", "llm_pack_sequences", "llm_decontaminate",
-    "llm_build_vocab", "llm_clean_corpus",
+    "llm_build_vocab", "llm_clean_corpus", "llm_bpe_merge_pairs",
     # foreachBatch streaming sink
     "stream_foreach_batch",
     # third join strategy (joins.py)
