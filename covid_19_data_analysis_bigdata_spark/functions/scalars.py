@@ -461,3 +461,35 @@ def safe_arith_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prio_num"
         ),
     )
+
+
+@query(
+    "bit_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255                   AS low_byte,
+           o_orderkey | 4096                  AS with_flag,
+           xor(o_orderkey, o_orderkey >> 3)   AS mixed,
+           o_orderkey << 2                    AS shifted,
+           bit_count(o_orderkey)              AS popcount
+    FROM orders
+    WHERE o_orderkey % 41 = 0
+    """,
+)
+def bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family: AND/OR/XOR, shifts, popcount — the
+    primitives under bitmap indexes, bloom filters, and hash mixing
+    (exact integer ops, trivially identical across engines).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 41 == 0
+    )
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.shiftright(k, 3)).alias("mixed"),
+        F.shiftleft(k, 2).alias("shifted"),
+        F.bit_count(k).alias("popcount"),
+    )

@@ -356,3 +356,67 @@ def obs_metrics_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("rows_seen"),
         F.round(F.sum("o_totalprice"), 4).alias("price_seen"),
     ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "udtf_analyze_polymorphic",
+    oracle="""
+    WITH kv AS (
+        SELECT event_id,
+               unnest(string_split(
+                   trim(BOTH '{}' FROM replace(props, '"', '')), ','))
+                   AS pair
+        FROM events
+        WHERE event_id % 211 = 0)
+    SELECT event_id,
+           trim(string_split(pair, ':')[1]) AS k,
+           trim(string_split(pair, ':')[2]) AS v
+    FROM kv
+    WHERE pair <> ''
+    """,
+)
+def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF: the ``analyze`` static method computes
+    the output schema at plan time (Spark 4's dynamic-schema table
+    functions) — here a JSON-ish property bag exploded to (key, value)
+    rows.
+
+    ``analyze`` receives the argument types and returns the result
+    schema, so one UDTF serves any input shape; the per-row work runs
+    in the Python worker over Arrow batches.  (The native twin for the
+    hot path is ``explode`` over ``from_json`` — the UDTF form exists
+    for logic genuinely beyond SQL expressions.)
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class ExplodeProps:
+        @staticmethod
+        def analyze(ev_id: AnalyzeArgument, props: AnalyzeArgument):
+            schema = StructType()
+            schema = schema.add("event_id", ev_id.dataType)
+            schema = schema.add("k", StringType())
+            schema = schema.add("v", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, ev_id, props):
+            body = props.replace('"', "").strip().strip("{}")
+            for pair in body.split(","):
+                if not pair:
+                    continue
+                k, _, v = pair.partition(":")
+                yield ev_id, k.strip(), v.strip()
+
+    fn = udtf(ExplodeProps)
+    spark.udtf.register("explode_props", fn)
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 211 == 0
+    ).createOrReplaceTempView("v_events_udtf")
+    return spark.sql(
+        """
+        SELECT f.event_id, f.k, f.v
+        FROM v_events_udtf,
+             LATERAL explode_props(event_id, props) f
+        """
+    )

@@ -160,3 +160,54 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("orders_cnt"),
         F.round(F.sum("o_totalprice"), 4).alias("total"),
     )
+
+
+@query(
+    "join_bloom_filtered",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*)                  AS n_lines,
+           round(sum(l.l_quantity), 4) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction: the selective build
+    side injects a bloom filter into the probe side's scan, so most of
+    the big table is discarded BEFORE the join shuffle.
+
+    This is Spark's InjectRuntimeFilter rewrite — the modern form of
+    the semi-join reduction every warehouse engine applies when a
+    large-large join has a selective dimension filter.  At 100 TB this
+    is the difference between shuffling the whole fact table and
+    shuffling the ~1% that can match.  The injection thresholds are
+    sized for clusters, so a ``newSession`` (isolated SQLConf — the
+    forced thresholds and disabled broadcast must not leak into
+    sibling queries) lowers them to fire at test scale; the plan test
+    pins ``bloom_filter_agg``/``might_contain``.
+    """
+    sub = spark.newSession()
+    for k, v in {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }.items():
+        sub.conf.set(k, v)
+    li = load_table(sub, sf_dir, "lineitem")
+    o = load_table(sub, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )

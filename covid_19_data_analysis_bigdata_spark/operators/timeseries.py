@@ -250,3 +250,52 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_delay_ms"),
         )
     )
+
+
+@query(
+    "ts_seasonal_naive",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 4)                AS dsum
+        FROM events
+        GROUP BY 1, 2),
+    tagged AS (
+        SELECT event_type, day, dsum,
+               datediff('day', DATE '1970-01-05', day) % 7 AS dow
+        FROM daily)
+    SELECT event_type, dow,
+           count(*)            AS n_days,
+           round(avg(dsum), 4) AS dow_mean,
+           round(max(dsum) - min(dsum), 4) AS dow_range
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+)
+def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive profile: the day-of-week signature of each daily
+    series — the baseline every forecast must beat, and the detrending
+    table for weekly seasonality.
+
+    Weekday derives from an integer day count since a known Monday
+    (epoch 1970-01-05) mod 7 — calendar-function-free, so both engines
+    agree without caring whose ``dayofweek`` starts on Sunday.  Two
+    bounded aggregations over the pre-rounded daily series.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("dsum"))
+    dow = (
+        F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7
+    ).alias("dow")
+    return (
+        daily.select("event_type", dow, "dsum")
+        .groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("dsum"), 4).alias("dow_mean"),
+            F.round(F.max("dsum") - F.min("dsum"), 4).alias("dow_range"),
+        )
+    )

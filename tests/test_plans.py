@@ -195,3 +195,11 @@ def test_funnel_join_keys_on_user(spark, sf_dir):
     range cartesian."""
     plan = _plan(spark, sf_dir, "events_funnel_conversion")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_bloom_filter_injected_into_probe_side(spark, sf_dir):
+    """The selective build side must inject a runtime bloom filter that
+    prunes the probe scan before the join shuffle."""
+    plan = _plan(spark, sf_dir, "join_bloom_filtered")
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan

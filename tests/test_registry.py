@@ -32,7 +32,7 @@ EXPECTED_IDS = {
     "set_union_by_name",
     # cat 8
     "str_funcs", "str_split_regex", "date_funcs", "ts_funcs", "math_funcs",
-    "cond_funcs", "hash_funcs", "array_funcs", "array_hof", "map_funcs",
+    "cond_funcs", "hash_funcs", "bit_funcs", "array_funcs", "array_hof", "map_funcs",
     "json_funcs",
     # cat 9
     "stream_tumbling_counts", "stream_sliding", "stream_session",
@@ -47,6 +47,7 @@ EXPECTED_IDS = {
     # cat 11
     "udf_python_scalar", "udf_pandas_vectorized", "udaf_applyinpandas",
     "udaf_pandas_grouped_agg", "udf_mapinarrow", "udtf_table_fn",
+    "udtf_analyze_polymorphic",
     "obs_metrics_passthrough",
     # extensions beyond the inventory
     "multimodal_decode_stub",
@@ -56,13 +57,14 @@ EXPECTED_IDS = {
     "llm_dedup_embedding", "llm_ann_ivf",
     # shuffle-engineering techniques (scale.py)
     "agg_skew_salted", "join_skew_salted", "join_bucketed",
+    "join_bloom_filtered",
     # multimodal pipeline stages (multimodal.py)
     "multimodal_resize_stub", "multimodal_frame_sample",
     "multimodal_feature_extract",
     # streaming file sink (checkpointed exactly-once landing zone)
     "stream_file_sink",
     # time-series analytics (timeseries.py)
-    "ts_trend_forecast", "ts_resample_ffill",
+    "ts_trend_forecast", "ts_resample_ffill", "ts_seasonal_naive",
     # composite dashboard reports (reports.py)
     "report_share_of_total", "report_growth_rate", "report_period_compare",
     "report_local_supplier_volume", "report_volume_shipping",
