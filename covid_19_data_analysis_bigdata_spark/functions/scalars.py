@@ -493,3 +493,39 @@ def bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("shifted"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@query(
+    "json_variant_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT)        AS k_val,
+           CAST(props->>'$.missing' AS BIGINT)  AS k_missing,
+           CAST(props->>'$.k' AS BIGINT) % 10   AS k_mod
+    FROM events
+    WHERE event_id % 97 = 0
+    """,
+)
+def json_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT access: ``parse_json`` once, then typed
+    path extraction with ``variant_get`` / ``try_variant_get``.
+
+    VARIANT (Spark 4) is the scale answer to JSON columns: the value is
+    parsed once into a binary encoding at ingest, and every downstream
+    path access is a cheap binary probe instead of a per-query string
+    re-parse — at 100 TB the difference between one parse and one parse
+    per predicate.  ``try_variant_get`` on an absent path degrades to
+    NULL (errors never abort a petabyte scan); the extracted value
+    feeds normal integer arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 97 == 0
+    )
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
+        (k % 10).alias("k_mod"),
+    )

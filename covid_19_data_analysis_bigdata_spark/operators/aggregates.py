@@ -539,3 +539,40 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           count(*)                                    AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: ``listagg(...) WITHIN GROUP (ORDER
+    BY ...)`` — the ANSI 2016 form Spark 4 added natively.
+
+    The WITHIN GROUP ordering is what makes the result deterministic
+    (and therefore oracle-able): an unordered listagg reflects shuffle
+    arrival order.  Output is a flat string, so the driver harness can
+    hash it (nested arrays cannot).  Scale note: listagg is a regular
+    ObjectHashAggregate — partial per-group buffers merge on the one
+    groupBy shuffle, and group payload is bounded by the group's own
+    text, not the table.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_la_nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("v_la_region")
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                   AS nations,
+               count(*) AS n_nations
+        FROM v_la_nation n JOIN v_la_region r
+          ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )

@@ -14,6 +14,8 @@ truncate to identical ms values, so the oracle compares exactly
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -318,3 +320,66 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+@query(
+    "etl_incremental_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           count(*) AS cnt,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: merge a precomputed
+    aggregate snapshot with a delta-only aggregate instead of
+    recomputing history.
+
+    At 100 TB the nightly report never re-reads seven years of facts:
+    the snapshot holds per-(status, month) partials, the delta scan is
+    partition-pruned to rows at/after the cutoff (the plan test pins
+    the pushed ``o_orderdate >=`` filter), and the merge is a tiny
+    re-aggregation over group-grain partials.  This works because the
+    partials are associative and exact — counts and integer-cent sums
+    merge losslessly, where rounded double sums would not (SURVEY.md
+    §5.3).  Oracle = full recompute, proving snapshot + delta ≡ whole.
+    """
+    from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir
+
+    cutoff = "1997-06-01"
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def month_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_orderstatus",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    snap_path = os.path.join(fixture_dir(sf_dir, "incr_agg"), "orders_snapshot")
+    if not os.path.exists(os.path.join(snap_path, "_SUCCESS")):
+        month_agg(
+            load_table(spark, sf_dir, "orders").filter(
+                F.col("o_orderdate") < F.lit(cutoff).cast("date")
+            )
+        ).write.mode("overwrite").parquet(snap_path)
+
+    snapshot = spark.read.parquet(snap_path)
+    delta = month_agg(
+        load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") >= F.lit(cutoff).cast("date")
+        )
+    )
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("o_orderstatus", "month")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+    )

@@ -211,3 +211,74 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH keyed AS (
+        SELECT CASE WHEN l_orderkey % 10 < 6
+                    THEN -1 - (l_orderkey % 3)
+                    ELSE l_partkey END AS hkey
+        FROM lineitem),
+    counted AS (SELECT hkey, count(*) AS cnt FROM keyed GROUP BY 1)
+    SELECT hkey, cnt FROM counted
+    WHERE cnt * 16 > (SELECT count(*) FROM keyed)
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent items without a full-key shuffle: per-partition
+    Misra-Gries summaries nominate candidates, a second pass counts
+    only those exactly.
+
+    The direct plan — groupBy over every key, then HAVING — shuffles
+    one record per distinct key; at 100 TB with high-cardinality keys
+    that shuffle IS the cost.  Misra-Gries with K counters per
+    partition is O(K) memory and guarantees (mergeable-summaries bound)
+    that every key with global share > 1/(K+1) survives in some
+    partition's summary, so the union of summaries is a provable
+    candidate superset for the share > 1/16 cut (K = 32 > 15).  The
+    verify pass semi-joins the scan against the tiny broadcast
+    candidate set, so the only wide shuffle carries candidate keys
+    only.  Same candidates-then-verify shape as the LSH dedups.
+
+    The skewed key is derived: 60% of rows map onto three hot keys,
+    the rest spread across ~part-cardinality keys.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.col("l_orderkey") % 10 < 6, -1 - (F.col("l_orderkey") % 3)
+        )
+        .otherwise(F.col("l_partkey"))
+        .cast("long")
+        .alias("hkey")
+    )
+    K = 32
+
+    def mg_summaries(batches):
+        import pandas as pd
+
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            # Vectorized batch pre-count, then an MG merge of the two
+            # summaries (Agarwal et al.: merge, then subtract the
+            # (K+1)-th largest weight and drop non-positives).
+            for key, c in pdf["hkey"].value_counts().items():
+                counters[int(key)] = counters.get(int(key), 0) + int(c)
+            if len(counters) > K:
+                cut = sorted(counters.values(), reverse=True)[K]
+                counters = {
+                    k: v - cut for k, v in counters.items() if v > cut
+                }
+        yield pd.DataFrame({"hkey": pd.array(list(counters), dtype="int64")})
+
+    candidates = li.mapInPandas(mg_summaries, "hkey long").distinct()
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        li.join(F.broadcast(candidates), "hkey")
+        .groupBy("hkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(total))
+        .filter(F.col("cnt") * 16 > F.col("total"))
+        .select("hkey", "cnt")
+    )

@@ -203,3 +203,27 @@ def test_bloom_filter_injected_into_probe_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_bloom_filtered")
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan
+
+
+def test_heavy_hitters_candidates_broadcast(spark, sf_dir):
+    """MG candidate generation runs in Arrow batches; the verify pass
+    must probe via a broadcast of the tiny candidate set, never a
+    sort-merge shuffle of the fact scan against it."""
+    plan = _plan(spark, sf_dir, "agg_heavy_hitters")
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_agg_delta_scan_pruned(spark, sf_dir):
+    """The delta side must push the cutoff predicate into the orders
+    scan — re-reading history would defeat incremental maintenance."""
+    plan = _plan(spark, sf_dir, "etl_incremental_agg")
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_variant_extraction_stays_jvm_side(spark, sf_dir):
+    """VARIANT path access is a native expression — no Python worker
+    round-trip may appear in the plan."""
+    plan = _plan(spark, sf_dir, "json_variant_funcs")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -20,7 +20,7 @@ EXPECTED_IDS = {
     "agg_approx_distinct", "agg_stats", "agg_percentile",
     "agg_approx_percentile", "agg_filtered", "agg_collect", "agg_rollup",
     "agg_cube", "agg_grouping_sets", "agg_histogram", "agg_mode",
-    "agg_corr_exact", "pivot_wide", "unpivot_melt",
+    "agg_corr_exact", "pivot_wide", "unpivot_melt", "agg_listagg",
     # cat 5
     "win_lag_diff", "win_lead", "win_moving_avg", "win_range_frame",
     "win_cumsum", "win_rank_dense", "win_row_number_topk",
@@ -32,7 +32,7 @@ EXPECTED_IDS = {
     "set_union_by_name",
     # cat 8
     "str_funcs", "str_split_regex", "date_funcs", "ts_funcs", "math_funcs",
-    "cond_funcs", "hash_funcs", "bit_funcs", "array_funcs", "array_hof", "map_funcs",
+    "cond_funcs", "hash_funcs", "bit_funcs", "json_variant_funcs", "array_funcs", "array_hof", "map_funcs",
     "json_funcs",
     # cat 9
     "stream_tumbling_counts", "stream_sliding", "stream_session",
@@ -57,6 +57,7 @@ EXPECTED_IDS = {
     "llm_dedup_embedding", "llm_ann_ivf",
     # shuffle-engineering techniques (scale.py)
     "agg_skew_salted", "join_skew_salted", "join_bucketed",
+    "agg_heavy_hitters",
     "join_bloom_filtered",
     # multimodal pipeline stages (multimodal.py)
     "multimodal_resize_stub", "multimodal_frame_sample",
@@ -80,6 +81,7 @@ EXPECTED_IDS = {
     "llm_embedding_quantize", "events_funnel_conversion",
     # ETL / CDC primitives (etl.py)
     "etl_upsert_scd1", "etl_keep_latest", "etl_scd2_intervals",
+    "etl_incremental_agg",
     "etl_partition_overwrite", "dq_expectations",
     # null-safe join (joins.py)
     "join_null_safe",
