@@ -576,3 +576,45 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.r_name
         """
     )
+
+
+@query(
+    "agg_mad",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag, median(l_extendedprice) AS m
+        FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag,
+           round(max(med.m), 4)                                AS median_price,
+           round(median(abs(l.l_extendedprice - med.m)), 4)    AS mad_price
+    FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation — the robust dispersion statistic —
+    as an exact two-phase aggregate.
+
+    MAD needs the median twice (center, then deviations from it), so
+    no single aggregation pass can produce it: phase one computes the
+    per-group median, phase two broadcasts that tiny table back onto
+    the scan and takes the median of |x − m|.  Interpolating medians
+    over identical doubles agree bit-for-bit across engines.  At
+    100 TB the same topology holds with ``approx_percentile`` partials
+    replacing the exact sort — the two-phase broadcast-back shape is
+    the point.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("m")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.max("m"), 4).alias("median_price"),
+            F.round(
+                F.expr("percentile(abs(l_extendedprice - m), 0.5)"), 4
+            ).alias("mad_price"),
+        )
+    )

@@ -361,3 +361,51 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = c.filter(F.col("c_acctbal") > 5000).select("c_acctbal", "c_custkey")
     return a.unionByName(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_orderkey, l_partkey FROM lineitem
+    EXCEPT ALL
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics difference: EXCEPT ALL subtracts *multiplicities*
+    instead of deduplicating — a row appearing 3 times minus 1 match
+    survives twice.
+
+    Distinct from ``set_except``: no implicit dedup, so the result
+    preserves duplicate facts.  Spark plans it as a count-per-key
+    aggregate on each side plus a replicate — one shuffle per side,
+    same as the DISTINCT variant.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_partkey")
+    )
+    return li.exceptAll(returned)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 25
+    INTERSECT ALL
+    SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_discount > 0.02
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersection: each row survives min(count_left,
+    count_right) times."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_orderkey", "l_suppkey")
+    b = li.filter(F.col("l_discount") > 0.02).select(
+        "l_orderkey", "l_suppkey"
+    )
+    return a.intersectAll(b)

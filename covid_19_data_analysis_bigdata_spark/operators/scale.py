@@ -282,3 +282,77 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * 16 > F.col("total"))
         .select("hkey", "cnt")
     )
+
+
+@query(
+    "etl_zorder_layout",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey % 1024  AS x,
+               o_orderkey % 1024 AS y
+        FROM orders),
+    s1 AS (SELECT x, y,
+                  ((x | (x << 8)) & 16711935)   AS xa,
+                  ((y | (y << 8)) & 16711935)   AS ya FROM base),
+    s2 AS (SELECT x, y,
+                  ((xa | (xa << 4)) & 252645135) AS xb,
+                  ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+    s3 AS (SELECT x, y,
+                  ((xb | (xb << 2)) & 858993459) AS xc,
+                  ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+    s4 AS (SELECT x, y,
+                  ((xc | (xc << 1)) & 1431655765) AS xd,
+                  ((yc | (yc << 1)) & 1431655765) AS yd FROM s3)
+    SELECT (xd | (yd << 1)) >> 15 AS bucket,
+           count(*) AS rows_in,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM s4
+    GROUP BY 1
+    """,
+)
+def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering metric: interleave the bits of two
+    key dimensions and bucket rows by z-range, proving every bucket
+    covers a tight rectangle in BOTH dimensions at once.
+
+    This is the layout lever behind multi-column data skipping: a
+    single-column sort gives min/max pruning on one predicate only,
+    while writing files in z-order bounds every file's range in every
+    interleaved dimension (here each z-bucket spans ≤1/8 of x and
+    ≤1/4 of y vs. the full domain unsorted).  The bit-spread is four
+    shift-or-mask rounds — exact integer ops, identical across
+    engines — and the bucketing is equal-width on the z-key, so the
+    whole query is projection + one aggregation: no global sort is
+    needed to *measure* locality (at write time the layout is
+    ``repartitionByRange(zkey)`` + ``sortWithinPartitions``, cf.
+    ``sink_parquet_sorted``).
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def spread16(c):
+        for shift, mask in (
+            (8, 0x00FF00FF),
+            (4, 0x0F0F0F0F),
+            (2, 0x33333333),
+            (1, 0x55555555),
+        ):
+            c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+        return c
+
+    x = F.col("o_custkey") % 1024
+    y = F.col("o_orderkey") % 1024
+    z = spread16(x).bitwiseOR(F.shiftleft(spread16(y), 1))
+    return (
+        o.select(
+            x.alias("x"), y.alias("y"), F.shiftright(z, 15).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )

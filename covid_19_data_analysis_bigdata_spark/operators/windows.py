@@ -318,3 +318,47 @@ def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("session_value"),
         ((F.max("t_ms") - F.min("t_ms")) / 1000).alias("duration_s"),
     )
+
+
+@query(
+    "win_rolling_distinct",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+               user_id
+        FROM events),
+    days AS (SELECT DISTINCT day FROM pairs)
+    SELECT d.day, count(DISTINCT p.user_id) AS wau
+    FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (the WAU curve) — rolling
+    COUNT DISTINCT, which no window frame can express directly.
+
+    Spark-first shape: reduce to distinct (day, user) pairs first (the
+    only big shuffle), then ``explode(sequence(day, day+6))`` fans each
+    pair out to the ≤7 window-end days it covers, and a plain
+    groupBy/count-distinct finishes.  A 7× expansion of the *deduped*
+    pair set beats any range self-join of the raw events, and the day
+    spine it joins against grows with time, not data — broadcastable
+    forever.  (The approximate twin at extreme scale is a per-day HLL
+    sketch merged over the trailing window.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct()
+    expanded = pairs.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        expanded.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )

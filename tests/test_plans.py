@@ -227,3 +227,28 @@ def test_variant_extraction_stays_jvm_side(spark, sf_dir):
     round-trip may appear in the plan."""
     plan = _plan(spark, sf_dir, "json_variant_funcs")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_distinct_spine_broadcast(spark, sf_dir):
+    """The pair fan-out joins a broadcast day spine; the raw events
+    must never range-self-join."""
+    plan = _plan(spark, sf_dir, "win_rolling_distinct")
+    assert "Generate" in plan            # explode(sequence(...))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_mad_median_broadcast_back(spark, sf_dir):
+    """Phase-two MAD must broadcast the tiny per-group medians onto
+    the scan, not shuffle the fact table to meet them."""
+    plan = _plan(spark, sf_dir, "agg_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_metric_needs_no_sort(spark, sf_dir):
+    """Equal-width z-bucketing is projection + aggregation — no global
+    sort, no window, may appear in the measurement plan."""
+    plan = _plan(spark, sf_dir, "etl_zorder_layout")
+    assert "Window" not in plan
+    assert "TakeOrdered" not in plan

@@ -20,7 +20,7 @@ EXPECTED_IDS = {
     "agg_approx_distinct", "agg_stats", "agg_percentile",
     "agg_approx_percentile", "agg_filtered", "agg_collect", "agg_rollup",
     "agg_cube", "agg_grouping_sets", "agg_histogram", "agg_mode",
-    "agg_corr_exact", "pivot_wide", "unpivot_melt", "agg_listagg",
+    "agg_corr_exact", "pivot_wide", "unpivot_melt", "agg_listagg", "agg_mad",
     # cat 5
     "win_lag_diff", "win_lead", "win_moving_avg", "win_range_frame",
     "win_cumsum", "win_rank_dense", "win_row_number_topk",
@@ -29,7 +29,7 @@ EXPECTED_IDS = {
     "sort_multikey", "topk_limit", "limit_offset",
     # cat 7
     "set_union_all", "set_union_distinct", "set_intersect", "set_except",
-    "set_union_by_name",
+    "set_union_by_name", "set_except_all", "set_intersect_all",
     # cat 8
     "str_funcs", "str_split_regex", "date_funcs", "ts_funcs", "math_funcs",
     "cond_funcs", "hash_funcs", "bit_funcs", "json_variant_funcs", "array_funcs", "array_hof", "map_funcs",
@@ -57,7 +57,7 @@ EXPECTED_IDS = {
     "llm_dedup_embedding", "llm_ann_ivf",
     # shuffle-engineering techniques (scale.py)
     "agg_skew_salted", "join_skew_salted", "join_bucketed",
-    "agg_heavy_hitters",
+    "agg_heavy_hitters", "etl_zorder_layout",
     "join_bloom_filtered",
     # multimodal pipeline stages (multimodal.py)
     "multimodal_resize_stub", "multimodal_frame_sample",
@@ -88,7 +88,7 @@ EXPECTED_IDS = {
     # edit-distance fuzzy matching (textprep.py)
     "str_edit_distance",
     # batch gaps-and-islands sessionization (windows.py)
-    "win_sessionize_batch",
+    "win_sessionize_batch", "win_rolling_distinct",
     # connected-components dedup clustering (textprep.py)
     "llm_dedup_clusters",
     # training-set assembly (llmprep.py)
