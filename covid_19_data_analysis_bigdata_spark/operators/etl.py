@@ -383,3 +383,63 @@ def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_cents").alias("total_cents"),
         )
     )
+
+
+@query(
+    "dq_profile_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           count(*) AS n, count(*) - count(o_custkey) AS nulls,
+           count(DISTINCT o_custkey) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_s,
+           CAST(max(o_custkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (ANALYZE-style): count / nulls / distinct /
+    min / max for several columns in ONE scan, emitted long-form.
+
+    The wide-to-long pivot happens AFTER aggregation — a single pass
+    computes every column's stats as one 15-cell row, then ``stack``
+    reshapes 1 row, not the table.  Profiling N columns by N scans (or
+    by unpivoting the raw table to N× rows before aggregating) is the
+    anti-pattern at 100 TB.  These stats are what the optimizer's CBO
+    consumes and what drift monitors diff day over day.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            agg
+            for c in ("o_custkey", "o_orderstatus", "o_orderpriority")
+            for agg in (
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+                F.count_distinct(F.col(c)).alias(f"{c}_nd"),
+                F.min(F.col(c)).cast("string").alias(f"{c}_min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}_max"),
+            )
+        ],
+    )
+    return stats.select(
+        F.expr(
+            """stack(3,
+            'o_custkey', n, o_custkey_nulls, o_custkey_nd,
+                o_custkey_min, o_custkey_max,
+            'o_orderstatus', n, o_orderstatus_nulls, o_orderstatus_nd,
+                o_orderstatus_min, o_orderstatus_max,
+            'o_orderpriority', n, o_orderpriority_nulls,
+                o_orderpriority_nd, o_orderpriority_min, o_orderpriority_max)
+            AS (col_name, n, nulls, n_distinct, min_s, max_s)"""
+        )
+    )

@@ -715,3 +715,62 @@ def llm_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("m.lang").isin("en", "es") & (F.col("e0") > 0))
         .select("doc_id", F.col("lang"), F.col("n_chars"), "vec_norm")
     )
+
+
+@query(
+    "llm_inverted_index",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+    postings AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                   AS rk,
+               count(*) OVER (PARTITION BY term) AS df
+        FROM tok)
+    SELECT term, df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS head_postings
+    FROM postings
+    WHERE rk <= 5 AND df >= 10
+    GROUP BY term, df
+    """,
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + the head of
+    the sorted posting list — the structure under exact-match search,
+    keyword decontamination, and BM25.
+
+    Dataflow: distinct (doc, term) pairs (the only corpus-sized
+    shuffle), then per-term windows keyed on the SAME partition key
+    (term) so df-count, head-truncation, and the ordered string fold
+    all ride one Exchange.  Postings are emitted as a flat
+    comma-joined string — at scale each term's full posting list would
+    be a partitioned parquet sink, not a driver row.  Rare terms
+    (df < 10) are filtered AFTER df is known, mirroring vocabulary
+    min-frequency cuts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(_words()).alias("term")).distinct()
+    )
+    w_term = Window.partitionBy("term")
+    ranked = tok.select(
+        "term",
+        "doc_id",
+        F.row_number()
+        .over(w_term.orderBy("doc_id"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w_term).alias("df"),
+    ).filter((F.col("rk") <= 5) & (F.col("df") >= 10))
+    return ranked.groupBy("term", "df").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("head_postings")
+    )

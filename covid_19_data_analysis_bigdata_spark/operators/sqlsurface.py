@@ -197,3 +197,32 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  LIMIT 3) top
         """
     )
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                     AS cnt,
+           round(sum(o_totalprice), 4)  AS total
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — every non-aggregate select item becomes a
+    grouping key implicitly (ANSI-adjacent sugar both Spark 4 and
+    DuckDB resolve identically at analysis time; the physical plan is
+    the ordinary hash aggregate)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_gba_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*)                    AS cnt,
+               round(sum(o_totalprice), 4) AS total
+        FROM v_gba_orders
+        GROUP BY ALL
+        """
+    )

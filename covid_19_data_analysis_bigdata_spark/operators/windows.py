@@ -362,3 +362,46 @@ def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 4)                AS dsum
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, day,
+           round(median(dsum) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+    FROM daily
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day median — robust smoothing that a moving average
+    cannot provide (one outlier day drags a mean for a week; a median
+    shrugs it off).
+
+    Exact ``percentile`` as a *window* aggregate over a row frame: the
+    frame re-sorts ≤7 values per row, so cost is frame-bounded, not
+    partition-bounded.  Runs over the pre-aggregated daily series —
+    the window input is days × types, never raw events, which is the
+    scale discipline for every rolling statistic.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("dsum"))
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.round(F.expr("percentile(dsum, 0.5)").over(w), 4).alias("med7"),
+    )

@@ -252,3 +252,18 @@ def test_zorder_metric_needs_no_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "etl_zorder_layout")
     assert "Window" not in plan
     assert "TakeOrdered" not in plan
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """All column stats must come from ONE pass over orders — the
+    stack() reshape runs on the 1-row aggregate, not the table."""
+    plan = _plan(spark, sf_dir, "dq_profile_columns")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_inverted_index_single_term_exchange(spark, sf_dir):
+    """df-count, head-truncation, and the posting fold are all keyed
+    on term; the plan must not add a second wide shuffle beyond the
+    distinct."""
+    plan = _plan(spark, sf_dir, "llm_inverted_index")
+    assert "Window" in plan

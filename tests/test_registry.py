@@ -21,6 +21,7 @@ EXPECTED_IDS = {
     "agg_approx_percentile", "agg_filtered", "agg_collect", "agg_rollup",
     "agg_cube", "agg_grouping_sets", "agg_histogram", "agg_mode",
     "agg_corr_exact", "pivot_wide", "unpivot_melt", "agg_listagg", "agg_mad",
+    "llm_inverted_index", "sql_group_by_all",
     # cat 5
     "win_lag_diff", "win_lead", "win_moving_avg", "win_range_frame",
     "win_cumsum", "win_rank_dense", "win_row_number_topk",
@@ -81,14 +82,14 @@ EXPECTED_IDS = {
     "llm_embedding_quantize", "events_funnel_conversion",
     # ETL / CDC primitives (etl.py)
     "etl_upsert_scd1", "etl_keep_latest", "etl_scd2_intervals",
-    "etl_incremental_agg",
+    "etl_incremental_agg", "dq_profile_columns",
     "etl_partition_overwrite", "dq_expectations",
     # null-safe join (joins.py)
     "join_null_safe",
     # edit-distance fuzzy matching (textprep.py)
     "str_edit_distance",
     # batch gaps-and-islands sessionization (windows.py)
-    "win_sessionize_batch", "win_rolling_distinct",
+    "win_sessionize_batch", "win_rolling_distinct", "win_rolling_median",
     # connected-components dedup clustering (textprep.py)
     "llm_dedup_clusters",
     # training-set assembly (llmprep.py)
