@@ -774,3 +774,110 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("head_postings")
     )
+
+
+@query(
+    "llm_pmi_cooccur",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+               FROM documents),
+    pairs AS (
+        SELECT doc_id,
+               unnest([CASE WHEN words[i] <= words[i+1]
+                            THEN words[i] || ' ' || words[i+1]
+                            ELSE words[i+1] || ' ' || words[i] END
+                       for i in generate_series(1, len(words) - 1)
+                       if words[i] <> words[i+1]]
+                      ||
+                      [CASE WHEN words[i] <= words[i+2]
+                            THEN words[i] || ' ' || words[i+2]
+                            ELSE words[i+2] || ' ' || words[i] END
+                       for i in generate_series(1, len(words) - 2)
+                       if words[i] <> words[i+2]]) AS pair
+        FROM w),
+    pc AS (SELECT pair, count(*) AS c_uv FROM pairs GROUP BY pair),
+    uni AS (
+        SELECT unnest(words) AS tok FROM w),
+    uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    tot AS (SELECT (SELECT count(*) FROM uni)  AS t,
+                   (SELECT sum(c_uv) FROM pc)  AS p)
+    SELECT string_split(pc.pair, ' ')[1] AS u,
+           string_split(pc.pair, ' ')[2] AS v,
+           pc.c_uv,
+           round(ln((CAST(pc.c_uv AS DOUBLE) * tot.t * tot.t)
+                    / (CAST(tot.p AS DOUBLE) * cu.c * cv.c)), 6) AS pmi
+    FROM pc
+    JOIN uc cu ON cu.tok = string_split(pc.pair, ' ')[1]
+    JOIN uc cv ON cv.tok = string_split(pc.pair, ' ')[2]
+    CROSS JOIN tot
+    WHERE pc.c_uv >= 5
+    """,
+)
+def llm_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of co-occurring word pairs within a
+    ±2-token window — the classic collocation / word-association score
+    that seeds embedding-era pipelines (PMI-weighted co-occurrence
+    matrices are what SVD/word2vec factorize).
+
+    Pairs are generated *inside each document's token array* with a
+    higher-order ``transform``+``flatten`` (no positional self-join:
+    the candidate space never leaves the row, so there is no shuffle
+    proportional to pairs — only the final pair-count aggregation).
+    Pairs are normalized unordered (lexicographic least/greatest), and
+    PMI = ln(c_uv·T² / (P·c_u·c_v)) is one double expression over
+    exact integer counts, rounded 6dp, identical in both engines.
+    Unigram and total counts are broadcast — bounded by vocabulary
+    size, not corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = _words()
+    # Forward skip-grams at distance 1 and 2, normalized unordered,
+    # identical tokens dropped; built per-row then exploded.
+    def skip(k: int):
+        return F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(words) - k, F.lit(1))),
+                lambda i: F.when(
+                    F.element_at(words, i) != F.element_at(words, i + k),
+                    F.concat_ws(
+                        " ",
+                        F.least(
+                            F.element_at(words, i), F.element_at(words, i + k)
+                        ),
+                        F.greatest(
+                            F.element_at(words, i), F.element_at(words, i + k)
+                        ),
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+
+    pairs = d.select(
+        F.explode(F.concat(skip(1), skip(2))).alias("pair")
+    )
+    pc = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("c_uv"))
+    uni = d.select(F.explode(words).alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("t")).crossJoin(
+        pc.agg(F.sum("c_uv").alias("p"))
+    )
+    split = F.split(F.col("pair"), " ")
+    scored = (
+        pc.filter(F.col("c_uv") >= 5)
+        .select(
+            split.getItem(0).alias("u"),
+            split.getItem(1).alias("v"),
+            "c_uv",
+        )
+        .join(F.broadcast(uc.select(F.col("tok").alias("u"),
+                                    F.col("c").alias("cu"))), "u")
+        .join(F.broadcast(uc.select(F.col("tok").alias("v"),
+                                    F.col("c").alias("cv"))), "v")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.log(
+        (F.col("c_uv").cast("double") * F.col("t") * F.col("t"))
+        / (F.col("p").cast("double") * F.col("cu") * F.col("cv"))
+    )
+    return scored.select("u", "v", "c_uv", F.round(pmi, 6).alias("pmi"))

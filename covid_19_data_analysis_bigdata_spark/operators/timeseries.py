@@ -299,3 +299,166 @@ def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("dsum") - F.min("dsum"), 4).alias("dow_range"),
         )
     )
+
+
+@query(
+    "ts_streak_longest",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    idx AS (
+        SELECT user_id,
+               datediff('day', DATE '{EPOCH}', day) AS d,
+               row_number() OVER (PARTITION BY user_id ORDER BY
+                                  datediff('day', DATE '{EPOCH}', day))
+                   AS rn
+        FROM daily),
+    runs AS (
+        SELECT user_id, d - rn AS island, count(*) AS len
+        FROM idx
+        GROUP BY user_id, d - rn)
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM runs
+    GROUP BY user_id
+    """,
+)
+def ts_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (reference analog: longest run of days
+    with rising case counts).
+
+    Island id = integer day index minus the row number over days: both
+    are exact integers, so consecutive days share one id and any gap
+    starts a new one — no calendar arithmetic, no floats, identical in
+    both engines.  One window pass plus two hash aggregations, all
+    partitioned by user_id: state per key is bounded by that key's
+    distinct-day count, never the corpus, so the plan survives any
+    scale-up unchanged.
+    """
+    d = F.datediff(F.col("day"), F.lit(EPOCH).cast("date")).alias("d")
+    idx = _daily(spark, sf_dir).select("user_id", d)
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("d")
+    )
+    runs = (
+        idx.withColumn("island", F.col("d") - rn)
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    obs AS (
+        SELECT user_id, day,
+               CAST(round(dsum * 10000) AS BIGINT) AS y4
+        FROM daily),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(min(day), max(day),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM obs
+        GROUP BY user_id),
+    j AS (SELECT s.user_id, s.day, o.y4
+          FROM spine s LEFT JOIN obs o USING (user_id, day)),
+    ctx AS (
+        SELECT user_id, day, y4,
+               last_value(y4 IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev4,
+               last_value(CASE WHEN y4 IS NOT NULL THEN day END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_day,
+               first_value(y4 IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next4,
+               first_value(CASE WHEN y4 IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_day
+        FROM j)
+    SELECT user_id, day,
+           round(CASE WHEN y4 IS NOT NULL THEN CAST(y4 AS DOUBLE)
+                      ELSE prev4 + (next4 - prev4)
+                           * datediff('day', prev_day, day)
+                           / datediff('day', prev_day, next_day)
+                 END / 10000, 4)          AS value,
+           CAST(y4 IS NULL AS BOOLEAN)    AS was_gap
+    FROM ctx
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily resampling with **linear interpolation**: each
+    missing day gets the straight-line value between its surrounding
+    observations (the alignment step when forward-fill's step function
+    is too crude — e.g. smoothing reporting gaps in a case series).
+
+    Cross-engine determinism mirrors ``ts_trend_forecast``: observed
+    values become exact scaled integers (×10⁴ BIGINT) first, so the
+    interpolation ``prev + (next − prev) · Δd / span`` is the same IEEE
+    double arithmetic over the same integers in both engines.  The
+    spine rows on the span edges are observed by construction (min/max
+    are active days), so every gap has both neighbors.  Per-key date
+    spines and two window passes partitioned by user_id — state bounded
+    by span length per key, never corpus size.
+    """
+    daily = _daily(spark, sf_dir)
+    obs = daily.select(
+        "user_id",
+        "day",
+        F.round(F.col("dsum") * 10000).cast("long").alias("y4"),
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    j = spine.join(obs, ["user_id", "day"], "left")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("y4").isNotNull(), F.col("day"))
+    ctx = j.select(
+        "user_id",
+        "day",
+        "y4",
+        F.last("y4", ignorenulls=True).over(w_back).alias("prev4"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("prev_day"),
+        F.first("y4", ignorenulls=True).over(w_fwd).alias("next4"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("next_day"),
+    )
+    interp = F.col("prev4") + (F.col("next4") - F.col("prev4")) * F.datediff(
+        F.col("day"), F.col("prev_day")
+    ) / F.datediff(F.col("next_day"), F.col("prev_day"))
+    return ctx.select(
+        "user_id",
+        "day",
+        F.round(
+            F.when(F.col("y4").isNotNull(), F.col("y4").cast("double"))
+            .otherwise(interp)
+            / 10000,
+            4,
+        ).alias("value"),
+        F.col("y4").isNull().alias("was_gap"),
+    )
