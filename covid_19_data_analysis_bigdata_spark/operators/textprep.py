@@ -119,32 +119,37 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language marker-word sets, predict the argmax, emit the
     (true lang × predicted lang) confusion counts.
 
-    The marker table is a broadcast dimension (bounded: vocabulary-
-    sized); scoring is one token join + partial+final count — linear in
-    corpus size, no per-document state.
+    The marker sets are bounded literals compiled *into the row
+    expression*: per-language hit counts are array ``filter``+``size``
+    over the token array, and the argmax (ties → lexicographically
+    first language, zero hits → 'unk') is an ``array_max`` over
+    (hits, −lang-rank) structs.  The whole scoring pass is therefore
+    narrow — the corpus is never exploded, joined, or shuffled; the
+    only exchange is the final language×language confusion aggregate
+    (≤ |langs|² rows).  The oracle computes the same argmax via an
+    exploded token join, which is the shape the Spark side
+    deliberately avoids.
     """
     d = load_table(spark, sf_dir, "documents")
-    markers = spark.createDataFrame(
-        [(w, lang) for lang, ws in LANG_MARKERS.items() for w in ws],
-        "tok string, mlang string",
-    )
-    tok = d.select("doc_id", F.explode(_words()).alias("tok"))
-    scores = (
-        tok.join(F.broadcast(markers), "tok")
-        .groupBy("doc_id", "mlang")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("mlang"))
-    best = (
-        scores.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", "mlang")
-    )
-    return (
-        d.join(best, "doc_id", "left")
-        .select(
-            "lang", F.coalesce("mlang", F.lit("unk")).alias("pred_lang")
+    words = _words()
+    # Ascending language order; -idx in the comparison struct makes
+    # array_max prefer the lexicographically first language on tied
+    # hit counts (matching the oracle's ORDER BY hits DESC, mlang).
+    def hits(ws: list) -> Column:
+        return F.size(F.filter(words, lambda x: x.isin(*ws)))
+
+    cands = [
+        F.struct(
+            hits(ws).alias("hits"),
+            F.lit(-i).alias("nidx"),
+            F.lit(lang).alias("mlang"),
         )
+        for i, (lang, ws) in enumerate(sorted(LANG_MARKERS.items()))
+    ]
+    best = F.array_max(F.array(*cands))
+    pred = F.when(best["hits"] > 0, best["mlang"]).otherwise("unk")
+    return (
+        d.select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -114,9 +114,13 @@ def test_fuzzy_dedup_has_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_lang_id_broadcasts_markers(spark, sf_dir):
+def test_lang_id_is_narrow_no_join_no_explode(spark, sf_dir):
+    # Marker scoring is compiled into row expressions: the corpus must
+    # never be exploded or joined — the only exchange feeds the final
+    # bounded confusion aggregate.
     plan = _plan(spark, sf_dir, "llm_lang_id")
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan
 
 
 def test_knn_broadcasts_probes_not_corpus(spark, sf_dir):
