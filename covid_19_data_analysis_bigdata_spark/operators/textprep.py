@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.operators.llm import (
     FUZZY_PAIRS_CTES,
+    FUZZY_TAU,
+    LSH_BANDS,
+    MINHASH_PERMS,
     _cosine,
     _d,
     _pair_group_frame,
@@ -898,5 +901,150 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("int")
             .alias("keep"),
+        )
+    )
+
+
+@query(
+    "llm_dedup_cross_corpus",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                 for i in generate_series(1, len(words)-2)])
+                      AS shingles
+           FROM w WHERE len(words) >= 3),
+    tok AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inter_x AS (
+        SELECT a.doc_id AS ii, b.doc_id AS ci, count(*) AS i
+        FROM tok a JOIN tok b ON a.tok = b.tok
+        WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        GROUP BY 1, 2),
+    xp AS (
+        SELECT ii, round(i * 1.0 / (sa.n + sb.n - i), 6) AS j
+        FROM inter_x
+        JOIN sizes sa ON ii = sa.doc_id
+        JOIN sizes sb ON ci = sb.doc_id
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= {FUZZY_TAU}),
+    near AS (SELECT ii, count(*) AS n_near, max(j) AS best_j
+             FROM xp GROUP BY ii),
+    ex AS (
+        SELECT DISTINCT i.doc_id AS ii
+        FROM documents i
+        JOIN documents c ON md5(i.text) = md5(c.text)
+                        AND c.doc_id % 5 <> 0
+        WHERE i.doc_id % 5 = 0)
+    SELECT i.doc_id,
+           CASE WHEN ex.ii IS NOT NULL   THEN 'dup_exact'
+                WHEN near.ii IS NOT NULL THEN 'near_dup'
+                ELSE 'keep' END          AS verdict,
+           CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near,
+           near.best_j                   AS best_jaccard
+    FROM documents i
+    LEFT JOIN ex   ON ex.ii = i.doc_id
+    LEFT JOIN near ON near.ii = i.doc_id
+    WHERE i.doc_id % 5 = 0
+    """,
+)
+def llm_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: screen an incoming batch (doc_id ≡ 0
+    mod 5) against the existing corpus (the rest) — exact content-hash
+    match first, then MinHash-LSH near-dup, with per-document verdicts
+    ``dup_exact`` / ``near_dup`` / ``keep``.
+
+    This is the *cross-corpus* form of `llm_dedup_fuzzy`: in a training
+    pipeline the corpus side's signatures are computed once and kept,
+    so each new batch costs only its own shingling plus a band-bucket
+    join against the signature store — never a corpus×corpus or
+    batch×corpus all-pairs scan.  Candidates are LSH band-bucket
+    cohabitants (recall argument as in `llm_dedup_fuzzy`); every
+    candidate is verified with exact shingle-set Jaccard (integer
+    set sizes, one double division), so false positives never reach a
+    verdict.  The oracle brute-forces the same cross join in SQL.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % 5 == 0
+    sh = (
+        d.select("doc_id", _shingles(_words()).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    tok = sh.select("doc_id", F.explode("shingles").alias("tok"))
+    minhash = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"h{i}")
+            for i in range(MINHASH_PERMS)
+        ]
+    )
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("sig"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = (
+        minhash.select("doc_id", F.explode(band_structs).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig"))
+        .persist()
+    )
+    inc_b = bands.filter(is_inc).select(
+        F.col("doc_id").alias("ii"), "band", "sig"
+    )
+    corp_b = bands.filter(~is_inc).select(
+        F.col("doc_id").alias("ci"), "band", "sig"
+    )
+    cand = inc_b.join(corp_b, ["band", "sig"]).select("ii", "ci").distinct()
+    sa = sh.select(F.col("doc_id").alias("ii"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("ci"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    near = (
+        cand.join(sa, "ii")
+        .join(sb, "ci")
+        .withColumn("i", inter)
+        .withColumn(
+            "j",
+            F.col("i")
+            * 1.0
+            / (F.size("sa") + F.size("sb") - F.col("i")),
+        )
+        .filter(F.col("j") >= FUZZY_TAU)
+        .groupBy("ii")
+        .agg(
+            F.count(F.lit(1)).alias("n_near"),
+            F.max(F.round(F.col("j"), 6)).alias("best_j"),
+        )
+    )
+    inc = d.filter(is_inc).select("doc_id", F.md5("text").alias("h"))
+    corp_h = (
+        d.filter(~is_inc).select(F.md5("text").alias("h")).distinct()
+        .withColumn("is_ex", F.lit(True))
+    )
+    ex = inc.join(corp_h, "h", "left").select(
+        "doc_id", F.coalesce("is_ex", F.lit(False)).alias("is_ex")
+    )
+    verdict = (
+        F.when(F.col("is_ex"), "dup_exact")
+        .when(F.col("n_near").isNotNull(), "near_dup")
+        .otherwise("keep")
+    )
+    return (
+        ex.join(near, ex.doc_id == near.ii, "left")
+        .select(
+            "doc_id",
+            verdict.alias("verdict"),
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+            F.col("best_j").alias("best_jaccard"),
         )
     )

@@ -123,6 +123,13 @@ def test_lang_id_is_narrow_no_join_no_explode(spark, sf_dir):
     assert "Generate" not in plan
 
 
+def test_cross_corpus_dedup_has_no_cartesian(spark, sf_dir):
+    # Incoming×corpus candidates must come from the LSH band-bucket
+    # equi-join, never an all-pairs product.
+    plan = _plan(spark, sf_dir, "llm_dedup_cross_corpus")
+    assert "CartesianProduct" not in plan
+
+
 def test_knn_broadcasts_probes_not_corpus(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_knn_per_query")
     assert "BroadcastNestedLoopJoin" in plan
