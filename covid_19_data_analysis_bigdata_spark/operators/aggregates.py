@@ -618,3 +618,32 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad_price"),
         )
     )
+
+
+@query("agg_sketch_rollup")  # approximate sketch — rows-only check by design
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count sketches: per-(event_type, day)
+    HyperLogLog sketches of user_id, merged up to per-event_type totals
+    with ``hll_union_agg`` — the pre-aggregation pattern that makes
+    distinct counts cheap at 100 TB (daily sketch tables are tiny and
+    re-mergeable to any coarser grain without rescanning facts;
+    an exact countDistinct re-shuffles the raw corpus every rollup).
+
+    DataSketches HLL is deterministic for a given input set but not
+    reproducible in DuckDB, so this is a declared-weak rows-only check;
+    `tests/test_properties.py` bounds the estimate against the exact
+    count instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily_sk = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily_sk.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_users"
+            ),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+    )

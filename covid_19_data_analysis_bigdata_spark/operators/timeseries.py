@@ -462,3 +462,60 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
         F.col("y4").isNull().alias("was_gap"),
     )
+
+
+@query(
+    "win_range_time",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    idx AS (
+        SELECT user_id,
+               datediff('day', DATE '{EPOCH}', day)  AS d,
+               day,
+               CAST(round(dsum * 10000) AS BIGINT)   AS y4
+        FROM daily)
+    SELECT user_id, day,
+           round(sum(y4) OVER (
+               PARTITION BY user_id ORDER BY d
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) / 10000.0, 4)
+               AS trailing_3d,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY d
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_days_in_window
+    FROM idx
+    """,
+)
+def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-calendar-day rolling sum per user over the *sparse*
+    daily series — a RANGE frame keyed on the integer day index, so a
+    day with absent neighbors aggregates only what actually exists in
+    the last 3 calendar days (a ROWS frame would wrongly reach back
+    across gaps; compare `win_moving_avg`).
+
+    The frame key is an exact integer day index and the summed values
+    are ×10⁴-scaled BIGINTs, so window sums are order-independent
+    integer additions in both engines.  One window pass partitioned by
+    user_id — per-key state is the 3-day frame, independent of corpus
+    size.
+    """
+    daily = _daily(spark, sf_dir)
+    idx = daily.select(
+        "user_id",
+        "day",
+        F.datediff(F.col("day"), F.lit(EPOCH).cast("date"))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("dsum") * 10000).cast("long").alias("y4"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rangeBetween(-2, Window.currentRow)
+    )
+    return idx.select(
+        "user_id",
+        "day",
+        F.round(F.sum("y4").over(w) / 10000.0, 4).alias("trailing_3d"),
+        F.count(F.lit(1)).over(w).alias("n_days_in_window"),
+    )

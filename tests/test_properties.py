@@ -255,3 +255,25 @@ def test_observe_metrics_match_direct_aggregates(spark, sf_dir):
     assert got["price_seen"] == o.agg(
         F.round(F.sum("o_totalprice"), 4)
     ).first()[0]
+
+
+def test_sketch_rollup_matches_exact_within_error(spark, sf_dir):
+    # Daily HLL sketches merged to event_type grain must estimate the
+    # exact distinct-user count within DataSketches' default error
+    # (rsd ≈ 2.1% at lgK=12; allow 5% slack).
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in _q(spark, sf_dir, "agg_sketch_rollup").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("cnt"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (
+            k, est, exact[k],
+        )
