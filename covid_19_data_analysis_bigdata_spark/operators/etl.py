@@ -443,3 +443,62 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS (col_name, n, nulls, n_distinct, min_s, max_s)"""
         )
     )
+
+
+@query(
+    "etl_cascade_delete",
+    oracle="""
+    WITH del_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    del_o AS (SELECT o_orderkey FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM del_c)),
+    del_l AS (SELECT l_orderkey FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM del_o))
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM customer)  AS rows_total,
+           (SELECT count(*) FROM del_c)     AS rows_purged
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM del_o)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM del_l)
+    """,
+)
+def etl_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade: given a deletion keyset (customers with
+    custkey ≡ 0 mod 97 — standing in for a legal request list), follow
+    the foreign keys customer → orders → lineitem and report how many
+    rows each table would purge.
+
+    The deletion keyset and its order-key closure are bounded (request
+    lists are small relative to facts), so each fact table is screened
+    with one broadcast semi-join — a single scan per table, no fact-
+    to-fact shuffle.  At 100 TB the same plan drives the delete itself:
+    partition-pruned rewrite of only the files whose min/max key ranges
+    intersect the broadcast keyset.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_c = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_o = o.join(
+        F.broadcast(del_c), o.o_custkey == del_c.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_l = li.join(
+        F.broadcast(del_o), li.l_orderkey == del_o.o_orderkey, "left_semi"
+    )
+
+    def report(name, total_df, purged_df):
+        return total_df.agg(F.count(F.lit(1)).alias("rows_total")).crossJoin(
+            purged_df.agg(F.count(F.lit(1)).alias("rows_purged"))
+        ).select(
+            F.lit(name).alias("table_name"), "rows_total", "rows_purged"
+        )
+
+    return (
+        report("customer", c, del_c)
+        .unionAll(report("orders", o, del_o))
+        .unionAll(report("lineitem", li, del_l))
+    )

@@ -1048,3 +1048,86 @@ def llm_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best_j").alias("best_jaccard"),
         )
     )
+
+
+CONTAIN_TAU = 0.8
+
+
+@query(
+    "llm_dedup_containment",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+               FROM documents),
+    bg AS (SELECT doc_id,
+                  list_distinct([words[i] || ' ' || words[i+1]
+                                 for i in generate_series(1, len(words)-1)])
+                      AS grams
+           FROM w WHERE len(words) >= 2),
+    tok AS (SELECT doc_id, unnest(grams) AS g FROM bg),
+    df AS (SELECT g, count(*) AS df FROM tok GROUP BY g),
+    cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+             JOIN df ON a.g = df.g
+             WHERE df.df <= {NGRAM_DF_MAX}
+             GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(grams) AS n FROM bg),
+    inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+              FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT c.a_id, c.b_id,
+           CAST(least(sa.n, sb.n) AS BIGINT) AS smaller_set,
+           round(i.i * 1.0 / least(sa.n, sb.n), 6) AS overlap
+    FROM cand c
+    JOIN inter i USING (a_id, b_id)
+    JOIN sizes sa ON c.a_id = sa.doc_id
+    JOIN sizes sb ON c.b_id = sb.doc_id
+    WHERE i.i * 1.0 / least(sa.n, sb.n) >= {CONTAIN_TAU}
+    """,
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) near-dup detection:
+    |A∩B| / min(|A|,|B|) ≥ τ over word-bigram sets — catches a short
+    document embedded inside a longer one (quotes, boilerplate
+    wrappers, excerpt pages), which Jaccard structurally misses
+    because the union in its denominator is dominated by the longer
+    document.
+
+    Same scale architecture as `llm_dedup_ngram`: candidates come from
+    a df-capped inverted index (hot-gram buckets pruned, bounded
+    candidate fan-out), and every candidate is verified with exact
+    integer set arithmetic — the overlap is one double division of two
+    integers, identical in both engines.  The df-cap candidate rule is
+    mirrored verbatim in the oracle, so the comparison is exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select("doc_id", _bigrams(_words()).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .persist()
+    )
+    tok = bg.select("doc_id", F.explode("grams").alias("g"))
+    df_t = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    rare = tok.join(
+        F.broadcast(df_t.filter(F.col("df") <= NGRAM_DF_MAX)), "g"
+    )
+    a = rare.select(F.col("doc_id").alias("a_id"), "g")
+    b = rare.select(F.col("doc_id").alias("b_id"), "g")
+    cand = (
+        a.join(b, (a.g == b.g) & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = bg.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("ga"))
+    sb = bg.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gb"))
+    smaller = F.least(F.size("ga"), F.size("gb"))
+    verified = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("i", F.size(F.array_intersect(F.col("ga"), F.col("gb"))))
+        .withColumn("smaller_set", smaller.cast("long"))
+        .withColumn("overlap", F.col("i") * 1.0 / smaller)
+        .filter(F.col("overlap") >= CONTAIN_TAU)
+    )
+    return verified.select(
+        "a_id", "b_id", "smaller_set", F.round("overlap", 6).alias("overlap")
+    )
