@@ -44,6 +44,8 @@ HEADLINE = [
     "scan_dpp_star_join",   # dynamic partition pruning on the fact scan
     "report_volume_shipping",  # fact-fact-fact join, nation-pair matrix
     "graph_pagerank",       # fact-aggregated graph + integer iteration
+    "llm_pmi_cooccur",      # skip-gram PMI (r2 perf-weak watch item)
+    "graph_triangle_count",  # degree-oriented wedge join (r2 perf-weak watch item)
 ]
 
 

@@ -350,9 +350,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         # The edge list is orders of magnitude smaller than the fact
-        # table it came from; compact it so the wedge join's task count
-        # tracks edge volume, not the fact table's partitioning.
-        .coalesce(8)
+        # table it came from.  AQE's runtime partition coalescing sizes
+        # the post-distinct partitions from the ACTUAL edge volume — a
+        # hard-coded coalesce(n) here (round 2) fixed the wedge join's
+        # parallelism forever, a funnel at 100× the edge count.
         .persist()  # reused by degree calc, orientation, and the close probe
     )
     deg = (
@@ -376,7 +377,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
-        .coalesce(8)
         .persist()
     )
     o1 = oriented.alias("o1")

@@ -829,25 +829,26 @@ def llm_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unigram and total counts are broadcast — bounded by vocabulary
     size, not corpus size.
     """
-    d = load_table(spark, sf_dir, "documents")
-    words = _words()
-    # Forward skip-grams at distance 1 and 2, normalized unordered,
+    # Tokenize ONCE into a projected column.  The round-2 version indexed
+    # the raw `split(lower(text))` expression with per-position
+    # `element_at` lambdas; Catalyst inlined the split into every
+    # element_at, re-tokenizing the whole document per token — O(len²)
+    # work per row (17 s warm at sf0.1).  zip_with over two shifted
+    # slices evaluates the array a constant number of times per row.
+    d = load_table(spark, sf_dir, "documents").select(_words().alias("words"))
+    words = F.col("words")
+
+    # Forward skip-grams at distance k, normalized unordered,
     # identical tokens dropped; built per-row then exploded.
     def skip(k: int):
+        n = F.greatest(F.size(words) - k, F.lit(0))
         return F.filter(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(words) - k, F.lit(1))),
-                lambda i: F.when(
-                    F.element_at(words, i) != F.element_at(words, i + k),
-                    F.concat_ws(
-                        " ",
-                        F.least(
-                            F.element_at(words, i), F.element_at(words, i + k)
-                        ),
-                        F.greatest(
-                            F.element_at(words, i), F.element_at(words, i + k)
-                        ),
-                    ),
+            F.zip_with(
+                F.slice(words, 1, n),
+                F.slice(words, k + 1, n),
+                lambda a, b: F.when(
+                    a != b,
+                    F.concat_ws(" ", F.least(a, b), F.greatest(a, b)),
                 ),
             ),
             lambda x: x.isNotNull(),

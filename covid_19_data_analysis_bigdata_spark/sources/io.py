@@ -2,11 +2,21 @@
 
 All reads are metadata-only on schema (parquet footer / pinned
 StructType) — no inference pass.  The one ingest repair the corpus
-needs: ``events.ts`` is parquet ``TIMESTAMP(NANOS)`` which Spark 4.1.2
-refuses to read; with ``spark.sql.legacy.parquet.nanosAsLong=true`` it
-arrives as bigint nanoseconds and is converted to a µs TimestampType via
-*integer* division (ns epoch values ≈ 1.7e18 exceed double's 53-bit
-mantissa, so a float division would corrupt low microseconds).
+needs is ``events.ts``, whose on-disk encoding has varied across
+testdata generations; the repair is *encoding-adaptive* so any of the
+three observed encodings loads to the same UTC ``TimestampType``:
+
+- parquet ``TIMESTAMP(NANOS)``: Spark 4.1.2 refuses it; with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as bigint
+  nanoseconds → ``timestamp_micros(ts DIV 1000)`` (*integer* division:
+  ns epoch values ≈ 1.7e18 exceed double's 53-bit mantissa, so a float
+  division would corrupt low microseconds).
+- parquet ``timestamp[us]`` naive (isAdjustedToUTC=false): Spark reads
+  ``TIMESTAMP_NTZ`` → ``cast('timestamp')``.  The session timezone is
+  pinned UTC (session.py), so the cast is value-preserving and matches
+  DuckDB's naive-as-UTC epoch semantics.
+- parquet ``timestamp[us]`` UTC-adjusted: already ``TimestampType``;
+  no-op.
 """
 
 from __future__ import annotations
@@ -27,12 +37,47 @@ from covid_19_data_analysis_bigdata_spark.session import ensure_confs
 FIXTURE_ROOT = os.path.join(tempfile.gettempdir(), "covid19_bigdata_spark_fixtures")
 
 
+def repair_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to UTC ``TimestampType``, whatever it read as.
+
+    Encoding-adaptive (see module docstring): bigint nanos →
+    ``timestamp_micros(ts DIV 1000)``; ``timestamp_ntz`` →
+    ``cast('timestamp')`` (UTC session tz pinned, value-preserving);
+    already ``timestamp`` → no-op.  Shared by the batch scan layer and
+    the streaming source so the two paths can never diverge again.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def events_ts_physical_type(sf_dir: str) -> str:
+    """Metadata-only footer probe of the on-disk ``events.ts`` encoding.
+
+    Returns the pyarrow type string (``timestamp[ns]``, ``timestamp[us]``,
+    ``timestamp[us, tz=UTC]``, ``int64``, …).  Reads one parquet footer —
+    no data pages — so it is safe to call per-query even at 100 TB (the
+    footer of a single file decides the whole dataset's declared schema).
+    """
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        inner = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if inner:
+            path = inner[0]
+    return str(pq.read_schema(path).field("ts").type)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table from ``sf_dir`` with its repaired schema."""
     ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if name == "events":
+        df = repair_events_ts(df)
     return df
 
 

@@ -8,10 +8,11 @@ replayed via ``trigger(availableNow=True)`` into a memory sink; the
 equals the equivalent batch computation and most queries keep a strong
 DuckDB oracle.
 
-Event time is the repaired µs ``ts`` (ns parquet → bigint →
-timestamp_micros, same as the batch scan layer).  Watermarks bound the
-aggregation state so the same topology runs unbounded at scale
-(SURVEY.md §4.3.8).
+Event time is the repaired UTC ``ts`` — the declared stream schema is
+chosen per-encoding by a metadata-only footer probe and normalized by
+the same :func:`repair_events_ts` the batch scan layer uses, so the two
+paths cannot diverge.  Watermarks bound the aggregation state so the
+same topology runs unbounded at scale (SURVEY.md §4.3.8).
 """
 
 from __future__ import annotations
@@ -26,36 +27,56 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
+    TimestampType,
 )
 
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.session import ensure_confs
-
-#: Raw on-disk schema (pre-repair): ts is bigint nanos under nanosAsLong.
-_RAW_EVENTS = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
+from covid_19_data_analysis_bigdata_spark.sources.io import (
+    events_ts_physical_type,
+    repair_events_ts,
 )
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the ns→µs repair applied.
+def _events_schema(sf_dir: str) -> StructType:
+    """Declared stream schema for events, branched on the footer probe.
 
     Streaming file sources require a declared schema (no inference
-    pass) — the same 100 TB discipline as the batch path.
+    pass).  ``timestamp[ns]`` reads as bigint under ``nanosAsLong``;
+    naive ``timestamp[us]`` reads as TIMESTAMP_NTZ; UTC-adjusted as
+    TimestampType.  :func:`repair_events_ts` then normalizes all three.
+    """
+    phys = events_ts_physical_type(sf_dir)
+    if phys == "timestamp[ns]" or phys == "int64":
+        ts_type = LongType()
+    elif "tz=" in phys:
+        ts_type = TimestampType()
+    else:
+        ts_type = TimestampNTZType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the ts repair applied.
+
+    The declared schema comes from a one-footer metadata probe — the
+    same 100 TB discipline as the batch path (never infer over data).
     """
     ensure_confs(spark)
-    return (
-        spark.readStream.schema(_RAW_EVENTS)
+    return repair_events_ts(
+        spark.readStream.schema(_events_schema(sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
 
 
@@ -582,16 +603,26 @@ def stream_multi_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frag = os.path.join(fixture_dir(sf_dir, "stream8"), "events8")
     if not os.path.exists(os.path.join(frag, "_SUCCESS")):
-        # ts back to raw ns so the streaming-side schema/repair path is
-        # byte-identical with the single-file source
+        # ts written as raw ns longs so this fixture exercises the
+        # bigint branch of repair_events_ts regardless of the source
+        # encoding the testdata generation happened to use
         load_table(spark, sf_dir, "events").withColumn(
             "ts", (F.unix_micros("ts") * 1000).cast("long")
         ).repartition(8).write.mode("overwrite").parquet(frag)
-    ev = (
-        spark.readStream.schema(_RAW_EVENTS)
+    raw = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    ev = repair_events_ts(
+        spark.readStream.schema(raw)
         .option("maxFilesPerTrigger", "2")
         .parquet(frag)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
     agg = ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
         F.count(F.lit(1)).alias("cnt"),

@@ -69,3 +69,98 @@ def test_no_nested_output_schemas(spark, sf_dir, all_queries):
         if nested:
             bad[name] = nested
     assert not bad, f"nested output columns (unhashable cells): {bad}"
+
+
+class TestEventsTsEncodings:
+    """events.ts must load as UTC TimestampType for every on-disk
+    encoding the testdata generator has produced (bigint ns, naive µs,
+    UTC-adjusted µs).  Round-2 regression: the generator switched ns →
+    naive µs and the single-encoding repair silently collapsed event
+    time to 1970 in four streaming queries."""
+
+    # 2024-03-01T12:34:56.789012 UTC in epoch microseconds
+    EPOCH_US = 1709296496789012
+
+    def _write(self, tmp_path, arrow_type):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # int64 → timestamp casts reinterpret the integer in the target
+        # unit, so scale µs → ns when the target is nanosecond-grained.
+        raw = self.EPOCH_US * 1000 if arrow_type.unit == "ns" else self.EPOCH_US
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([raw], pa.int64()).cast(arrow_type),
+                "user_id": pa.array([7], pa.int64()),
+                "event_type": pa.array(["view"], pa.string()),
+                "value": pa.array([1.5], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        )
+        d = tmp_path / "events.parquet"
+        pq.write_table(tbl, d)
+        return str(tmp_path)
+
+    @pytest.mark.parametrize("enc", ["ns_naive", "us_naive", "us_utc"])
+    def test_batch_load_normalizes(self, spark, tmp_path, enc):
+        import pyarrow as pa
+
+        from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+        arrow_type = {
+            "ns_naive": pa.timestamp("ns"),
+            "us_naive": pa.timestamp("us"),
+            "us_utc": pa.timestamp("us", tz="UTC"),
+        }[enc]
+        sf = self._write(tmp_path, arrow_type)
+        df = load_table(spark, sf, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", enc
+        row = df.collect()[0]
+        assert int(row["ts"].timestamp() * 1_000_000) == self.EPOCH_US, enc
+
+    @pytest.mark.parametrize("enc", ["ns_naive", "us_naive", "us_utc"])
+    def test_stream_source_normalizes(self, spark, tmp_path, enc):
+        import pyarrow as pa
+
+        from covid_19_data_analysis_bigdata_spark.streaming.ops import (
+            events_stream,
+            run_to_table,
+        )
+
+        arrow_type = {
+            "ns_naive": pa.timestamp("ns"),
+            "us_naive": pa.timestamp("us"),
+            "us_utc": pa.timestamp("us", tz="UTC"),
+        }[enc]
+        sf = self._write(tmp_path, arrow_type)
+        ev = events_stream(spark, sf)
+        assert dict(ev.dtypes)["ts"] == "timestamp", enc
+        out = run_to_table(spark, ev.select("event_id", "ts"), f"t_enc_{enc}", "append")
+        row = out.collect()[0]
+        assert int(row["ts"].timestamp() * 1_000_000) == self.EPOCH_US, enc
+
+
+def test_committed_check_artifact_not_stale():
+    """A committed CHECK_r*.txt must carry a source-fingerprint header
+    matching the CURRENT testdata — regenerated testdata changes the
+    fingerprint, so stale green can never be presented as evidence."""
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    artifacts = sorted(
+        repo.glob("CHECK_r*.txt"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if not artifacts:
+        pytest.skip("no committed CHECK artifact yet")
+    latest = artifacts[-1]
+    first = latest.read_text().splitlines()[0]
+    m = re.match(r"# sf_dir=(\S+) source_fingerprint=(\w+)", first)
+    assert m, (
+        f"{latest.name} lacks a fingerprint header — regenerate with tools/check.py"
+    )
+    sf_dir, fp = m.groups()
+    from covid_19_data_analysis_bigdata_spark.sources.io import _source_fingerprint
+
+    assert _source_fingerprint(sf_dir) == fp, (
+        f"{latest.name} was generated against different testdata; rerun tools/check.py"
+    )

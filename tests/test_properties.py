@@ -277,3 +277,24 @@ def test_sketch_rollup_matches_exact_within_error(spark, sf_dir):
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (
             k, est, exact[k],
         )
+
+
+def test_sketch_rollup_within_merge_error(spark, sf_dir):
+    # The merged-daily-HLL estimate has no cross-engine oracle; bound it
+    # against the exact distinct instead.  lgConfigK=12 DataSketches HLL
+    # has rsd ~1.6% — a 10% envelope is loose enough for any sf while
+    # still catching a unit-scale bug (e.g. merging counts not sketches).
+    merged = {
+        r["event_type"]: r["approx_users"]
+        for r in _q(spark, sf_dir, "agg_sketch_rollup").collect()
+    }
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("cnt"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for et, est in merged.items():
+        assert 0.90 * exact[et] <= est <= 1.10 * exact[et], (et, est, exact[et])

@@ -106,11 +106,13 @@ EXPECTED_IDS = {
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
-#: sketch estimates (HLL++, Greenwald-Khanna) are engine-specific by
-#: construction; both carry error-envelope property tests instead.
+#: sketch estimates (HLL++, Greenwald-Khanna, mergeable-HLL rollup) are
+#: engine-specific by construction; each carries an error-envelope
+#: property test instead (tests/test_properties.py).
 WEAK_IDS = {
     "agg_approx_distinct",
     "agg_approx_percentile",
+    "agg_sketch_rollup",
 }
 
 

@@ -64,6 +64,11 @@ def main() -> int:
 
     import __spark_entry__ as E
     from covid_19_data_analysis_bigdata_spark.session import get_spark
+    from covid_19_data_analysis_bigdata_spark.sources.io import _source_fingerprint
+
+    # Stamp the data fingerprint so a committed artifact is self-dating:
+    # regenerated testdata changes the fingerprint and exposes stale green.
+    print(f"# sf_dir={args.sf} source_fingerprint={_source_fingerprint(args.sf)}")
 
     qs, orc = E.queries(), E.oracle_sql()
     names = args.names or sorted(qs)
