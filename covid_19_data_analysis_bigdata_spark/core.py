@@ -64,6 +64,7 @@ def load_all() -> None:
         llm,
         textprep,
         llmprep,
+        curation,
         multimodal,
         timeseries,
         etl,

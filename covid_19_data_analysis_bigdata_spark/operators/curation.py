@@ -1,0 +1,283 @@
+"""Corpus-curation operators round 3: span-level dedup, PII scrubbing,
+deterministic train/val/test splitting.
+
+These extend the training-data-pipeline surface (SURVEY.md §2 cat. 10
+extensions) with the three curation steps the existing doc-level dedup /
+quality / mix operators do not cover:
+
+- **Span-level exact dedup** (Lee et al., "Deduplicating Training Data
+  Makes Language Models Better"): duplicated substrings *within*
+  otherwise-unique documents are the dominant memorization vector; the
+  unit of dedup must drop below the document.
+- **PII scrubbing**: redaction of emails / phone numbers / IP addresses
+  with audited counts — a compliance gate every production corpus pass
+  runs.
+- **Deterministic split assignment**: hash-gated train/val/test labels
+  that are stable across engines, runs, and cluster sizes (a random
+  split silently leaks eval data on every backfill).
+
+Cross-engine determinism: span keys are md5 hex digests (bit-identical
+in Spark and DuckDB); the split gate reuses the portable polynomial
+hash verified bit-for-bit in textprep.py; all ratios are rounded 4dp on
+both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.operators.textprep import (
+    _POLY_SQL,
+    _polyhash,
+    _words,
+)
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+#: Span width (tokens) for exact substring-level dedup.  Lee et al. use
+#: 50 BPE tokens on web text; the synthetic corpus documents are only
+#: ~10-100 words, so 15 keeps span counts meaningful at every sf.
+SPAN_W = 15
+
+#: Redaction patterns — RE2 ⊆ Java-regex compatible subset (no
+#: lookaround, no backreferences) so Spark and DuckDB match identically.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: Deterministic pseudo-PII injected onto a doc_id-gated subset (the
+#: corpus text is synthetic and PII-free); makes the scrub measurable
+#: while keeping the whole fixture reproducible from doc_id alone.
+_AUG_SQL = (
+    "text || CASE WHEN doc_id % 7 = 0 THEN ' contact doc' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END "
+    "|| CASE WHEN doc_id % 11 = 0 THEN ' dial 555-0142 from 10.0.0.7' "
+    "ELSE '' END"
+)
+
+
+def _augmented_text() -> F.Column:
+    """Spark twin of :data:`_AUG_SQL` (same concatenation, same gates)."""
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact doc"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit(" dial 555-0142 from 10.0.0.7"),
+        ).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "llm_span_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+               FROM documents),
+    sp AS (SELECT doc_id,
+                  unnest([md5(array_to_string(words[i:i+{SPAN_W - 1}], ' '))
+                          for i in generate_series(1, len(words) - {SPAN_W - 1})]) AS h
+           FROM w WHERE len(words) >= {SPAN_W}),
+    dup AS (SELECT h
+            FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
+            WHERE nd >= 2)
+    SELECT sp.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dup_spans,
+           round(CAST(sum(CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+                 / count(*), 4) AS dup_frac
+    FROM sp LEFT JOIN dup ON sp.h = dup.h
+    GROUP BY sp.doc_id
+    """,
+)
+def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection below the document level.
+
+    Every sliding window of {SPAN_W} consecutive tokens is keyed by its
+    md5 digest; a span present in ≥2 distinct documents is duplicated,
+    and each document reports its duplicated-span fraction — the signal
+    substring-level dedup (Lee et al. 2022) trims on, which doc-level
+    dedup (exact/MinHash/SimHash, all present in this repo) cannot see.
+
+    Scale shape: the explode is a constant ×(len−W+1) fan-out of the
+    corpus with 32-byte keys (md5 hex, never the span text), the
+    dup-span set comes from one hash aggregation on the span key, and
+    the per-doc rollup is a second hash aggregation after an equi-join
+    on the same key — all shuffle-partitioned by span hash, no skew
+    (digests are uniform), no all-pairs stage at any point.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _words().alias("words"))
+        .filter(F.size("words") >= SPAN_W)
+    )
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size("words") - (SPAN_W - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("words", i, SPAN_W))),
+    )
+    sp = d.select("doc_id", F.explode(spans).alias("h"))
+    dup = (
+        sp.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    per = sp.join(dup, "h", "left")
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_spans"),
+        F.round(
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_frac"),
+    )
+
+
+@query(
+    "llm_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, source, {_AUG_SQL} AS t FROM documents),
+    hits AS (SELECT source,
+                    len(regexp_extract_all(t, '{PII_EMAIL}')) AS e,
+                    len(regexp_extract_all(t, '{PII_PHONE}')) AS p,
+                    len(regexp_extract_all(t, '{PII_IP}'))    AS ip,
+                    regexp_replace(regexp_replace(regexp_replace(t,
+                        '{PII_EMAIL}', '[EMAIL]', 'g'),
+                        '{PII_IP}', '[IP]', 'g'),
+                        '{PII_PHONE}', '[PHONE]', 'g') AS red
+             FROM aug)
+    SELECT source,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(e) AS BIGINT)    AS n_emails,
+           CAST(sum(p) AS BIGINT)    AS n_phones,
+           CAST(sum(ip) AS BIGINT)   AS n_ips,
+           round(CAST(sum(CASE WHEN e + p + ip > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS pii_rate,
+           CAST(sum(len(regexp_extract_all(red, '{PII_EMAIL}'))
+                    + len(regexp_extract_all(red, '{PII_PHONE}'))
+                    + len(regexp_extract_all(red, '{PII_IP}'))) AS BIGINT)
+               AS n_residual
+    FROM hits
+    GROUP BY source
+    """,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit per source.
+
+    Emails, phone fragments, and IPv4 literals are counted and then
+    redacted with class tags; ``n_residual`` re-scans the REDACTED text
+    and must be 0 — the self-check that proves the replace patterns
+    cover exactly what the detectors match (IP before PHONE: an IPv4
+    octet pair would otherwise re-match the phone pattern).  The corpus
+    text is synthetic/PII-free, so a deterministic doc_id-gated
+    augmentation injects known PII first — the operator's dataflow is
+    what a real scrub pass runs; only the fixture is synthetic.
+
+    Scale shape: every regex is row-local inside one codegen stage
+    (count + replace in a single projection), then a partial+final hash
+    aggregation on ``source`` — zero shuffles beyond the final rollup;
+    cost is linear in corpus bytes, the shape a 100 TB compliance scrub
+    needs.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "t", _augmented_text()
+    )
+
+    def n_matches(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL, "[EMAIL]"),
+            PII_IP,
+            "[IP]",
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    scored = d.select(
+        "source",
+        n_matches(F.col("t"), PII_EMAIL).alias("e"),
+        n_matches(F.col("t"), PII_PHONE).alias("p"),
+        n_matches(F.col("t"), PII_IP).alias("ip"),
+        red.alias("red"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("e").alias("n_emails"),
+        F.sum("p").alias("n_phones"),
+        F.sum("ip").alias("n_ips"),
+        F.round(
+            F.sum((F.col("e") + F.col("p") + F.col("ip") > 0).cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("pii_rate"),
+        F.sum(
+            n_matches(F.col("red"), PII_EMAIL)
+            + n_matches(F.col("red"), PII_PHONE)
+            + n_matches(F.col("red"), PII_IP)
+        ).alias("n_residual"),
+    )
+
+
+@query(
+    "llm_train_val_split",
+    oracle=f"""
+    WITH h AS (SELECT source,
+                      {_POLY_SQL.format(col="CAST(doc_id AS VARCHAR)")} % 100
+                          AS hh
+               FROM documents),
+    s AS (SELECT source,
+                 CASE WHEN hh < 90 THEN 'train'
+                      WHEN hh < 95 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM h),
+    c AS (SELECT source, split, count(*) AS n_docs FROM s GROUP BY 1, 2),
+    t AS (SELECT source, sum(n_docs) AS tot FROM c GROUP BY 1)
+    SELECT c.source, c.split,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           round(CAST(c.n_docs AS DOUBLE) / t.tot, 4) AS share
+    FROM c JOIN t USING (source)
+    """,
+)
+def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment, audited per source.
+
+    The gate is the portable polynomial hash of the document id modulo
+    100 — a pure row-local integer predicate: stable across engines,
+    runs, partitionings, and incremental backfills (any subset of the
+    corpus makes the identical assignment, so eval can never leak into
+    train on a re-run).  Contrast with ``llm_dataset_mix``, which
+    *samples* a subset; this op *partitions* the corpus exhaustively.
+
+    Scale shape: one hash aggregation on (source, split) plus a
+    broadcast of the tiny per-source totals — no other shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hh = _polyhash(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(hh < 90, F.lit("train"))
+        .when(hh < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    c = d.select("source", split.alias("split")).groupBy(
+        "source", "split"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = c.groupBy("source").agg(F.sum("n_docs").alias("tot"))
+    return c.join(F.broadcast(tot), "source").select(
+        "source",
+        "split",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("tot").cast("double"), 4).alias(
+            "share"
+        ),
+    )

@@ -704,3 +704,51 @@ def report_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
         )
     )
+
+
+@query(
+    "report_retention_cohort",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events),
+    f AS (SELECT user_id, min(day) AS d0 FROM act GROUP BY 1)
+    SELECT CAST(date_trunc('week', f.d0) AS DATE) AS cohort_week,
+           CAST(floor(date_diff('day', f.d0, a.day) / 7.0) AS BIGINT)
+               AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM act a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def report_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the events stream: users are
+    cohorted by the ISO week of their first activity; each cell counts
+    how many of them were active ``week_offset`` weeks later — the
+    canonical product-analytics triangle.
+
+    Scale shape: distinct to (user, day) grain, one aggregation for
+    first-activity, then an equi-join back on ``user_id`` — the join is
+    shuffle-partitioned on the same key the distinct already hashed, so
+    AQE reuses the layout; the output is bounded by weeks², never by
+    event volume.  Both date_trunc('week') implementations are ISO
+    Monday-start, and every output is an exact integer/date.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        act.join(first, "user_id")
+        .select(
+            F.date_trunc("week", "d0").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("day"), F.col("d0")) / 7.0
+            ).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

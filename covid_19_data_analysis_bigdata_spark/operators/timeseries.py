@@ -519,3 +519,81 @@ def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("y4").over(w) / 10000.0, 4).alias("trailing_3d"),
         F.count(F.lit(1)).over(w).alias("n_days_in_window"),
     )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 4)                AS v
+        FROM events
+        GROUP BY 1, 2),
+    win AS (
+        SELECT event_type, day, v,
+               count(v)     OVER w AS cnt,
+               sum(v)       OVER w AS s,
+               sum(v * v)   OVER w AS ss
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, day, v,
+           round(CASE WHEN cnt >= 4
+                       AND (ss - s * s / cnt) / (cnt - 1) > 0
+                      THEN (v - s / cnt)
+                           / sqrt((ss - s * s / cnt) / (cnt - 1))
+                 END, 3) AS zscore,
+           coalesce(abs((v - s / cnt)
+                        / sqrt((ss - s * s / cnt) / (cnt - 1))) > 2.0
+                    AND cnt >= 4
+                    AND (ss - s * s / cnt) / (cnt - 1) > 0,
+                    false) AS is_anomaly
+    FROM win
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the per-type daily series.
+
+    Each day's total is scored against the mean/stddev of the PREVIOUS
+    7 days (trailing frame excludes the current row — scoring a point
+    against a window that contains it dilutes every spike).  The
+    variance comes from explicit window sums (Σv, Σv², n) rather than a
+    stddev builtin, so both engines execute the identical arithmetic
+    expression — engine-internal Welford vs two-pass implementations
+    would differ in the last float bits.  Days with under 4 trailing
+    observations emit NULL (no stable baseline).
+
+    Scale shape: one hash aggregation to day grain (tiny output:
+    days × event_types), then a partitioned running window — the
+    detector's cost is the aggregation; the window runs over the
+    already-reduced frame.  The same topology runs incrementally as
+    ``stream_stateful_running``'s batch twin.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    cnt = F.count("v").over(w)
+    s = F.sum("v").over(w)
+    ss = F.sum(F.col("v") * F.col("v")).over(w)
+    # Null-gate the count (< 4 trailing obs → NULL) so every division
+    # null-propagates instead of tripping ANSI DIVIDE_BY_ZERO on the
+    # leading rows of each partition; gate the variance the same way so
+    # a zero-variance baseline yields NULL, not ±Inf.
+    cnt_g = F.when(cnt >= 4, cnt.cast("double"))
+    var = (ss - s * s / cnt_g) / (cnt_g - 1)
+    var_g = F.when(var > 0, var)
+    z = (F.col("v") - s / cnt_g) / F.sqrt(var_g)
+    return daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.round(z, 3).alias("zscore"),
+        F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_anomaly"),
+    )

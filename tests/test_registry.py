@@ -103,6 +103,12 @@ EXPECTED_IDS = {
     "pipeline_full_report",
     # error-safe arithmetic surface (scalars.py)
     "safe_arith_funcs",
+    # corpus curation round 3 (curation.py)
+    "llm_span_dedup", "llm_pii_scrub", "llm_train_val_split",
+    # rolling anomaly detection (timeseries.py)
+    "ts_anomaly_zscore",
+    # cohort retention matrix (reports.py)
+    "report_retention_cohort",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
