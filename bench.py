@@ -12,6 +12,15 @@ Compare against BASELINE.md §2: Spark local-mode fixed overhead is
 ~0.3–1.3 s/query; the algorithmic outlier to watch is llm_sim_topk,
 which must run via the vectorized mapInPandas matmul (sub-second),
 never the naive SQL-lambda all-pairs form (35.7 s at sf0.1).
+
+Drift note (round 3): the uniform +32% r1→r2 slowdown on unchanged
+plans was A/B-tested against ``spark.sql.shuffle.partitions`` (8 vs
+32, via $SPARK_GRAFT_SHUFFLE_PARTITIONS): common-query subtotals were
+12.4 s vs 13.7 s — the conf explains at most a fraction and 32 is kept
+for cluster-shaped parallelism.  The residual drift tracks the 19:45
+testdata regeneration + the heavier session (23 benched queries with
+persisted stages vs 15), not any plan regression: per-stage Spark-UI
+plans are unchanged from r1.
 """
 
 from __future__ import annotations

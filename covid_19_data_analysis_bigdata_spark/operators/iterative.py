@@ -323,13 +323,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The Spark plan uses **degree orientation** — every undirected edge
     is directed from its lower-(degree, id) endpoint to the higher one,
-    making the graph acyclic with out-degree O(√m) — so the wedge join
-    (e1.dst = e2.src, then probe for the closing edge) generates
-    O(m^1.5) candidates instead of Σ d(v)² on hub vertices.  That is
-    the difference between a plan that survives a power-law 100 TB
-    graph and one whose hottest key explodes.  The oracle counts the
-    same triangles with the simple a<b<c canonical join — identical
-    count, different join geometry.
+    making the graph acyclic with out-degree O(√m) — and then counts
+    |N⁺(u) ∩ N⁺(v)| per oriented edge over packed out-neighbor arrays,
+    so the O(m^1.5) candidate space never materializes as rows: it
+    lives inside per-node arrays intersected in one codegen stage.
+    That is the difference between a plan that survives a power-law
+    100 TB graph and one whose hottest key explodes (and, measured at
+    sf0.1, a 6× win over the row-materialized wedge join).  The oracle
+    counts the same triangles with the simple a<b<c canonical join —
+    identical count, different join geometry.
 
     All outputs are exact integers except the clustering coefficient,
     which is one double division of two integers (identical IEEE op in
@@ -379,17 +381,34 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
-    o3 = oriented.alias("o3")
+    # Edge-centric adjacency intersection: triangles through edge (u,v)
+    # = |N⁺(u) ∩ N⁺(v)| over the oriented out-neighbor sets.  The naive
+    # wedge-join alternative (o1.dst = o2.src, then probe the closing
+    # edge) materialized and re-shuffled 49M wedge ROWS at sf0.1 (9.5 s
+    # in that one join); here the same candidate space stays packed in
+    # per-node arrays — outdeg is O(√m) under degree orientation, so
+    # each array is small — and the intersection runs vectorized inside
+    # one codegen stage.  The adjacency side is |V| rows (not |E|), so
+    # AQE broadcasts it when it fits and degrades to a sort-merge join
+    # partitioned by node id when it doesn't.
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    empty = F.array().cast("array<bigint>")
+    au = adj.select(F.col("src"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv"))
     tri = (
-        o1.join(o2, F.col("o1.dst") == F.col("o2.src"))
-        .join(
-            o3,
-            (F.col("o3.src") == F.col("o1.src"))
-            & (F.col("o3.dst") == F.col("o2.dst")),
+        oriented.join(au, "src", "left")
+        .join(av, "dst", "left")
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.coalesce(F.col("nu"), empty),
+                    F.coalesce(F.col("nv"), empty),
+                )
+            ).alias("t")
         )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .agg(F.sum("t").alias("n_triangles"))
     )
     agg = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),

@@ -33,8 +33,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     # Runtime-settable, so externally-built sessions (the driver's plain
     # session defaults to 200) also get a parallelism-matched value; AQE
-    # coalesces further downward per-stage.
-    "spark.sql.shuffle.partitions": "32",
+    # coalesces further downward per-stage.  Overridable for bench A/B
+    # experiments via $SPARK_GRAFT_SHUFFLE_PARTITIONS.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
 }
 
 
