@@ -1,8 +1,9 @@
 """Corpus-curation operators round 3: span-level dedup, PII scrubbing,
-deterministic train/val/test splitting.
+deterministic train/val/test splitting, perplexity scoring, and MMR
+retrieval diversification.
 
 These extend the training-data-pipeline surface (SURVEY.md §2 cat. 10
-extensions) with the three curation steps the existing doc-level dedup /
+extensions) with curation steps the existing doc-level dedup /
 quality / mix operators do not cover:
 
 - **Span-level exact dedup** (Lee et al., "Deduplicating Training Data
@@ -15,6 +16,10 @@ quality / mix operators do not cover:
 - **Deterministic split assignment**: hash-gated train/val/test labels
   that are stable across engines, runs, and cluster sizes (a random
   split silently leaks eval data on every backfill).
+- **Perplexity-filter scoring** (CCNet shape): per-document LM
+  cross-entropy against an exactly-reproducible unigram model.
+- **MMR diversification**: the diversity-aware re-ranking step between
+  ANN retrieval and a RAG context window.
 
 Cross-engine determinism: span keys are md5 hex digests (bit-identical
 in Spark and DuckDB); the split gate reuses the portable polynomial
@@ -280,4 +285,156 @@ def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_docs") / F.col("tot").cast("double"), 4).alias(
             "share"
         ),
+    )
+
+
+@query(
+    "llm_perplexity_unigram",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents),
+    uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT sum(c) AS t FROM uni),
+    scored AS (
+        SELECT tok.doc_id,
+               count(*) AS n_tokens,
+               sum(-ln(CAST(uni.c AS DOUBLE) / tot.t)) AS nll
+        FROM tok JOIN uni USING (tok) CROSS JOIN tot
+        GROUP BY tok.doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(nll / n_tokens, 4) AS cross_entropy,
+           CASE WHEN nll / n_tokens
+                     > (SELECT round(avg(nll / n_tokens), 6) FROM scored)
+                THEN true ELSE false END AS above_avg
+    FROM scored
+    """,
+)
+def llm_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the perplexity-filter
+    quality signal (CCNet / ReadWeb pipelines score documents with a
+    language model and drop the high-perplexity tail; the unigram LM is
+    that dataflow with an exactly-reproducible model).
+
+    The "model" is the corpus's own unigram distribution: one token
+    aggregation (vocabulary-sized, broadcast back), so scoring is a
+    broadcast join + per-doc sum — two shuffles total, both bounded by
+    vocabulary or document count, never token volume beyond the initial
+    explode.  ``above_avg`` compares each document to the corpus mean
+    cross-entropy (rounded 6dp on both sides before comparison so the
+    boolean cannot flip on float tails).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words()).alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("t"))
+    scored = (
+        tok.join(F.broadcast(uni), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(-F.log(F.col("c").cast("double") / F.col("t"))).alias(
+                "nll"
+            ),
+        )
+    )
+    mean_ce = scored.agg(
+        F.round(F.avg(F.col("nll") / F.col("n_tokens")), 6).alias("m")
+    )
+    return scored.crossJoin(F.broadcast(mean_ce)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("nll") / F.col("n_tokens"), 4).alias("cross_entropy"),
+        (F.col("nll") / F.col("n_tokens") > F.col("m")).alias("above_avg"),
+    )
+
+
+MMR_LAMBDA = 0.5
+MMR_POOL = 20
+MMR_K = 5
+
+
+@query("llm_mmr_diversify")  # greedy iterative selection — no SQL oracle;
+# tests/test_properties.py recomputes the selection independently.
+def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: for each of 10 probe
+    vectors, take the cosine top-{MMR_POOL} pool and greedily select
+    {MMR_K} results maximizing ``λ·sim(q,d) − (1−λ)·max_{{s∈S}}
+    sim(d,s)`` — the diversity-aware retrieval step between ANN search
+    and a RAG context window (plain top-k returns near-duplicates; MMR
+    trades relevance against redundancy).
+
+    Spark shape: the pool comes from the broadcast-probe kNN plan
+    (linear corpus scan, no shuffle of the corpus), so the iterative
+    part touches only 10 groups × {MMR_POOL} rows — ``applyInPandas``
+    runs the greedy loop vectorized per group, the legitimate use of
+    the Pandas escape hatch: the corpus-sized stage stays declarative,
+    the O(k·pool) greedy tail is bounded and embarrassingly parallel
+    per query.  Determinism: candidates enter sorted by (−sim, vec_id)
+    and ties break on vec_id, so the selection is unique; scores are
+    float64 with 6-dp rounding at the boundary.
+    """
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    n = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ne")
+    )
+    from covid_19_data_analysis_bigdata_spark.operators.llm import _cosine
+
+    sim = F.round(_cosine(F.col("pe"), F.col("ne")), 6)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim"), F.asc("cand_id")
+    )
+    pool = (
+        n.join(F.broadcast(probes), F.col("cand_id") != F.col("probe_id"))
+        .select("probe_id", "cand_id", sim.alias("sim"), "ne")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MMR_POOL)
+        .drop("rk")
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["sim", "cand_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["ne"]])
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        pair = V @ V.T
+        simq = pdf["sim"].to_numpy()
+        ids = pdf["cand_id"].to_numpy()
+        chosen: list[int] = []
+        scores: list[float] = []
+        remaining = list(range(len(pdf)))
+        while remaining and len(chosen) < MMR_K:
+            if chosen:
+                red = pair[np.ix_(remaining, chosen)].max(axis=1)
+            else:
+                red = np.zeros(len(remaining))
+            mmr = MMR_LAMBDA * simq[remaining] - (1 - MMR_LAMBDA) * red
+            # argmax with vec_id tie-break: remaining is already in
+            # (−sim, vec_id) order, and np.argmax takes the first max
+            best = int(np.argmax(np.round(mmr, 9)))
+            chosen.append(remaining[best])
+            scores.append(float(mmr[best]))
+            del remaining[best]
+        return pd.DataFrame(
+            {
+                "probe_id": pdf["probe_id"].iloc[0],
+                "rank": np.arange(1, len(chosen) + 1, dtype="int32"),
+                "vec_id": ids[chosen],
+                "score": np.round(scores, 6),
+            }
+        )
+
+    return pool.groupBy("probe_id").applyInPandas(
+        greedy, "probe_id long, rank int, vec_id long, score double"
     )

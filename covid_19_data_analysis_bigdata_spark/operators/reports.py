@@ -752,3 +752,116 @@ def report_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "report_basket_lift",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    pc AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS support
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2)
+    SELECT p.u, p.v,
+           CAST(p.support AS BIGINT) AS support,
+           round(CAST(p.support AS DOUBLE) / cu.c, 4)      AS confidence,
+           round(CAST(p.support AS DOUBLE) * n.n_orders
+                 / (cu.c * cv.c), 4)                       AS lift
+    FROM pairs p
+    JOIN pc cu ON cu.l_partkey = p.u
+    JOIN pc cv ON cv.l_partkey = p.v
+    CROSS JOIN n
+    WHERE p.support >= 3
+    """,
+)
+def report_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: support, confidence, and lift for
+    part pairs co-purchased in the same order (min support 3) — the
+    frequent-itemset/recommendation primitive.
+
+    Scale shape: the pair space is generated per order (never a global
+    part×part cross join) and immediately hash-aggregated to pair
+    grain; per-part counts are a bounded dimension broadcast back.
+    Skewed hub parts are the classic hazard here — the per-order pair
+    expansion bounds the blowup at Σ k_order², the same quadratic the
+    triangle edge build carries, and at 100 TB the mitigation is the
+    same: cap or salt pathological baskets (a 10k-item order is a data
+    bug, not a basket).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    pc = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    cu = pc.select(F.col("l_partkey").alias("u"), F.col("c").alias("cu"))
+    cv = pc.select(F.col("l_partkey").alias("v"), F.col("c").alias("cv"))
+    return (
+        pairs.join(F.broadcast(cu), "u")
+        .join(F.broadcast(cv), "v")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "u",
+            "v",
+            "support",
+            F.round(F.col("support") / F.col("cu").cast("double"), 4).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_orders")
+                / (F.col("cu") * F.col("cv")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "report_activity_heatmap",
+    oracle="""
+    SELECT isodow(ts)                  AS dow,
+           CAST(hour(ts) AS INT)       AS hod,
+           CAST(count(*) AS BIGINT)    AS cnt,
+           round(sum(value), 4)        AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def report_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix over the event stream
+    — the ops-dashboard heatmap (traffic shaping, anomaly eyeballing,
+    maintenance-window planning).
+
+    Output is bounded at 7×24 cells regardless of event volume: one
+    partial+final hash aggregation, no other shuffle.  Day-of-week is
+    ISO (1=Monday) on both engines — Spark's ``dayofweek`` is
+    1=Sunday, so the engine uses ``weekday()+1`` to match DuckDB's
+    ``isodow`` exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.weekday("ts") + F.lit(1)).cast("bigint").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

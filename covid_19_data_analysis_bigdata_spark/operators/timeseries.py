@@ -597,3 +597,82 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 3).alias("zscore"),
         F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@query(
+    "ts_level_shift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 4)                AS v
+        FROM events
+        GROUP BY 1, 2),
+    win AS (
+        SELECT event_type, day, v,
+               count(v)   OVER recent AS rc,
+               sum(v)     OVER recent AS rs,
+               count(v)   OVER prior  AS pc,
+               sum(v)     OVER prior  AS ps,
+               sum(v * v) OVER prior  AS pss
+        FROM daily
+        WINDOW recent AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+               prior  AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING))
+    SELECT event_type, day, v,
+           round(CASE WHEN rc = 7 AND pc = 7
+                       AND (pss - ps * ps / pc) / (pc - 1) > 0
+                      THEN (rs / rc - ps / pc)
+                           / sqrt((pss - ps * ps / pc) / (pc - 1))
+                 END, 3) AS shift_score,
+           coalesce(abs((rs / rc - ps / pc)
+                        / sqrt((pss - ps * ps / pc) / (pc - 1))) > 2.0
+                    AND rc = 7 AND pc = 7
+                    AND (pss - ps * ps / pc) / (pc - 1) > 0,
+                    false) AS is_shift
+    FROM win
+    """,
+)
+def ts_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift changepoint detector: the trailing 7-day mean is
+    compared against the mean of the 7 days before that, normalized by
+    the prior window's stddev — a windowed two-sample test that flags
+    regime changes (deploys, outages, seasonality breaks) rather than
+    single-day spikes (which ``ts_anomaly_zscore`` covers).
+
+    Both windows require exactly 7 observations (partial windows emit
+    NULL); variance again comes from explicit Σv/Σv² sums so the two
+    engines execute identical IEEE arithmetic.  Cost profile matches
+    the z-score detector: one reduction to day grain, then windows
+    over the tiny aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    recent = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    prior = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-13, -7)
+    )
+    rc = F.count("v").over(recent)
+    rs = F.sum("v").over(recent)
+    pc = F.count("v").over(prior)
+    ps = F.sum("v").over(prior)
+    pss = F.sum(F.col("v") * F.col("v")).over(prior)
+    # Null-gate the counts so partial windows null-propagate through
+    # every division (ANSI-safe), and gate the variance against 0.
+    rc_g = F.when(rc == 7, rc.cast("double"))
+    pc_g = F.when(pc == 7, pc.cast("double"))
+    var = (pss - ps * ps / pc_g) / (pc_g - 1)
+    var_g = F.when(var > 0, var)
+    score = (rs / rc_g - ps / pc_g) / F.sqrt(var_g)
+    return daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.round(score, 3).alias("shift_score"),
+        F.coalesce(F.abs(score) > 2.0, F.lit(False)).alias("is_shift"),
+    )

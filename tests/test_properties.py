@@ -298,3 +298,71 @@ def test_sketch_rollup_within_merge_error(spark, sf_dir):
     assert set(merged) == set(exact)
     for et, est in merged.items():
         assert 0.90 * exact[et] <= est <= 1.10 * exact[et], (et, est, exact[et])
+
+
+def test_mmr_diversify_matches_independent_recompute(spark, sf_dir):
+    # No SQL oracle (greedy iterative selection); recompute the full
+    # selection independently in pure Python from the raw parquet and
+    # demand identical picks in identical order.
+    import os
+    import math
+    import pyarrow.parquet as pq
+    from covid_19_data_analysis_bigdata_spark.operators.curation import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+    )
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in tbl.to_pylist()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    expected = {}
+    for pid in [v for v in vecs if v < 10]:
+        pool = sorted(
+            (
+                (round(cos(vecs[pid], vecs[c]), 6), c)
+                for c in vecs
+                if c != pid
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:MMR_POOL]
+        unit = {
+            c: [x / math.sqrt(sum(y * y for y in vecs[c])) for x in vecs[c]]
+            for _, c in pool
+        }
+        chosen = []
+        remaining = list(pool)
+        while remaining and len(chosen) < MMR_K:
+            best, best_key = None, None
+            for s, c in remaining:
+                red = max(
+                    (
+                        sum(x * y for x, y in zip(unit[c], unit[sc]))
+                        for sc in chosen
+                    ),
+                    default=0.0,
+                )
+                score = MMR_LAMBDA * s - (1 - MMR_LAMBDA) * red
+                key = (round(score, 9), -c)
+                if best_key is None or key > best_key:
+                    best, best_key = (s, c), key
+            chosen.append(best[1])
+            remaining.remove(best)
+        expected[pid] = chosen
+
+    got = {}
+    for r in _q(spark, sf_dir, "llm_mmr_diversify").collect():
+        got.setdefault(r["probe_id"], []).append((r["rank"], r["vec_id"]))
+    assert set(got) == set(expected)
+    for pid, picks in got.items():
+        ordered = [v for _, v in sorted(picks)]
+        assert ordered == expected[pid], (pid, ordered, expected[pid])

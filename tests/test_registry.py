@@ -109,6 +109,10 @@ EXPECTED_IDS = {
     "ts_anomaly_zscore",
     # cohort retention matrix (reports.py)
     "report_retention_cohort",
+    # round-3 batch 2: perplexity scoring, basket lift, level-shift
+    # changepoint, activity heatmap, MMR diversification
+    "llm_perplexity_unigram", "report_basket_lift", "ts_level_shift",
+    "report_activity_heatmap", "llm_mmr_diversify",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
@@ -119,6 +123,9 @@ WEAK_IDS = {
     "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_sketch_rollup",
+    # greedy iterative MMR selection — independent pure-Python recompute
+    # test instead of a SQL oracle (tests/test_properties.py)
+    "llm_mmr_diversify",
 }
 
 
