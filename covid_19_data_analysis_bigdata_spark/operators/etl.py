@@ -502,3 +502,58 @@ def etl_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(report("orders", o, del_o))
         .unionAll(report("lineitem", li, del_l))
     )
+
+
+@query(
+    "dq_benford_digits",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders
+        WHERE o_totalprice >= 1),
+    c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY digit),
+    t AS (SELECT sum(cnt) AS n FROM c)
+    SELECT c.digit,
+           CAST(c.cnt AS BIGINT) AS cnt,
+           round(CAST(c.cnt AS DOUBLE) / t.n, 4)        AS observed,
+           round(log10(1.0 + 1.0 / c.digit), 4)         AS benford,
+           round(abs(CAST(c.cnt AS DOUBLE) / t.n
+                     - log10(1.0 + 1.0 / c.digit)), 4)  AS abs_dev
+    FROM c CROSS JOIN t
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order totals: the observed first-digit
+    distribution against log10(1 + 1/d) — the classic fabricated-data /
+    unit-mixing detector for monetary columns (a data-quality gate, not
+    a statistics demo: synthetic or double-converted feeds fail it
+    immediately).
+
+    First digits come from the explicitly floor()ed integer part's
+    decimal string — explicit because double→bigint CASTs disagree
+    across engines (Spark truncates, DuckDB rounds).  One hash
+    aggregation to 9 rows, then constant arithmetic; cost is the scan.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(F.sum("cnt").alias("n"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "cnt",
+        F.round(F.col("cnt") / F.col("n").cast("double"), 4).alias(
+            "observed"
+        ),
+        F.round(benford, 4).alias("benford"),
+        F.round(
+            F.abs(F.col("cnt") / F.col("n").cast("double") - benford), 4
+        ).alias("abs_dev"),
+    )

@@ -1132,3 +1132,155 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select(
         "a_id", "b_id", "smaller_set", F.round("overlap", 6).alias("overlap")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (compressed ANN — completes the similarity family:
+# brute-force (llm_sim_topk) / IVF cells (llm_ann_ivf) / PQ codes here)
+# --------------------------------------------------------------------------
+
+PQ_M = 8  #: subspaces (64 dims → 8 × 8-dim subvectors)
+PQ_DSUB = 8
+PQ_K = 16  #: codes per subspace → 8 bytes/vector vs 256 (32× compression)
+PQ_ITERS = 3
+PQ_TOPK = 10
+PQ_SHORTLIST = 64  #: ADC shortlist size fed to the exact rerank stage
+
+
+@query("llm_ann_pq")  # iterative codebook training — no SQL oracle;
+# tests/test_properties.py asserts a recall floor against exact search.
+def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., IVF-ADC family): train
+    per-subspace codebooks with Lloyd iterations, encode every vector
+    as {PQ_M} one-byte codes, and answer the 10 standard probes with
+    asymmetric-distance (ADC) top-{PQ_TOPK}.
+
+    This is the memory side of the 100 TB similarity story: IVF
+    (``llm_ann_ivf``) prunes *which* vectors are scanned; PQ shrinks
+    *what is stored and summed* — 8 bytes per vector here (32×), so a
+    billion-vector index fits a few executors' RAM and the scan is a
+    byte-table lookup-sum, not a float matmul.
+
+    Plan shape: subvectors are row-local slices; each Lloyd iteration
+    is one broadcast of the k×{PQ_M} codebook + one argmin + one
+    re-average (same topology as ``ml_kmeans_lloyd``); the ADC lookup
+    table per probe is {PQ_M}×{PQ_K} partial distances, broadcast; the
+    final scan is codes ⋈ LUT summed per (probe, vector) — linear in
+    corpus × probes, shuffle only at the bounded top-k.  Codebook
+    means are float averages (summation-order-dependent in the last
+    bits), so the check is a recall floor against exact search rather
+    than a value oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.transform(
+                    F.slice("embedding", m * PQ_DSUB + 1, PQ_DSUB),
+                    lambda x: x.cast("double"),
+                ).alias("sub"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    subs = (
+        e.select("vec_id", F.explode(sub_structs).alias("s"))
+        .select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+        .persist()
+    )
+
+    # Deterministic init: the PQ_K lowest vec_ids seed every subspace.
+    cent = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("cid"), F.col("sub").alias("center")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sub"), F.col("center"), lambda x, c: (x - c) * (x - c)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("cid"))
+
+    def assign(centroids):
+        return (
+            subs.join(F.broadcast(centroids), "m")
+            .select("vec_id", "m", "cid", d2.alias("d2"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "m", "cid")
+        )
+
+    for _ in range(PQ_ITERS):
+        assigned = assign(cent)
+        cent = (
+            subs.join(assigned, ["vec_id", "m"])
+            .select("m", "cid", F.posexplode("sub").alias("pos", "val"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.avg("val").alias("c"))
+            .groupBy("m", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s.getField("c"),
+                ).alias("center")
+            )
+        )
+    codes = assign(cent).persist()
+
+    # Per-probe ADC lookup table: ||q_m − c_{m,cid}||² partials.
+    probes = subs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "m", F.col("sub").alias("qsub")
+    )
+    pd2 = F.aggregate(
+        F.zip_with(
+            F.col("qsub"), F.col("center"), lambda x, c: (x - c) * (x - c)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = probes.join(F.broadcast(cent), "m").select(
+        "probe_id", "m", "cid", pd2.alias("pd")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("pd").alias("adc2"))
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.asc("adc2"), F.asc("vec_id"))
+    shortlist = (
+        adc.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= PQ_SHORTLIST)
+        .select("probe_id", "vec_id", "adc2")
+    )
+    # Exact rerank of the compressed-domain shortlist — the standard
+    # IVFADC topology: PQ decides WHICH ~{PQ_SHORTLIST} candidates get a
+    # full-precision distance, so the float work is per-shortlist, not
+    # per-corpus.  Both true-vector joins are bounded (probes are 10
+    # rows broadcast; the shortlist is probes × PQ_SHORTLIST rows).
+    ev = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    pv = (
+        ev.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("probe_id"), F.col("v").alias("qv"))
+    )
+    ex2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, q: (x - q) * (x - q)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rer = (
+        shortlist.join(ev, "vec_id")
+        .join(F.broadcast(pv), "probe_id")
+        .select("probe_id", "vec_id", F.round(ex2, 4).alias("dist2"))
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.asc("dist2"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("probe_id", "rank", "vec_id", "dist2")
+    )

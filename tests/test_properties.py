@@ -366,3 +366,32 @@ def test_mmr_diversify_matches_independent_recompute(spark, sf_dir):
     for pid, picks in got.items():
         ordered = [v for _, v in sorted(picks)]
         assert ordered == expected[pid], (pid, ordered, expected[pid])
+
+
+def test_ann_pq_recall_floor(spark, sf_dir):
+    # Codebook means are float averages (summation-order-dependent), so
+    # no value oracle; the contract is retrieval quality: ADC shortlist
+    # + exact rerank must recover most of the true top-10.
+    import os
+    import pyarrow.parquet as pq_
+
+    tbl = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pylist()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in tbl}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    exact = {}
+    for pid in [v for v in vecs if v < 10]:
+        nn = sorted(((d2(vecs[pid], vecs[c]), c) for c in vecs if c != pid))[:10]
+        exact[pid] = {c for _, c in nn}
+
+    got = {}
+    for r in _q(spark, sf_dir, "llm_ann_pq").collect():
+        got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+
+    assert set(got) == set(exact)
+    recalls = [len(got[p] & exact[p]) / 10 for p in exact]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.6, f"avg recall@10 {avg} below floor (per-probe {recalls})"
+    assert min(recalls) >= 0.4, f"min recall@10 {min(recalls)} below floor"

@@ -113,6 +113,8 @@ EXPECTED_IDS = {
     # changepoint, activity heatmap, MMR diversification
     "llm_perplexity_unigram", "report_basket_lift", "ts_level_shift",
     "report_activity_heatmap", "llm_mmr_diversify",
+    # round-3 batch 3: compressed ANN + Benford DQ screen
+    "llm_ann_pq", "dq_benford_digits",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
@@ -126,6 +128,8 @@ WEAK_IDS = {
     # greedy iterative MMR selection — independent pure-Python recompute
     # test instead of a SQL oracle (tests/test_properties.py)
     "llm_mmr_diversify",
+    # PQ codebooks are float k-means — recall-floor test vs exact search
+    "llm_ann_pq",
 }
 
 

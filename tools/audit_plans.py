@@ -22,7 +22,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: Queries that exist to demonstrate the Python-eval surface itself.
-ALLOWED_ROW_UDF = {"udf_python_scalar", "udtf_table_fn"}
+ALLOWED_ROW_UDF = {"udf_python_scalar", "udtf_table_fn", "udtf_analyze_polymorphic"}
 ALLOWED_CARTESIAN = {"join_cross"}
 EXCHANGE_BUDGET = 6
 #: Iterative algorithms pay per-iteration shuffles by nature (argmin +
