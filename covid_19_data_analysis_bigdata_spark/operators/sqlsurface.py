@@ -226,3 +226,68 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT)     AS cnt,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.08
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter-marker SQL (Spark 4 ``spark.sql(sql, args=...)``)
+    — the injection-safe form every templated dashboard / API query
+    should take: markers bind as literals at ANALYSIS time, so Catalyst
+    constant-folds them and filter pushdown sees real values (unlike
+    string interpolation, which is unsafe, and unlike late-bound
+    placeholders, which would block partition pruning).
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*)                                          AS cnt,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        WHERE l_quantity > :minqty AND l_discount BETWEEN :dlo AND :dhi
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        args={"minqty": 30, "dlo": 0.02, "dhi": 0.08},
+    )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE o_totalprice > 150000
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE`` with a positional USING binding (Spark 4
+    SQL-scripting surface): the statement text is itself data — the
+    dynamic-SQL form migration tooling and stored-procedure-style
+    runbooks generate.  Semantically identical to the parameterized
+    form; registered separately because the parse path (string →
+    statement at execution) is a different engine surface.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority,
+                count(*)                 AS cnt,
+                round(avg(o_totalprice), 4) AS avg_price
+         FROM orders WHERE o_totalprice > ? GROUP BY o_orderpriority'
+        USING 150000
+        """
+    )

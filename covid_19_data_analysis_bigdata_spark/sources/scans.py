@@ -8,6 +8,8 @@ scan, and partitioned layouts so later filters become directory pruning.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -337,4 +339,32 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
+    )
+
+
+@query(
+    "scan_file_metadata",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    """,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` file columns on the parquet scan — per-file
+    row provenance without storing a path column.  At 100 TB this is
+    the lineage/debugging primitive: corrupt-file triage, per-file row
+    accounting, and incremental-load auditing all group by
+    ``_metadata.file_name`` exactly like this, paying nothing when the
+    column is unused (it is populated from the split, not read from
+    data pages).  The corpus stores one file per table, so the oracle
+    pins the expected name and the exact row/key counts.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return df.groupBy(
+        F.col("_metadata.file_name").alias("file_name")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
     )

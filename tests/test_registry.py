@@ -115,6 +115,8 @@ EXPECTED_IDS = {
     "report_activity_heatmap", "llm_mmr_diversify",
     # round-3 batch 3: compressed ANN + Benford DQ screen
     "llm_ann_pq", "dq_benford_digits",
+    # round-3 batch 4: Spark-4 SQL surface + scan provenance
+    "sql_parameterized", "sql_execute_immediate", "scan_file_metadata",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
