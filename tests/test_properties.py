@@ -395,3 +395,44 @@ def test_ann_pq_recall_floor(spark, sf_dir):
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.6, f"avg recall@10 {avg} below floor (per-probe {recalls})"
     assert min(recalls) >= 0.4, f"min recall@10 {min(recalls)} below floor"
+
+
+def test_polyhash_agrees_with_duckdb_on_random_strings(spark):
+    # The portable polynomial hash underpins fingerprinting, split
+    # assignment, and MinHash bucketing; prove Spark and DuckDB agree
+    # bit-for-bit on a seeded random corpus (printable ASCII, length
+    # 0-64), not just on the fixture data.
+    import random
+    import string
+
+    import duckdb
+
+    from covid_19_data_analysis_bigdata_spark.operators.textprep import (
+        _POLY_SQL,
+        _polyhash,
+    )
+
+    rng = random.Random(20260813)
+    alphabet = string.ascii_letters + string.digits + " .,!?-_@#"
+    samples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 64)))
+        for _ in range(500)
+    ]
+
+    sdf = spark.createDataFrame([(s,) for s in samples], ["s"])
+    spark_hashes = [
+        r["h"] for r in sdf.select(_polyhash(F.col("s")).alias("h")).collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INTEGER, s VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(samples))
+    )
+    duck_hashes = [
+        r[0]
+        for r in con.sql(
+            "SELECT " + _POLY_SQL.format(col="s") + " FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert spark_hashes == duck_hashes
