@@ -54,7 +54,8 @@ HEADLINE = [
     "report_volume_shipping",  # fact-fact-fact join, nation-pair matrix
     "graph_pagerank",       # fact-aggregated graph + integer iteration
     "llm_pmi_cooccur",      # skip-gram PMI (r2 perf-weak watch item)
-    "graph_triangle_count",  # degree-oriented wedge join (r2 perf-weak watch item)
+    "graph_triangle_count",  # adjacency-intersection triangles (r2 watch item)
+    "llm_span_dedup",       # substring-level dedup (round-3 headline)
 ]
 
 

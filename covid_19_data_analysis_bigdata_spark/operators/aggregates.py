@@ -647,3 +647,68 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_daily_sketches"),
         )
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               round(l_extendedprice, 2) AS price,
+               l_quantity                AS wt
+        FROM lineitem),
+    o AS (
+        SELECT l_returnflag, price, wt,
+               sum(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY price, wt
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum,
+               sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+        FROM w)
+    SELECT l_returnflag,
+           min(price)              AS weighted_median,
+           CAST(any_value(tot) AS DOUBLE) AS total_weight
+    FROM o
+    WHERE cum * 2 >= tot
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the first price
+    whose cumulative weight reaches half the group total — the
+    weighted-quantile aggregate (resource-usage billing, weighted SLO
+    percentiles) that ``percentile`` cannot express.
+
+    One partitioned running-sum window over (price, weight)-ordered
+    rows, then a min over the qualifying suffix — no sort beyond the
+    window's, no second scan.  The cumulative weights are exact
+    integer/decimal sums on an explicit total order (price then
+    weight), so the crossing row is engine-independent; the threshold
+    test ``2·cum ≥ tot`` stays in integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.round("l_extendedprice", 2).alias("price"),
+        F.col("l_quantity").alias("wt"),
+    )
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    o = w.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(cum_w).alias("cum"),
+        F.sum("wt").over(tot_w).alias("tot"),
+    )
+    return (
+        o.filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.any_value("tot").cast("double").alias("total_weight"),
+        )
+    )

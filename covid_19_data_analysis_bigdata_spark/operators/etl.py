@@ -557,3 +557,62 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("cnt") / F.col("n").cast("double") - benford), 4
         ).alias("abs_dev"),
     )
+
+
+@query(
+    "dq_entropy_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type,
+               count(*) AS c
+        FROM events
+        GROUP BY 1, 2),
+    tot AS (SELECT day, sum(c) AS n FROM daily GROUP BY day),
+    ent AS (
+        SELECT d.day,
+               CAST(t.n AS BIGINT) AS n_events,
+               round(-sum((CAST(d.c AS DOUBLE) / t.n)
+                          * ln(CAST(d.c AS DOUBLE) / t.n)), 4) AS entropy
+        FROM daily d JOIN tot t USING (day)
+        GROUP BY d.day, t.n)
+    SELECT day, n_events, entropy,
+           round(abs(entropy - avg(entropy) OVER ()), 4) AS abs_dev
+    FROM ent
+    """,
+)
+def dq_entropy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the daily event-type mix — the categorical
+    drift metric: a collapsing or exploding entropy flags an upstream
+    feed change (one type flooding, a type silently dropped) before any
+    per-type threshold fires.
+
+    Two bounded aggregations (day×type, then day) and one global-mean
+    window over the day-grain frame; the scan dominates, as a daily DQ
+    gate must.  Entropy terms are identical-IEEE p·ln p expressions on
+    both engines, rounded 4dp at the day boundary before the deviation
+    window so both engines window over identical values.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = daily.groupBy("day").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        daily.join(tot, "day")
+        .groupBy("day", "n")
+        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy"))
+        .select(
+            "day", F.col("n").cast("bigint").alias("n_events"), "entropy"
+        )
+    )
+    w = Window.partitionBy()
+    return ent.select(
+        "day",
+        "n_events",
+        "entropy",
+        F.round(F.abs(F.col("entropy") - F.avg("entropy").over(w)), 4).alias(
+            "abs_dev"
+        ),
+    )

@@ -117,6 +117,8 @@ EXPECTED_IDS = {
     "llm_ann_pq", "dq_benford_digits",
     # round-3 batch 4: Spark-4 SQL surface + scan provenance
     "sql_parameterized", "sql_execute_immediate", "scan_file_metadata",
+    # round-3 batch 5: categorical-drift entropy + weighted median
+    "dq_entropy_drift", "agg_weighted_median",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
