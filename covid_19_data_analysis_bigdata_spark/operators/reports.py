@@ -865,3 +865,148 @@ def report_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@query(
+    "report_pareto_abc",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        GROUP BY l_partkey),
+    ranked AS (
+        SELECT l_partkey, revenue,
+               sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum,
+               sum(revenue) OVER () AS tot
+        FROM rev),
+    banded AS (
+        SELECT l_partkey, revenue,
+               CASE WHEN cum <= 0.8 * tot THEN 'A'
+                    WHEN cum <= 0.95 * tot THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked)
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT)    AS n_parts,
+           round(sum(revenue), 4)      AS class_revenue
+    FROM banded
+    GROUP BY abc_class
+    """,
+)
+def report_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts banded by their
+    position in the cumulative revenue curve (A ≤ 80%, B ≤ 95%, C the
+    tail) — the 80/20 analysis every supply-chain and catalog team
+    runs.
+
+    The revenue aggregation reduces facts to part grain first; the
+    cumulative window then runs over parts, not line items.  The
+    global ORDER BY window is a deliberate single-partition pass over
+    the *aggregated* frame (parts, not facts) with a unique
+    (revenue, partkey) tie-break — at 100 TB the part dimension is
+    millions of rows, fine for one task; the fact table never enters
+    the window.  Band edges compare exact cumulative sums of 4dp-
+    rounded revenues, identical in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+    wcum = (
+        Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy()
+    banded = rev.select(
+        "l_partkey",
+        "revenue",
+        F.when(
+            F.sum("revenue").over(wcum)
+            <= 0.8 * F.sum("revenue").over(wtot),
+            "A",
+        )
+        .when(
+            F.sum("revenue").over(wcum)
+            <= 0.95 * F.sum("revenue").over(wtot),
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return banded.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("revenue"), 4).alias("class_revenue"),
+    )
+
+
+@query(
+    "report_gini_concentration",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey,
+               n.n_name AS nation,
+               round(sum(o.o_totalprice), 4) AS s
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY c.c_custkey, n.n_name),
+    ranked AS (
+        SELECT nation, s,
+               row_number() OVER (PARTITION BY nation
+                                  ORDER BY s, c_custkey) AS i,
+               count(*) OVER (PARTITION BY nation)        AS n,
+               sum(s)   OVER (PARTITION BY nation)        AS tot
+        FROM spend)
+    SELECT nation,
+           CAST(any_value(n) AS BIGINT) AS n_customers,
+           round(sum((2.0 * i - n - 1) * s) / (any_value(n) * any_value(tot)), 4)
+               AS gini
+    FROM ranked
+    GROUP BY nation
+    """,
+)
+def report_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation — the revenue-
+    concentration metric (0 = everyone spends equally, →1 = one whale):
+    the single number behind key-account risk and marketplace-health
+    dashboards.
+
+    Uses the exact rank formula Σ(2i−n−1)·xᵢ / (n·Σx) over ascending
+    spend with a unique (spend, custkey) tie-break, so both engines
+    rank identically; spend is rounded 4dp at the aggregation boundary
+    before ranking.  Facts reduce to customer grain first; the rank
+    window runs over customers per nation — bounded, never fact-sized.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    # nation is the only truly bounded side (25 rows at any SF);
+    # customer scales with the corpus, so its join is left to AQE —
+    # sort-merge at 100 TB, runtime-demoted to broadcast when small.
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("s"))
+    )
+    wr = Window.partitionBy("nation").orderBy("s", "c_custkey")
+    wp = Window.partitionBy("nation")
+    ranked = spend.select(
+        "nation",
+        "s",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("s").over(wp).alias("tot"),
+    )
+    return ranked.groupBy("nation").agg(
+        F.any_value("n").cast("bigint").alias("n_customers"),
+        F.round(
+            F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("s"))
+            / (F.any_value("n") * F.any_value("tot")),
+            4,
+        ).alias("gini"),
+    )

@@ -676,3 +676,120 @@ def ts_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 3).alias("shift_score"),
         F.coalesce(F.abs(score) > 2.0, F.lit(False)).alias("is_shift"),
     )
+
+
+@query(
+    "ts_autocorr_lag",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 4)                AS v
+        FROM events
+        GROUP BY 1, 2),
+    lagged AS (
+        SELECT event_type, v,
+               lag(v, 1) OVER w AS v1,
+               lag(v, 7) OVER w AS v7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    mom AS (
+        SELECT event_type,
+               count(v1)                AS n1,
+               sum(v * v1)              AS sxy1,
+               sum(v)  FILTER (v1 IS NOT NULL) AS sx1,
+               sum(v1)                  AS sy1,
+               sum(v * v)  FILTER (v1 IS NOT NULL) AS sxx1,
+               sum(v1 * v1)             AS syy1,
+               count(v7)                AS n7,
+               sum(v * v7)              AS sxy7,
+               sum(v)  FILTER (v7 IS NOT NULL) AS sx7,
+               sum(v7)                  AS sy7,
+               sum(v * v)  FILTER (v7 IS NOT NULL) AS sxx7,
+               sum(v7 * v7)             AS syy7
+        FROM lagged
+        GROUP BY event_type)
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_lag1,
+           round((n1 * sxy1 - sx1 * sy1)
+                 / (sqrt(n1 * sxx1 - sx1 * sx1)
+                    * sqrt(n1 * syy1 - sy1 * sy1)), 4) AS acf_lag1,
+           CAST(n7 AS BIGINT) AS n_lag7,
+           round((n7 * sxy7 - sx7 * sy7)
+                 / (sqrt(n7 * sxx7 - sx7 * sx7)
+                    * sqrt(n7 * syy7 - sy7 * sy7)), 4) AS acf_lag7
+    FROM mom
+    """,
+)
+def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of each event type's daily
+    series — the seasonality fingerprint (a strong lag-7 ACF says
+    "weekly pattern"; it is the statistic behind the seasonal-naive
+    forecaster already shipped as ``ts_seasonal_naive``).
+
+    Pearson correlation of the series with its own lag, computed from
+    explicit moment sums over 4dp-rounded daily values (identical
+    IEEE expressions in both engines — engine ``corr`` builtins use
+    different accumulation orders).  One day-grain reduction, one lag
+    window, one tiny per-type aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 7).over(w).alias("v7"),
+    )
+
+    def acf(vlag, n, sxy, sx, sy, sxx, syy):
+        return F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            4,
+        )
+
+    mom = lagged.groupBy("event_type").agg(
+        F.count("v1").alias("n1"),
+        F.sum(F.col("v") * F.col("v1")).alias("sxy1"),
+        F.sum(F.when(F.col("v1").isNotNull(), F.col("v"))).alias("sx1"),
+        F.sum("v1").alias("sy1"),
+        F.sum(
+            F.when(F.col("v1").isNotNull(), F.col("v") * F.col("v"))
+        ).alias("sxx1"),
+        F.sum(F.col("v1") * F.col("v1")).alias("syy1"),
+        F.count("v7").alias("n7"),
+        F.sum(F.col("v") * F.col("v7")).alias("sxy7"),
+        F.sum(F.when(F.col("v7").isNotNull(), F.col("v"))).alias("sx7"),
+        F.sum("v7").alias("sy7"),
+        F.sum(
+            F.when(F.col("v7").isNotNull(), F.col("v") * F.col("v"))
+        ).alias("sxx7"),
+        F.sum(F.col("v7") * F.col("v7")).alias("syy7"),
+    )
+    return mom.select(
+        "event_type",
+        F.col("n1").alias("n_lag1"),
+        acf(
+            "v1",
+            F.col("n1"),
+            F.col("sxy1"),
+            F.col("sx1"),
+            F.col("sy1"),
+            F.col("sxx1"),
+            F.col("syy1"),
+        ).alias("acf_lag1"),
+        F.col("n7").alias("n_lag7"),
+        acf(
+            "v7",
+            F.col("n7"),
+            F.col("sxy7"),
+            F.col("sx7"),
+            F.col("sy7"),
+            F.col("sxx7"),
+            F.col("syy7"),
+        ).alias("acf_lag7"),
+    )

@@ -278,3 +278,43 @@ def test_inverted_index_single_term_exchange(spark, sf_dir):
     distinct."""
     plan = _plan(spark, sf_dir, "llm_inverted_index")
     assert "Window" in plan
+
+
+def test_perplexity_broadcasts_model_not_corpus(spark, sf_dir):
+    # The unigram "model" (vocabulary counts + total) must reach the
+    # scoring join as broadcasts; the token stream must never sort-merge.
+    plan = _plan(spark, sf_dir, "llm_perplexity_unigram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangle_count_has_no_cartesian_and_packs_adjacency(spark, sf_dir):
+    # Adjacency-intersection form: no cartesian product, and the wedge
+    # candidate space must stay inside arrays (array_intersect present),
+    # never materialize as a row join of three edge lists.
+    plan = _plan(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "array_intersect" in plan
+
+
+def test_span_dedup_joins_on_digest_only(spark, sf_dir):
+    # The dup-span join must carry the 32-byte digest, never span text:
+    # no concat_ws survives past the explode into the join keys.
+    plan = _plan(spark, sf_dir, "llm_span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "md5" in plan
+
+
+def test_pii_scrub_is_single_aggregation(spark, sf_dir):
+    # Row-local regex work + one source rollup: exactly one shuffle.
+    plan = _plan(spark, sf_dir, "llm_pii_scrub")
+    assert plan.count("Exchange") <= 2  # partial/final pair prints one Exchange; AQE reuse may add one
+    assert "BatchEvalPython" not in plan
+
+
+def test_mmr_pool_is_broadcast_nested_loop(spark, sf_dir):
+    # The kNN pool stage must broadcast the 10 probes over the corpus
+    # scan; the applyInPandas greedy tail is the only Python in the plan.
+    plan = _plan(spark, sf_dir, "llm_mmr_diversify")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -119,6 +119,8 @@ EXPECTED_IDS = {
     "sql_parameterized", "sql_execute_immediate", "scan_file_metadata",
     # round-3 batch 5: categorical-drift entropy + weighted median
     "dq_entropy_drift", "agg_weighted_median",
+    # round-3 batch 6: Pareto ABC, seasonality ACF, Gini concentration
+    "report_pareto_abc", "ts_autocorr_lag", "report_gini_concentration",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
