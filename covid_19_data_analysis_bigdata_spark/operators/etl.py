@@ -616,3 +616,81 @@ def dq_entropy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_dev"
         ),
     )
+
+
+@query(
+    "etl_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 50 <> 0),
+    snap_b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 11 = 0
+                    THEN round(o_totalprice * 1.1, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 47 <> 0),
+    j AS (
+        SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+               CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN a.o_orderstatus <> b.o_orderstatus
+                      OR a.o_totalprice <> b.o_totalprice THEN 'changed'
+                    ELSE 'unchanged' END AS change
+        FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey))
+    SELECT change, CAST(count(*) AS BIGINT) AS cnt
+    FROM j
+    GROUP BY change
+    """,
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot CDC diff: classify every key as added /
+    removed / changed / unchanged between two table versions — the
+    reconciliation primitive behind incremental loads, replication
+    audits, and "what did yesterday's batch actually change" reports.
+    The two snapshots are deterministic key-gated variants of orders
+    (distinct drop sets + a mutated status/price subset), so the diff
+    exercises all four classes.
+
+    One full-outer join on the snapshot key, then a bounded class
+    rollup.  At 100 TB both snapshots partition on the same key, so
+    the join is co-located after one shuffle each; with bucketed
+    snapshot tables (the production layout — `join_bucketed` shows
+    the plan) even that shuffle disappears.  Column comparison is
+    exact (status string, 2dp price).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    snap_a = o.filter(F.col("o_orderkey") % 50 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_b = o.filter(F.col("o_orderkey") % 47 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % 11 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

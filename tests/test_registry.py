@@ -121,6 +121,8 @@ EXPECTED_IDS = {
     "dq_entropy_drift", "agg_weighted_median",
     # round-3 batch 6: Pareto ABC, seasonality ACF, Gini concentration
     "report_pareto_abc", "ts_autocorr_lag", "report_gini_concentration",
+    # round-3 batch 7: snapshot CDC diff
+    "etl_snapshot_diff",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
