@@ -17,10 +17,11 @@ Drift note (round 3): the uniform +32% r1→r2 slowdown on unchanged
 plans was A/B-tested against ``spark.sql.shuffle.partitions`` (8 vs
 32, via $SPARK_GRAFT_SHUFFLE_PARTITIONS): common-query subtotals were
 12.4 s vs 13.7 s — the conf explains at most a fraction and 32 is kept
-for cluster-shaped parallelism.  The residual drift tracks the 19:45
-testdata regeneration + the heavier session (23 benched queries with
-persisted stages vs 15), not any plan regression: per-stage Spark-UI
-plans are unchanged from r1.
+for cluster-shaped parallelism.  Switching the harness to
+median-of-3 then landed the same common subtotal at 10.7 s (vs r1's
+9.47 single-shot): most of the "drift" was single-shot measurement
+noise on a shared box, not plan regression — per-stage plans are
+unchanged from r1.  Timings below are medians from this round on.
 """
 
 from __future__ import annotations
@@ -74,14 +75,20 @@ def main() -> int:
     # Materialize via toPandas(): Arrow-batched transfer measures the
     # engine + columnar transport, not Python row-object deserialization
     # (collect() is ~10× slower on wide results for reasons unrelated to
-    # the query plan).
+    # the query plan).  Median of 3 measured runs after one warm run:
+    # single-shot timings on a shared box drift ±15% run-to-run, which
+    # round 2's drift diagnosis showed is enough to mask real
+    # regressions (and to fake them).
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).toPandas()  # warm
-        t0 = time.time()
-        fn(spark, sf_dir).toPandas()
-        times[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).toPandas()
+            samples.append(time.time() - t0)
+        times[name] = round(sorted(samples)[1], 3)
 
     total = round(sum(times.values()), 3)
     print(
