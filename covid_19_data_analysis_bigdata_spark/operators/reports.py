@@ -1010,3 +1010,52 @@ def report_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+@query(
+    "report_new_vs_returning",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events),
+    f AS (SELECT user_id, min(day) AS d0 FROM act GROUP BY 1)
+    SELECT a.day,
+           CAST(sum(CASE WHEN a.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+           CAST(sum(CASE WHEN a.day > f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_users,
+           round(CAST(sum(CASE WHEN a.day > f.d0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS returning_share
+    FROM act a JOIN f USING (user_id)
+    GROUP BY a.day
+    """,
+)
+def report_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the growth-accounting twin
+    of the retention cohort: every active (user, day) is classed by
+    whether it is that user's first day, giving acquisition vs
+    engagement in one curve (pairs with ``win_rolling_distinct``'s WAU
+    and ``report_retention_cohort``'s triangle).
+
+    Same scale shape as the cohort matrix: distinct to (user, day),
+    first-activity aggregate, equi-join back on ``user_id`` (layout
+    reused by AQE), bounded day-grain output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("d0"))
+    is_new = (F.col("day") == F.col("d0")).cast("int")
+    return (
+        act.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(is_new).alias("new_users"),
+            F.sum(1 - is_new).alias("returning_users"),
+            F.round(
+                F.sum(1 - is_new) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("returning_share"),
+        )
+    )

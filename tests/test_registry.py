@@ -123,6 +123,8 @@ EXPECTED_IDS = {
     "report_pareto_abc", "ts_autocorr_lag", "report_gini_concentration",
     # round-3 batch 7: snapshot CDC diff
     "etl_snapshot_diff",
+    # round-3 batch 8: growth accounting
+    "report_new_vs_returning",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):

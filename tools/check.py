@@ -59,6 +59,21 @@ def to_multiset(columns, rows):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--plain",
+        action="store_true",
+        help="use a bare SparkSession (no engine confs) to replicate the "
+        "external driver's environment — every query must self-apply its "
+        "runtime confs through the scan layer",
+    )
+    ap.add_argument(
+        "--first",
+        type=int,
+        default=0,
+        metavar="N",
+        help="check only the first N queries in REGISTRATION order (the "
+        "window an external sweep samples), instead of all sorted names",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -68,16 +83,27 @@ def main() -> int:
 
     # Stamp the data fingerprint so a committed artifact is self-dating:
     # regenerated testdata changes the fingerprint and exposes stale green.
-    print(f"# sf_dir={args.sf} source_fingerprint={_source_fingerprint(args.sf)}")
+    print(f"# sf_dir={args.sf} source_fingerprint={_source_fingerprint(args.sf)}"
+          + (" session=plain" if args.plain else ""))
 
     qs, orc = E.queries(), E.oracle_sql()
-    names = args.names or sorted(qs)
+    if args.first:
+        names = list(qs)[: args.first]
+    else:
+        names = args.names or sorted(qs)
     missing = [n for n in names if n not in qs]
     if missing:
         print(f"unknown queries: {missing}")
         return 2
 
-    spark = get_spark()
+    if args.plain:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "check-plain"
+        ).getOrCreate()
+    else:
+        spark = get_spark()
     con = duckdb.connect()
     for t in TABLE_NAMES:
         p = os.path.join(args.sf, f"{t}.parquet")
