@@ -438,3 +438,58 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pool.groupBy("probe_id").applyInPandas(
         greedy, "probe_id long, rank int, vec_id long, score double"
     )
+
+
+@query(
+    "llm_embedding_qa",
+    oracle="""
+    WITH stats AS (
+        SELECT label,
+               len(embedding) AS dim,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * x))) AS nrm
+        FROM embeddings)
+    SELECT label,
+           CAST(count(*) AS BIGINT)                       AS n_vectors,
+           CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bad_dim,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+           round(avg(nrm), 4)  AS avg_norm,
+           round(min(nrm), 4)  AS min_norm,
+           round(max(nrm), 4)  AS max_norm
+    FROM stats
+    GROUP BY label
+    """,
+)
+def llm_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column data-quality gate: per label, vector counts,
+    wrong-dimension counts, zero vectors, and the L2-norm envelope —
+    the ingest check every vector pipeline needs BEFORE similarity
+    math (a zero vector silently poisons cosine; a dimension mismatch
+    crashes the matmul three stages later; a norm outlier usually
+    means a double-encoded or truncated embedding).
+
+    Row-local array expressions (size + one aggregate lambda per row)
+    feeding a bounded per-label rollup — scan-bound, zero extra
+    shuffles, the same single-pass shape as the text quality gates.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    stats = e.select(
+        "label", F.size("embedding").alias("dim"), nrm.alias("nrm")
+    )
+    return stats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("dim") != 64).cast("int")).alias("n_bad_dim"),
+        F.sum((F.col("nrm") == 0).cast("int")).alias("n_zero"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+    )

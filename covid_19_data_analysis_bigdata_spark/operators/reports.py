@@ -1059,3 +1059,60 @@ def report_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("returning_share"),
         )
     )
+
+
+@query(
+    "report_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate),
+                         TIMESTAMP '1998-08-02')        AS recency_days,
+               count(*)                                 AS frequency,
+               round(sum(o_totalprice), 4)              AS monetary
+        FROM orders
+        GROUP BY o_custkey),
+    scored AS (
+        SELECT o_custkey,
+               ntile(4) OVER (ORDER BY recency_days DESC, o_custkey) AS r,
+               ntile(4) OVER (ORDER BY frequency, o_custkey)         AS f,
+               ntile(4) OVER (ORDER BY monetary, o_custkey)          AS m
+        FROM rfm)
+    SELECT r, f, m,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored
+    GROUP BY r, f, m
+    """,
+)
+def report_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile scores for recency (days
+    since last order, anchored at the corpus's max date), frequency
+    (order count), and monetary (total spend), rolled into the 4×4×4
+    segment-size cube — the standard CRM targeting matrix.
+
+    Facts reduce to customer grain first; the three ntile windows run
+    over customers with unique (metric, custkey) tie-breaks so both
+    engines produce identical quartile boundaries.  The global ntile
+    windows are single-partition passes over the customer dimension —
+    bounded, and at true scale each becomes a 2-pass percentile-bucket
+    assignment; the anchor date is a pinned literal (a relative now()
+    would make the result time-dependent and uncheckable).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("1998-08-02").cast("date"), F.max("o_orderdate"))
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+    )
+    wr = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
+    scored = rfm.select(
+        F.ntile(4).over(wr).alias("r"),
+        F.ntile(4).over(wf).alias("f"),
+        F.ntile(4).over(wm).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

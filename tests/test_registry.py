@@ -125,6 +125,8 @@ EXPECTED_IDS = {
     "etl_snapshot_diff",
     # round-3 batch 8: growth accounting
     "report_new_vs_returning",
+    # round-3 batch 9: RFM segmentation + embedding QA gate
+    "report_rfm_segmentation", "llm_embedding_qa",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
