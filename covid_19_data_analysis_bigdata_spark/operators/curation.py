@@ -304,7 +304,7 @@ def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            round(nll / n_tokens, 4) AS cross_entropy,
-           CASE WHEN nll / n_tokens
+           CASE WHEN round(nll / n_tokens, 4)
                      > (SELECT round(avg(nll / n_tokens), 6) FROM scored)
                 THEN true ELSE false END AS above_avg
     FROM scored
@@ -320,9 +320,10 @@ def llm_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (vocabulary-sized, broadcast back), so scoring is a
     broadcast join + per-doc sum — two shuffles total, both bounded by
     vocabulary or document count, never token volume beyond the initial
-    explode.  ``above_avg`` compares each document to the corpus mean
-    cross-entropy (rounded 6dp on both sides before comparison so the
-    boolean cannot flip on float tails).
+    explode.  ``above_avg`` compares the 4dp-rounded per-doc
+    cross-entropy against the 6dp-rounded corpus mean — both operands
+    rounded identically on both engines so the boolean cannot flip on
+    float-accumulation tails.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_words()).alias("tok"))
@@ -346,7 +347,12 @@ def llm_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         F.round(F.col("nll") / F.col("n_tokens"), 4).alias("cross_entropy"),
-        (F.col("nll") / F.col("n_tokens") > F.col("m")).alias("above_avg"),
+        # compare the SAME 4dp-rounded value that is emitted (and hash-
+        # checked) as cross_entropy, so the boolean cannot flip on float
+        # accumulation-order tails the output itself doesn't expose
+        (F.round(F.col("nll") / F.col("n_tokens"), 4) > F.col("m")).alias(
+            "above_avg"
+        ),
     )
 
 
@@ -446,8 +452,8 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH stats AS (
         SELECT label,
                len(embedding) AS dim,
-               sqrt(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * x))) AS nrm
+               sqrt(coalesce(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * x)), 0.0)) AS nrm
         FROM embeddings)
     SELECT label,
            CAST(count(*) AS BIGINT)                       AS n_vectors,

@@ -86,12 +86,17 @@ def _bigrams(words: Column) -> Column:
     # element_at, re-splitting the document per position — O(len²) per row
     # (the defect the round-2 judge timed at 17 s in llm_pmi_cooccur).
     n = F.greatest(F.size(words) - 1, F.lit(0))
-    return F.array_distinct(
-        F.zip_with(
-            F.slice(words, 1, n),
-            F.slice(words, 2, n),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
+    return F.coalesce(
+        F.array_distinct(
+            F.zip_with(
+                F.slice(words, 1, n),
+                F.slice(words, 2, n),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ),
+        # NULL text must yield an empty gram set (the pre-round-3
+        # behavior), not propagate NULL into downstream size()/explode()
+        F.array().cast("array<string>"),
     )
 
 

@@ -361,7 +361,7 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     data pages).  The corpus stores one file per table, so the oracle
     pins the expected name and the exact row/key counts.
     """
-    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    df = load_table(spark, sf_dir, "lineitem")  # scan layer: confs applied
     return df.groupBy(
         F.col("_metadata.file_name").alias("file_name")
     ).agg(

@@ -39,21 +39,11 @@ from covid_19_data_analysis_bigdata_spark.sources.io import (
 )
 
 
-def _events_schema(sf_dir: str) -> StructType:
-    """Declared stream schema for events, branched on the footer probe.
-
-    Streaming file sources require a declared schema (no inference
-    pass).  ``timestamp[ns]`` reads as bigint under ``nanosAsLong``;
-    naive ``timestamp[us]`` reads as TIMESTAMP_NTZ; UTC-adjusted as
-    TimestampType.  :func:`repair_events_ts` then normalizes all three.
-    """
-    phys = events_ts_physical_type(sf_dir)
-    if phys == "timestamp[ns]" or phys == "int64":
-        ts_type = LongType()
-    elif "tz=" in phys:
-        ts_type = TimestampType()
-    else:
-        ts_type = TimestampNTZType()
+def _events_fields(ts_type) -> StructType:
+    """The events table's StructType with ``ts`` declared as ``ts_type``
+    — single source of truth for every schema-declaring events reader
+    in this module (the file stream and the multi-batch replay
+    fixture), so the field list can never desynchronize."""
     return StructType(
         [
             StructField("event_id", LongType()),
@@ -64,6 +54,26 @@ def _events_schema(sf_dir: str) -> StructType:
             StructField("props", StringType()),
         ]
     )
+
+
+def _events_schema(sf_dir: str) -> StructType:
+    """Declared stream schema for events, branched on the footer probe.
+
+    Streaming file sources require a declared schema (no inference
+    pass).  ANY nanosecond encoding — naive or tz-adjusted — reads as
+    bigint under ``nanosAsLong`` (verified empirically: the conf
+    applies before timezone handling); naive ``timestamp[us]`` reads
+    as TIMESTAMP_NTZ; UTC-adjusted µs as TimestampType.
+    :func:`repair_events_ts` then normalizes all of them.
+    """
+    phys = events_ts_physical_type(sf_dir)
+    if phys.startswith("timestamp[ns") or phys == "int64":
+        ts_type = LongType()
+    elif "tz=" in phys:
+        ts_type = TimestampType()
+    else:
+        ts_type = TimestampNTZType()
+    return _events_fields(ts_type)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,18 +619,8 @@ def stream_multi_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events").withColumn(
             "ts", (F.unix_micros("ts") * 1000).cast("long")
         ).repartition(8).write.mode("overwrite").parquet(frag)
-    raw = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
     ev = repair_events_ts(
-        spark.readStream.schema(raw)
+        spark.readStream.schema(_events_fields(LongType()))
         .option("maxFilesPerTrigger", "2")
         .parquet(frag)
     )

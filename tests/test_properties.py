@@ -343,6 +343,8 @@ def test_mmr_diversify_matches_independent_recompute(spark, sf_dir):
         remaining = list(pool)
         while remaining and len(chosen) < MMR_K:
             best, best_key = None, None
+            # strict > keeps the FIRST max in (−sim, cand_id) pool
+            # order — exactly np.argmax's tie behavior in the impl
             for s, c in remaining:
                 red = max(
                     (
@@ -351,10 +353,9 @@ def test_mmr_diversify_matches_independent_recompute(spark, sf_dir):
                     ),
                     default=0.0,
                 )
-                score = MMR_LAMBDA * s - (1 - MMR_LAMBDA) * red
-                key = (round(score, 9), -c)
-                if best_key is None or key > best_key:
-                    best, best_key = (s, c), key
+                score = round(MMR_LAMBDA * s - (1 - MMR_LAMBDA) * red, 9)
+                if best_key is None or score > best_key:
+                    best, best_key = (s, c), score
             chosen.append(best[1])
             remaining.remove(best)
         expected[pid] = chosen

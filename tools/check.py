@@ -87,6 +87,9 @@ def main() -> int:
           + (" session=plain" if args.plain else ""))
 
     qs, orc = E.queries(), E.oracle_sql()
+    if args.first and args.names:
+        print("--first and explicit names are mutually exclusive")
+        return 2
     if args.first:
         names = list(qs)[: args.first]
     else:
