@@ -20,7 +20,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.operators.textprep import (
+    _POLY_SQL,
+    _polyhash,
+)
 from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+#: Canonical row rendering for the reconciliation checksum — integer and
+#: string columns only (float formatting differs across engines).
+_CHECKSUM_COLS_SQL = (
+    "concat_ws('|', l_orderkey, l_partkey, l_suppkey, "
+    "l_linenumber, l_returnflag, l_linestatus)"
+)
 
 
 @query(
@@ -693,4 +704,47 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select(change.alias("change"))
         .groupBy("change")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "dq_table_checksum",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum({_POLY_SQL.format(col=_CHECKSUM_COLS_SQL)})
+                % 1000000007 AS BIGINT) AS checksum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable per-bucket table checksum: row count + the sum of a
+    deterministic row hash over the key/flag columns, grouped by
+    ``l_returnflag`` — the replication-reconciliation primitive (two
+    systems agree the table matches iff every bucket's (count,
+    checksum) pair agrees, without moving a single data row between
+    them).
+
+    The row hash is the portable polynomial hash over a canonical
+    ``|``-joined rendering of integer/string columns ONLY — float
+    columns are excluded because engines render doubles differently
+    and a checksum that depends on float formatting reconciles
+    nothing.  Sum-of-hashes is order-independent and partial+final
+    aggregable: the checksum of 100 TB is one scan with map-side
+    combine, and bucket-level mismatch localizes the diff.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(_polyhash(canon)) % 1000000007).alias("checksum"),
     )

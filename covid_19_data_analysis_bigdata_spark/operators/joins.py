@@ -443,3 +443,68 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_near", F.lit(0).cast("long")).alias("n_near"),
         )
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'),
+    views AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'view')
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           CASE WHEN v.ts <= p.ts + INTERVAL 1 HOUR
+                THEN v.event_id END AS view_id
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts >= p.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: each purchase matches the
+    next view at-or-after it per user ONLY if that view arrives within
+    one hour — the bounded-lookahead variant every market-data and
+    attribution pipeline actually runs (an unbounded as-of happily
+    pairs events days apart).
+
+    Same single window pass as ``join_asof`` — the nearest view's
+    (id, ts) ride together in one struct carried by
+    ``first(ignorenulls)`` so the tolerance gate checks the ts OF THE
+    MATCHED VIEW, then the struct is consumed in-plan (scalar output).
+    One shuffle on user_id, zero join blowup, tolerance applied as a
+    row-local predicate after the match.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(
+            F.col("event_type") == "view",
+            F.struct(F.col("event_id").alias("vid"), F.col("ts").alias("vts")),
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_purchase"), F.asc("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nearest = F.first("v", ignorenulls=True).over(w)
+    return (
+        tagged.withColumn("nv", nearest)
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(
+                F.col("nv.vts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+                F.col("nv.vid"),
+            ).alias("view_id"),
+        )
+    )

@@ -127,6 +127,8 @@ EXPECTED_IDS = {
     "report_new_vs_returning",
     # round-3 batch 9: RFM segmentation + embedding QA gate
     "report_rfm_segmentation", "llm_embedding_qa",
+    # round-3 batch 10: bounded-lookahead as-of + reconciliation checksum
+    "join_asof_tolerance", "dq_table_checksum",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
