@@ -43,15 +43,94 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+#: Front-of-registry order for round 4.  External correctness sweeps
+#: sample the registry front-to-back in iteration order, so the 50
+#: queries with the LEAST accumulated sweep evidence go first: the
+#: never-externally-sampled source/scan layer, the full report suite,
+#: the ETL/data-quality family, and the first time-series entries —
+#: plus ``math_funcs``, whose round-3 oracle type mismatch (DuckDB
+#: ceil/floor→DOUBLE, sign→TINYINT vs Spark BIGINT/DOUBLE) was fixed
+#: this round and needs a fresh external confirmation.
+_WINDOW_PRIORITY: list[str] = [
+    "math_funcs",
+    # sources / scans — §2 scan IDs, never externally sampled
+    "scan_parquet",
+    "scan_projected",
+    "scan_events_ns",
+    "read_csv_schema",
+    "read_json_lines",
+    "sink_parquet_partitioned",
+    "create_view_sql",
+    "scan_dpp_star_join",
+    "read_orc_roundtrip",
+    "catalog_managed_table",
+    "scan_schema_evolution",
+    "scan_file_metadata",
+    "scan_python_datasource",
+    "win_first_last",
+    # report suite (20) — never externally sampled
+    "report_share_of_total",
+    "report_local_supplier_volume",
+    "report_growth_rate",
+    "report_period_compare",
+    "pipeline_full_report",
+    "report_volume_shipping",
+    "report_market_share",
+    "report_returned_items",
+    "report_late_shipping",
+    "report_promo_share",
+    "report_large_orders",
+    "report_bracket_revenue",
+    "report_idle_customers",
+    "report_retention_cohort",
+    "report_basket_lift",
+    "report_activity_heatmap",
+    "report_pareto_abc",
+    "report_gini_concentration",
+    "report_new_vs_returning",
+    "report_rfm_segmentation",
+    # ETL / data-quality (13) — never externally sampled
+    "etl_upsert_scd1",
+    "etl_keep_latest",
+    "etl_scd2_intervals",
+    "etl_compact_small_files",
+    "etl_partition_overwrite",
+    "dq_expectations",
+    "etl_incremental_agg",
+    "dq_profile_columns",
+    "etl_cascade_delete",
+    "dq_benford_digits",
+    "dq_entropy_drift",
+    "etl_snapshot_diff",
+    "dq_table_checksum",
+    # time-series head — rest of the family queues for round 5
+    "ts_trend_forecast",
+    "ts_resample_ffill",
+]
+
+
+def _reorder_front(priority: list[str]) -> None:
+    """Rebuild the registry dicts with ``priority`` names first.
+
+    Names absent from the registry are skipped (a rename must not
+    silently truncate the window); the remainder keeps module
+    registration order.
+    """
+    front = [n for n in priority if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(front)]
+    for d in (QUERIES, ORACLES):
+        reordered = {n: d[n] for n in front + rest if n in d}
+        d.clear()
+        d.update(reordered)
+
+
 def load_all() -> None:
     """Import every operator module so the registries are fully populated.
 
-    Registration order is deliberate: external correctness sweeps sample
-    the registry front-to-back, so the categories with the least
-    accumulated sweep evidence (scalar functions, streaming, UDFs, LLM
-    text/dedup, ETL, time-series) register FIRST; the relational / join
-    / aggregate families — already green across two full sweeps — come
-    last.
+    Iteration order is deliberate (see ``_WINDOW_PRIORITY``): external
+    correctness sweeps sample the registry front-to-back, so the
+    queries with the least accumulated sweep evidence are moved to the
+    front after all modules register.
     """
     # Imports are at call time so a failure in one module surfaces loudly
     # rather than silently truncating the registry at package import.
@@ -81,3 +160,5 @@ def load_all() -> None:
         pysource,
         scans,
     )
+
+    _reorder_front(_WINDOW_PRIORITY)

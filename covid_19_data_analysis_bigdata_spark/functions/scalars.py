@@ -171,15 +171,15 @@ def ts_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_extendedprice - 30000)               AS abs_centered,
-           ceil(l_quantity / 7)                       AS ceil_weeks,
-           floor(l_quantity / 7)                      AS floor_weeks,
+           CAST(ceil(l_quantity / 7) AS BIGINT)       AS ceil_weeks,
+           CAST(floor(l_quantity / 7) AS BIGINT)      AS floor_weeks,
            round(sqrt(l_extendedprice), 6)            AS sqrt_price,
            round(pow(l_discount + 1, 3), 6)           AS pow_disc,
            round(ln(l_extendedprice), 6)              AS ln_price,
            round(exp(l_discount), 6)                  AS exp_disc,
            greatest(l_quantity, CAST(l_linenumber AS DOUBLE)) AS biggest,
            least(l_quantity, CAST(l_linenumber AS DOUBLE))    AS smallest,
-           sign(l_extendedprice - 30000)              AS price_sign,
+           CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS price_sign,
            CAST(l_orderkey % 7 AS BIGINT)             AS key_mod
     FROM lineitem
     """,

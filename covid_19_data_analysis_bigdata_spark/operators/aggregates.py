@@ -402,8 +402,8 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_histogram",
     oracle="""
     SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bin,
-           (CAST(round(o_totalprice * 100) AS BIGINT) // 5000000)
-               * 50000.0 AS bin_lo,
+           CAST((CAST(round(o_totalprice * 100) AS BIGINT) // 5000000)
+               * 50000.0 AS DOUBLE) AS bin_lo,
            count(*)                    AS cnt,
            round(sum(o_totalprice), 4) AS total
     FROM orders

@@ -300,14 +300,20 @@ def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_tokens,
                sum(-ln(CAST(uni.c AS DOUBLE) / tot.t)) AS nll
         FROM tok JOIN uni USING (tok) CROSS JOIN tot
-        GROUP BY tok.doc_id)
+        GROUP BY tok.doc_id),
+    rounded AS (
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(nll / n_tokens, 4) AS ce,
+               CAST(round(round(nll / n_tokens, 4) * 10000) AS BIGINT)
+                   AS ce_int
+        FROM scored),
+    stats AS (SELECT sum(ce_int) AS s, count(*) AS cnt FROM rounded)
     SELECT doc_id,
-           CAST(n_tokens AS BIGINT) AS n_tokens,
-           round(nll / n_tokens, 4) AS cross_entropy,
-           CASE WHEN round(nll / n_tokens, 4)
-                     > (SELECT round(avg(nll / n_tokens), 6) FROM scored)
-                THEN true ELSE false END AS above_avg
-    FROM scored
+           n_tokens,
+           ce AS cross_entropy,
+           CASE WHEN ce_int * cnt > s THEN true ELSE false END AS above_avg
+    FROM rounded CROSS JOIN stats
     """,
 )
 def llm_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,10 +326,13 @@ def llm_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (vocabulary-sized, broadcast back), so scoring is a
     broadcast join + per-doc sum — two shuffles total, both bounded by
     vocabulary or document count, never token volume beyond the initial
-    explode.  ``above_avg`` compares the 4dp-rounded per-doc
-    cross-entropy against the 6dp-rounded corpus mean — both operands
-    rounded identically on both engines so the boolean cannot flip on
-    float-accumulation tails.
+    explode.  ``above_avg`` is computed in EXACT integer arithmetic:
+    each 4dp cross-entropy becomes an integer (ce·10⁴) and the
+    comparison is ``ce_int · count > Σ ce_int`` — equivalent to
+    "above the mean of the rounded values" with no float accumulation
+    anywhere, so the boolean is bit-identical across engines regardless
+    of summation order (a float mean differing in the last ulp could
+    flip a document sitting on the boundary).
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_words()).alias("tok"))
@@ -340,19 +349,23 @@ def llm_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    mean_ce = scored.agg(
-        F.round(F.avg(F.col("nll") / F.col("n_tokens")), 6).alias("m")
-    )
-    return scored.crossJoin(F.broadcast(mean_ce)).select(
+    rounded = scored.select(
         "doc_id",
         "n_tokens",
-        F.round(F.col("nll") / F.col("n_tokens"), 4).alias("cross_entropy"),
-        # compare the SAME 4dp-rounded value that is emitted (and hash-
-        # checked) as cross_entropy, so the boolean cannot flip on float
-        # accumulation-order tails the output itself doesn't expose
-        (F.round(F.col("nll") / F.col("n_tokens"), 4) > F.col("m")).alias(
-            "above_avg"
-        ),
+        F.round(F.col("nll") / F.col("n_tokens"), 4).alias("ce"),
+        F.round(F.round(F.col("nll") / F.col("n_tokens"), 4) * 10000, 0)
+        .cast("bigint")
+        .alias("ce_int"),
+    )
+    stats = rounded.agg(
+        F.sum("ce_int").alias("s"), F.count(F.lit(1)).alias("cnt")
+    )
+    return rounded.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "n_tokens",
+        F.col("ce").alias("cross_entropy"),
+        # exact integer comparison — see docstring; no float mean anywhere
+        (F.col("ce_int") * F.col("cnt") > F.col("s")).alias("above_avg"),
     )
 
 

@@ -453,14 +453,24 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_type = 'purchase'),
     views AS (
         SELECT event_id, user_id, ts FROM events
-        WHERE event_type = 'view')
+        WHERE event_type = 'view'),
+    ranked AS (
+        SELECT p.event_id AS purchase_id,
+               v.event_id AS v_id,
+               v.ts       AS v_ts,
+               p.ts       AS p_ts,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.ts ASC, v.event_id ASC) AS rn
+        FROM purchases p
+        JOIN views v
+          ON p.user_id = v.user_id AND v.ts >= p.ts)
     SELECT p.event_id AS purchase_id,
            p.user_id,
-           CASE WHEN v.ts <= p.ts + INTERVAL 1 HOUR
-                THEN v.event_id END AS view_id
+           CASE WHEN r.v_ts <= p.ts + INTERVAL 1 HOUR
+                THEN r.v_id END AS view_id
     FROM purchases p
-    ASOF LEFT JOIN views v
-      ON p.user_id = v.user_id AND v.ts >= p.ts
+    LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON r.purchase_id = p.event_id
     """,
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,6 +486,12 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     MATCHED VIEW, then the struct is consumed in-plan (scalar output).
     One shuffle on user_id, zero join blowup, tolerance applied as a
     row-local predicate after the match.
+
+    Determinism: ties (two views with identical ts at-or-after a
+    purchase) break on event_id asc on BOTH sides — the Spark window
+    orders (ts, event_id) and the oracle ranks with row_number() over
+    the same keys instead of DuckDB's ASOF JOIN, whose tie choice is
+    unspecified.
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")

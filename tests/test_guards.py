@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import pathlib
 import re
+from datetime import timezone
 
 import pytest
 
@@ -120,7 +121,11 @@ class TestEventsTsEncodings:
         df = load_table(spark, sf, "events")
         assert dict(df.dtypes)["ts"] == "timestamp", enc
         row = df.collect()[0]
-        assert int(row["ts"].timestamp() * 1_000_000) == self.EPOCH_US, enc
+        # Spark collect() returns naive datetimes in the session tz
+        # (pinned UTC); attach UTC explicitly so .timestamp() does not
+        # reinterpret in the host OS timezone on non-UTC machines.
+        got = row["ts"].replace(tzinfo=timezone.utc)
+        assert int(got.timestamp() * 1_000_000) == self.EPOCH_US, enc
 
     @pytest.mark.parametrize(
         "enc", ["ns_naive", "ns_utc", "us_naive", "us_utc"]
@@ -144,7 +149,59 @@ class TestEventsTsEncodings:
         assert dict(ev.dtypes)["ts"] == "timestamp", enc
         out = run_to_table(spark, ev.select("event_id", "ts"), f"t_enc_{enc}", "append")
         row = out.collect()[0]
-        assert int(row["ts"].timestamp() * 1_000_000) == self.EPOCH_US, enc
+        got = row["ts"].replace(tzinfo=timezone.utc)
+        assert int(got.timestamp() * 1_000_000) == self.EPOCH_US, enc
+
+
+class TestStrictComparator:
+    """tools/check.py norm() must distinguish cross-engine TYPE
+    divergences, not just values.  Round-3 regression: DuckDB ceil/
+    floor returned DOUBLE (4.0) where Spark returned BIGINT (4); the
+    old numeric norm() said 4 == 4.0 so the local sweep was green while
+    the external rendered-value hash failed (math_funcs).  These pairs
+    must NEVER compare equal again."""
+
+    def test_numeric_type_divergences_detected(self):
+        import sys
+
+        sys.path.insert(0, str(PKG.parent / "tools"))
+        from decimal import Decimal
+
+        from check import norm
+
+        # (spark-side, oracle-side) pairs that are numerically equal
+        # but render differently — each must be distinguished.
+        for a, b in [
+            (4, 4.0),                    # bigint vs double
+            (Decimal("4.0"), 4.0),       # decimal vs double
+            (Decimal("4.00"), Decimal("4.0")),  # decimal scale
+            (1, True),                   # int vs bool
+            (0.0, -0.0),                 # sign of zero renders differently
+        ]:
+            assert norm(a) != norm(b), (a, b)
+            # nested containers inherit strictness
+            assert norm([a]) != norm([b]), (a, b)
+
+    def test_equal_values_still_match(self):
+        import sys
+
+        sys.path.insert(0, str(PKG.parent / "tools"))
+        from datetime import datetime
+        from decimal import Decimal
+
+        from check import norm
+
+        for a, b in [
+            (4, 4),
+            (4.25, 4.25),
+            (Decimal("4.00"), Decimal("4.00")),
+            (float("nan"), float("nan")),  # canonicalized, must match
+            (b"ab", bytearray(b"ab")),     # engines differ in bin class
+            (datetime(2024, 3, 1, 12, 0, 0),
+             datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)),
+            (None, None),
+        ]:
+            assert norm(a) == norm(b), (a, b)
 
 
 def test_committed_check_artifact_not_stale():

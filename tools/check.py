@@ -30,17 +30,36 @@ TABLE_NAMES = [
 
 
 def norm(v):
-    """Canonicalize a cell value for cross-engine comparison."""
-    if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, date):
-        return v.isoformat()
+    """Canonicalize a cell value for cross-engine comparison.
+
+    TYPE-STRICT: numerics are tagged with their Python type class so a
+    bigint/double divergence between engines (``4`` vs ``4.0``) or a
+    decimal-vs-float one (``Decimal('4.00')`` vs ``4.0``) FAILS here the
+    same way it fails an external comparator that hashes *rendered*
+    values.  The round-3 ``math_funcs`` driver failure (DuckDB
+    ceil/floor → DOUBLE, sign → TINYINT vs Spark BIGINT/DOUBLE) passed
+    the old numeric-equality norm() — this closes that gap.  Integer
+    *widths* are not distinguished (INT vs BIGINT both render "4"), but
+    bool/int/float/Decimal classes are.
+    """
+    if v is None:
+        return None
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("float", "NaN")
+        return ("float", repr(v))  # repr: distinguishes -0.0, keeps full precision
+    if isinstance(v, Decimal):
+        return ("dec", str(v))  # str keeps scale: '4.00' != '4.0' when rendered
+    if isinstance(v, datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, date):
+        return ("date", v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return ("bin", bytes(v))
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
     if isinstance(v, dict):
