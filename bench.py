@@ -57,6 +57,10 @@ HEADLINE = [
     "llm_pmi_cooccur",      # skip-gram PMI (r2 perf-weak watch item)
     "graph_triangle_count",  # adjacency-intersection triangles (r2 watch item)
     "llm_span_dedup",       # substring-level dedup (round-3 headline)
+    "ml_kmeans_lloyd",      # iterative broadcast-centroid k-means (round-4 add)
+    "llm_dedup_cross_corpus",  # incremental batch-vs-corpus screen (round-4 add)
+    "llm_ann_pq",           # PQ codebook train + ADC + exact rerank (round-4 add)
+    "report_market_share",  # heaviest not-yet-benched report query (round-4 add)
 ]
 
 

@@ -374,8 +374,114 @@ MMR_POOL = 20
 MMR_K = 5
 
 
-@query("llm_mmr_diversify")  # greedy iterative selection — no SQL oracle;
-# tests/test_properties.py recomputes the selection independently.
+@query(
+    "llm_mmr_diversify",
+    oracle="""
+    WITH emb AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < 10),
+    cand AS (
+        SELECT p.probe_id, e.vec_id AS cand_id,
+               CAST(round(round(list_cosine_similarity(p.pv, e.v), 6)
+                    * 1000000) AS BIGINT) AS simq,
+               e.v AS cv
+        FROM probes p JOIN emb e ON e.vec_id <> p.probe_id),
+    pool AS (
+        SELECT probe_id, cand_id, simq, cv
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                  ORDER BY simq DESC, cand_id) AS rk FROM cand)
+        WHERE rk <= 20),
+    pairs AS (
+        SELECT a.probe_id, a.cand_id AS i, b.cand_id AS j,
+               CAST(round(round(list_cosine_similarity(a.cv, b.cv), 6)
+                    * 1000000) AS BIGINT) AS ps
+        FROM pool a JOIN pool b ON a.probe_id = b.probe_id),
+    s1 AS (
+        SELECT probe_id, cand_id, simq, simq AS score_int
+        FROM (SELECT probe_id, cand_id, simq, row_number() OVER (
+                  PARTITION BY probe_id ORDER BY simq DESC, cand_id) AS rn
+              FROM pool) WHERE rn = 1),
+    c2 AS (
+        SELECT p.probe_id, p.cand_id, p.simq,
+               p.simq - max(pr.ps) AS score_int
+        FROM pool p
+        JOIN pairs pr ON pr.probe_id = p.probe_id AND pr.i = p.cand_id
+        JOIN s1 s ON s.probe_id = pr.probe_id AND s.cand_id = pr.j
+        WHERE NOT EXISTS (SELECT 1 FROM s1 x
+                          WHERE x.probe_id = p.probe_id
+                            AND x.cand_id = p.cand_id)
+        GROUP BY p.probe_id, p.cand_id, p.simq),
+    s2 AS (
+        SELECT probe_id, cand_id, simq, score_int
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                  ORDER BY score_int DESC, simq DESC, cand_id) AS rn FROM c2)
+        WHERE rn = 1),
+    sel2 AS (SELECT probe_id, cand_id FROM s1
+             UNION ALL SELECT probe_id, cand_id FROM s2),
+    c3 AS (
+        SELECT p.probe_id, p.cand_id, p.simq,
+               p.simq - max(pr.ps) AS score_int
+        FROM pool p
+        JOIN pairs pr ON pr.probe_id = p.probe_id AND pr.i = p.cand_id
+        JOIN sel2 s ON s.probe_id = pr.probe_id AND s.cand_id = pr.j
+        WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                          WHERE x.probe_id = p.probe_id
+                            AND x.cand_id = p.cand_id)
+        GROUP BY p.probe_id, p.cand_id, p.simq),
+    s3 AS (
+        SELECT probe_id, cand_id, simq, score_int
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                  ORDER BY score_int DESC, simq DESC, cand_id) AS rn FROM c3)
+        WHERE rn = 1),
+    sel3 AS (SELECT probe_id, cand_id FROM sel2
+             UNION ALL SELECT probe_id, cand_id FROM s3),
+    c4 AS (
+        SELECT p.probe_id, p.cand_id, p.simq,
+               p.simq - max(pr.ps) AS score_int
+        FROM pool p
+        JOIN pairs pr ON pr.probe_id = p.probe_id AND pr.i = p.cand_id
+        JOIN sel3 s ON s.probe_id = pr.probe_id AND s.cand_id = pr.j
+        WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+                          WHERE x.probe_id = p.probe_id
+                            AND x.cand_id = p.cand_id)
+        GROUP BY p.probe_id, p.cand_id, p.simq),
+    s4 AS (
+        SELECT probe_id, cand_id, simq, score_int
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                  ORDER BY score_int DESC, simq DESC, cand_id) AS rn FROM c4)
+        WHERE rn = 1),
+    sel4 AS (SELECT probe_id, cand_id FROM sel3
+             UNION ALL SELECT probe_id, cand_id FROM s4),
+    c5 AS (
+        SELECT p.probe_id, p.cand_id, p.simq,
+               p.simq - max(pr.ps) AS score_int
+        FROM pool p
+        JOIN pairs pr ON pr.probe_id = p.probe_id AND pr.i = p.cand_id
+        JOIN sel4 s ON s.probe_id = pr.probe_id AND s.cand_id = pr.j
+        WHERE NOT EXISTS (SELECT 1 FROM sel4 x
+                          WHERE x.probe_id = p.probe_id
+                            AND x.cand_id = p.cand_id)
+        GROUP BY p.probe_id, p.cand_id, p.simq),
+    s5 AS (
+        SELECT probe_id, cand_id, simq, score_int
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                  ORDER BY score_int DESC, simq DESC, cand_id) AS rn FROM c5)
+        WHERE rn = 1),
+    final AS (
+        SELECT probe_id, 1 AS rank, cand_id, score_int FROM s1
+        UNION ALL SELECT probe_id, 2, cand_id, score_int FROM s2
+        UNION ALL SELECT probe_id, 3, cand_id, score_int FROM s3
+        UNION ALL SELECT probe_id, 4, cand_id, score_int FROM s4
+        UNION ALL SELECT probe_id, 5, cand_id, score_int FROM s5)
+    SELECT probe_id,
+           CAST(rank AS INTEGER) AS rank,
+           cand_id AS vec_id,
+           CAST(score_int AS DOUBLE) / 2000000.0 AS score
+    FROM final
+    """,
+)
 def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking: for each of 10 probe
     vectors, take the cosine top-{MMR_POOL} pool and greedily select
@@ -390,9 +496,12 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs the greedy loop vectorized per group, the legitimate use of
     the Pandas escape hatch: the corpus-sized stage stays declarative,
     the O(k·pool) greedy tail is bounded and embarrassingly parallel
-    per query.  Determinism: candidates enter sorted by (−sim, vec_id)
-    and ties break on vec_id, so the selection is unique; scores are
-    float64 with 6-dp rounding at the boundary.
+    per query.  Determinism: all similarities are 6dp-rounded then
+    scaled to int64, so the whole recurrence is exact integer
+    arithmetic (ties break on pool order = sim desc, vec_id asc) and
+    the DuckDB oracle replays the identical selection with one
+    unrolled CTE per greedy step — emitted scores are int/2·10⁶
+    divisions, bit-identical across engines.
     """
     import pandas as pd
 
@@ -419,6 +528,11 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
     )
 
+    # The integer recurrence below bakes in λ = 1/2 (score = (simq −
+    # red)/2 after scaling); a different λ needs new integer weights in
+    # BOTH the greedy and the oracle.
+    assert MMR_LAMBDA == 0.5
+
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
@@ -427,30 +541,37 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).reset_index(drop=True)
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["ne"]])
         V = V / np.linalg.norm(V, axis=1, keepdims=True)
-        pair = V @ V.T
-        simq = pdf["sim"].to_numpy()
+        # EXACT integer recurrence: query- and pair-similarities are
+        # 6dp-rounded then scaled to int64, so every comparison in the
+        # greedy loop is integer arithmetic — no float accumulation can
+        # flip an argmax between engines, and the SQL oracle replays
+        # the identical selection (unrolled CTE per step).
+        pair_int = np.rint(np.round(V @ V.T, 6) * 1e6).astype(np.int64)
+        simq_int = np.rint(pdf["sim"].to_numpy() * 1e6).astype(np.int64)
         ids = pdf["cand_id"].to_numpy()
         chosen: list[int] = []
         scores: list[float] = []
         remaining = list(range(len(pdf)))
         while remaining and len(chosen) < MMR_K:
             if chosen:
-                red = pair[np.ix_(remaining, chosen)].max(axis=1)
+                red = pair_int[np.ix_(remaining, chosen)].max(axis=1)
             else:
-                red = np.zeros(len(remaining))
-            mmr = MMR_LAMBDA * simq[remaining] - (1 - MMR_LAMBDA) * red
-            # argmax with vec_id tie-break: remaining is already in
-            # (−sim, vec_id) order, and np.argmax takes the first max
-            best = int(np.argmax(np.round(mmr, 9)))
+                red = np.zeros(len(remaining), dtype=np.int64)
+            mmr = simq_int[remaining] - red
+            # argmax with (sim desc, vec_id) tie-break: remaining is in
+            # pool order and np.argmax takes the first max
+            best = int(np.argmax(mmr))
             chosen.append(remaining[best])
-            scores.append(float(mmr[best]))
+            # λ·simq − (1−λ)·red with λ=1/2 — exact int / 2e6 division,
+            # bit-identical across engines
+            scores.append(int(mmr[best]) / 2_000_000.0)
             del remaining[best]
         return pd.DataFrame(
             {
                 "probe_id": pdf["probe_id"].iloc[0],
                 "rank": np.arange(1, len(chosen) + 1, dtype="int32"),
                 "vec_id": ids[chosen],
-                "score": np.round(scores, 6),
+                "score": scores,
             }
         )
 

@@ -1206,15 +1206,22 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("cid"))
-
     def assign(centroids):
+        # argmin via min(struct(d2, cid)) — same (d2 asc, cid asc)
+        # tie-break as a row_number window, but partial aggregation
+        # collapses each map partition to one candidate per (vec_id, m)
+        # BEFORE the shuffle and nothing is sorted: the per-iteration
+        # shuffle is |vectors|·M structs instead of |vectors|·M·K rows
+        # through a window sort (this was the bench hot spot).
         return (
             subs.join(F.broadcast(centroids), "m")
-            .select("vec_id", "m", "cid", d2.alias("d2"))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "m", "cid")
+            .select(
+                "vec_id",
+                "m",
+                F.struct(d2.alias("d2"), F.col("cid")).alias("s"),
+            )
+            .groupBy("vec_id", "m")
+            .agg(F.min("s").getField("cid").alias("cid"))
         )
 
     for _ in range(PQ_ITERS):
@@ -1231,6 +1238,11 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s.getField("c"),
                 ).alias("center")
             )
+            # cache the M×K-row codebook: cent is referenced twice
+            # downstream (next assign + the ADC LUT); a lazy persist
+            # dedups the re-evaluation without the extra eager job a
+            # localCheckpoint would serialize into the loop
+            .persist()
         )
     codes = assign(cent).persist()
 

@@ -301,9 +301,10 @@ def test_sketch_rollup_within_merge_error(spark, sf_dir):
 
 
 def test_mmr_diversify_matches_independent_recompute(spark, sf_dir):
-    # No SQL oracle (greedy iterative selection); recompute the full
-    # selection independently in pure Python from the raw parquet and
-    # demand identical picks in identical order.
+    # Recompute the full selection independently in pure Python from
+    # the raw parquet and demand identical picks in identical order
+    # (third engine alongside Spark and the DuckDB oracle; uses the
+    # same exact-integer recurrence over 6dp-rounded similarities).
     import os
     import math
     import pyarrow.parquet as pq
@@ -339,21 +340,33 @@ def test_mmr_diversify_matches_independent_recompute(spark, sf_dir):
             c: [x / math.sqrt(sum(y * y for y in vecs[c])) for x in vecs[c]]
             for _, c in pool
         }
+        assert MMR_LAMBDA == 0.5
         chosen = []
         remaining = list(pool)
         while remaining and len(chosen) < MMR_K:
             best, best_key = None, None
             # strict > keeps the FIRST max in (−sim, cand_id) pool
-            # order — exactly np.argmax's tie behavior in the impl
+            # order — exactly np.argmax's tie behavior in the impl;
+            # exact-integer recurrence over 6dp-rounded sims, same as
+            # the operator and its DuckDB oracle
             for s, c in remaining:
                 red = max(
                     (
-                        sum(x * y for x, y in zip(unit[c], unit[sc]))
+                        round(
+                            round(
+                                sum(
+                                    x * y
+                                    for x, y in zip(unit[c], unit[sc])
+                                ),
+                                6,
+                            )
+                            * 1e6
+                        )
                         for sc in chosen
                     ),
-                    default=0.0,
+                    default=0,
                 )
-                score = round(MMR_LAMBDA * s - (1 - MMR_LAMBDA) * red, 9)
+                score = round(s * 1e6) - red
                 if best_key is None or score > best_key:
                     best, best_key = (s, c), score
             chosen.append(best[1])

@@ -139,9 +139,6 @@ WEAK_IDS = {
     "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_sketch_rollup",
-    # greedy iterative MMR selection — independent pure-Python recompute
-    # test instead of a SQL oracle (tests/test_properties.py)
-    "llm_mmr_diversify",
     # PQ codebooks are float k-means — recall-floor test vs exact search
     "llm_ann_pq",
 }
