@@ -144,6 +144,7 @@ def load_all() -> None:
         textprep,
         llmprep,
         curation,
+        retrieval,
         multimodal,
         timeseries,
         etl,

@@ -1150,10 +1150,106 @@ PQ_K = 16  #: codes per subspace → 8 bytes/vector vs 256 (32× compression)
 PQ_ITERS = 3
 PQ_TOPK = 10
 PQ_SHORTLIST = 64  #: ADC shortlist size fed to the exact rerank stage
+#: Fixed-point scale for PQ arithmetic: components become
+#: round(x·1e6) BIGINTs, so every distance, LUT entry, and codebook
+#: mean is exact integer (or correctly-rounded-division) arithmetic —
+#: bit-identical across engines, which is what makes a value oracle
+#: possible for an iteratively trained index (round-4 upgrade from the
+#: recall-floor-only check).
+PQ_SCALE = 1_000_000
 
 
-@query("llm_ann_pq")  # iterative codebook training — no SQL oracle;
-# tests/test_properties.py asserts a recall floor against exact search.
+def _pq_d2_sql(a: str, b: str) -> str:
+    """Squared L2 between two BIGINT lists (DuckDB side)."""
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+
+
+def _pq_oracle() -> str:
+    """Unrolled-{PQ_ITERS}-iteration DuckDB twin of ``llm_ann_pq``.
+
+    Same deterministic init (vec_id < {PQ_K} seeds), same argmin
+    tie-break (d2 asc, cid asc), same fixed-point centroid means
+    (exact integer sum → one correctly-rounded division → round →
+    BIGINT), same ADC shortlist and exact rerank.
+    """
+    q = f"""
+    WITH subs AS (
+        SELECT vec_id, g.m AS m,
+               list_transform(
+                   embedding[g.m * {PQ_DSUB} + 1 : g.m * {PQ_DSUB} + {PQ_DSUB}],
+                   v -> CAST(round(CAST(v AS DOUBLE) * {PQ_SCALE}) AS BIGINT)) AS sub
+        FROM embeddings CROSS JOIN generate_series(0, {PQ_M - 1}) g(m)),
+    cent0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cid, sub AS center
+              FROM subs WHERE vec_id < {PQ_K})"""
+    prev = "cent0"
+    for it in range(1, PQ_ITERS + 1):
+        q += f""",
+    asg{it} AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT s.vec_id, s.m, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {_pq_d2_sql('s.sub', 'c.center')}, c.cid) AS rn
+            FROM subs s JOIN {prev} c USING (m))
+        WHERE rn = 1),
+    cent{it} AS (
+        SELECT m, cid, list(cmean ORDER BY pos) AS center FROM (
+            SELECT s.m, a.cid, j.pos,
+                   CAST(round(CAST(sum(s.sub[j.pos]) AS DOUBLE) / count(*))
+                        AS BIGINT) AS cmean
+            FROM subs s JOIN asg{it} a ON s.vec_id = a.vec_id AND s.m = a.m
+            CROSS JOIN generate_series(1, {PQ_DSUB}) j(pos)
+            GROUP BY s.m, a.cid, j.pos)
+        GROUP BY m, cid)"""
+        prev = f"cent{it}"
+    q += f""",
+    codes AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT s.vec_id, s.m, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {_pq_d2_sql('s.sub', 'c.center')}, c.cid) AS rn
+            FROM subs s JOIN {prev} c USING (m))
+        WHERE rn = 1),
+    lut AS (
+        SELECT q.vec_id AS probe_id, c.m, c.cid,
+               {_pq_d2_sql('q.sub', 'c.center')} AS pd
+        FROM subs q JOIN {prev} c USING (m) WHERE q.vec_id < 10),
+    adc AS (
+        SELECT l.probe_id, k.vec_id, sum(l.pd) AS adc2
+        FROM codes k JOIN lut l ON k.m = l.m AND k.cid = l.cid
+        WHERE k.vec_id <> l.probe_id
+        GROUP BY l.probe_id, k.vec_id),
+    short AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY adc2, vec_id) AS rn
+            FROM adc)
+        WHERE rn <= {PQ_SHORTLIST}),
+    vfull AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   v -> CAST(round(CAST(v AS DOUBLE) * {PQ_SCALE}) AS BIGINT)) AS v
+        FROM embeddings),
+    rer AS (
+        SELECT s.probe_id, s.vec_id, {_pq_d2_sql('a.v', 'b.v')} AS d2i
+        FROM short s JOIN vfull a ON a.vec_id = s.vec_id
+        JOIN vfull b ON b.vec_id = s.probe_id)
+    SELECT probe_id, rank, vec_id,
+           round(d2i / {PQ_SCALE}.0 / {PQ_SCALE}.0, 4) AS dist2
+    FROM (SELECT probe_id, vec_id, d2i,
+                 CAST(row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY d2i, vec_id) AS INTEGER)
+                     AS rank
+          FROM rer)
+    WHERE rank <= {PQ_TOPK}
+    """
+    return q
+
+
+@query("llm_ann_pq", oracle=_pq_oracle())
 def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al., IVF-ADC family): train
     per-subspace codebooks with Lloyd iterations, encode every vector
@@ -1171,10 +1267,15 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-average (same topology as ``ml_kmeans_lloyd``); the ADC lookup
     table per probe is {PQ_M}×{PQ_K} partial distances, broadcast; the
     final scan is codes ⋈ LUT summed per (probe, vector) — linear in
-    corpus × probes, shuffle only at the bounded top-k.  Codebook
-    means are float averages (summation-order-dependent in the last
-    bits), so the check is a recall floor against exact search rather
-    than a value oracle.
+    corpus × probes, shuffle only at the bounded top-k.
+
+    All arithmetic is fixed-point: components are quantized to
+    round(x·{PQ_SCALE}) BIGINTs on entry, so distances are exact
+    integer sums and each codebook mean is one exact integer sum
+    followed by one correctly-rounded IEEE division — bit-identical
+    across engines (a 1e-6 input quantization, immaterial to retrieval
+    quality but what turns the old recall-floor-only check into the
+    exact value oracle in :func:`_pq_oracle`).
     """
     e = load_table(spark, sf_dir, "embeddings")
     sub_structs = F.array(
@@ -1183,7 +1284,7 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(m).alias("m"),
                 F.transform(
                     F.slice("embedding", m * PQ_DSUB + 1, PQ_DSUB),
-                    lambda x: x.cast("double"),
+                    lambda x: F.round(x.cast("double") * PQ_SCALE).cast("long"),
                 ).alias("sub"),
             )
             for m in range(PQ_M)
@@ -1203,7 +1304,7 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(
             F.col("sub"), F.col("center"), lambda x, c: (x - c) * (x - c)
         ),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     def assign(centroids):
@@ -1230,7 +1331,13 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             subs.join(assigned, ["vec_id", "m"])
             .select("m", "cid", F.posexplode("sub").alias("pos", "val"))
             .groupBy("m", "cid", "pos")
-            .agg(F.avg("val").alias("c"))
+            # exact integer sum, one correctly-rounded division, round
+            # → BIGINT: the fixed-point mean the oracle mirrors
+            .agg(
+                F.round(F.sum("val") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("c")
+            )
             .groupBy("m", "cid")
             .agg(
                 F.transform(
@@ -1254,7 +1361,7 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(
             F.col("qsub"), F.col("center"), lambda x, c: (x - c) * (x - c)
         ),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     lut = probes.join(F.broadcast(cent), "m").select(
@@ -1279,7 +1386,10 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows broadcast; the shortlist is probes × PQ_SHORTLIST rows).
     ev = e.select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * PQ_SCALE).cast("long"),
+        ).alias("v"),
     )
     pv = (
         ev.filter(F.col("vec_id") < 10)
@@ -1287,17 +1397,24 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex2 = F.aggregate(
         F.zip_with(F.col("v"), F.col("qv"), lambda x, q: (x - q) * (x - q)),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     rer = (
         shortlist.join(ev, "vec_id")
         .join(F.broadcast(pv), "probe_id")
-        .select("probe_id", "vec_id", F.round(ex2, 4).alias("dist2"))
+        .select("probe_id", "vec_id", ex2.alias("d2i"))
     )
-    wr = Window.partitionBy("probe_id").orderBy(F.asc("dist2"), F.asc("vec_id"))
+    wr = Window.partitionBy("probe_id").orderBy(F.asc("d2i"), F.asc("vec_id"))
     return (
         rer.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= PQ_TOPK)
-        .select("probe_id", "rank", "vec_id", "dist2")
+        .select(
+            "probe_id",
+            "rank",
+            "vec_id",
+            F.round(
+                F.col("d2i") / float(PQ_SCALE) / float(PQ_SCALE), 4
+            ).alias("dist2"),
+        )
     )

@@ -129,6 +129,11 @@ EXPECTED_IDS = {
     "report_rfm_segmentation", "llm_embedding_qa",
     # round-3 batch 10: bounded-lookahead as-of + reconciliation checksum
     "join_asof_tolerance", "dq_table_checksum",
+    # round-4 batch 1: lexical retrieval, winnowing fingerprints, sparse
+    # trigram cosine, Gopher rule bank, last-touch attribution, FK screen
+    "llm_bm25_rank", "llm_winnowing", "llm_sparse_cosine",
+    "llm_gopher_rules", "report_last_touch_attribution",
+    "dq_referential_orphans",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
@@ -139,8 +144,6 @@ WEAK_IDS = {
     "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_sketch_rollup",
-    # PQ codebooks are float k-means — recall-floor test vs exact search
-    "llm_ann_pq",
 }
 
 
