@@ -45,6 +45,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.operators.llm import _cosine
 from covid_19_data_analysis_bigdata_spark.operators.textprep import (
     _POLY_SQL,
     _polyhash,
@@ -342,6 +343,166 @@ def llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shared").cast("long").alias("n_shared"),
             F.round(cos, 6).alias("cosine"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of dense + lexical rankings
+# --------------------------------------------------------------------------
+
+RRF_K = 60  #: the standard RRF damping constant (Cormack et al. 2009)
+RRF_POOL = 50  #: per-side candidate pool fed into the fusion
+RRF_TOPK = 10
+
+
+@query(
+    "llm_hybrid_rrf",
+    oracle=f"""
+    WITH probes AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id < 10),
+    dense AS (
+        SELECT probe_id, cand_id, rd FROM (
+            SELECT p.vec_id AS probe_id, n.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY p.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    CAST(p.embedding AS DOUBLE[]),
+                                    CAST(n.embedding AS DOUBLE[])), 6) DESC,
+                                n.vec_id) AS rd
+            FROM probes p JOIN embeddings n ON n.vec_id <> p.vec_id)
+        WHERE rd <= {RRF_POOL}),
+    w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+          FROM documents),
+    g AS (SELECT doc_id, unnest({_ORACLE_GRAMS}) AS t
+          FROM w WHERE len(ws) >= {WIN_K}),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM g GROUP BY doc_id, t),
+    nrm AS (SELECT doc_id, sum(tf * tf) AS ss FROM tf GROUP BY doc_id),
+    lexcos AS (
+        SELECT p.doc_id AS probe_id, c.doc_id AS cand_id,
+               round(sum(p.tf * c.tf) / sqrt(np.ss * nc.ss), 6) AS cos
+        FROM tf p JOIN tf c ON p.t = c.t AND c.doc_id <> p.doc_id
+        JOIN nrm np ON np.doc_id = p.doc_id
+        JOIN nrm nc ON nc.doc_id = c.doc_id
+        WHERE p.doc_id < 10
+        GROUP BY p.doc_id, c.doc_id, np.ss, nc.ss),
+    lex AS (
+        SELECT probe_id, cand_id, rl FROM (
+            SELECT probe_id, cand_id,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cos DESC, cand_id) AS rl
+            FROM lexcos)
+        WHERE rl <= {RRF_POOL}),
+    fused AS (
+        SELECT coalesce(d.probe_id, l.probe_id) AS probe_id,
+               coalesce(d.cand_id, l.cand_id) AS cand_id,
+               d.rd AS dense_rank, l.rl AS lex_rank,
+               round(coalesce(1.0 / ({RRF_K} + d.rd), 0.0)
+                     + coalesce(1.0 / ({RRF_K} + l.rl), 0.0), 6) AS rrf
+        FROM dense d FULL JOIN lex l
+          ON d.probe_id = l.probe_id AND d.cand_id = l.cand_id)
+    SELECT probe_id, cand_id,
+           CAST(dense_rank AS INTEGER) AS dense_rank,
+           CAST(lex_rank AS INTEGER) AS lex_rank, rrf,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY rrf DESC, cand_id) AS rank
+          FROM fused)
+    WHERE rank <= {RRF_TOPK}
+    """,
+)
+def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: for each of the 10
+    standard probes (query-by-example: probe i is doc/vector i), fuse
+    the dense cosine ranking over embeddings with the lexical trigram-
+    cosine ranking over text via ``Σ 1/({RRF_K}+rank)`` and return the
+    fused top-{RRF_TOPK}.
+
+    This is the fusion step production search stacks run above the two
+    retriever families this registry already has (dense:
+    ``llm_sim_topk``/``llm_ann_ivf``/``llm_ann_pq``; lexical:
+    ``llm_bm25_rank``/``llm_sparse_cosine``) — RRF needs only ranks,
+    no score calibration between sides.
+
+    100 TB shape: each side is already sub-quadratic (broadcast probe
+    set × corpus scan for dense; inverted-index join for lexical); the
+    pools are {RRF_POOL} rows per probe per side, so the fusion join
+    is O(probes·pool) — driver-free and tiny.  Ranks are taken over
+    6dp-rounded cosines with id tie-breaks (the registry's proven
+    cross-engine ranking convention), and the RRF sum is two
+    correctly-rounded divisions added once — deterministic.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    cand = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ne")
+    )
+    dsim = F.round(_cosine(F.col("pe"), F.col("ne")), 6)
+    wd = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    dense = (
+        cand.join(F.broadcast(probes), F.col("cand_id") != F.col("probe_id"))
+        .select("probe_id", "cand_id", dsim.alias("sim"))
+        .withColumn("rd", F.row_number().over(wd))
+        .filter(F.col("rd") <= RRF_POOL)
+        .select("probe_id", "cand_id", "rd")
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    g = (
+        d.select("doc_id", _tri_grams(ws).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .select("doc_id", F.explode("grams").alias("t"))
+    )
+    tf = g.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf")).persist()
+    nrm = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("ss"))
+    ptf = tf.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("t").alias("pt"),
+        F.col("tf").alias("ptf"),
+    )
+    ctf = tf.select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("t").alias("ct"),
+        F.col("tf").alias("ctf"),
+    )
+    dot = (
+        ctf.join(
+            F.broadcast(ptf),
+            (F.col("ct") == F.col("pt")) & (F.col("cand_id") != F.col("probe_id")),
+        )
+        .groupBy("probe_id", "cand_id")
+        .agg(F.sum(F.col("ptf") * F.col("ctf")).alias("dot"))
+    )
+    np_ = nrm.select(F.col("doc_id").alias("probe_id"), F.col("ss").alias("ssp"))
+    nc = nrm.select(F.col("doc_id").alias("cand_id"), F.col("ss").alias("ssc"))
+    lcos = F.round(F.col("dot") / F.sqrt(F.col("ssp") * F.col("ssc")), 6)
+    wl = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    lex = (
+        dot.join(F.broadcast(np_), "probe_id")
+        .join(nc, "cand_id")
+        .select("probe_id", "cand_id", lcos.alias("cos"))
+        .withColumn("rl", F.row_number().over(wl))
+        .filter(F.col("rl") <= RRF_POOL)
+        .select("probe_id", "cand_id", "rl")
+    )
+
+    fused = dense.join(lex, ["probe_id", "cand_id"], "full_outer").select(
+        "probe_id",
+        "cand_id",
+        F.col("rd").alias("dense_rank"),
+        F.col("rl").alias("lex_rank"),
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("rd")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rl")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("probe_id").orderBy(F.desc("rrf"), F.asc("cand_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= RRF_TOPK)
+        .select("probe_id", "cand_id", "dense_rank", "lex_rank", "rrf", "rank")
     )
 
 

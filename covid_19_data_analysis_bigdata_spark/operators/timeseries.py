@@ -793,3 +793,118 @@ def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("syy7"),
         ).alias("acf_lag7"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix (round 4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "report_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events),
+    c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE dst IS NOT NULL GROUP BY src, dst)
+    SELECT src, dst, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY src), 4) AS p
+    FROM c
+    """,
+)
+def report_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the per-user event
+    stream: counts and row-normalized probabilities for every observed
+    (current type → next type) pair — the behavioral-flow summary
+    (where do users go after a click?) behind Sankey/journey charts.
+
+    One window pass (``lead`` over the per-user time order) plus one
+    |types|² aggregation: at 100 TB the only corpus-size shuffle is
+    the user_id partition sort that every sessionized analysis already
+    pays; the transition matrix itself is bounded by the type-alphabet
+    squared, and the probability normalization runs over that tiny
+    aggregate, not the stream.  Probabilities are one correctly-
+    rounded integer division, identical across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    c = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 4).alias("p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# OHLC resampling bars (round 4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH k AS (
+        SELECT *,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+               lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+        FROM events)
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar,
+           arg_min(value, ord_key) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ord_key) AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM k
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event type, hour) bar with open/high/
+    low/close of ``value`` and row volume — the classic tick→bar
+    resample every market-data and metrics pipeline runs.
+
+    ``min_by``/``max_by`` on a zero-padded (epoch_µs, event_id) string
+    key (lexicographic = chronological; DuckDB's ``arg_min`` takes no
+    composite keys, so both engines use the identical scalar key) pick
+    open and close inside the same hash aggregate that computes
+    high/low/count
+    — one shuffle on the (type, hour) grain, no window sort over the
+    raw stream, and the bar count is bounded by types × hours, so the
+    output stays tiny no matter how many ticks feed it.  The
+    tie-break key makes open/close deterministic even under equal
+    timestamps; values pass through unrounded (no arithmetic is
+    performed on them).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bar")
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+    )

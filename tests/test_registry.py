@@ -134,6 +134,10 @@ EXPECTED_IDS = {
     "llm_bm25_rank", "llm_winnowing", "llm_sparse_cosine",
     "llm_gopher_rules", "report_last_touch_attribution",
     "dq_referential_orphans",
+    # round-4 batch 2: hybrid RRF fusion, mergeable exact-distinct
+    # bitmaps, Markov transition matrix, OHLC resampling
+    "llm_hybrid_rrf", "agg_bitmap_distinct",
+    "report_event_transitions", "ts_ohlc_bars",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
