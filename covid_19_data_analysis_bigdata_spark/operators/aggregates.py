@@ -712,3 +712,52 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("tot").cast("double").alias("total_weight"),
         )
     )
+
+
+@query(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18, 2)))
+                AS DECIMAL(18, 2)) AS gross,
+           CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18, 2))
+                    * (1 - CAST(round(l_discount, 2) AS DECIMAL(4, 2))))
+                AS DECIMAL(38, 4)) AS net,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money aggregation in exact DECIMAL arithmetic: gross and
+    discounted revenue per return flag, summed as DECIMAL(18,2)
+    instead of floating point.
+
+    The ledger-grade twin of ``agg_groupby``: double sums are
+    accumulation-order-dependent (different partitionings of the same
+    100 TB give different cents), while decimal sums are exact
+    integers underneath — associative, partition-order-free, and
+    auditable.  Doubles cross into decimal only where the data is
+    already exactly 2dp (price, discount), and the discount product is
+    computed IN decimal, so neither engine ever rounds a derived float
+    at a half-cent boundary (the divergence that killed the naive
+    round-then-cast formulation of ``net``); Tungsten stores Decimal(18,2) as a long, so
+    the hash aggregate stays in whole-stage codegen with no
+    performance cliff vs the double path.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    gross_d = F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")
+    disc_d = F.round(F.col("l_discount"), 2).cast("decimal(4,2)")
+    net_d = gross_d * (F.lit(1).cast("decimal(4,2)") - disc_d)
+    # net keeps the exact scale-4 sum: re-quantizing to cents would
+    # round an exact ....xx50 tie, where the engines' decimal-cast tie
+    # rules differ (HALF_UP vs round-half-even) — the only lossy step
+    # in an otherwise exact pipeline, so it is simply not taken
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(gross_d).cast("decimal(18,2)").alias("gross"),
+            F.sum(net_d).cast("decimal(38,4)").alias("net"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )

@@ -908,3 +908,61 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("volume"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar-gap detection (round 4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_calendar_gaps",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events),
+    cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot
+            FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, c.slot FROM types t CROSS JOIN cal c),
+    seen AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS slot
+             FROM events)
+    SELECT g.event_type, g.slot AS missing_hour
+    FROM grid g LEFT JOIN seen s
+      ON s.event_type = g.event_type AND s.slot = g.slot
+    WHERE s.slot IS NULL
+    """,
+)
+def ts_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness screen: every (event type, hour) slot inside the
+    stream's observed time span with ZERO events — the silent-feed
+    detector a metrics pipeline runs before trusting per-hour charts
+    (an empty slot and a missing slot look identical in a groupBy).
+
+    The calendar is synthesized with ``sequence()`` from a 1-row
+    bounds aggregate — types × hours rows, generated distributed, no
+    driver loop — and anti-joined against the distinct observed slots.
+    At 100 TB the observed-slot table is the aggregate's size (types ×
+    hours, tiny), so the anti join broadcasts; the only corpus-scale
+    work is the distinct-slot aggregation itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("slot")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(cal))
+    seen = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("slot")
+    ).distinct()
+    return (
+        grid.join(seen, ["event_type", "slot"], "left_anti")
+        .select("event_type", F.col("slot").alias("missing_hour"))
+    )

@@ -635,3 +635,64 @@ def stream_multi_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "sum_value",
     )
+
+
+@query(
+    "stream_ohlc_bars",
+    oracle="""
+    WITH k AS (
+        SELECT *,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+               lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+        FROM events)
+    SELECT date_trunc('hour', ts) AS bar,
+           event_type,
+           arg_min(value, ord_key) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ord_key) AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM k
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars: the tick→bar resample of ``ts_ohlc_bars``
+    run as a watermarked Structured Streaming aggregation — the
+    batch/stream parity pair for stateful composite aggregates.
+
+    ``min_by``/``max_by`` carry (value, ordering-key) pairs as
+    mergeable partial state, so open/close work under incremental
+    processing exactly like count/max do: each micro-batch folds its
+    ticks into the open window's state, the 1-hour watermark bounds
+    how many bars stay open, and end-of-stream state equals the batch
+    aggregate bar-for-bar (same deterministic zero-padded
+    (epoch_µs, event_id) tie-break key).  Unbounded at scale: state
+    size is open-bars × types, independent of stream length.
+    """
+    ev = events_stream(spark, sf_dir)
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+    )
+    out = run_to_table(spark, agg, "t_ohlc", "complete")
+    return out.select(
+        F.col("w.start").alias("bar"),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )

@@ -138,6 +138,9 @@ EXPECTED_IDS = {
     # bitmaps, Markov transition matrix, OHLC resampling
     "llm_hybrid_rrf", "agg_bitmap_distinct",
     "report_event_transitions", "ts_ohlc_bars",
+    # round-4 batch 3: streaming OHLC parity, calendar-gap screen,
+    # ledger-grade decimal aggregation
+    "stream_ohlc_bars", "ts_calendar_gaps", "agg_decimal_exact",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
