@@ -29,10 +29,11 @@ both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.operators.llm import FUZZY_PAIRS_CTES
 from covid_19_data_analysis_bigdata_spark.operators.textprep import (
     _POLY_SQL,
     _polyhash,
@@ -632,4 +633,144 @@ def llm_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("nrm"), 4).alias("avg_norm"),
         F.round(F.min("nrm"), 4).alias("min_norm"),
         F.round(F.max("nrm"), 4).alias("max_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup canonicalization: keep-best-per-cluster (round 4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {FUZZY_PAIRS_CTES},
+    edges AS (SELECT a_id AS u, b_id AS v FROM fuzzy_pairs
+              UNION SELECT b_id, a_id FROM fuzzy_pairs),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+    comp AS (SELECT u AS doc_id, min(v) AS component
+             FROM reach GROUP BY u)
+    SELECT c.doc_id, c.component, d.n_chars,
+           (row_number() OVER (PARTITION BY c.component
+                               ORDER BY d.n_chars DESC, c.doc_id) = 1)
+               AS keep
+    FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    """,
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization — the step that turns cluster labels into an
+    actual dedup decision: within every near-duplicate cluster keep
+    exactly one representative (longest text, ties to the lowest
+    doc_id) and mark the rest for dropping.
+
+    Composes :func:`~...textprep.llm_dedup_clusters` (connected
+    components over the LSH-verified pair graph) with the document
+    metadata: one broadcast-sized join (clustered docs are a tiny
+    fraction of the corpus) plus one row_number window over clusters
+    whose size is bounded by the dup groups themselves — nothing here
+    scales with corpus size except the upstream candidate generation
+    that already does.  The keep flag is rank arithmetic on integers
+    (n_chars, doc_id) — exact in any engine.
+    """
+    from covid_19_data_analysis_bigdata_spark.operators.textprep import (
+        llm_dedup_clusters,
+    )
+
+    comp = llm_dedup_clusters(spark, sf_dir).select("doc_id", "component")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = comp.join(d, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "component",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dataset card: one-row corpus summary (round 4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_dataset_card",
+    oracle="""
+    WITH base AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+                   AS n_tokens,
+               count(DISTINCT md5(text)) AS n_distinct_texts,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               count(DISTINCT lang) AS n_langs
+        FROM documents),
+    top AS (
+        SELECT lang AS top_lang FROM (
+            SELECT lang, row_number() OVER (ORDER BY count(*) DESC, lang)
+                       AS rn
+            FROM documents GROUP BY lang)
+        WHERE rn = 1)
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           n_tokens,
+           CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
+           round(1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs, 4)
+               AS dup_frac,
+           round(CAST(sum_chars AS DOUBLE) / n_docs, 4) AS avg_chars,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           top.top_lang
+    FROM base CROSS JOIN top
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the one-row corpus summary published next to a
+    training set — document/token/distinct-text counts, exact-dup
+    fraction, mean length, and the language profile.
+
+    One pass over the corpus computes every distributive/algebraic
+    stat; the exact-dup fraction rides the same scan as a
+    count-distinct over md5 digests (at extreme cardinalities the
+    drop-in replacement is `agg_bitmap_distinct`'s mergeable bitmaps
+    or HLL, both already in the registry).  The language mode is a
+    |langs|-row aggregate broadcast back onto the summary row.  Every
+    ratio is one correctly-rounded division of exact integers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.lower("text"), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    top = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "lang",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("lang")))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    return base.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "n_tokens",
+        "n_distinct_texts",
+        F.round(
+            1.0 - F.col("n_distinct_texts").cast("double") / F.col("n_docs"), 4
+        ).alias("dup_frac"),
+        F.round(F.col("sum_chars").cast("double") / F.col("n_docs"), 4).alias(
+            "avg_chars"
+        ),
+        "n_langs",
+        "top_lang",
     )

@@ -141,6 +141,8 @@ EXPECTED_IDS = {
     # round-4 batch 3: streaming OHLC parity, calendar-gap screen,
     # ledger-grade decimal aggregation
     "stream_ohlc_bars", "ts_calendar_gaps", "agg_decimal_exact",
+    # round-4 batch 4: dedup canonicalization + dataset card
+    "llm_dedup_keep_best", "llm_dataset_card",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
