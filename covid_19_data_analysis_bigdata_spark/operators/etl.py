@@ -748,3 +748,74 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         (F.sum(_polyhash(canon)) % 1000000007).alias("checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Candidate-key uniqueness screen (round 4)
+# --------------------------------------------------------------------------
+
+#: Declared candidate keys: (label, table, [key columns]).
+CANDIDATE_KEYS = (
+    ("region.r_regionkey", "region", ("r_regionkey",)),
+    ("nation.n_nationkey", "nation", ("n_nationkey",)),
+    ("customer.c_custkey", "customer", ("c_custkey",)),
+    ("supplier.s_suppkey", "supplier", ("s_suppkey",)),
+    ("part.p_partkey", "part", ("p_partkey",)),
+    ("orders.o_orderkey", "orders", ("o_orderkey",)),
+    ("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+     ("l_orderkey", "l_linenumber")),
+    ("events.event_id", "events", ("event_id",)),
+    ("documents.doc_id", "documents", ("doc_id",)),
+    ("embeddings.vec_id", "embeddings", ("vec_id",)),
+)
+
+
+def _uniqueness_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{label}' AS key_name,
+               CAST((SELECT count(*) FROM {table}) AS BIGINT) AS n_rows,
+               CAST((SELECT count(*) FROM
+                     (SELECT DISTINCT {', '.join(cols)} FROM {table}))
+                    AS BIGINT) AS n_distinct,
+               (SELECT count(*) FROM {table}) =
+               (SELECT count(*) FROM
+                (SELECT DISTINCT {', '.join(cols)} FROM {table}))
+                   AS is_unique
+        """
+        for label, table, cols in CANDIDATE_KEYS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_uniqueness_keys", oracle=_uniqueness_oracle())
+def dq_uniqueness_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness screen: row count vs distinct-key count
+    for every declared primary/natural key in the warehouse, with the
+    verdict — the other half of the contract `dq_referential_orphans`
+    checks from the child side (a duplicated parent key silently
+    FANS OUT every downstream join instead of dropping rows).
+
+    Per key: one count + one distinct aggregate (partial+final, the
+    distinct shuffle partitions by the key itself, uniform for id
+    keys).  The ten checks are independent 1-row aggregates unioned at
+    the end; at 100 TB each costs one scan of its table and nothing
+    holds more than a scalar.
+    """
+    out = None
+    for label, table, cols in CANDIDATE_KEYS:
+        t = load_table(spark, sf_dir, table)
+        n = t.agg(F.count(F.lit(1)).alias("n_rows"))
+        nd = (
+            t.select(*cols)
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_distinct"))
+        )
+        row = n.crossJoin(nd).select(
+            F.lit(label).alias("key_name"),
+            F.col("n_rows").cast("long"),
+            F.col("n_distinct").cast("long"),
+            (F.col("n_rows") == F.col("n_distinct")).alias("is_unique"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

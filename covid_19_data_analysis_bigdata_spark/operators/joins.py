@@ -524,3 +524,122 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("view_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bidirectional nearest-event as-of join (round 4)
+# --------------------------------------------------------------------------
+
+NEAREST_TOL_US = 3_600_000_000  #: ±1 h matching window, microseconds
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'error'
+                               THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER wb AS b_us,
+               last_value(CASE WHEN event_type = 'error'
+                               THEN event_id END IGNORE NULLS)
+                   OVER wb AS b_id,
+               first_value(CASE WHEN event_type = 'error'
+                                THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER wf AS f_us,
+               first_value(CASE WHEN event_type = 'error'
+                                THEN event_id END IGNORE NULLS)
+                   OVER wf AS f_id
+        FROM events
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    p AS (
+        SELECT event_id, user_id,
+               CAST(epoch_us(ts) AS BIGINT) - b_us AS gap_b,
+               f_us - CAST(epoch_us(ts) AS BIGINT) AS gap_f,
+               b_id, f_id
+        FROM t WHERE event_type = 'purchase'),
+    v AS (
+        SELECT *,
+               (gap_b IS NOT NULL AND gap_b <= {NEAREST_TOL_US}) AS ok_b,
+               (gap_f IS NOT NULL AND gap_f <= {NEAREST_TOL_US}) AS ok_f
+        FROM p)
+    SELECT event_id, user_id,
+           CASE WHEN ok_b AND (NOT ok_f OR gap_b <= gap_f) THEN 'backward'
+                WHEN ok_f THEN 'forward'
+                ELSE 'none' END AS direction,
+           CASE WHEN ok_b AND (NOT ok_f OR gap_b <= gap_f) THEN b_id
+                WHEN ok_f THEN f_id END AS nearest_error_id,
+           CASE WHEN ok_b AND (NOT ok_f OR gap_b <= gap_f) THEN gap_b
+                WHEN ok_f THEN gap_f END AS gap_us
+    FROM v
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of join, both directions: each purchase is
+    matched to the same user's closest 'error' event within ±1 h —
+    backward OR forward, whichever is nearer (ties to backward) — the
+    diagnosis join ("did an error precede or follow this checkout?")
+    that a single-direction as-of cannot express.
+
+    Same single-sort discipline as ``join_asof``: both directions come
+    from ONE per-user window ordering (an ignore-nulls carry backward
+    and its mirror forward), so there is no purchase⋈error self-join
+    and no candidate blow-up on error-bursty users — the exact skew
+    that makes the naive range join die at 100 TB.  Gaps are exact
+    integer microseconds; the tie rule is integer comparison.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_err = F.col("event_type") == "error"
+    us = F.unix_micros("ts")
+    t = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_err, us), ignorenulls=True).over(wb).alias("b_us"),
+        F.last(F.when(is_err, F.col("event_id")), ignorenulls=True)
+        .over(wb)
+        .alias("b_id"),
+        F.first(F.when(is_err, us), ignorenulls=True).over(wf).alias("f_us"),
+        F.first(F.when(is_err, F.col("event_id")), ignorenulls=True)
+        .over(wf)
+        .alias("f_id"),
+    )
+    p = t.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (us - F.col("b_us")).alias("gap_b"),
+        (F.col("f_us") - us).alias("gap_f"),
+        "b_id",
+        "f_id",
+    )
+    ok_b = F.col("gap_b").isNotNull() & (F.col("gap_b") <= NEAREST_TOL_US)
+    ok_f = F.col("gap_f").isNotNull() & (F.col("gap_f") <= NEAREST_TOL_US)
+    take_b = ok_b & (~ok_f | (F.col("gap_b") <= F.col("gap_f")))
+    return p.select(
+        "event_id",
+        "user_id",
+        F.when(take_b, F.lit("backward"))
+        .when(ok_f, F.lit("forward"))
+        .otherwise(F.lit("none"))
+        .alias("direction"),
+        F.when(take_b, F.col("b_id"))
+        .when(ok_f, F.col("f_id"))
+        .alias("nearest_error_id"),
+        F.when(take_b, F.col("gap_b"))
+        .when(ok_f, F.col("gap_f"))
+        .alias("gap_us"),
+    )

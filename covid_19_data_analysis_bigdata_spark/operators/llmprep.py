@@ -595,3 +595,78 @@ def llm_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer-economics: vocabulary coverage curve (round 4)
+# --------------------------------------------------------------------------
+
+COVERAGE_KS = (1, 5, 10, 20, 30)
+
+
+@query(
+    "llm_tokenizer_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS t
+                 FROM documents),
+    freq AS (SELECT t, count(*) AS f FROM tok GROUP BY t),
+    ranked AS (SELECT t, f,
+                      row_number() OVER (ORDER BY f DESC, t) AS rk
+               FROM freq),
+    tot AS (SELECT sum(f) AS total, count(*) AS n_terms FROM freq)
+    SELECT k.k,
+           CAST(least(k.k, tot.n_terms) AS BIGINT) AS vocab_size,
+           CAST(sum(r.f) AS BIGINT) AS covered_tokens,
+           round(CAST(sum(r.f) AS DOUBLE) / tot.total, 4) AS coverage
+    FROM (SELECT unnest([{", ".join(str(k) for k in COVERAGE_KS)}]) AS k) k
+    JOIN ranked r ON r.rk <= k.k
+    CROSS JOIN tot
+    GROUP BY k.k, tot.n_terms, tot.total
+    """,
+)
+def llm_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab budget K,
+    the fraction of the corpus token stream covered by the K most
+    frequent terms (frequency desc, term asc tie) — the economics
+    behind choosing a tokenizer vocab size (what OOV/byte-fallback
+    rate would a K-entry vocab pay on this corpus?).
+
+    One corpus-scale token aggregation; everything after (ranking,
+    the K-budget join, cumulative sums) runs over the vocabulary
+    table, which is orders of magnitude smaller than the stream — at
+    100 TB the rank window costs |vocab| log |vocab| on one executor
+    group while the scan dominates.  Counts are exact integers; each
+    coverage is one correctly-rounded division.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.select(
+        "t",
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), F.asc("t")))
+        .alias("rk"),
+    )
+    tot = freq.agg(
+        F.sum("f").alias("total"), F.count(F.lit(1)).alias("n_terms")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in COVERAGE_KS])).alias("k")
+    )
+    return (
+        ks.join(F.broadcast(ranked), F.col("rk") <= F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_terms", "total")
+        .agg(F.sum("f").alias("covered_tokens"))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.least(F.col("k"), F.col("n_terms"))
+            .cast("long")
+            .alias("vocab_size"),
+            F.col("covered_tokens").cast("long").alias("covered_tokens"),
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("total"), 4
+            ).alias("coverage"),
+        )
+    )

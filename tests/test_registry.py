@@ -143,6 +143,9 @@ EXPECTED_IDS = {
     "stream_ohlc_bars", "ts_calendar_gaps", "agg_decimal_exact",
     # round-4 batch 4: dedup canonicalization + dataset card
     "llm_dedup_keep_best", "llm_dataset_card",
+    # round-4 batch 5: vocab coverage curve, key-uniqueness screen,
+    # bidirectional nearest-event as-of
+    "llm_tokenizer_coverage", "dq_uniqueness_keys", "join_asof_nearest",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
