@@ -318,3 +318,75 @@ def test_mmr_pool_is_broadcast_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_mmr_diversify")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---- round-4 additions ----------------------------------------------------
+
+
+def test_attribution_is_pure_window_no_join(spark, sf_dir):
+    # Last-touch must come from the single per-user window pass; a Join
+    # node would mean the quadratic purchase x touch self-join crept back.
+    plan = _plan(spark, sf_dir, "report_last_touch_attribution")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_asof_nearest_is_pure_window_no_join(spark, sf_dir):
+    # Both directions ride one sort: ignore-nulls carry + mirror.
+    plan = _plan(spark, sf_dir, "join_asof_nearest")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_bitmap_distinct_has_no_expand(spark, sf_dir):
+    # count_distinct compiles to an Expand over the distinct column;
+    # the bitmap path must not — its partials are constant-size bitmaps.
+    plan = _plan(spark, sf_dir, "agg_bitmap_distinct")
+    assert "Expand" not in plan
+    assert "bitmap_construct_agg" in plan
+
+
+def test_ohlc_is_single_aggregate_no_window(spark, sf_dir):
+    # open/close ride min_by/max_by inside the hash aggregate — a
+    # Window node would mean a per-bar sort of the raw tick stream.
+    plan = _plan(spark, sf_dir, "ts_ohlc_bars")
+    assert "Window" not in plan
+    assert "min_by" in plan or "minby" in plan.lower()
+
+
+def test_bm25_broadcasts_stats_no_cartesian_blowup(spark, sf_dir):
+    # df (|Q| rows) and (N, avgdl) broadcast; the only non-equi join is
+    # the 1-row stats attach (BroadcastNestedLoopJoin is fine there).
+    plan = _plan(spark, sf_dir, "llm_bm25_rank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sparse_cosine_candidates_join_on_gram(spark, sf_dir):
+    # The pair stage must be an equi-join on the trigram (inverted
+    # index), never a nested-loop over doc pairs.
+    plan = _plan(spark, sf_dir, "llm_sparse_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnowing_selection_is_arrayside_no_python(spark, sf_dir):
+    # Fingerprint selection happens in array expressions inside codegen;
+    # only the selected minima are exploded.
+    plan = _plan(spark, sf_dir, "llm_winnowing")
+    assert "BatchEvalPython" not in plan
+    assert "array_min" in plan
+
+
+def test_referential_orphans_broadcasts_dimension_parents(spark, sf_dir):
+    # Six of seven FK edges have dimension-sized parents -> broadcast
+    # anti joins; only lineitem->orders may shuffle.
+    plan = _plan(spark, sf_dir, "dq_referential_orphans")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_calendar_gaps_anti_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_calendar_gaps")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

@@ -450,3 +450,114 @@ def test_polyhash_agrees_with_duckdb_on_random_strings(spark):
         ).fetchall()
     ]
     assert spark_hashes == duck_hashes
+
+
+def test_winnowing_matches_pure_python_recompute(spark, sf_dir):
+    # Exact recompute of the full winnowing pipeline (word trigrams ->
+    # portable polyhash -> per-window minima -> distinct fingerprints ->
+    # cross-doc share counts) in pure Python over the same parquet.
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from covid_19_data_analysis_bigdata_spark.operators.retrieval import (
+        WIN_K,
+        WIN_W,
+    )
+    from covid_19_data_analysis_bigdata_spark.operators.textprep import MOD
+
+    tbl = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+
+    def polyhash(s):
+        acc = 7
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % MOD
+        return acc
+
+    fps = {}
+    n_grams = {}
+    for r in tbl:
+        ws = r["text"].lower().split(" ")
+        grams = [
+            " ".join(ws[i : i + WIN_K]) for i in range(len(ws) - WIN_K + 1)
+        ]
+        if not grams:
+            continue
+        hs = [polyhash(g) for g in grams]
+        n_grams[r["doc_id"]] = len(hs)
+        if len(hs) >= WIN_W:
+            sel = {
+                min(hs[i : i + WIN_W]) for i in range(len(hs) - WIN_W + 1)
+            }
+        else:
+            sel = {min(hs)}
+        fps[r["doc_id"]] = sel
+
+    from collections import Counter
+
+    owners = Counter()
+    for s in fps.values():
+        owners.update(s)
+    shared = {f for f, c in owners.items() if c >= 2}
+
+    got = {r["doc_id"]: r for r in _q(spark, sf_dir, "llm_winnowing").collect()}
+    assert set(got) == set(fps)
+    for did, sel in fps.items():
+        r = got[did]
+        assert r["n_grams"] == n_grams[did], did
+        assert r["n_fp"] == len(sel), did
+        assert r["n_shared_fp"] == len(sel & shared), did
+
+
+def test_attribution_partitions_all_purchases(spark, sf_dir):
+    # Every purchase lands in exactly one channel; revenue cents equal
+    # the exact integer total over all purchases.
+    import os
+
+    import pyarrow.parquet as pq_
+
+    ev = pq_.read_table(os.path.join(sf_dir, "events.parquet")).to_pylist()
+    purchases = [r for r in ev if r["event_type"] == "purchase"]
+    total_cents = sum(round(r["value"] * 100) for r in purchases)
+
+    rows = _q(spark, sf_dir, "report_last_touch_attribution").collect()
+    assert sum(r["n_purchases"] for r in rows) == len(purchases)
+    assert sum(r["revenue_cents"] for r in rows) == total_cents
+    assert len({r["channel"] for r in rows}) == len(rows)
+
+
+def test_gopher_keep_is_conjunction_of_flags(spark, sf_dir):
+    rows = _q(spark, sf_dir, "llm_gopher_rules").collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (
+            r["r_word_count"]
+            and r["r_mean_word_len"]
+            and r["r_alpha_frac"]
+            and r["r_stopwords"]
+            and r["r_repetition"]
+        )
+
+
+def test_hybrid_rrf_score_is_rank_formula(spark, sf_dir):
+    from covid_19_data_analysis_bigdata_spark.operators.retrieval import (
+        RRF_K,
+        RRF_TOPK,
+    )
+
+    rows = _q(spark, sf_dir, "llm_hybrid_rrf").collect()
+    assert rows
+    per_probe = {}
+    for r in rows:
+        expect = 0.0
+        if r["dense_rank"] is not None:
+            expect += 1.0 / (RRF_K + r["dense_rank"])
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (RRF_K + r["lex_rank"])
+        assert abs(r["rrf"] - round(expect, 6)) < 1e-9, r
+        per_probe.setdefault(r["probe_id"], []).append(r["rank"])
+    for pid, ranks in per_probe.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), pid
+        assert len(ranks) <= RRF_TOPK
