@@ -1116,3 +1116,66 @@ def report_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU stickiness (round 4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "report_dau_wau_stickiness",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                                user_id
+                FROM events),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    contrib AS (
+        SELECT day + CAST(o.o AS INTEGER) AS wday, user_id
+        FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) o),
+    wau AS (SELECT wday AS day, count(DISTINCT user_id) AS wau
+            FROM contrib GROUP BY wday)
+    SELECT d.day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           round(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def report_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day weekly active users, and the
+    DAU/WAU stickiness ratio per day — the engagement headline of
+    every product dashboard.
+
+    WAU is NOT decomposable from daily counts (distinct does not sum),
+    and a 7-day sliding ``count_distinct`` window would re-sort the
+    raw stream per frame.  Instead each distinct (day, user) pair is
+    expanded to the 7 week-buckets it contributes to — a constant ×7
+    fan-out of the already-deduplicated day-grain pairs, then one
+    distinct aggregate per bucket.  At 100 TB the corpus-scale work is
+    the initial (day, user) dedup that DAU needs anyway; the expansion
+    operates on that much smaller grain.  Trailing windows at the
+    range edge are partial by construction (the standard convention);
+    the ratio is one correctly-rounded integer division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    offsets = F.array(*[F.lit(i) for i in range(7)])
+    contrib = du.select(
+        F.explode(offsets).alias("o"), "day", "user_id"
+    ).select(F.date_add("day", F.col("o")).alias("day"), "user_id")
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+                "stickiness"
+            ),
+        )
+    )

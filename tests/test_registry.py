@@ -146,6 +146,8 @@ EXPECTED_IDS = {
     # round-4 batch 5: vocab coverage curve, key-uniqueness screen,
     # bidirectional nearest-event as-of
     "llm_tokenizer_coverage", "dq_uniqueness_keys", "join_asof_nearest",
+    # round-4 batch 6: engagement stickiness
+    "report_dau_wau_stickiness",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
