@@ -25,6 +25,8 @@ import statistics
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 KEY_OFFSET = 10_000_000
 
 #: (table, [key columns to offset per copy]) — dims are shared.
