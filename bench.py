@@ -61,6 +61,9 @@ HEADLINE = [
     "llm_dedup_cross_corpus",  # incremental batch-vs-corpus screen (round-4 add)
     "llm_ann_pq",           # PQ codebook train + ADC + exact rerank (round-4 add)
     "report_market_share",  # heaviest not-yet-benched report query (round-4 add)
+    "llm_sparse_cosine",    # inverted-index trigram near-dup (round-4 batch)
+    "report_last_touch_attribution",  # single-window attribution (round-4 batch)
+    "agg_bitmap_distinct",  # mergeable exact-distinct bitmaps (round-4 batch)
 ]
 
 
