@@ -755,3 +755,94 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in counts[1:]:
         out = out.unionAll(frame)
     return out
+
+
+# --------------------------------------------------------------------------
+# RAG context assembly: retrieve -> token-budgeted pack
+# --------------------------------------------------------------------------
+
+RAG_POOL = 20  #: retrieval pool per probe fed to the packer
+RAG_TOKEN_BUDGET = 160  #: context window budget (whitespace tokens)
+
+
+@query(
+    "llm_rag_context_pack",
+    oracle=f"""
+    WITH probes AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id < 10),
+    ranked AS (
+        SELECT probe_id, cand_id, rk FROM (
+            SELECT p.vec_id AS probe_id, n.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY p.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    CAST(p.embedding AS DOUBLE[]),
+                                    CAST(n.embedding AS DOUBLE[])), 6) DESC,
+                                n.vec_id) AS rk
+            FROM probes p JOIN embeddings n ON n.vec_id <> p.vec_id)
+        WHERE rk <= {RAG_POOL}),
+    toks AS (SELECT doc_id,
+                    CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                        AS n_tokens
+             FROM documents),
+    packed AS (
+        SELECT r.probe_id, r.rk, r.cand_id AS doc_id, t.n_tokens,
+               sum(t.n_tokens) OVER (PARTITION BY r.probe_id
+                                     ORDER BY r.rk
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum_tokens
+        FROM ranked r JOIN toks t ON t.doc_id = r.cand_id)
+    SELECT probe_id, CAST(rk AS INTEGER) AS rank, doc_id,
+           n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM packed
+    WHERE cum_tokens <= {RAG_TOKEN_BUDGET}
+    """,
+)
+def llm_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly: retrieve the dense top-{RAG_POOL} per
+    probe, then pack documents into a {RAG_TOKEN_BUDGET}-token context
+    window in relevance order, truncating at the first overflow — the
+    step between retrieval and the prompt that decides what the model
+    actually sees.
+
+    The packer is one window cumsum over the bounded retrieval pool
+    (probes × {RAG_POOL} rows), so its cost is O(1) in corpus size;
+    the only corpus-scale work is the retrieval scan the registry's
+    ANN family already bounds.  Ranks use the proven 6dp-rounded-
+    cosine convention; token counts and the running total are exact
+    integers, so the budget cut is deterministic in any engine.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    cand = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ne")
+    )
+    sim = F.round(_cosine(F.col("pe"), F.col("ne")), 6)
+    wr = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    ranked = (
+        cand.join(F.broadcast(probes), F.col("cand_id") != F.col("probe_id"))
+        .select("probe_id", "cand_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= RAG_POOL)
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    wc = (
+        Window.partitionBy("probe_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranked.join(toks, ranked.cand_id == toks.doc_id)
+        .select(
+            "probe_id",
+            F.col("rk").alias("rank"),
+            "doc_id",
+            "n_tokens",
+            F.sum("n_tokens").over(wc).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= RAG_TOKEN_BUDGET)
+    )
