@@ -774,3 +774,92 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "top_lang",
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding covariance diagnostics (round 4)
+# --------------------------------------------------------------------------
+
+COV_DIMS = 8  #: leading dims diagnosed (8×8 matrix; full 64² same shape)
+COV_SCALE = 1_000  #: fixed-point input scale — moments stay exact BIGINT
+
+
+@query(
+    "llm_embedding_covariance",
+    oracle=f"""
+    WITH x AS (
+        SELECT i.i, j.j,
+               CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * {COV_SCALE})
+                    AS BIGINT) AS xi,
+               CAST(round(CAST(embedding[j.j + 1] AS DOUBLE) * {COV_SCALE})
+                    AS BIGINT) AS xj
+        FROM embeddings
+        CROSS JOIN generate_series(0, {COV_DIMS - 1}) i(i)
+        CROSS JOIN generate_series(0, {COV_DIMS - 1}) j(j)
+        WHERE i.i <= j.j),
+    m AS (SELECT i, j,
+                 count(*) AS n,
+                 CAST(sum(xi) AS BIGINT) AS sx,
+                 CAST(sum(xj) AS BIGINT) AS sy,
+                 CAST(sum(xi * xj) AS BIGINT) AS sxy
+          FROM x GROUP BY i, j)
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           round((n * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * n * {COV_SCALE} * {COV_SCALE}), 6)
+               AS cov
+    FROM m
+    """,
+)
+def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance diagnostics: the upper-triangle covariance
+    matrix of the leading {COV_DIMS} embedding dimensions, computed
+    from exact integer moments — the health check (anisotropy,
+    dead/correlated dimensions) run before whitening or indexing an
+    embedding corpus.
+
+    cov(i,j) = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ)/n² over components quantized to
+    round(x·{COV_SCALE}) BIGINTs: all three moments are
+    order-independent integer sums (associative partials — one
+    partial+final aggregate at any cluster size), and the final
+    expression is a correctly-rounded division — bit-identical across
+    engines, the same fixed-point discipline as the PQ trainer.  The
+    dim-pair expansion is a constant ×{COV_DIMS}·({COV_DIMS}+1)/2
+    row-local fan-out; output is one tiny matrix regardless of corpus
+    size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = lambda k: F.round(  # noqa: E731
+        F.element_at("embedding", k + 1).cast("double") * COV_SCALE
+    ).cast("long")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                comp(i).alias("xi"),
+                comp(j).alias("xj"),
+            )
+            for i in range(COV_DIMS)
+            for j in range(COV_DIMS)
+            if i <= j
+        ]
+    )
+    x = e.select(F.explode(pairs).alias("p")).select(
+        F.col("p.i").alias("i"),
+        F.col("p.j").alias("j"),
+        F.col("p.xi").alias("xi"),
+        F.col("p.xj").alias("xj"),
+    )
+    m = x.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("xj").alias("sy"),
+        F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n").cast("double")
+        * F.col("n")
+        * COV_SCALE
+        * COV_SCALE
+    )
+    return m.select("i", "j", F.round(cov, 6).alias("cov"))

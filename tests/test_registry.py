@@ -148,8 +148,8 @@ EXPECTED_IDS = {
     "llm_tokenizer_coverage", "dq_uniqueness_keys", "join_asof_nearest",
     # round-4 batch 6: engagement stickiness
     "report_dau_wau_stickiness",
-    # round-4 batch 7: RAG context assembly
-    "llm_rag_context_pack",
+    # round-4 batch 7: RAG context assembly + embedding diagnostics
+    "llm_rag_context_pack", "llm_embedding_covariance",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
