@@ -431,3 +431,150 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coef"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Power-iteration PCA in exact fixed-point arithmetic (round 4)
+# --------------------------------------------------------------------------
+
+PCA_ITERS = 4
+PCA_XS = 1_000  #: component quantization (x -> round(x*1e3) BIGINT)
+PCA_VS = 100_000  #: direction-vector quantization between iterations
+PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    """Unrolled power iteration over single-row BIGINT lists.
+
+    Mirrors the Spark dataflow op-for-op: integer dot, the /1e3
+    re-scale round, exact per-dimension integer sums, a sequential
+    left fold for the squared norm, and the fixed-point renormalize.
+    """
+    dot = (
+        "CAST(round(list_sum(list_transform(list_zip(x.xi, vp.v), "
+        "p -> p[1] * p[2])) / 1000.0) AS BIGINT)"
+    )
+    ssq = (
+        "list_reduce(list_transform(w, q -> CAST(q AS DOUBLE) "
+        "* CAST(q AS DOUBLE)), (a, b) -> a + b)"
+    )
+    q = f"""
+    WITH x AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   c -> CAST(round(CAST(c AS DOUBLE) * {PCA_XS}) AS BIGINT))
+                   AS xi
+        FROM embeddings),
+    n AS (SELECT count(*) AS n FROM embeddings),
+    v0 AS (SELECT [CAST({PCA_VS} AS BIGINT)
+                   for i in generate_series(1, {PCA_DIM})] AS v)"""
+    prev = "v0"
+    for it in range(1, PCA_ITERS + 1):
+        q += f""",
+    d{it} AS (
+        SELECT x.xi, {dot} AS ds
+        FROM x CROSS JOIN {prev} vp),
+    w{it} AS (
+        SELECT k.k AS k, CAST(sum(xi[k.k] * ds) AS BIGINT) AS wk
+        FROM d{it} CROSS JOIN generate_series(1, {PCA_DIM}) k(k)
+        GROUP BY k.k),
+    wa{it} AS (SELECT list(wk ORDER BY k) AS w FROM w{it}),
+    v{it} AS (
+        SELECT list_transform(w,
+                   e -> CAST(round(e / sqrt({ssq}) * {PCA_VS}) AS BIGINT))
+                   AS v
+        FROM wa{it})"""
+        prev = f"v{it}"
+    q += f"""
+    SELECT CAST(k.k - 1 AS INTEGER) AS k,
+           round(v.v[k.k] / {PCA_VS}.0, 6) AS v_k,
+           round(sqrt({ssq}) / 100000000.0 / n.n, 6) AS eigenvalue
+    FROM v{PCA_ITERS} v
+    CROSS JOIN wa{PCA_ITERS} wa(w)
+    CROSS JOIN n
+    CROSS JOIN generate_series(1, {PCA_DIM}) k(k)
+    """
+    return q
+
+
+@query("ml_pca_power", oracle=_pca_oracle())
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction of the (uncentered) embedding
+    second-moment matrix by power iteration — PCA's core loop as a
+    pure dataflow, no MLlib, no driver-side linear algebra.
+
+    Each iteration computes w = Σᵢ xᵢ·(xᵢ·v) — i.e. (Σ xxᵀ)v without
+    ever materializing the Gram matrix: one broadcast of the 64-entry
+    direction vector, one map-side integer dot per row, one
+    per-dimension integer sum (partial+final), then a renormalize over
+    a single 64-element row.  At 100 TB each iteration is exactly one
+    corpus scan + one 64-group aggregation; the O(d²) object never
+    exists.
+
+    Fixed-point discipline (same as the PQ trainer): components
+    quantized ×{PCA_XS}, the direction ×{PCA_VS} between iterations,
+    dots re-scaled with one deterministic round; per-dimension sums
+    stay < 2⁵³ so the double conversions in the norm are exact, and
+    the squared-norm fold is an explicit sequential left fold in both
+    engines — every iterate is bit-identical, which is what lets an
+    iterative eigensolver carry an exact value oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.transform(
+            "embedding",
+            lambda c: F.round(c.cast("double") * PCA_XS).cast("long"),
+        ).alias("xi")
+    ).persist()
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    v = spark.range(1).select(
+        F.array_repeat(F.lit(PCA_VS).cast("long"), PCA_DIM).alias("v")
+    )
+    ssq = F.aggregate(
+        F.transform("w", lambda q: q.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    wa = None
+    for _ in range(PCA_ITERS):
+        dot = F.aggregate(
+            F.zip_with("xi", "v", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        )
+        d = x.crossJoin(F.broadcast(v)).select(
+            "xi", F.round(dot / 1000.0).cast("long").alias("ds")
+        )
+        w = (
+            d.select(F.posexplode("xi").alias("k", "xv"), "ds")
+            .groupBy("k")
+            .agg(F.sum(F.col("xv") * F.col("ds")).alias("wk"))
+        )
+        wa = w.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "wk"))),
+                lambda s: s.getField("wk"),
+            ).alias("w")
+        )
+        v = wa.select(
+            F.transform(
+                "w",
+                lambda e_: F.round(e_ / F.sqrt(ssq) * PCA_VS).cast("long"),
+            ).alias("v")
+        )
+    out = (
+        v.crossJoin(wa.select(F.col("w")))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.posexplode("v").alias("k", "vk"),
+            F.round(F.sqrt(ssq) / 100000000.0 / F.col("n"), 6).alias(
+                "eigenvalue"
+            ),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.round(F.col("vk") / float(PCA_VS), 6).alias("v_k"),
+            "eigenvalue",
+        )
+    )
+    return out
