@@ -499,9 +499,12 @@ def _pca_oracle() -> str:
 
 @query("ml_pca_power", oracle=_pca_oracle())
 def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leading principal direction of the (uncentered) embedding
-    second-moment matrix by power iteration — PCA's core loop as a
+    """Power iteration toward the leading principal direction of the
+    (uncentered) embedding second-moment matrix — PCA's core loop as a
     pure dataflow, no MLlib, no driver-side linear algebra.
+    ({PCA_ITERS} fixed iterations; iterations-to-convergence depends on
+    the spectral gap — on a near-isotropic corpus the iterate is an
+    amplified mix, which the Rayleigh estimate reflects honestly.)
 
     Each iteration computes w = Σᵢ xᵢ·(xᵢ·v) — i.e. (Σ xxᵀ)v without
     ever materializing the Gram matrix: one broadcast of the 64-entry

@@ -390,3 +390,20 @@ def test_calendar_gaps_anti_join_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_calendar_gaps")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pca_power_broadcasts_direction_never_gram(spark, sf_dir):
+    # w = sum x (x.v): the 64-entry direction broadcasts per iteration;
+    # the O(d^2) Gram matrix must never materialize as a join of the
+    # corpus with itself.
+    plan = _plan(spark, sf_dir, "ml_pca_power")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row vector attach
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rag_pack_window_runs_over_pool_only(spark, sf_dir):
+    # The cumsum window partitions by probe over the bounded pool.
+    plan = _plan(spark, sf_dir, "llm_rag_context_pack")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan

@@ -561,3 +561,81 @@ def test_hybrid_rrf_score_is_rank_formula(spark, sf_dir):
     for pid, ranks in per_probe.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), pid
         assert len(ranks) <= RRF_TOPK
+
+
+def test_pca_power_matches_numpy_fixed_point_recompute(spark, sf_dir):
+    # Third, engine-independent check (the DuckDB oracle is the second):
+    # replay the EXACT fixed-point recurrence in numpy/python ints and
+    # demand equality of the reported vector and eigenvalue estimate.
+    # (Convergence-to-eigenvector is NOT asserted: the synthetic
+    # embeddings are near-isotropic — spectral gap ~1.07 — so four
+    # iterations amplify but cannot isolate the top direction; the
+    # Rayleigh estimate must still exceed the spectrum mean.)
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from covid_19_data_analysis_bigdata_spark.operators.iterative import (
+        PCA_ITERS,
+        PCA_VS,
+        PCA_XS,
+    )
+
+    tbl = pq_.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    Xi = np.round(X * PCA_XS).astype(np.int64)
+    n = len(Xi)
+
+    v = np.full(64, PCA_VS, dtype=np.int64)
+    for _ in range(PCA_ITERS):
+        dot = Xi @ v
+        ds = np.round(dot / 1000.0).astype(np.int64)
+        w = Xi.T @ ds
+        ss = 0.0
+        for q in w:
+            ss += float(q) * float(q)
+        v = np.round(w / np.sqrt(ss) * PCA_VS).astype(np.int64)
+
+    rows = sorted(
+        _q(spark, sf_dir, "ml_pca_power").collect(), key=lambda r: r["k"]
+    )
+    assert len(rows) == 64
+    got_v = [r["v_k"] for r in rows]
+    for k in range(64):
+        assert abs(got_v[k] - round(v[k] / PCA_VS, 6)) < 1e-9, k
+    lam = rows[0]["eigenvalue"]
+    assert abs(lam - round(np.sqrt(ss) / 1e8 / n, 6)) < 1e-9
+    # power iteration must amplify: estimate above the spectrum mean
+    trace_mean = float(np.trace(X.T @ X / n)) / 64
+    assert lam > trace_mean
+
+
+def test_embedding_covariance_agrees_with_numpy(spark, sf_dir):
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from covid_19_data_analysis_bigdata_spark.operators.curation import (
+        COV_DIMS,
+    )
+
+    tbl = pq_.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)[
+        :, :COV_DIMS
+    ]
+    # population covariance of the quantized components, matching the op
+    Xq = np.round(X * 1000)
+    n = len(Xq)
+    for r in _q(spark, sf_dir, "llm_embedding_covariance").collect():
+        i, j = r["i"], r["j"]
+        expect = (
+            n * float(Xq[:, i] @ Xq[:, j])
+            - Xq[:, i].sum() * Xq[:, j].sum()
+        ) / (n * n * 1e6)
+        assert abs(r["cov"] - expect) < 1e-4, (i, j, r["cov"], expect)
