@@ -581,3 +581,125 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Multivariate OLS via normal equations + Cramer's rule (round 4)
+# --------------------------------------------------------------------------
+
+#: Shared arithmetic for the 3×3 normal-equation solve.  The moments are
+#: exact BIGINTs (< 2⁵³, so their double conversions are exact) and every
+#: determinant below is written as the SAME expression tree in Spark and
+#: SQL — identical IEEE ops in identical order → identical doubles.
+_OLS_DETS = {
+    # det of [[n,sx1,sx2],[sx1,s11,s12],[sx2,s12,s22]] and the three
+    # numerator dets with the RHS column (sy, s1y, s2y) swapped in.
+    "det": "(n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2))",
+    "det0": "(sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y))",
+    "det1": "(n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2))",
+    "det2": "(n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2))",
+}
+
+
+@query(
+    "ml_ols_normal_eq",
+    oracle=f"""
+    WITH feat AS (
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice) AS BIGINT) AS y,
+               CAST(count(*) AS BIGINT) AS x1,
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS x2
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x1) AS DOUBLE) AS sx1,
+               CAST(sum(x2) AS DOUBLE) AS sx2,
+               CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+               CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+               CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+               CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM feat)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round({_OLS_DETS['det0']} / {_OLS_DETS['det']}, 6) AS beta0,
+           round({_OLS_DETS['det1']} / {_OLS_DETS['det']}, 6) AS beta1,
+           round({_OLS_DETS['det2']} / {_OLS_DETS['det']}, 6) AS beta2,
+           round(1.0 - (syy
+                        - ({_OLS_DETS['det0']} / {_OLS_DETS['det']}) * sy
+                        - ({_OLS_DETS['det1']} / {_OLS_DETS['det']}) * s1y
+                        - ({_OLS_DETS['det2']} / {_OLS_DETS['det']}) * s2y)
+                       / (syy - sy * sy / n), 6) AS r2
+    FROM m
+    """,
+)
+def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS (order total ~ line count + total quantity) by
+    normal equations solved in closed form with Cramer's rule — the
+    regression stage of the reference class as two aggregates, no
+    MLlib, no iteration, no driver-side matrix.
+
+    The 10 sufficient statistics (n, Σx, Σxx', Σxy, Σy²) are exact
+    integer sums over dollar-quantized targets (cents would push Σy²
+    past int64 — the dollar grain keeps every moment an exact BIGINT
+    in both engines) — associative partials,
+    one partial+final aggregate over the corpus at any cluster size —
+    and the 3×3 solve is a fixed closed-form expression over one row.
+    R² comes from the same moments (SSE = y'y − β'X'y).  Cross-engine
+    determinism: each moment is computed exactly as an integer in both
+    engines and converted once (correctly rounded) to double,
+    and the determinant expressions are written as the same tree on
+    both sides, so every IEEE op matches 1:1.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    feat = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("x1"),
+            F.sum(F.round("l_quantity").cast("long")).alias("x2"),
+        )
+        .select(
+            F.round(F.col("o_totalprice")).cast("long").alias("y"),
+            "x1",
+            "x2",
+        )
+    )
+    m = feat.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    c = F.col
+    det = c("n") * (c("s11") * c("s22") - c("s12") * c("s12")) - c("sx1") * (
+        c("sx1") * c("s22") - c("s12") * c("sx2")
+    ) + c("sx2") * (c("sx1") * c("s12") - c("s11") * c("sx2"))
+    det0 = c("sy") * (c("s11") * c("s22") - c("s12") * c("s12")) - c("sx1") * (
+        c("s1y") * c("s22") - c("s12") * c("s2y")
+    ) + c("sx2") * (c("s1y") * c("s12") - c("s11") * c("s2y"))
+    det1 = c("n") * (c("s1y") * c("s22") - c("s12") * c("s2y")) - c("sy") * (
+        c("sx1") * c("s22") - c("s12") * c("sx2")
+    ) + c("sx2") * (c("sx1") * c("s2y") - c("s1y") * c("sx2"))
+    det2 = c("n") * (c("s11") * c("s2y") - c("s1y") * c("s12")) - c("sx1") * (
+        c("sx1") * c("s2y") - c("s1y") * c("sx2")
+    ) + c("sy") * (c("sx1") * c("s12") - c("s11") * c("sx2"))
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = c("syy") - b0 * c("sy") - b1 * c("s1y") - b2 * c("s2y")
+    sst = c("syy") - c("sy") * c("sy") / c("n")
+    return m.select(
+        c("n").cast("long").alias("n_orders"),
+        F.round(b0, 6).alias("beta0"),
+        F.round(b1, 6).alias("beta1"),
+        F.round(b2, 6).alias("beta2"),
+        F.round(1.0 - sse / sst, 6).alias("r2"),
+    )

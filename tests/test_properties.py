@@ -639,3 +639,56 @@ def test_embedding_covariance_agrees_with_numpy(spark, sf_dir):
             - Xq[:, i].sum() * Xq[:, j].sum()
         ) / (n * n * 1e6)
         assert abs(r["cov"] - expect) < 1e-4, (i, j, r["cov"], expect)
+
+
+def test_ols_normal_eq_agrees_with_numpy_lstsq(spark, sf_dir):
+    # Independent solver: numpy least squares over the same quantized
+    # features must give the same betas and R^2 (to the 6dp rounding).
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    o = pq_.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    ).to_pylist()
+    li = pq_.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    ).to_pylist()
+    from collections import defaultdict
+
+    cnt = defaultdict(int)
+    qty = defaultdict(int)
+    for r in li:
+        cnt[r["l_orderkey"]] += 1
+        qty[r["l_orderkey"]] += round(r["l_quantity"])
+    rows_in = [
+        (round(r["o_totalprice"]), cnt[r["o_orderkey"]], qty[r["o_orderkey"]])
+        for r in o
+        if r["o_orderkey"] in cnt
+    ]
+    y = np.array([r[0] for r in rows_in], dtype=np.float64)
+    X = np.column_stack(
+        [
+            np.ones(len(rows_in)),
+            [r[1] for r in rows_in],
+            [r[2] for r in rows_in],
+        ]
+    ).astype(np.float64)
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+
+    row = _q(spark, sf_dir, "ml_ols_normal_eq").collect()[0]
+    assert row["n_orders"] == len(rows_in)
+    # normal-equations-via-Cramer and QR lstsq agree to solver
+    # conditioning, not to ulps — compare at 1e-6 relative
+    for got, ref in [
+        (row["beta0"], beta[0]),
+        (row["beta1"], beta[1]),
+        (row["beta2"], beta[2]),
+    ]:
+        assert abs(got - ref) <= 1e-6 * max(1.0, abs(ref)), (got, ref)
+    assert abs(row["r2"] - r2) < 1e-4

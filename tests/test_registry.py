@@ -150,8 +150,8 @@ EXPECTED_IDS = {
     "report_dau_wau_stickiness",
     # round-4 batch 7: RAG context assembly + embedding diagnostics
     "llm_rag_context_pack", "llm_embedding_covariance",
-    # round-4 batch 8: fixed-point power-iteration PCA
-    "ml_pca_power",
+    # round-4 batch 8: fixed-point power-iteration PCA + closed-form OLS
+    "ml_pca_power", "ml_ols_normal_eq",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
