@@ -703,3 +703,83 @@ def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b2, 6).alias("beta2"),
         F.round(1.0 - sse / sst, 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-hop BFS distances over the co-purchase graph (round 4)
+# --------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 6
+
+
+@query(
+    "graph_bfs_distances",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey <> b.l_partkey),
+    src AS (SELECT min(l_partkey) AS s FROM items),
+    walk(node, d) AS (
+        SELECT s, 0 FROM src
+        UNION
+        SELECT e.v, w.d + 1
+        FROM walk w JOIN edges e ON e.u = w.node
+        WHERE w.d < {BFS_MAX_HOPS}),
+    dist AS (SELECT node, min(d) AS d FROM walk GROUP BY node)
+    SELECT CAST(d AS INTEGER) AS d,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM dist GROUP BY d
+    """,
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the co-purchase part graph: how many
+    parts sit at each hop distance (≤ {BFS_MAX_HOPS}) from the lowest
+    part key — the reachability/diameter probe that complements the
+    registry's PageRank (importance), triangles (clustering), and
+    connected components (membership).
+
+    Level-synchronous frontier relaxation, the scalable BFS dataflow:
+    each hop is one join of the current distance table against the
+    edge list + a min-distance aggregate, so hop h costs one shuffle
+    bounded by |edges| — never the path-enumeration blowup a naive
+    transitive closure pays (the oracle's recursive CTE stays safe
+    only because its UNION dedups (node, d) pairs per step).  The hop
+    count is fixed, so the plan is {BFS_MAX_HOPS} joins regardless of
+    data — predictable on any cluster.  All distances are exact
+    integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    dist = items.agg(F.min("l_partkey").alias("node")).select(
+        "node", F.lit(0).alias("d")
+    )
+    for _ in range(BFS_MAX_HOPS):
+        nxt = (
+            dist.join(edges, dist.node == edges.u)
+            .select(F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionAll(nxt)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes")).select(
+        F.col("d").cast("int").alias("d"), "n_nodes"
+    )

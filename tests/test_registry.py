@@ -152,6 +152,8 @@ EXPECTED_IDS = {
     "llm_rag_context_pack", "llm_embedding_covariance",
     # round-4 batch 8: fixed-point power-iteration PCA + closed-form OLS
     "ml_pca_power", "ml_ols_normal_eq",
+    # round-4 batch 9: BFS hop-distance histogram
+    "graph_bfs_distances",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
