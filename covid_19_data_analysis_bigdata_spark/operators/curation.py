@@ -863,3 +863,84 @@ def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         * COV_SCALE
     )
     return m.select("i", "j", F.round(cov, 6).alias("cov"))
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (round 4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_perplexity_bigram",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest([{'w1': ws[i], 'b': ws[i] || ' ' || ws[i+1]}
+                          for i in generate_series(1, len(ws) - 1)]) AS s
+           FROM w WHERE len(ws) >= 2),
+    st AS (SELECT doc_id, s.w1 AS w1, s.b AS b FROM bg),
+    c2 AS (SELECT b, count(*) AS c FROM st GROUP BY b),
+    tokens AS (SELECT unnest(string_split(lower(text), ' ')) AS t
+               FROM documents),
+    c1 AS (SELECT t, count(*) AS c FROM tokens GROUP BY t),
+    vocab AS (SELECT count(*) AS v FROM c1),
+    scored AS (
+        SELECT st.doc_id,
+               count(*) AS n_bigrams,
+               sum(-ln((c2.c + 1.0) / (c1.c + vocab.v))) AS nll
+        FROM st JOIN c2 USING (b) JOIN c1 ON c1.t = st.w1
+        CROSS JOIN vocab
+        GROUP BY st.doc_id)
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(nll / n_bigrams, 4) AS cross_entropy
+    FROM scored
+    """,
+)
+def llm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document with add-one smoothing —
+    the n-gram generalization of ``llm_perplexity_unigram`` (real
+    CCNet-style filters score with a 5-gram KenLM; the conditional-
+    probability dataflow is identical at any order, this is it at
+    n=2): P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V).
+
+    The model tables are corpus aggregates (bigram counts, unigram
+    counts, vocabulary size) — all vocabulary-bounded, broadcast back
+    over the bigram stream, so scoring costs one explode + two
+    broadcast joins + one per-doc aggregation; nothing beyond the
+    token scan grows with the corpus.  The bigram stream comes from
+    shifted-slice zips over the materialized word array (never
+    indexed lambdas over ``sequence`` — the O(len²) inlining trap).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    n1 = F.greatest(F.size("w") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("w", 1, n1),
+        F.slice("w", 2, n1),
+        lambda a, b: F.struct(
+            a.alias("w1"), F.concat_ws(" ", a, b).alias("b")
+        ),
+    )
+    st = (
+        d.select("doc_id", ws.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(pairs).alias("s"))
+        .select("doc_id", F.col("s.w1").alias("w1"), F.col("s.b").alias("b"))
+    )
+    c2 = st.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
+    tok = d.select(F.explode(ws).alias("t"))
+    c1 = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    nll = -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+    return (
+        st.join(F.broadcast(c2), "b")
+        .join(F.broadcast(c1), st.w1 == c1.t)
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(nll) / F.count(F.lit(1)), 4).alias("cross_entropy"),
+        )
+    )

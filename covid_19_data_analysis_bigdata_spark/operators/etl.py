@@ -819,3 +819,75 @@ def dq_uniqueness_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# IQR outlier screen (round 4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type),
+    f AS (SELECT event_type, q1, q3,
+                 q1 - 1.5 * (q3 - q1) AS lo,
+                 q3 + 1.5 * (q3 - q1) AS hi
+          FROM q)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(any_value(f.lo), 6) AS lo_fence,
+           round(any_value(f.hi), 6) AS hi_fence,
+           CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS outlier_rate
+    FROM events e JOIN f USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier screen per event type: exact interpolated
+    quartiles → 1.5·IQR fences → outlier counts and rate — the
+    distribution-free DQ gate run before any per-type mean/zscore is
+    trusted (the z-score detector in ``ts_anomaly_zscore`` assumes the
+    tails this screen quantifies).
+
+    Two passes: one exact-percentile aggregate (per-group sort — the
+    |types|-group case where exact quantiles are affordable; the
+    100 TB many-group variant swaps in the GK sketch, already in the
+    registry), then the fence table — |types| rows — broadcast back
+    over one counting scan.  Fences are identical IEEE expressions of
+    identical interpolated quartiles; counts are integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    is_out = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(f), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.any_value(F.col("lo")), 6).alias("lo_fence"),
+            F.round(F.any_value(F.col("hi")), 6).alias("hi_fence"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+            F.round(
+                F.sum(F.when(is_out, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("outlier_rate"),
+        )
+    )

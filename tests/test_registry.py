@@ -154,6 +154,8 @@ EXPECTED_IDS = {
     "ml_pca_power", "ml_ols_normal_eq",
     # round-4 batch 9: BFS hop-distance histogram
     "graph_bfs_distances",
+    # round-4 batch 10: IQR outlier screen + bigram-LM perplexity
+    "dq_outlier_iqr", "llm_perplexity_bigram",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
