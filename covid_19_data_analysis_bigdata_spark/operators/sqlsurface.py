@@ -12,6 +12,7 @@ relying on that decorrelation — the pre-decorrelated twins are
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.sources.io import load_table
@@ -289,5 +290,84 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(avg(o_totalprice), 4) AS avg_price
          FROM orders WHERE o_totalprice > ? GROUP BY o_orderpriority'
         USING 150000
+        """
+    )
+
+
+@query(
+    "sql_pivot_clause",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                AS BIGINT) AS flag_a,
+           CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                AS BIGINT) AS flag_n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS flag_r
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``PIVOT`` clause surface (Spark SQL native syntax) —
+    the declarative twin of the DataFrame ``pivot_wide`` operator.
+
+    The explicit ``IN`` value list is the 100 TB discipline (an
+    implicit pivot pays a full extra pass to discover values), and
+    the clause compiles to the same single partial+final aggregate as
+    the CASE-ladder formulation the oracle uses — PIVOT is syntax,
+    not a new plan shape.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT l_linestatus, l_returnflag FROM lineitem)
+        PIVOT (count(*) FOR l_returnflag IN
+               ('A' AS flag_a, 'N' AS flag_n, 'R' AS flag_r))
+        """
+    ).select(
+        "l_linestatus",
+        F.coalesce("flag_a", F.lit(0)).alias("flag_a"),
+        F.coalesce("flag_n", F.lit(0)).alias("flag_n"),
+        F.coalesce("flag_r", F.lit(0)).alias("flag_r"),
+    )
+
+
+@query(
+    "sql_unpivot_clause",
+    oracle="""
+    SELECT o_orderstatus, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+        SELECT o_orderstatus,
+               round(sum(o_totalprice), 4) AS total_price,
+               CAST(count(*) AS DOUBLE)    AS n_orders
+        FROM orders GROUP BY o_orderstatus) w
+    CROSS JOIN (VALUES ('total_price'), ('n_orders')) m(metric)
+    CROSS JOIN LATERAL (
+        SELECT CASE metric WHEN 'total_price' THEN total_price
+                           ELSE n_orders END AS val) v
+    """,
+)
+def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``UNPIVOT`` clause surface (Spark 3.4+ native syntax) —
+    the declarative twin of the DataFrame ``unpivot_melt`` operator:
+    a wide per-status summary melted back to (status, metric, val)
+    rows.
+
+    UNPIVOT compiles to a constant ×k ``Expand`` over the already-
+    aggregated wide table (|statuses| rows), so the melt is free at
+    any scale; the oracle reproduces it with a values-lateral cross
+    join.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, metric, val FROM (
+            SELECT o_orderstatus,
+                   round(sum(o_totalprice), 4)    AS total_price,
+                   CAST(count(*) AS DOUBLE)       AS n_orders
+            FROM orders GROUP BY o_orderstatus)
+        UNPIVOT (val FOR metric IN (total_price, n_orders))
         """
     )

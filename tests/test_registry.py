@@ -156,6 +156,8 @@ EXPECTED_IDS = {
     "graph_bfs_distances",
     # round-4 batch 10: IQR outlier screen + bigram-LM perplexity
     "dq_outlier_iqr", "llm_perplexity_bigram",
+    # round-4 batch 11: native SQL PIVOT / UNPIVOT clause surface
+    "sql_pivot_clause", "sql_unpivot_clause",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
