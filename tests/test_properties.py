@@ -692,3 +692,64 @@ def test_ols_normal_eq_agrees_with_numpy_lstsq(spark, sf_dir):
     ]:
         assert abs(got - ref) <= 1e-6 * max(1.0, abs(ref)), (got, ref)
     assert abs(row["r2"] - r2) < 1e-4
+
+
+def test_perplexity_bigram_matches_python_recompute(spark, sf_dir):
+    # Exact recompute of the add-one bigram LM in pure Python.
+    import math
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq_
+
+    docs = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+    c1, c2 = Counter(), Counter()
+    streams = {}
+    for r in docs:
+        ws = r["text"].lower().split(" ")
+        c1.update(ws)
+        bgs = list(zip(ws, ws[1:]))
+        if bgs:
+            streams[r["doc_id"]] = bgs
+            c2.update(bgs)
+    V = len(c1)
+
+    got = {
+        r["doc_id"]: r
+        for r in _q(spark, sf_dir, "llm_perplexity_bigram").collect()
+    }
+    assert set(got) == set(streams)
+    for did, bgs in streams.items():
+        nll = sum(
+            -math.log((c2[(a, b)] + 1.0) / (c1[a] + V)) for a, b in bgs
+        )
+        assert got[did]["n_bigrams"] == len(bgs)
+        assert abs(got[did]["cross_entropy"] - round(nll / len(bgs), 4)) < 1e-9
+
+
+def test_outlier_iqr_matches_numpy_fences(spark, sf_dir):
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    ev = pq_.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    ).to_pylist()
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in ev:
+        vals[r["event_type"]].append(r["value"])
+
+    for r in _q(spark, sf_dir, "dq_outlier_iqr").collect():
+        v = np.array(vals[r["event_type"]])
+        q1, q3 = np.percentile(v, [25, 75])  # linear interpolation
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        assert abs(r["lo_fence"] - round(lo, 6)) < 1e-4
+        assert abs(r["hi_fence"] - round(hi, 6)) < 1e-4
+        assert r["n_outliers"] == int(((v < lo) | (v > hi)).sum())
+        assert r["n_events"] == len(v)
