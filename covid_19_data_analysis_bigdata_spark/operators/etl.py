@@ -891,3 +891,91 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Referentially-consistent sampling (round 4)
+# --------------------------------------------------------------------------
+
+SAMPLE_PCT = 5  #: keep keys with polyhash(key) % 100 < SAMPLE_PCT
+
+
+@query(
+    "etl_consistent_sample",
+    oracle=f"""
+    WITH keep AS (
+        SELECT o_orderkey FROM orders
+        WHERE {_POLY_SQL.format(col="CAST(o_orderkey AS VARCHAR)")} % 100
+              < {SAMPLE_PCT}),
+    so AS (SELECT count(*) AS n FROM keep),
+    sl AS (SELECT count(*) AS n
+           FROM lineitem l JOIN keep k ON l.l_orderkey = k.o_orderkey),
+    orphans AS (
+        SELECT count(*) AS n
+        FROM (SELECT l_orderkey FROM lineitem l
+              WHERE {_POLY_SQL.format(col="CAST(l_orderkey AS VARCHAR)")} % 100
+                    < {SAMPLE_PCT}) s
+        WHERE NOT EXISTS (SELECT 1 FROM keep k
+                          WHERE k.o_orderkey = s.l_orderkey)),
+    tot AS (SELECT (SELECT count(*) FROM orders) AS o_total,
+                   (SELECT count(*) FROM lineitem) AS l_total)
+    SELECT CAST(so.n AS BIGINT) AS sampled_orders,
+           CAST(sl.n AS BIGINT) AS sampled_lineitems,
+           round(CAST(so.n AS DOUBLE) / tot.o_total, 4) AS order_rate,
+           round(CAST(sl.n AS DOUBLE) / tot.l_total, 4) AS lineitem_rate,
+           CAST(orphans.n AS BIGINT) AS fk_orphans
+    FROM so CROSS JOIN sl CROSS JOIN orphans CROSS JOIN tot
+    """,
+)
+def etl_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referentially-consistent {SAMPLE_PCT}% sample: orders are kept by
+    a portable hash gate on the ORDER key, and lineitems are kept by
+    hashing the SAME key — so every sampled fact keeps its parent and
+    the slice is a valid mini-warehouse (the dev/staging dataset trick
+    at 100 TB: `TABLESAMPLE` on each table independently shreds every
+    FK edge; keyed hash gates never do).
+
+    The audit proves it: the hash gate applied independently to
+    lineitem's FK produces zero orphans against the sampled parents
+    (same key → same gate), while the realized rates sit near the
+    nominal {SAMPLE_PCT}%.  The gate is the repo's bit-portable
+    polynomial hash — row-local, no shuffle to decide membership, and
+    stable across engines, runs, and backfills (a random sample
+    re-rolls membership every run).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    gate_o = _polyhash(F.col("o_orderkey").cast("string")) % 100 < SAMPLE_PCT
+    gate_l = _polyhash(F.col("l_orderkey").cast("string")) % 100 < SAMPLE_PCT
+    keep = o.filter(gate_o).select("o_orderkey")
+    so = keep.agg(F.count(F.lit(1)).alias("sampled_orders"))
+    sl = (
+        li.join(keep, li.l_orderkey == keep.o_orderkey)
+        .agg(F.count(F.lit(1)).alias("sampled_lineitems"))
+    )
+    orphans = (
+        li.filter(gate_l)
+        .select("l_orderkey")
+        .join(keep, li.l_orderkey == keep.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    tot = o.agg(F.count(F.lit(1)).alias("o_total")).crossJoin(
+        li.agg(F.count(F.lit(1)).alias("l_total"))
+    )
+    return (
+        so.crossJoin(sl)
+        .crossJoin(orphans)
+        .crossJoin(tot)
+        .select(
+            "sampled_orders",
+            "sampled_lineitems",
+            F.round(
+                F.col("sampled_orders").cast("double") / F.col("o_total"), 4
+            ).alias("order_rate"),
+            F.round(
+                F.col("sampled_lineitems").cast("double") / F.col("l_total"),
+                4,
+            ).alias("lineitem_rate"),
+            "fk_orphans",
+        )
+    )

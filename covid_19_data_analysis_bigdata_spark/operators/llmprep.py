@@ -670,3 +670,67 @@ def llm_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic training-shard assignment (round 4)
+# --------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+@query(
+    "llm_dataset_shard_assign",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT {_POLY_SQL.format(col="CAST(doc_id AS VARCHAR)")}
+                   % {N_SHARDS} AS shard,
+               len(string_split(lower(text), ' ')) AS n_tokens
+        FROM documents),
+    per AS (SELECT shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM assigned GROUP BY shard),
+    bal AS (SELECT max(n_tokens) AS mx, min(n_tokens) AS mn FROM per)
+    SELECT CAST(per.shard AS INTEGER) AS shard,
+           per.n_docs, per.n_tokens,
+           round(CAST(bal.mx AS DOUBLE) / bal.mn, 4) AS balance_ratio
+    FROM per CROSS JOIN bal
+    """,
+)
+def llm_dataset_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for distributed training: every
+    document lands in shard ``polyhash(doc_id) % {N_SHARDS}``, with
+    per-shard doc/token counts and the global max/min token balance
+    ratio — the sharding step between a curated corpus and N data-
+    loader workers, where a skewed shard stalls every training step
+    behind the slowest reader.
+
+    The gate is row-local (no shuffle decides membership — documents
+    can be written straight to their shard with
+    ``partitionBy("shard")``); the stats are one {N_SHARDS}-group
+    aggregate plus a 1-row balance summary broadcast back.  Hash
+    assignment is stable across engines, runs, and incremental
+    appends — a random or round-robin assignment reshuffles history
+    on every backfill, silently changing what each worker has seen.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    assigned = d.select(
+        (_polyhash(F.col("doc_id").cast("string")) % N_SHARDS).alias("shard"),
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    bal = per.agg(
+        F.max("n_tokens").alias("mx"), F.min("n_tokens").alias("mn")
+    )
+    return per.crossJoin(F.broadcast(bal)).select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("mx").cast("double") / F.col("mn"), 4).alias(
+            "balance_ratio"
+        ),
+    )

@@ -158,6 +158,8 @@ EXPECTED_IDS = {
     "dq_outlier_iqr", "llm_perplexity_bigram",
     # round-4 batch 11: native SQL PIVOT / UNPIVOT clause surface
     "sql_pivot_clause", "sql_unpivot_clause",
+    # round-4 batch 12: consistent sampling + training-shard assignment
+    "etl_consistent_sample", "llm_dataset_shard_assign",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
