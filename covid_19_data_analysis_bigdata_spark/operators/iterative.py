@@ -769,17 +769,25 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = items.agg(F.min("l_partkey").alias("node")).select(
         "node", F.lit(0).alias("d")
     )
-    for _ in range(BFS_MAX_HOPS):
-        nxt = (
-            dist.join(edges, dist.node == edges.u)
-            .select(F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
+    # Delta (frontier) BFS: only nodes FIRST reached at hop h-1 expand
+    # at hop h — candidates already in `dist` are anti-joined away, so
+    # once the component is covered the remaining hops join an empty
+    # frontier (near-free) instead of re-propagating the full distance
+    # table (which halved nothing and re-shuffled |V| rows per hop).
+    frontier = dist
+    for h in range(1, BFS_MAX_HOPS + 1):
+        cand = (
+            frontier.join(edges, frontier.node == edges.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
         )
-        dist = (
-            dist.unionAll(nxt)
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
+        new = (
+            cand.join(dist, "node", "left_anti")
+            .select("node", F.lit(h).alias("d"))
             .localCheckpoint(eager=False)
         )
+        dist = dist.unionAll(new).localCheckpoint(eager=False)
+        frontier = new
     return dist.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes")).select(
         F.col("d").cast("int").alias("d"), "n_nodes"
     )
