@@ -1179,3 +1179,64 @@ def report_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weekday seasonality profile (round 4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "report_weekday_seasonality",
+    oracle="""
+    WITH daily AS (
+        SELECT isodow(ts) AS dow,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+    per AS (SELECT dow,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(cents) AS BIGINT) AS revenue_cents
+            FROM daily GROUP BY dow),
+    tot AS (SELECT sum(revenue_cents) AS t, sum(n_purchases) AS np FROM per)
+    SELECT CAST(per.dow AS INTEGER) AS dow,
+           per.n_purchases,
+           per.revenue_cents,
+           round(7.0 * per.revenue_cents / tot.t, 4) AS seasonality_index
+    FROM per CROSS JOIN tot
+    """,
+)
+def report_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week purchase seasonality: revenue and counts per ISO
+    weekday plus a seasonality index (7 × share of weekly revenue —
+    1.0 = a flat week), the profile behind staffing/inventory
+    calendars and the deseasonalization step of every weekly forecast.
+
+    One 7-group aggregate over integer cents (immune to accumulation
+    order) and a broadcast total; the index is one correctly-rounded
+    division.  At 100 TB the scan is the entire cost — the profile is
+    seven rows whatever the corpus.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.filter(F.col("event_type") == "purchase").select(
+        F.dayofweek(F.col("ts")).alias("sun1_dow"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # dayofweek is 1=Sunday; convert to ISO 1=Monday..7=Sunday
+    iso = F.when(F.col("sun1_dow") == 1, 7).otherwise(F.col("sun1_dow") - 1)
+    per = (
+        daily.select(iso.alias("dow"), "cents")
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    tot = per.agg(F.sum("revenue_cents").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("int").alias("dow"),
+        "n_purchases",
+        "revenue_cents",
+        F.round(7.0 * F.col("revenue_cents") / F.col("t"), 4).alias(
+            "seasonality_index"
+        ),
+    )

@@ -1418,3 +1418,76 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty curve (round 4): corpus saturation diagnostics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                         for i in generate_series(1, len(ws) - 2)])) AS t
+          FROM w WHERE len(ws) >= 3),
+    first_seen AS (SELECT t, min(doc_id) AS fd FROM g GROUP BY t)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           round(CAST(sum(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS novelty
+    FROM g JOIN first_seen f USING (t)
+    GROUP BY g.doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty per document: the fraction of a document's
+    distinct word trigrams whose FIRST corpus appearance (by doc_id
+    order) is this document — the saturation curve of a growing
+    corpus (novelty trending toward zero in ingest order means new
+    data is no longer adding n-gram coverage; the diminishing-returns
+    signal behind "how much more of this source is worth crawling").
+
+    One distinct-trigram explode, one min-doc_id aggregate over the
+    gram vocabulary, one join back — all keyed by the gram (uniform
+    hash sharding), nothing quadratic, and the first-seen table is
+    vocabulary-sized.  Ties are impossible: ``min(doc_id)`` is a total
+    order, so the novelty attribution is exact in any engine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    n = F.greatest(F.size("w") - 2, F.lit(0))
+    tri = F.array_distinct(
+        F.zip_with(
+            F.slice("w", 1, n),
+            F.zip_with(
+                F.slice("w", 2, n),
+                F.slice("w", 3, n),
+                lambda b, c: F.concat_ws(" ", b, c),
+            ),
+            lambda a, bc: F.concat_ws(" ", a, bc),
+        )
+    )
+    g = (
+        d.select("doc_id", ws.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(tri).alias("t"))
+    )
+    first_seen = g.groupBy("t").agg(F.min("doc_id").alias("fd"))
+    novel = F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        g.join(first_seen, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            F.round(
+                F.sum(novel) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("novelty"),
+        )
+    )

@@ -160,6 +160,8 @@ EXPECTED_IDS = {
     "sql_pivot_clause", "sql_unpivot_clause",
     # round-4 batch 12: consistent sampling + training-shard assignment
     "etl_consistent_sample", "llm_dataset_shard_assign",
+    # round-4 batch 13: weekday seasonality + n-gram novelty curve
+    "report_weekday_seasonality", "llm_ngram_novelty",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
