@@ -761,3 +761,38 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+@query(
+    "agg_bool_funcs",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+               AS n_large,
+           bool_and(o_totalprice > 1000)   AS all_over_1k,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           CAST(max(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN o_orderkey END) AS BIGINT)
+               AS max_urgent_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_bool_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family: ``count_if``, ``every``
+    (bool_and), ``some`` (bool_or), and a conditional max — the
+    predicate-summary surface (SLO checks, data contracts, "did any
+    row violate X" gates) in one partial+final aggregate.
+
+    Booleans fold associatively like any other aggregate — AND/OR
+    partials merge exactly — so these run map-side-combined at any
+    scale; no float anywhere, bit-identical across engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(urgent).alias("any_urgent"),
+        F.max(F.when(urgent, F.col("o_orderkey"))).alias("max_urgent_key"),
+    )

@@ -405,3 +405,46 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.round(F.expr("percentile(dsum, 0.5)").over(w), 4).alias("med7"),
     )
+
+
+@query(
+    "win_cume_dist_nth",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(cume_dist() OVER w, 6) AS cd,
+           nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_totalprice, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW)
+               AS third_cheapest_so_far
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cume_dist`` + ``nth_value`` — the two ranked-window functions
+    the rank/dense_rank/ntile/percent_rank family (already covered)
+    leaves out: cumulative distribution position and a positional
+    lookup inside the running frame.
+
+    One window sort per spec, like every ranked window; the unique
+    (price, key) order key is the determinism rule AND the skew guard.
+    cume_dist is a ratio of two frame-local integers — one correctly-
+    rounded division.  The sampled key filter keeps the checked result
+    small; the plan is identical at any selectivity.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 50 == 0
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_cheapest_so_far"),
+    )

@@ -162,6 +162,8 @@ EXPECTED_IDS = {
     "etl_consistent_sample", "llm_dataset_shard_assign",
     # round-4 batch 13: weekday seasonality + n-gram novelty curve
     "report_weekday_seasonality", "llm_ngram_novelty",
+    # round-4 batch 14: boolean aggregates + cume_dist / nth_value
+    "agg_bool_funcs", "win_cume_dist_nth",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
