@@ -529,3 +529,95 @@ def json_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
         (k % 10).alias("k_mod"),
     )
+
+
+@query(
+    "gen_funcs",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        WHERE o_orderkey % 100 = 0)
+    SELECT o_orderkey, 'price' AS metric,
+           CAST(o_totalprice AS VARCHAR) AS val
+    FROM base
+    UNION ALL
+    SELECT o_orderkey, 'date', CAST(o_orderdate AS VARCHAR) FROM base
+    """,
+)
+def gen_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator surface: ``stack`` — one wide row fanned into N
+    (metric, value) rows inside the projection, the generator behind
+    SQL ``LATERAL VIEW``-style melts (the expression-level sibling of
+    the UNPIVOT clause, usable anywhere a column expression is).
+
+    A generator is a row-local constant fan-out in the same stage as
+    the scan — no shuffle, no UDF; at 100 TB the cost is exactly the
+    ×N output rows, nothing else.  Values are cast to string on both
+    sides so heterogeneous metrics share one column with identical
+    rendering.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 0
+    )
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'price', CAST(o_totalprice AS STRING),"
+            "         'date',  CAST(o_orderdate  AS STRING))"
+        ).alias("metric", "val"),
+    )
+
+
+@query(
+    "map_hof_funcs",
+    oracle="""
+    WITH m AS (
+        SELECT event_id,
+               MAP(['clicks', 'views'],
+                   [CAST(props->>'$.k' AS BIGINT),
+                    CAST(props->>'$.k' AS BIGINT) * 2]) AS counters
+        FROM events WHERE event_id % 20 = 0)
+    SELECT event_id,
+           CAST(counters['clicks'][1] * 10 AS BIGINT)  AS clicks_x10,
+           CAST(counters['views'][1] * 10 AS BIGINT)   AS views_x10,
+           CAST(counters['clicks'][1] * 11 AS BIGINT) AS zipped_sum,
+           array_to_string(
+               list_sort(map_keys(counters)), ',') AS keys_csv
+    FROM m
+    """,
+)
+def map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: ``transform_values`` rescales every
+    counter in place and ``map_zip_with`` merges two maps entry-wise —
+    the idioms for feature-bag columns (per-key counters) where
+    exploding to rows just to touch values would shuffle the corpus.
+
+    All map compute is row-local inside codegen.  Maps leave the query
+    as deterministic scalars/sorted keys (map iteration order is not a
+    contract in either engine — exporting a raw map would hash
+    differently run to run; this is the repo's map-output rule).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 20 == 0
+    )
+    k = F.get_json_object("props", "$.k").cast("long")
+    m = ev.select(
+        "event_id",
+        F.create_map(
+            F.lit("clicks"), k, F.lit("views"), k * 2
+        ).alias("counters"),
+    )
+    scaled = F.transform_values(F.col("counters"), lambda _, v: v * 10)
+    # merge the raw and rescaled bags entry-wise: k + 10k per key
+    zipped = F.map_zip_with(
+        F.col("counters"), scaled, lambda _, a, b: a + b
+    )
+    return m.select(
+        "event_id",
+        F.element_at(scaled, "clicks").alias("clicks_x10"),
+        F.element_at(scaled, "views").alias("views_x10"),
+        F.element_at(zipped, "clicks").alias("zipped_sum"),
+        F.concat_ws(
+            ",", F.array_sort(F.map_keys(F.col("counters")))
+        ).alias("keys_csv"),
+    )

@@ -164,6 +164,8 @@ EXPECTED_IDS = {
     "report_weekday_seasonality", "llm_ngram_novelty",
     # round-4 batch 14: boolean aggregates + cume_dist / nth_value
     "agg_bool_funcs", "win_cume_dist_nth",
+    # round-4 batch 15: generator surface + map higher-order functions
+    "gen_funcs", "map_hof_funcs",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
