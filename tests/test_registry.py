@@ -166,6 +166,8 @@ EXPECTED_IDS = {
     "agg_bool_funcs", "win_cume_dist_nth",
     # round-4 batch 15: generator surface + map higher-order functions
     "gen_funcs", "map_hof_funcs",
+    # round-4 batch 16: Mann–Kendall non-parametric trend test
+    "ts_mann_kendall",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
