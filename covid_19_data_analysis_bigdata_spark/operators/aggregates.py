@@ -796,3 +796,82 @@ def agg_bool_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(urgent).alias("any_urgent"),
         F.max(F.when(urgent, F.col("o_orderkey"))).alias("max_urgent_key"),
     )
+
+
+#: Shared raw->central moment arithmetic for the shape statistics —
+#: written once and mirrored verbatim in the SQL oracle so both engines
+#: evaluate the identical IEEE expression tree over identical integers.
+_SHAPE_SQL = """
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           round(mu, 6) AS mean,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+    FROM (
+        SELECT event_type, n, mu, m2,
+               s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu AS m3,
+               s4 / n - 4.0 * mu * (s3 / n)
+                    + 6.0 * mu * mu * (s2 / n) - 3.0 * mu * mu * mu * mu
+                   AS m4
+        FROM (
+            SELECT event_type,
+                   CAST(count(*) AS DOUBLE)        AS n,
+                   CAST(sum(v) AS DOUBLE)          AS s1,
+                   CAST(sum(v * v) AS DOUBLE)      AS s2,
+                   CAST(sum(v * v * v) AS DOUBLE)  AS s3,
+                   CAST(sum(v * v * v * v) AS DOUBLE) AS s4,
+                   CAST(sum(v) AS DOUBLE) / count(*) AS mu,
+                   CAST(sum(v * v) AS DOUBLE) / count(*)
+                       - (CAST(sum(v) AS DOUBLE) / count(*))
+                         * (CAST(sum(v) AS DOUBLE) / count(*)) AS m2
+            FROM (SELECT event_type,
+                         CAST(round(value) AS BIGINT) AS v FROM events)
+            GROUP BY event_type))
+"""
+
+
+@query("agg_skew_kurtosis", oracle=_SHAPE_SQL)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shape per event type: population skewness and
+    excess kurtosis from exact integer power sums — the moment
+    statistics that tell a monitoring pipeline WHICH way a metric's
+    distribution is deformed (fat tail vs lean, left vs right) before
+    any threshold fires.
+
+    The engine's built-in ``skewness``/``kurtosis`` accumulate float
+    central moments whose partial-merge order varies with
+    partitioning — the same nondeterminism class that bit
+    ``regr_slope`` in round 2 — so this computes Σv, Σv², Σv³, Σv⁴ as
+    exact BIGINTs (dollar-quantized values keep Σv⁴ < 2⁶³ through
+    sf1) in ONE partial+final aggregate, then derives central moments
+    in a fixed expression tree mirrored verbatim in the oracle.
+    Order-independent at any cluster size, bit-identical across
+    engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round("value").cast("long")
+    base = ev.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("v").cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).cast("double").alias("s3"),
+        F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v"))
+        .cast("double")
+        .alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3.0 * mu * (F.col("s2") / F.col("n")) + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4.0 * mu * (F.col("s3") / F.col("n"))
+        + 6.0 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3.0 * mu * mu * mu * mu
+    )
+    return base.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(mu, 6).alias("mean"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis"),
+    )

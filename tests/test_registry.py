@@ -168,6 +168,8 @@ EXPECTED_IDS = {
     "gen_funcs", "map_hof_funcs",
     # round-4 batch 16: Mann–Kendall non-parametric trend test
     "ts_mann_kendall",
+    # round-4 batch 17: shape statistics from exact integer moments
+    "agg_skew_kurtosis",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
