@@ -1240,3 +1240,46 @@ def report_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonality_index"
         ),
     )
+
+
+@query(
+    "report_shipping_delay_percentiles",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(datediff('day', o.o_orderdate, l.l_shipdate),
+                               0.50), 6) AS p50_days,
+           round(quantile_cont(datediff('day', o.o_orderdate, l.l_shipdate),
+                               0.90), 6) AS p90_days,
+           CAST(max(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+               AS max_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def report_shipping_delay_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship latency distribution by order priority: median,
+    p90, and worst-case days between order date and each line's ship
+    date — the SLA view that a mean would hide (a fat p90 with a
+    healthy median is the classic fulfillment-queue signature).
+
+    One fact-fact equi-join (lineitem shuffles on its order key;
+    orders side broadcast-eligible at dimension-like sizes, AQE
+    decides) feeding a |priorities|-group exact-percentile aggregate
+    on integer day diffs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.percentile(delay, F.lit(0.50)), 6).alias("p50_days"),
+            F.round(F.percentile(delay, F.lit(0.90)), 6).alias("p90_days"),
+            F.max(delay).cast("long").alias("max_days"),
+        )
+    )

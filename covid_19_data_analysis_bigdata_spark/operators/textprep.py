@@ -1491,3 +1491,37 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "llm_length_profile_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.10), 6) AS p10,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.90), 6) AS p90,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def llm_length_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length profile per crawl source: p10/p50/p90 length
+    quantiles, doc counts, and byte mass — the per-source contribution
+    audit run before setting mixture weights (a source whose p50 is
+    near the truncation floor is mostly fragments; one whose p90
+    explodes is concatenation junk).
+
+    Exact interpolated quantiles per source group (|sources| groups —
+    the affordable case; the many-source variant swaps in the GK
+    sketch already in the registry), one aggregate, integer inputs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.10)), 6).alias("p10"),
+        F.round(F.percentile("n_chars", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.90)), 6).alias("p90"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

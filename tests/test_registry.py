@@ -170,6 +170,8 @@ EXPECTED_IDS = {
     "ts_mann_kendall",
     # round-4 batch 17: shape statistics from exact integer moments
     "agg_skew_kurtosis",
+    # round-4 batch 18: per-source length profile + shipping-delay SLA
+    "llm_length_profile_by_source", "report_shipping_delay_percentiles",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
