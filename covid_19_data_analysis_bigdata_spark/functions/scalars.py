@@ -621,3 +621,42 @@ def map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.array_sort(F.map_keys(F.col("counters")))
         ).alias("keys_csv"),
     )
+
+
+@query(
+    "csv_funcs",
+    oracle="""
+    SELECT event_id,
+           event_type || ',' || CAST(user_id AS VARCHAR) AS csv_line,
+           string_split(event_type || ',' || CAST(user_id AS VARCHAR),
+                        ',')[1] AS parsed_type,
+           CAST(string_split(event_type || ',' ||
+                             CAST(user_id AS VARCHAR), ',')[2] AS BIGINT)
+               AS parsed_user
+    FROM events WHERE event_id % 25 = 0
+    """,
+)
+def csv_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV expression surface: ``to_csv`` serializes a struct to one
+    delimited line and ``from_csv`` parses it back with a declared
+    schema — embedded-CSV columns (a CSV payload INSIDE a row: log
+    envelopes, export blobs) handled as expressions, without a file
+    boundary or a second scan.
+
+    Both directions are row-local codegen; ``from_csv`` takes an
+    explicit schema string (inference inside an expression would be a
+    per-row disaster).  The oracle mirrors the round-trip with string
+    building/splitting since DuckDB has no expression-level CSV
+    codec — the CONTENT contract is identical.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 25 == 0
+    )
+    line = F.to_csv(F.struct(F.col("event_type"), F.col("user_id")))
+    parsed = F.from_csv(line, F.lit("t STRING, u BIGINT"))
+    return ev.select(
+        "event_id",
+        line.alias("csv_line"),
+        parsed.getField("t").alias("parsed_type"),
+        parsed.getField("u").alias("parsed_user"),
+    )

@@ -404,3 +404,43 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.groupBy("event_type")
         .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_users"))
     )
+
+
+@query(
+    "etl_rebalance_layout",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def etl_rebalance_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE rebalance-on-write: land a table through the
+    ``REBALANCE`` hint so the files come out evenly sized even when the
+    producing stage's partitions were skewed — the third layout lever
+    next to compaction (`etl_compact_small_files`, file COUNT) and
+    Z-order (`etl_zorder_layout`, file CLUSTERING): this one fixes
+    file SIZE variance, the writer-side pathology where one straggler
+    partition emits a 10 GB file next to a hundred 10 MB ones.
+
+    ``REBALANCE`` inserts an AQE-optimized shuffle whose output
+    partitioning is re-split/coalesced at runtime from actual sizes
+    (unlike a blind ``repartition(n)``, which fixes parallelism
+    forever).  The verification re-aggregates the landed copy against
+    the source oracle — layout changed, content identical.
+    """
+    import os
+
+    from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(fixture_dir(sf_dir, "rebalance"), "orders")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        o.hint("rebalance").write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )

@@ -172,6 +172,8 @@ EXPECTED_IDS = {
     "agg_skew_kurtosis",
     # round-4 batch 18: per-source length profile + shipping-delay SLA
     "llm_length_profile_by_source", "report_shipping_delay_percentiles",
+    # round-4 batch 19: AQE rebalance-on-write + CSV expression codec
+    "etl_rebalance_layout", "csv_funcs",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
