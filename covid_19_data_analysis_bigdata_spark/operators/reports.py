@@ -1283,3 +1283,90 @@ def report_shipping_delay_percentiles(
             F.max(delay).cast("long").alias("max_days"),
         )
     )
+
+
+@query(
+    "report_session_duration_stats",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS t_ms,
+               CASE WHEN epoch_ms(ts)
+                         - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                         > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY t_ms, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS session_no,
+               t_ms
+        FROM marked),
+    per AS (
+        SELECT user_id, session_no,
+               CAST(count(*) AS BIGINT) AS n_events,
+               (max(t_ms) - min(t_ms)) / 1000 AS duration_s
+        FROM sessions GROUP BY user_id, session_no)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(quantile_cont(duration_s, 0.50), 6) AS p50_duration_s,
+           round(quantile_cont(duration_s, 0.90), 6) AS p90_duration_s,
+           round(quantile_cont(n_events, 0.50), 6)   AS p50_events,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bounce_sessions
+    FROM per
+    """,
+)
+def report_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level engagement summary: session counts, median/p90
+    duration, median events per session, and single-event "bounce"
+    sessions — the rollup a product dashboard shows above the raw
+    sessionization (`win_sessionize_batch` is the grain; this is the
+    one-row KPI view).
+
+    Reuses the gaps-and-islands topology (two per-user window passes +
+    one aggregate, no self-join); the final exact-percentile aggregate
+    runs over the session grain, which is orders of magnitude smaller
+    than the event stream.  Durations are exact integer-ms diffs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_ms = F.unix_millis("ts")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        t_ms.alias("t_ms"),
+        F.when(
+            t_ms - F.lag(t_ms).over(w) > 1_800_000, 1
+        ).otherwise(0).alias("new_session"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("t_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.select(
+        "user_id",
+        F.sum("new_session").over(wc).alias("session_no"),
+        "t_ms",
+    )
+    per = sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("t_ms") - F.min("t_ms")) / 1000).alias("duration_s"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.percentile("duration_s", F.lit(0.50)), 6).alias(
+            "p50_duration_s"
+        ),
+        F.round(F.percentile("duration_s", F.lit(0.90)), 6).alias(
+            "p90_duration_s"
+        ),
+        F.round(F.percentile("n_events", F.lit(0.50)), 6).alias("p50_events"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+            "bounce_sessions"
+        ),
+    )

@@ -407,3 +407,31 @@ def test_rag_pack_window_runs_over_pool_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_rag_context_pack")
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mann_kendall_pair_scan_is_arrayside(spark, sf_dir):
+    # The O(n^2) sign scan must run inside array expressions over the
+    # bounded per-type series, never as a self-join of the daily table.
+    plan = _plan(spark, sf_dir, "ts_mann_kendall")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_skew_kurtosis_single_aggregate_no_expand(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_skew_kurtosis")
+    assert "Expand" not in plan
+    assert "Window" not in plan
+
+
+def test_novelty_joins_on_gram_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_session_stats_no_self_join(spark, sf_dir):
+    # gaps-and-islands: windows + aggregates; a Join means the
+    # session boundary came from an event x event comparison.
+    plan = _plan(spark, sf_dir, "report_session_duration_stats")
+    assert "Join" not in plan
+    assert "Window" in plan

@@ -174,6 +174,8 @@ EXPECTED_IDS = {
     "llm_length_profile_by_source", "report_shipping_delay_percentiles",
     # round-4 batch 19: AQE rebalance-on-write + CSV expression codec
     "etl_rebalance_layout", "csv_funcs",
+    # round-4 batch 20: session-level engagement KPIs
+    "report_session_duration_stats",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
