@@ -1525,3 +1525,235 @@ def llm_length_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_chars", F.lit(0.90)), 6).alias("p90"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVFADC: inverted-file cell pruning composed with PQ compression
+# --------------------------------------------------------------------------
+
+IVFPQ_NPROBE = 3
+IVFPQ_SHORTLIST = 64
+IVFPQ_TOPK = 10
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB twin of the composed IVF → ADC → rerank pipeline, all in
+    the same ×{PQ_SCALE} fixed-point BIGINT arithmetic as the PQ
+    oracle (seed codebook, exact integer distances everywhere)."""
+    return f"""
+    WITH vfull AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   v -> CAST(round(CAST(v AS DOUBLE) * {PQ_SCALE}) AS BIGINT))
+                   AS v
+        FROM embeddings),
+    cellcent AS (
+        SELECT label AS cell, list(cmean ORDER BY k) AS c FROM (
+            SELECT label, k.k AS k,
+                   CAST(round(CAST(sum(v[k.k]) AS DOUBLE) / count(*))
+                        AS BIGINT) AS cmean
+            FROM vfull CROSS JOIN generate_series(1, 64) k(k)
+            GROUP BY label, k.k)
+        GROUP BY label),
+    celldist AS (
+        SELECT f.vec_id, c.cell, {_pq_d2_sql('f.v', 'c.c')} AS d2
+        FROM vfull f JOIN cellcent c ON true),
+    assigned AS (
+        SELECT vec_id, cell FROM celldist
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cell) = 1),
+    probecells AS (
+        SELECT vec_id AS probe_id, cell FROM celldist
+        WHERE vec_id < 10
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cell) <= {IVFPQ_NPROBE}),
+    subs AS (
+        SELECT vec_id, g.m AS m,
+               list_transform(
+                   embedding[g.m * {PQ_DSUB} + 1 : g.m * {PQ_DSUB} + {PQ_DSUB}],
+                   v -> CAST(round(CAST(v AS DOUBLE) * {PQ_SCALE}) AS BIGINT))
+                   AS sub
+        FROM embeddings CROSS JOIN generate_series(0, {PQ_M - 1}) g(m)),
+    pqcent AS (SELECT m, CAST(vec_id AS INTEGER) AS cid, sub AS center
+               FROM subs WHERE vec_id < {PQ_K}),
+    codes AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT s.vec_id, s.m, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {_pq_d2_sql('s.sub', 'c.center')}, c.cid) AS rn
+            FROM subs s JOIN pqcent c USING (m))
+        WHERE rn = 1),
+    lut AS (
+        SELECT q.vec_id AS probe_id, c.m, c.cid,
+               {_pq_d2_sql('q.sub', 'c.center')} AS pd
+        FROM subs q JOIN pqcent c USING (m) WHERE q.vec_id < 10),
+    cand AS (
+        SELECT pc.probe_id, a.vec_id
+        FROM probecells pc JOIN assigned a USING (cell)
+        WHERE a.vec_id <> pc.probe_id),
+    adc AS (
+        SELECT l.probe_id, k.vec_id, sum(l.pd) AS adc2
+        FROM codes k
+        JOIN lut l ON k.m = l.m AND k.cid = l.cid
+        JOIN cand cd ON cd.probe_id = l.probe_id AND cd.vec_id = k.vec_id
+        GROUP BY l.probe_id, k.vec_id),
+    short AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY adc2, vec_id) AS rn
+            FROM adc)
+        WHERE rn <= {IVFPQ_SHORTLIST}),
+    rer AS (
+        SELECT s.probe_id, s.vec_id, {_pq_d2_sql('a.v', 'b.v')} AS d2i
+        FROM short s JOIN vfull a ON a.vec_id = s.vec_id
+        JOIN vfull b ON b.vec_id = s.probe_id)
+    SELECT probe_id, rank, vec_id,
+           round(d2i / {PQ_SCALE}.0 / {PQ_SCALE}.0, 4) AS dist2
+    FROM (SELECT probe_id, vec_id, d2i,
+                 CAST(row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY d2i, vec_id) AS INTEGER)
+                     AS rank
+          FROM rer)
+    WHERE rank <= {IVFPQ_TOPK}
+    """
+
+
+@query("llm_ann_ivfpq", oracle=_ivfpq_oracle())
+def llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the production ANN topology (Jégou et al.): inverted-
+    file CELL PRUNING (which vectors get scanned) composed with PQ
+    CODE compression (what gets stored and summed), then an exact
+    rerank.  The registry's similarity family ships each stage alone
+    (`llm_ann_ivf` cells, `llm_ann_pq` codes); this is their
+    composition — each probe ADC-scans only the {IVFPQ_NPROBE} nearest
+    cells' posting lists.
+
+    At 100 TB: the cell centroid table (|cells|×64 ints) and the PQ
+    codebook broadcast; the ADC join touches nprobe/|cells| of the
+    code table; per-vector storage in the scanned lists is {PQ_M}
+    bytes.  The codebook here is the deterministic seed init (training
+    is the same fixed-point Lloyd loop `llm_ann_pq` already carries an
+    exact oracle for); every distance — cell assignment, ADC partials,
+    rerank — is an exact BIGINT sum in ×{PQ_SCALE} fixed point, so the
+    whole composed pipeline hash-matches the SQL twin.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    scale_int = lambda c: F.round(c.cast("double") * PQ_SCALE).cast(  # noqa: E731
+        "long"
+    )
+    vfull = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", scale_int).alias("v"),
+    ).persist()
+    d2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cellcent = (
+        vfull.select("label", F.posexplode("v").alias("k", "val"))
+        .groupBy("label", "k")
+        .agg(
+            F.round(F.sum("val") / F.count(F.lit(1))).cast("long").alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("c")
+        )
+        .select(F.col("label").alias("cell"), "c")
+    )
+    celldist = vfull.join(F.broadcast(cellcent)).select(
+        "vec_id", "cell", d2(F.col("v"), F.col("c")).alias("cd2")
+    )
+    wv = Window.partitionBy("vec_id").orderBy("cd2", "cell")
+    ranked_cells = celldist.withColumn("rn", F.row_number().over(wv))
+    assigned = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cell")
+    probecells = (
+        ranked_cells.filter(
+            (F.col("vec_id") < 10) & (F.col("rn") <= IVFPQ_NPROBE)
+        )
+        .select(F.col("vec_id").alias("probe_id"), "cell")
+    )
+
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.transform(
+                    F.slice("embedding", m * PQ_DSUB + 1, PQ_DSUB), scale_int
+                ).alias("sub"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    subs = (
+        e.select("vec_id", F.explode(sub_structs).alias("s"))
+        .select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+        .persist()
+    )
+    pqcent = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("cid"), F.col("sub").alias("center")
+    )
+    codes = (
+        subs.join(F.broadcast(pqcent), "m")
+        .select(
+            "vec_id",
+            "m",
+            F.struct(
+                d2(F.col("sub"), F.col("center")).alias("d2"), F.col("cid")
+            ).alias("s"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("s").getField("cid").alias("cid"))
+    )
+    lut = (
+        subs.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("probe_id"), "m", F.col("sub").alias("qsub"))
+        .join(F.broadcast(pqcent), "m")
+        .select(
+            "probe_id", "m", "cid", d2(F.col("qsub"), F.col("center")).alias("pd")
+        )
+    )
+    cand = (
+        probecells.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .join(cand, ["probe_id", "vec_id"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("pd").alias("adc2"))
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.asc("adc2"), F.asc("vec_id"))
+    short = (
+        adc.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= IVFPQ_SHORTLIST)
+        .select("probe_id", "vec_id")
+    )
+    pv = vfull.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("qv")
+    )
+    rer = (
+        short.join(vfull.select("vec_id", "v"), "vec_id")
+        .join(F.broadcast(pv), "probe_id")
+        .select("probe_id", "vec_id", d2(F.col("v"), F.col("qv")).alias("d2i"))
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.asc("d2i"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= IVFPQ_TOPK)
+        .select(
+            "probe_id",
+            "rank",
+            "vec_id",
+            F.round(
+                F.col("d2i") / float(PQ_SCALE) / float(PQ_SCALE), 4
+            ).alias("dist2"),
+        )
+    )

@@ -753,3 +753,47 @@ def test_outlier_iqr_matches_numpy_fences(spark, sf_dir):
         assert abs(r["hi_fence"] - round(hi, 6)) < 1e-4
         assert r["n_outliers"] == int(((v < lo) | (v > hi)).sum())
         assert r["n_events"] == len(v)
+
+
+def test_ann_ivfpq_recall_tracks_cell_permitted_bound(spark, sf_dir):
+    # The synthetic embeddings are near-isotropic, so label cells are
+    # weak geometric clusters and cell pruning ITSELF caps recall (the
+    # upper bound is ~0.4 at sf0.001).  The honest invariant for the
+    # composed pipeline: ADC + rerank recover nearly everything the
+    # probed cells permit — achieved recall >= 80% of the in-test
+    # upper bound, plus an absolute sanity floor.
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from covid_19_data_analysis_bigdata_spark.operators.textprep import (
+        IVFPQ_NPROBE,
+    )
+
+    tbl = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pylist()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in tbl}
+    lab = {r["vec_id"]: r["label"] for r in tbl}
+    cents = {
+        l: np.mean([V[i] for i in V if lab[i] == l], axis=0)
+        for l in set(lab.values())
+    }
+
+    got = {}
+    for r in _q(spark, sf_dir, "llm_ann_ivfpq").collect():
+        got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+
+    achieved, bound = [], []
+    for p in range(10):
+        d = {l: float(np.sum((V[p] - c) ** 2)) for l, c in cents.items()}
+        probed = sorted(d, key=lambda l: (d[l], l))[:IVFPQ_NPROBE]
+        nn = sorted(
+            ((float(np.sum((V[p] - V[c]) ** 2)), c) for c in V if c != p)
+        )[:10]
+        exact = {c for _, c in nn}
+        bound.append(sum(1 for c in exact if lab[c] in probed) / 10)
+        achieved.append(len(got.get(p, set()) & exact) / 10)
+
+    avg_a, avg_b = sum(achieved) / 10, sum(bound) / 10
+    assert avg_a >= 0.8 * avg_b, (avg_a, avg_b, achieved, bound)
+    assert avg_a >= 0.3, (avg_a, achieved)

@@ -176,6 +176,8 @@ EXPECTED_IDS = {
     "etl_rebalance_layout", "csv_funcs",
     # round-4 batch 20: session-level engagement KPIs
     "report_session_duration_stats",
+    # round-4 batch 21: composed IVFADC (cells + codes + rerank)
+    "llm_ann_ivfpq",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
