@@ -64,6 +64,8 @@ HEADLINE = [
     "llm_sparse_cosine",    # inverted-index trigram near-dup (round-4 batch)
     "report_last_touch_attribution",  # single-window attribution (round-4 batch)
     "agg_bitmap_distinct",  # mergeable exact-distinct bitmaps (round-4 batch)
+    "llm_ann_ivfpq",        # composed IVFADC flagship (round-4 batch)
+    "ml_pca_power",         # fixed-point power-iteration PCA (round-4 batch)
 ]
 
 
