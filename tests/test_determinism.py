@@ -1,0 +1,63 @@
+"""Partition-count invariance: rerunning under a different
+``spark.sql.shuffle.partitions`` must give bit-identical results.
+
+This is the local guard for the repo's central determinism claim —
+results must not depend on how the data is partitioned, because at
+1000 executors the partitioning WILL differ from local[32].  Float
+aggregation order is the classic violation (the ``regr_slope`` class
+found in round 2): a sum of doubles folded in a different partial
+order flips last-ulp bits and, at a rounding boundary, rendered
+values.  Every query here either avoids float accumulation (integer /
+decimal / fixed-point moments) or rounds at grain boundaries the
+repo's conventions define — so an exact cross-partitioning comparison
+must hold.
+
+The sample is the float-heavy / aggregation-heavy subset; pure
+row-local queries are partition-invariant by construction.
+"""
+
+import pytest
+
+import __spark_entry__ as E
+
+#: Queries whose results involve aggregation over floats/moments —
+#: the ones a partitioning change could plausibly perturb.
+SENSITIVE = [
+    "agg_groupby",
+    "agg_stats",
+    "agg_decimal_exact",
+    "agg_skew_kurtosis",
+    "ts_trend_forecast",
+    "ml_ols_normal_eq",
+    "ml_pca_power",
+    "llm_perplexity_unigram",
+    "llm_perplexity_bigram",
+    "llm_tfidf",
+    "report_last_touch_attribution",
+    "report_dau_wau_stickiness",
+    "llm_sparse_cosine",
+    "llm_ann_pq",
+    "ts_mann_kendall",
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    out = [tuple(repr(r[c]) for c in cols) for r in df.collect()]
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_invariant_under_repartitioning(spark, sf_dir, name):
+    fn = E.queries()[name]
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = _rows(fn(spark, sf_dir))
+        # 7 is deliberately odd and small: different partial-merge
+        # trees, different reduce-side arrival order.
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+    assert a == b, f"{name}: result depends on shuffle partitioning"
