@@ -368,3 +368,58 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("l_orderkey").alias("n_orders"),
     )
+
+
+@query(
+    "read_text_lines",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def read_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text line ingestion — the fifth source format next to
+    parquet / CSV / JSONL / ORC, and the one raw corpus dumps actually
+    arrive in: one record per line, no schema, structure recovered by
+    parsing.
+
+    The fixture lands documents as tab-delimited lines once, then
+    ``spark.read.text`` streams them back as a single ``value`` column
+    and the projection splits fields out — parse-on-read is a
+    row-local expression, so text ingest at 100 TB is scan-bound with
+    line-level parallelism (text splits by newline at block
+    boundaries, no footer needed).  The oracle aggregates the original
+    table: the round-trip must lose nothing, including the text body
+    byte-for-byte (tabs cannot collide: the corpus text is
+    space-delimited words, a guarded invariant).
+    """
+    import os
+
+    from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir
+
+    d = load_table(spark, sf_dir, "documents")
+    out = os.path.join(fixture_dir(sf_dir, "text"), "documents_txt")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        d.select(
+            F.concat_ws(
+                "\t",
+                F.col("doc_id").cast("string"),
+                F.col("source"),
+                F.col("text"),
+            ).alias("value")
+        ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parts = F.split(F.col("value"), "\t", 3)
+    parsed = lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("source"),
+        parts.getItem(2).alias("text"),
+    )
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )

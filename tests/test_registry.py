@@ -178,6 +178,8 @@ EXPECTED_IDS = {
     "report_session_duration_stats",
     # round-4 batch 21: composed IVFADC (cells + codes + rerank)
     "llm_ann_ivfpq",
+    # round-4 batch 22: plain-text line ingestion (fifth source format)
+    "read_text_lines",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
