@@ -791,3 +791,165 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes")).select(
         F.col("d").cast("int").alias("d"), "n_nodes"
     )
+
+
+# --------------------------------------------------------------------------
+# Graph degree diagnostics (round 4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "graph_degree_histogram",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v FROM edges)
+        GROUP BY node)
+    SELECT bucket,
+           CAST(power(2, bucket) AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_deg,
+           CAST(max(d) AS BIGINT) AS max_deg
+    FROM (SELECT d, CAST(floor(ln(d) / ln(2)) AS INTEGER) AS bucket
+          FROM deg)
+    GROUP BY bucket
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-bucketed degree distribution of the co-purchase graph —
+    the power-law diagnostic behind every skew decision this repo's
+    graph operators make (degree orientation in the triangle count,
+    frontier sizing in BFS): a straight line on this histogram means
+    hot nodes WILL exist at scale and naive wedge joins WILL explode.
+
+    Degrees come from one edge-list aggregation; the log-bucket key is
+    exact integer arithmetic on BIGINT degrees (floor(ln d / ln 2) is
+    the same correctly-rounded double chain in both engines away from
+    exact powers of two, where ln is exact anyway).  Output is
+    O(log max-degree) rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    bucket = F.floor(F.log(F.col("d").cast("double")) / F.log(F.lit(2.0)))
+    return deg.groupBy(bucket.cast("int").alias("bucket")).agg(
+        F.pow(F.lit(2.0), F.min(bucket)).cast("long").alias("bucket_lo"),
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").cast("long").alias("min_deg"),
+        F.max("d").cast("long").alias("max_deg"),
+    )
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v FROM edges)
+        GROUP BY node),
+    pairs AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM edges e JOIN deg du ON du.node = e.u
+                     JOIN deg dv ON dv.node = e.v
+        UNION ALL
+        SELECT dv.d, du.d
+        FROM edges e JOIN deg du ON du.node = e.u
+                     JOIN deg dv ON dv.node = e.v),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE)     AS sx,
+               CAST(sum(y) AS DOUBLE)     AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM pairs)
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over the symmetrized edge list
+    (Newman 2002) — do hubs attach to hubs (assortative, r>0) or to
+    leaves (disassortative, r<0)?  The one-number structure summary
+    that predicts how the graph fragments under node failure and how
+    skewed the join keys of any edge-centric computation will be.
+
+    Two broadcast-eligible degree joins onto the edge list, then the
+    same exact-integer-moment discipline as `ml_ols_normal_eq`: six
+    BIGINT sums in one partial+final aggregate, one fixed IEEE
+    expression for r — order-independent and bit-identical across
+    engines.  Output is one row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("xd"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("yd"))
+    joined = edges.join(du, "u").join(dv, "v")
+    pairs = joined.select(
+        F.col("xd").alias("x"), F.col("yd").alias("y")
+    ).unionAll(joined.select(F.col("yd").alias("x"), F.col("xd").alias("y")))
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )

@@ -180,6 +180,8 @@ EXPECTED_IDS = {
     "llm_ann_ivfpq",
     # round-4 batch 22: plain-text line ingestion (fifth source format)
     "read_text_lines",
+    # round-4 batch 23: graph structure diagnostics
+    "graph_degree_histogram", "graph_assortativity",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
