@@ -979,3 +979,49 @@ def etl_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fk_orphans",
         )
     )
+
+
+@query(
+    "etl_partition_skew_report",
+    oracle="""
+    WITH per AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY day),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+               CAST(max(n_rows) AS BIGINT) AS max_rows,
+               CAST(min(n_rows) AS BIGINT) AS min_rows,
+               quantile_cont(n_rows, 0.5) AS med
+        FROM per)
+    SELECT n_partitions, max_rows, min_rows,
+           round(med, 6) AS median_rows,
+           round(max_rows / med, 4) AS skew_ratio
+    FROM stats
+    """,
+)
+def etl_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew screen for the candidate partitioning key: row
+    counts per day-partition with the max/median skew ratio — the
+    number you check BEFORE ``partitionBy("day")``-ing a 100 TB fact
+    table (a skew ratio of 5 means the biggest partition stalls every
+    reader five medians long; AQE fixes shuffle skew, not file-layout
+    skew).
+
+    One day-grain aggregate, then a one-row summary over the
+    partition-count-sized table.  Integer counts; the ratio is one
+    correctly-rounded division of exact values.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.max("n_rows").alias("max_rows"),
+        F.min("n_rows").alias("min_rows"),
+        F.round(F.percentile("n_rows", F.lit(0.5)), 6).alias("median_rows"),
+        F.round(
+            F.max("n_rows") / F.percentile("n_rows", F.lit(0.5)), 4
+        ).alias("skew_ratio"),
+    )

@@ -1370,3 +1370,61 @@ def report_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             "bounce_sessions"
         ),
     )
+
+
+@query(
+    "report_customer_ltv_deciles",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT cents, ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+        FROM rev),
+    per AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM ranked GROUP BY decile),
+    tot AS (SELECT sum(revenue_cents) AS t FROM per)
+    SELECT CAST(per.decile AS INTEGER) AS decile,
+           per.n_customers, per.revenue_cents,
+           round(CAST(per.revenue_cents AS DOUBLE) / tot.t, 4)
+               AS revenue_share
+    FROM per CROSS JOIN tot
+    """,
+)
+def report_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles: rank customers by total spend
+    (integer cents), cut into ten ntile buckets, and report each
+    decile's customer count and revenue share — the concentration
+    view behind "the top 10% drive X% of revenue" (the per-bucket
+    companion to the Gini/Pareto summaries already in the registry).
+
+    One per-customer aggregate (corpus-scale shuffle on the customer
+    key), then the ntile window over the customer grain — orders of
+    magnitude smaller than the fact table — with the repo's unique
+    tie-break (cents desc, custkey).  All revenue is exact integer
+    cents; shares are one correctly-rounded division each.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    ranked = rev.select("cents", F.ntile(10).over(w).alias("decile"))
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    tot = per.agg(F.sum("revenue_cents").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        "revenue_cents",
+        F.round(
+            F.col("revenue_cents").cast("double") / F.col("t"), 4
+        ).alias("revenue_share"),
+    )

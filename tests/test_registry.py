@@ -182,6 +182,8 @@ EXPECTED_IDS = {
     "read_text_lines",
     # round-4 batch 23: graph structure diagnostics
     "graph_degree_histogram", "graph_assortativity",
+    # round-4 batch 24: LTV deciles + partition-skew screen
+    "report_customer_ltv_deciles", "etl_partition_skew_report",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
