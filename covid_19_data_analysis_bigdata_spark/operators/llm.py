@@ -882,3 +882,50 @@ def llm_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("p").cast("double") * F.col("cu") * F.col("cv"))
     )
     return scored.select("u", "v", "c_uv", F.round(pmi, 6).alias("pmi"))
+
+
+SWEEP_TAUS = (0.5, 0.7, 0.9)
+
+
+@query(
+    "llm_dedup_tau_sweep",
+    oracle=f"""
+    WITH {FUZZY_PAIRS_CTES},
+    taus AS (SELECT CAST(unnest([{", ".join(str(t) for t in SWEEP_TAUS)}]) AS DOUBLE) AS tau)
+    SELECT taus.tau,
+           CAST(count(p.a_id) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT p.b_id) AS BIGINT) AS n_droppable
+    FROM taus LEFT JOIN fuzzy_pairs p ON p.jaccard >= taus.tau
+    GROUP BY taus.tau
+    """,
+)
+def llm_dedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity sweep: pair counts and droppable-doc
+    counts at Jaccard thresholds {SWEEP_TAUS}, all derived from ONE
+    LSH candidate pass — the tuning curve you inspect before fixing τ
+    for a production dedup (too low merges near-topics, too high
+    leaves boilerplate twins; the knee of this curve is the answer).
+
+    Composes :func:`llm_dedup_fuzzy`'s verified pair set (already
+    exact-Jaccard scored) with a broadcast threshold table — the sweep
+    costs one O(pairs) pass on top of the candidate generation the
+    single-τ dedup already pays, so evaluating three thresholds is not
+    3× the work.  ``n_droppable`` counts distinct higher-id docs in
+    qualifying pairs (the keep-lowest convention's upper bound on
+    removals).  Counts are exact integers; the τ gates compare the
+    6dp-rounded Jaccard both engines already agree on.
+    """
+    pairs = llm_dedup_fuzzy(spark, sf_dir).select("a_id", "b_id", "jaccard")
+    taus = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in SWEEP_TAUS])).alias("tau")
+    )
+    return (
+        taus.join(
+            pairs, pairs.jaccard >= F.col("tau"), "left"
+        )
+        .groupBy("tau")
+        .agg(
+            F.count("a_id").alias("n_pairs"),
+            F.countDistinct("b_id").alias("n_droppable"),
+        )
+    )

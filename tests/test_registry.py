@@ -184,6 +184,8 @@ EXPECTED_IDS = {
     "graph_degree_histogram", "graph_assortativity",
     # round-4 batch 24: LTV deciles + partition-skew screen
     "report_customer_ltv_deciles", "etl_partition_skew_report",
+    # round-4 batch 25: dedup threshold-sensitivity sweep
+    "llm_dedup_tau_sweep",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
