@@ -734,3 +734,104 @@ def llm_dataset_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_ratio"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf-law fit over the trigram vocabulary (round 4)
+# --------------------------------------------------------------------------
+
+ZIPF_SCALE = 100_000  #: fixed-point scale for ln(rank)/ln(freq)
+
+
+@query(
+    "llm_vocab_zipf_fit",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+    g AS (SELECT unnest([array_to_string(ws[i:i+2], ' ')
+                         for i in generate_series(1, len(ws) - 2)]) AS t
+          FROM w WHERE len(ws) >= 3),
+    freq AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM g GROUP BY t),
+    ranked AS (SELECT f,
+                      row_number() OVER (ORDER BY f DESC, t) AS rk
+               FROM freq),
+    pts AS (SELECT CAST(round(ln(rk) * {ZIPF_SCALE}) AS BIGINT) AS x,
+                   CAST(round(ln(f) * {ZIPF_SCALE}) AS BIGINT) AS y
+            FROM ranked),
+    m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x * y) AS DOUBLE) AS sxy,
+                 CAST(sum(x * x) AS DOUBLE) AS sxx,
+                 CAST(sum(y * y) AS DOUBLE) AS syy
+          FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS zipf_exponent,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def llm_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the trigram vocabulary: OLS slope of
+    ln(freq) on ln(rank), reported as the Zipf exponent with the fit
+    R² — the distribution diagnostic behind vocabulary sizing and
+    coverage planning (`llm_tokenizer_coverage` shows WHERE the mass
+    is; this says HOW FAST the tail decays, and an exponent far from
+    ~1 flags a synthetic or truncated corpus).
+
+    Log-points are quantized to round(ln·{ZIPF_SCALE}) BIGINTs, so the
+    regression moments are exact integer sums (associative partials —
+    the same fixed-point OLS discipline as `ml_ols_normal_eq`, here
+    applied to transcendental inputs: the ln calls agree across
+    engines and the 1e-5 quantization absorbs any final-ulp
+    disagreement risk at rounding boundaries).  The rank window runs
+    over the vocabulary, not the token stream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    n_g = F.greatest(F.size("w") - 2, F.lit(0))
+    tri = F.zip_with(
+        F.slice("w", 1, n_g),
+        F.zip_with(
+            F.slice("w", 2, n_g),
+            F.slice("w", 3, n_g),
+            lambda b, c: F.concat_ws(" ", b, c),
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    g = (
+        d.select(ws.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(F.explode(tri).alias("t"))
+    )
+    freq = g.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.select(
+        "f",
+        F.row_number().over(Window.orderBy(F.desc("f"), F.asc("t"))).alias("rk"),
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rk").cast("double")) * ZIPF_SCALE)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * ZIPF_SCALE)
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(-num / denx, 6).alias("zipf_exponent"),
+        F.round((num * num) / (denx * deny), 6).alias("r2"),
+    )

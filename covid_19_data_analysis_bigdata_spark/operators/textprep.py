@@ -1757,3 +1757,48 @@ def llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist2"),
         )
     )
+
+
+@query(
+    "llm_dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {FUZZY_PAIRS_CTES},
+    edges AS (SELECT a_id AS u, b_id AS v FROM fuzzy_pairs
+              UNION SELECT b_id, a_id FROM fuzzy_pairs),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+    comp AS (SELECT u AS doc_id, min(v) AS component
+             FROM reach GROUP BY u),
+    csizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+               FROM comp GROUP BY component)
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz - 1) AS BIGINT) AS docs_removable
+    FROM csizes GROUP BY sz
+    """,
+)
+def llm_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many near-dup clusters of
+    each size exist and how many documents a keep-one-per-cluster
+    dedup would remove from each — the shape diagnostic that separates
+    "pairwise boilerplate twins" (all size 2) from "one template
+    cloned a thousand times" (a giant component), which need different
+    handling (the giant component usually means the threshold is
+    merging topics, not duplicates).
+
+    A two-aggregate rollup over the connected-components labels the
+    registry already computes — cost is the upstream clustering; the
+    histogram itself is O(clusters).
+    """
+    from covid_19_data_analysis_bigdata_spark.operators.textprep import (
+        llm_dedup_clusters,
+    )
+
+    comp = llm_dedup_clusters(spark, sf_dir).select("doc_id", "component")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("sz") - 1).alias("docs_removable"),
+    )

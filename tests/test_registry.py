@@ -186,6 +186,8 @@ EXPECTED_IDS = {
     "report_customer_ltv_deciles", "etl_partition_skew_report",
     # round-4 batch 25: dedup threshold-sensitivity sweep
     "llm_dedup_tau_sweep",
+    # round-4 batch 26: cluster-size histogram + Zipf-law fit
+    "llm_dedup_cluster_sizes", "llm_vocab_zipf_fit",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
