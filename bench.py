@@ -91,6 +91,16 @@ def main() -> int:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # Round-5 harness fix: queries that cache intermediates (graph
+        # adjacency, dedup cluster frontiers) leave blocks in storage
+        # memory; with 33 headline queries those blocks accumulate and
+        # later queries pay eviction churn ("Asked to cache already
+        # cached data" in the r4 bench tail — graph_triangle_count read
+        # 1.48× slower with an unchanged plan).  Clearing between
+        # queries makes each measurement independent and round-over-
+        # round comparable; within a query's 3 samples the cache stays
+        # warm, preserving the warm-timing contract.
+        spark.catalog.clearCache()
         fn(spark, sf_dir).toPandas()  # warm
         samples = []
         for _ in range(3):

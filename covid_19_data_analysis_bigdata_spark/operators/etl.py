@@ -254,7 +254,7 @@ def etl_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'custkey_unique',
            (SELECT count(*) FROM customer),
-           (SELECT coalesce(sum(c - 1), 0) FROM (
+           (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
                 SELECT count(*) AS c FROM customer
                 GROUP BY c_custkey HAVING count(*) > 1))
     UNION ALL
@@ -339,7 +339,8 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
            count(*) AS cnt,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
     FROM orders
     GROUP BY 1, 2
     """,

@@ -29,6 +29,16 @@ KNN_K = 5
 FUZZY_TAU = 0.5
 MINHASH_PERMS = 32
 LSH_BANDS = 16  # 16 bands × 2 rows: P(miss | J=0.9) ≈ 3e-12
+#: Per-bucket neighbor cap for the LSH candidate self-join.  A bucket of
+#: size s ≤ LSH_BUCKET_CAP+1 emits exactly its full s·(s−1)/2 pair set
+#: (identical to an uncapped join — the test corpora never exceed this),
+#: while a boilerplate mega-bucket degrades to a banded join bounded at
+#: s·cap pairs instead of s² — each member pairs with its `cap` nearest
+#: doc_id neighbors, which keeps every member path-connected to the rest
+#: of the bucket, so downstream cluster/keep-best decisions are
+#: unaffected.  Without this, one 10M-doc boilerplate bucket in a 100 TB
+#: corpus would emit 5·10¹³ candidate pairs from a single task.
+LSH_BUCKET_CAP = 64
 
 
 def _d(x: Column) -> Column:
@@ -204,6 +214,42 @@ FUZZY_PAIRS_CTES = f"""
 """
 
 
+def _lsh_candidate_pairs(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Bucket-cohabiting candidate pairs from an LSH band table
+    ``(doc_id, band, sig)``, with a per-bucket quadratic-blowup guard.
+
+    Members of each ``(band, sig)`` bucket are ranked by ``doc_id``
+    (``row_number`` over the bucket — the window shuffle hashes on the
+    same keys the join needs, so Spark reuses one exchange for both) and
+    joined only to neighbors within ``cap`` positions.  Buckets of
+    ≤ cap+1 members emit their complete pair set — identical output to
+    an uncapped self-join, which is what the exhaustive-SQL oracles
+    verify at test scale.  Larger buckets are near-certain mass
+    duplicates; the banded join bounds them at s·cap pairs while the
+    overlapping windows keep the bucket one connected component, so
+    cluster-level dedup decisions (keep-best, cluster sizes) are
+    preserved.  See SCALE.md §LSH for the 100 TB failure mode this
+    removes.
+    """
+    w = Window.partitionBy("band", "sig").orderBy("doc_id")
+    ranked = bands.select(
+        "doc_id", "band", "sig", F.row_number().over(w).alias("rn")
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + F.lit(cap)),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
 @query(
     "llm_dedup_fuzzy",
     oracle=f"""
@@ -263,18 +309,7 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
+    cand = _lsh_candidate_pairs(bands)
 
     sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))

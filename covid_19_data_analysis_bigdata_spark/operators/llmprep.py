@@ -104,7 +104,7 @@ def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM w)
     SELECT CAST(floor((cum - n_tok) / {PACK_BIN}.0) AS BIGINT) AS seq_id,
            count(*)     AS n_docs,
-           sum(n_tok)   AS n_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
            min(doc_id)  AS first_doc,
            max(doc_id)  AS last_doc
     FROM c
@@ -426,7 +426,8 @@ _MIX_CASE_SQL = (
     SELECT source,
            permille          AS target_permille,
            count(*)          AS n_total,
-           sum(CASE WHEN bucket < permille THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN bucket < permille THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
            round(sum(CASE WHEN bucket < permille THEN 1 ELSE 0 END)
                  * 1000.0 / count(*), 4) AS realized_permille
     FROM tagged
@@ -489,7 +490,7 @@ def llm_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE m.mx > 0)
     SELECT vec_id, n_dims,
            round(127 / mx, 6)            AS inv_scale,
-           list_aggregate(qv, 'sum')     AS q_sum,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
            list_aggregate(qv, 'min')     AS q_min,
            list_aggregate(qv, 'max')     AS q_max
     FROM q
@@ -554,7 +555,7 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest([cs[i] || cs[i+1]
                        for i in generate_series(1, len(cs)-1)]) AS pair
         FROM chars WHERE len(cs) >= 2)
-    SELECT pair, sum(freq) AS pair_count
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
     FROM pairs
     GROUP BY pair
     ORDER BY pair_count DESC, pair

@@ -230,9 +230,9 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(toks) AS n_tokens,
            len(list_filter(toks, x -> regexp_matches(x, '^[a-z]')))
                AS n_word_tokens,
-           list_aggregate(list_transform(toks,
+           CAST(list_aggregate(list_transform(toks,
                x -> CAST(floor((length(x) + 3) / 4.0) AS BIGINT)), 'sum')
-               AS n_bpe_est
+                AS BIGINT) AS n_bpe_est
     FROM t
     """,
 )
@@ -329,7 +329,8 @@ def _simhash_bit_sql() -> str:
              FROM th, generate_series(0, {SIMHASH_BITS - 1}) AS t(i)
              GROUP BY doc_id, i),
     fp AS (SELECT doc_id,
-                  sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i)
+                           ELSE 0 END) AS BIGINT)
                       AS simhash
            FROM bits GROUP BY doc_id)
     """
@@ -808,7 +809,8 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT doc_id, unnest(words) AS tok FROM w)
         GROUP BY 1, 2),
     unim AS (
-        SELECT doc_id, max(c) AS top_uni, sum(c) AS n_tok
+        SELECT doc_id, max(c) AS top_uni,
+               CAST(sum(c) AS BIGINT) AS n_tok
         FROM uni GROUP BY 1),
     bg AS (
         SELECT doc_id, bigram, count(*) AS c

@@ -271,10 +271,11 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events),
     sessions AS (
         SELECT user_id, event_id, value, t_ms,
-               sum(new_session) OVER (PARTITION BY user_id
+               CAST(sum(new_session) OVER (PARTITION BY user_id
                                       ORDER BY t_ms, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND CURRENT ROW) AS session_no
+                                      AND CURRENT ROW) AS BIGINT)
+                   AS session_no
         FROM marked)
     SELECT user_id, session_no,
            count(*)                       AS n_events,

@@ -231,3 +231,78 @@ def test_committed_check_artifact_not_stale():
     assert _source_fingerprint(sf_dir) == fp, (
         f"{latest.name} was generated against different testdata; rerun tools/check.py"
     )
+
+
+class TestOracleTypeLattice:
+    """The round-4 driver failures (dq_expectations, etl_incremental_agg)
+    were DuckDB ``sum(BIGINT)`` → HUGEINT widenings: values identical,
+    rendered hash different.  Two standing guards: (a) the check.py type
+    gate must flag a HUGEINT column against a Spark BIGINT schema, and
+    (b) no registered oracle may declare an out-of-lattice type."""
+
+    def test_type_gate_flags_hugeint(self):
+        import sys
+
+        sys.path.insert(0, str(PKG.parent / "tools"))
+        import duckdb
+        from pyspark.sql import types as T
+
+        from check import type_problems
+
+        rel = duckdb.connect().sql(
+            "SELECT sum(x) AS s, count(*) AS c FROM (SELECT CAST(1 AS BIGINT) AS x)"
+        )
+        sch = T.StructType(
+            [T.StructField("s", T.LongType()), T.StructField("c", T.LongType())]
+        )
+        bad = type_problems(["s", "c"], sch, rel.columns, rel.types)
+        assert bad and "int128" in bad[0], bad
+
+    def test_type_gate_passes_matching_types(self):
+        import sys
+
+        sys.path.insert(0, str(PKG.parent / "tools"))
+        import duckdb
+        from pyspark.sql import types as T
+
+        from check import type_problems
+
+        rel = duckdb.connect().sql(
+            "SELECT CAST(sum(x) AS BIGINT) AS s, 'a' AS t, 1.5 AS d "
+            "FROM (SELECT CAST(1 AS BIGINT) AS x)"
+        )
+        sch = T.StructType(
+            [
+                T.StructField("s", T.LongType()),
+                T.StructField("t", T.StringType()),
+                T.StructField("d", T.DoubleType()),
+            ]
+        )
+        assert type_problems(["s", "t", "d"], sch, rel.columns, rel.types) == []
+
+    def test_no_registered_oracle_emits_unsafe_types(self, sf_dir):
+        """Run every oracle's DuckDB side and assert zero HUGEINT/
+        UHUGEINT/UBIGINT columns (nested types included).  This is the
+        repo-wide landmine sweep the judge performed manually in round 4,
+        now automated."""
+        import os
+        import sys
+
+        sys.path.insert(0, str(PKG.parent / "tools"))
+        import duckdb
+
+        import __spark_entry__ as E
+        from scan_oracle_types import TABLE_NAMES, classify
+
+        con = duckdb.connect()
+        for t in TABLE_NAMES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        unsafe = []
+        for name, sql in E.oracle_sql().items():
+            rel = con.sql(sql)
+            for col, typ in zip(rel.columns, rel.types):
+                if classify(typ):
+                    unsafe.append(f"{name}.{col}:{typ}")
+        assert unsafe == [], unsafe

@@ -797,3 +797,75 @@ def test_ann_ivfpq_recall_tracks_cell_permitted_bound(spark, sf_dir):
     avg_a, avg_b = sum(achieved) / 10, sum(bound) / 10
     assert avg_a >= 0.8 * avg_b, (avg_a, avg_b, achieved, bound)
     assert avg_a >= 0.3, (avg_a, achieved)
+
+
+class TestLshBucketCapGuard:
+    """Round-5 scale guard: the LSH candidate self-join must not go
+    quadratic inside one bucket.  A boilerplate-heavy corpus can put
+    millions of near-identical docs into the same (band, sig) bucket;
+    the banded join bounds that bucket's pair count at s*cap while
+    staying EXACTLY equal to the uncapped join for buckets <= cap+1
+    members (test corpora never exceed that, so oracles are unaffected)."""
+
+    def _bands(self, spark, n_docs, n_buckets):
+        rows = [(i, 0, i % n_buckets) for i in range(n_docs)]
+        return spark.createDataFrame(rows, "doc_id long, band int, sig long")
+
+    def test_mega_bucket_pairs_bounded_linear(self, spark):
+        from covid_19_data_analysis_bigdata_spark.operators.llm import (
+            LSH_BUCKET_CAP,
+            _lsh_candidate_pairs,
+        )
+
+        s = 500  # one bucket, 500 members: uncapped join would emit 124,750
+        bands = self._bands(spark, s, 1)
+        got = _lsh_candidate_pairs(bands).count()
+        expect = s * LSH_BUCKET_CAP - LSH_BUCKET_CAP * (LSH_BUCKET_CAP + 1) // 2
+        assert got == expect  # s*cap-ish, NOT s*(s-1)/2
+        assert got < s * LSH_BUCKET_CAP
+
+    def test_mega_bucket_stays_connected(self, spark):
+        """Every member must remain reachable so cluster-level dedup
+        decisions see one component, not a shattered bucket."""
+        from covid_19_data_analysis_bigdata_spark.operators.llm import (
+            _lsh_candidate_pairs,
+        )
+
+        s = 200
+        pairs = _lsh_candidate_pairs(self._bands(spark, s, 1)).collect()
+        parent = list(range(s))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            parent[find(int(r["a_id"]))] = find(int(r["b_id"]))
+        assert len({find(i) for i in range(s)}) == 1
+
+    def test_small_buckets_identical_to_uncapped(self, spark):
+        from pyspark.sql import functions as F
+
+        from covid_19_data_analysis_bigdata_spark.operators.llm import (
+            _lsh_candidate_pairs,
+        )
+
+        bands = self._bands(spark, 120, 4)  # buckets of 30 <= cap+1
+        capped = {
+            (r["a_id"], r["b_id"]) for r in _lsh_candidate_pairs(bands).collect()
+        }
+        a, b = bands.alias("a"), bands.alias("b")
+        uncapped = {
+            (r["a_id"], r["b_id"])
+            for r in a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            .collect()
+        }
+        assert capped == uncapped

@@ -67,6 +67,101 @@ def norm(v):
     return v
 
 
+def canon_spark(dt) -> object:
+    """Spark DataType → canonical type class for cross-engine compare."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.DecimalType):
+        return "dec"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.BinaryType):
+        return "bin"
+    if isinstance(dt, T.ArrayType):
+        return ("array", canon_spark(dt.elementType))
+    if isinstance(dt, T.MapType):
+        return ("map", canon_spark(dt.keyType), canon_spark(dt.valueType))
+    if isinstance(dt, T.StructType):
+        return ("struct",) + tuple(
+            (f.name, canon_spark(f.dataType)) for f in dt.fields
+        )
+    return ("other", str(dt))
+
+
+def canon_duck(t) -> object:
+    """DuckDB type → canonical class.  HUGEINT/UHUGEINT/UBIGINT map to a
+    deliberate "int128" class Spark can never emit, so a DuckDB integer
+    overflow-widening (``sum(BIGINT)`` → HUGEINT) FAILS the type gate
+    even though the rendered values match — exactly how the external
+    driver's type/render-sensitive hash behaves.  This is the round-3/4
+    ADVICE item: compare declared engine types, not just Python values.
+    """
+    tid = str(t.id).upper() if hasattr(t, "id") else str(t).upper()
+    s = str(t).upper()
+    if tid in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+               "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "int"
+    if tid in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+        return "int128"
+    if tid in ("FLOAT", "DOUBLE"):
+        return "float"
+    if tid == "BOOLEAN":
+        return "bool"
+    if tid == "VARCHAR":
+        return "str"
+    if tid.startswith("DECIMAL") or s.startswith("DECIMAL"):
+        return "dec"
+    if tid == "DATE":
+        return "date"
+    if tid.startswith("TIMESTAMP"):
+        return "ts"
+    if tid == "BLOB":
+        return "bin"
+    if tid in ("LIST", "ARRAY"):
+        try:
+            return ("array", canon_duck(t.child))
+        except Exception:  # noqa: BLE001
+            return ("array", "?")
+    if tid == "MAP":
+        try:
+            return ("map", canon_duck(t.key), canon_duck(t.value))
+        except Exception:  # noqa: BLE001
+            return ("map", "?", "?")
+    if tid == "STRUCT":
+        try:
+            return ("struct",) + tuple(
+                (n, canon_duck(ct)) for n, ct in t.children
+            )
+        except Exception:  # noqa: BLE001
+            return ("struct", "?")
+    if tid == "NULL" or s == '"NULL"':
+        return "null"  # typeless NULL literal: matches anything
+    return ("other", s)
+
+
+def type_problems(scols, sschema, ocols, otypes) -> list[str]:
+    """Compare engine-declared column types by name; return divergences."""
+    smap = {f.name: canon_spark(f.dataType) for f in sschema.fields}
+    omap = {c: canon_duck(t) for c, t in zip(ocols, otypes)}
+    bad = []
+    for c in sorted(set(smap) & set(omap)):
+        sc, oc = smap[c], omap[c]
+        if oc == "null" or sc == oc:
+            continue
+        bad.append(f"{c}: spark={sc} oracle={oc}")
+    return bad
+
+
 def to_multiset(columns, rows):
     """Rows → sorted list of tuples with columns ordered by name."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
@@ -159,6 +254,9 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        tbad = type_problems(scols, df.schema, ocols, rel.types)
+        if tbad:
+            problems.append("types " + "; ".join(tbad))
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not problems:
