@@ -435,3 +435,33 @@ def test_session_stats_no_self_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "report_session_duration_stats")
     assert "Join" not in plan
     assert "Window" in plan
+
+def test_merge_into_joins_on_key_no_cartesian(spark, sf_dir):
+    """The MERGE rewrite must be one key-equijoin of target x change
+    batch (broadcast or shuffle -- AQE's call), never a nested-loop:
+    a cartesian here is the difference between a merge that scales to
+    a 100 TB target and one that cannot run at all."""
+    from pyspark.sql import functions as F
+
+    from covid_19_data_analysis_bigdata_spark.operators.etl import (
+        _merge_dataflow,
+    )
+    from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    source = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_acctbal") - F.lit(2000.0)).alias("new_bal"),
+    )
+    df = _merge_dataflow(target, source)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

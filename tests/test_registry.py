@@ -188,6 +188,8 @@ EXPECTED_IDS = {
     "llm_dedup_tau_sweep",
     # round-4 batch 26: cluster-size histogram + Zipf-law fit
     "llm_dedup_cluster_sizes", "llm_vocab_zipf_fit",
+    # round-5 batch 1: ANSI MERGE semantics on a managed catalog table
+    "etl_merge_into",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
