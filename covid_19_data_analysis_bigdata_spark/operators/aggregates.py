@@ -875,3 +875,163 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(count(*) AS BIGINT)   AS cnt
+        FROM lineitem
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY cnt DESC, qty ASC) AS rk
+        FROM counts)
+    SELECT l_returnflag, qty AS mode_qty, cnt AS mode_count
+    FROM ranked WHERE rk = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode per group with a total tie order (count desc, value
+    asc) — engines' built-in ``mode()`` breaks ties arbitrarily, which
+    is exactly what a reproducible pipeline cannot have.
+
+    Two-level aggregate: count per (group, value) — map-side
+    combinable, shuffle carries distinct pairs only — then a
+    ``row_number`` over the per-group count table.  No sort of the
+    fact table, no collect.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("qty")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+#: Integer-unit encodings of the four lineitem measures for the exact
+#: correlation matrix: quantity is integral, the money/rate columns are
+#: exact 2-dp → integer cents/centi-units.
+_CORR_VARS = {
+    "quantity": "CAST(l_quantity AS BIGINT)",
+    "price_cents": "CAST(round(l_extendedprice * 100) AS BIGINT)",
+    "discount_c": "CAST(round(l_discount * 100) AS BIGINT)",
+    "tax_c": "CAST(round(l_tax * 100) AS BIGINT)",
+}
+
+
+def _corr_oracle() -> str:
+    pairs = []
+    names = list(_CORR_VARS)
+    exprs = [f"{sql} AS {n}" for n, sql in _CORR_VARS.items()]
+    moments = ["CAST(count(*) AS BIGINT) AS n"]
+    for n in names:
+        moments.append(f"sum(CAST({n} AS DECIMAL(38, 0))) AS s_{n}")
+        moments.append(
+            f"sum(CAST({n} AS DECIMAL(38, 0)) * {n}) AS q_{n}_{n}"
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            moments.append(
+                f"sum(CAST({a} AS DECIMAL(38, 0)) * {b}) AS q_{a}_{b}"
+            )
+            pairs.append((a, b))
+    sel = []
+    for a, b in pairs:
+        num = (
+            f"(CAST(n AS DOUBLE) * CAST(q_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        den = (
+            f"sqrt((CAST(n AS DOUBLE) * CAST(q_{a}_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * (CAST(n AS DOUBLE) * CAST(q_{b}_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        sel.append(
+            f"SELECT '{a}' AS var_x, '{b}' AS var_y, "
+            f"round({num} / {den}, 6) AS corr FROM m"
+        )
+    return (
+        "WITH base AS (SELECT " + ", ".join(exprs) + " FROM lineitem), "
+        "m AS (SELECT " + ", ".join(moments) + " FROM base) "
+        + " UNION ALL ".join(sel)
+    )
+
+
+@query("agg_corr_matrix", oracle=_corr_oracle())
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the fact table's four
+    measures, exact to the last bit before the final 6-dp round.
+
+    One aggregation pass computes all 14 moments (counts, sums, squares,
+    cross-products) with DECIMAL(38,0) accumulators over integer-unit
+    encodings — no float sums, so the result is independent of
+    partitioning and row order in BOTH engines (the property a
+    double-sum corr() can never give you across engines).  The 6
+    correlations are then pure scalar math on one broadcastable row.
+    A 100 TB corr matrix is therefore exactly one scan + one 14-number
+    combine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    names = list(_CORR_VARS)
+    base = li.select(
+        *[F.expr(sql).alias(n) for n, sql in _CORR_VARS.items()]
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for n in names:
+        dec = F.col(n).cast("decimal(38,0)")
+        aggs.append(F.sum(dec).alias(f"s_{n}"))
+        aggs.append(F.sum(dec * F.col(n)).alias(f"q_{n}_{n}"))
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(
+                F.sum(F.col(a).cast("decimal(38,0)") * F.col(b)).alias(
+                    f"q_{a}_{b}"
+                )
+            )
+            pairs.append((a, b))
+    m = base.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        n = F.col("n").cast("double")
+        num = n * F.col(f"q_{a}_{b}").cast("double") - F.col(
+            f"s_{a}"
+        ).cast("double") * F.col(f"s_{b}").cast("double")
+        den = F.sqrt(
+            (
+                n * F.col(f"q_{a}_{a}").cast("double")
+                - F.col(f"s_{a}").cast("double")
+                * F.col(f"s_{a}").cast("double")
+            )
+            * (
+                n * F.col(f"q_{b}_{b}").cast("double")
+                - F.col(f"s_{b}").cast("double")
+                * F.col(f"s_{b}").cast("double")
+            )
+        )
+        rows.append(
+            m.select(
+                F.lit(a).alias("var_x"),
+                F.lit(b).alias("var_y"),
+                F.round(num / den, 6).alias("corr"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

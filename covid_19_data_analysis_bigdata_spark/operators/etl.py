@@ -1142,3 +1142,191 @@ def etl_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(f"{warehouse}/{out_name}", ignore_errors=True)
     merged.write.mode("overwrite").saveAsTable(out_name)
     return spark.table(out_name)
+
+
+@query(
+    "dq_psi_drift",
+    oracle="""
+    WITH binned AS (
+        SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bin,
+               o_orderdate < TIMESTAMP '1998-01-01' AS is_ref
+        FROM orders),
+    counts AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ref,
+               CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_cur
+        FROM binned GROUP BY bin),
+    tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM counts)
+    SELECT bin, n_ref, n_cur,
+           round((n_ref / t_ref - n_cur / t_cur)
+                 * ln((n_ref / t_ref) / (n_cur / t_cur)), 6) AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference period and the
+    current period — the standard drift gate in front of a model or a
+    curated dataset refresh (PSI > 0.2 on any feature blocks the
+    publish).
+
+    One binning pass over the fact table, a 10-row aggregate, and the
+    PSI terms computed on the driver-free 10-row frame: the cost is the
+    scan, full stop, which is the right shape for a 100 TB drift check.
+    The ln() ratio is computed on proportions whose integer numerators
+    are exact, and the one transcendental evaluation per bin is rounded
+    at 6 dp — far above the sub-ulp libm divergence between engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).alias(
+            "is_ref"
+        ),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("long").alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = F.col("n_ref") / F.col("t_ref")
+    p_cur = F.col("n_cur") / F.col("t_cur")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6).alias("psi_term"),
+    )
+
+
+@query(
+    "dq_freshness_lag",
+    oracle="""
+    WITH per AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(epoch_ms(ts)) AS max_ms
+        FROM events GROUP BY event_type),
+    g AS (SELECT max(max_ms) AS global_ms FROM per)
+    SELECT event_type, n_events,
+           CAST((global_ms - max_ms) // 60000 AS BIGINT) AS lag_minutes
+    FROM per CROSS JOIN g
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness monitoring: minutes since each event stream last wrote,
+    relative to the freshest stream — the first alarm a stalled
+    ingestion pipeline trips.
+
+    Per-type max-timestamp aggregate (map-side combinable), a 1-row
+    global max broadcast back, integer-ms arithmetic throughout (ns and
+    µs readers truncate to identical ms — the repo's timestamp
+    discipline).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.unix_millis("ts")).alias("max_ms"),
+    )
+    g = per.agg(F.max("max_ms").alias("global_ms"))
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        ((F.col("global_ms") - F.col("max_ms")) / 60000)
+        .cast("long")
+        .alias("lag_minutes"),
+    )
+
+
+@query(
+    "dq_duplicate_rate",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT)
+               AS n_distinct,
+           round(1.0 - count(DISTINCT md5(lower(trim(text))))
+                       * 1.0 / count(*), 6) AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def dq_duplicate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate profile per ingestion source — the triage number
+    that decides which source needs the full dedup pass first.
+
+    Exact distinct over a canonicalized digest: partial aggregation
+    happens map-side on the digest, so the shuffle carries one row per
+    distinct digest per source, not the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dig = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(dig).alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct(dig) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+
+
+@query(
+    "dq_reconcile_aggregates",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS li_cents
+        FROM lineitem GROUP BY l_orderkey),
+    j AS (
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_cents,
+               li.li_cents
+        FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+    SELECT CASE WHEN li_cents IS NULL THEN 'missing_lines'
+                WHEN abs(li_cents - o_cents) * 2 <= o_cents
+                     THEN 'within_50pct'
+                ELSE 'divergent' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM j
+    GROUP BY 1
+    """,
+)
+def dq_reconcile_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: does the fact table's detail roll up
+    to the header's total?  Buckets orders into missing-detail /
+    within-tolerance / divergent — the invariant check run after every
+    load of a header+detail pair.
+
+    One key-grain aggregate of the detail side, one key equijoin, all
+    comparison in exact integer cents (``abs(diff)*2 <= total`` is the
+    50% tolerance with no division at all).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_sum = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("li_cents")
+    )
+    j = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    ).join(li_sum, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    bucket = (
+        F.when(F.col("li_cents").isNull(), F.lit("missing_lines"))
+        .when(
+            F.abs(F.col("li_cents") - F.col("o_cents")) * 2
+            <= F.col("o_cents"),
+            F.lit("within_50pct"),
+        )
+        .otherwise(F.lit("divergent"))
+    )
+    return j.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

@@ -282,6 +282,69 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_oriented(spark: SparkSession, sf_dir: str):
+    """Degree-oriented co-purchase graph shared by the triangle-family
+    operators: returns ``(deg, oriented, adj)``.
+
+    - ``edges``: distinct part pairs co-occurring in an order (u < v),
+      persisted — orders of magnitude smaller than the fact table; AQE
+      sizes post-distinct partitions from the ACTUAL edge volume (a
+      hard-coded coalesce here once froze parallelism at 100× the
+      edges).
+    - ``deg``: |V| rows, persisted — feeds the orientation joins and
+      any final aggregate (n_edges = sum(d) div 2, so no extra pass).
+    - ``oriented``: each edge directed from its lower-(degree, id)
+      endpoint — acyclic, out-degree O(√m); the property that keeps
+      every neighbor array small on power-law graphs.
+    - ``adj``: packed sorted out-neighbor arrays, |V| rows, persisted —
+      read twice (as N⁺(u) and N⁺(v)); AQE broadcasts it when it fits
+      and falls back to a node-partitioned sort-merge join when not.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .persist()
+    )
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .persist()
+    )
+    return deg, oriented, adj
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -337,72 +400,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is one double division of two integers (identical IEEE op in
     both engines).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-        # The edge list is orders of magnitude smaller than the fact
-        # table it came from.  AQE's runtime partition coalescing sizes
-        # the post-distinct partitions from the ACTUAL edge volume — a
-        # hard-coded coalesce(n) here (round 2) fixed the wedge join's
-        # parallelism forever, a funnel at 100× the edge count.
-        .persist()  # reused by degree calc, orientation, and the close probe
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-        # |V| rows; consumed by both orientation joins AND the final
-        # node/wedge/edge aggregate (n_edges = sum(d) div 2 — each edge
-        # contributes two endpoints — so no separate edge-count pass).
-        .persist()
-    )
-    # Orient each edge from the endpoint that is smaller under the
-    # (degree, node-id) total order; ties cannot loop because node ids
-    # are unique.
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
-        .persist()
-    )
-    # Edge-centric adjacency intersection: triangles through edge (u,v)
-    # = |N⁺(u) ∩ N⁺(v)| over the oriented out-neighbor sets.  The naive
-    # wedge-join alternative (o1.dst = o2.src, then probe the closing
-    # edge) materialized and re-shuffled 49M wedge ROWS at sf0.1 (9.5 s
-    # in that one join); here the same candidate space stays packed in
-    # per-node arrays — outdeg is O(√m) under degree orientation, so
-    # each array is small — and the intersection runs vectorized inside
-    # one codegen stage.  The adjacency side is |V| rows (not |E|), so
-    # AQE broadcasts it when it fits and degrades to a sort-merge join
-    # partitioned by node id when it doesn't.
-    adj = (
-        oriented.groupBy("src")
-        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        # |V| rows of O(√m) arrays, read twice (as N⁺(u) and N⁺(v));
-        # without the persist each broadcast exchange re-runs the
-        # collect_list aggregation (measured 0.9 s/run at sf0.1).
-        .persist()
-    )
+    deg, oriented, adj = _copurchase_oriented(spark, sf_dir)
     empty = F.array().cast("array<bigint>")
     au = adj.select(F.col("src"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv"))
@@ -961,3 +959,82 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") / 2).cast("long").alias("n_edges"),
         F.round(r, 6).alias("assortativity"),
     )
+
+
+EDGE_SUPPORT_TOPK = 20
+
+
+@query(
+    "graph_edge_support_topk",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey),
+    tris AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+    attributed AS (
+        SELECT a AS u, b AS v FROM tris
+        UNION ALL SELECT a, c FROM tris
+        UNION ALL SELECT b, c FROM tris),
+    support AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS support
+        FROM attributed GROUP BY u, v)
+    SELECT u, v, support
+    FROM support
+    ORDER BY support DESC, u, v
+    LIMIT {EDGE_SUPPORT_TOPK}
+    """,
+)
+def graph_edge_support_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge support (triangles through each edge) with the top-{EDGE_SUPPORT_TOPK}
+    strongest ties — the building block of k-truss decomposition and
+    the "embeddedness" feature in link prediction.
+
+    Reuses the degree-oriented adjacency: each oriented edge (u,v)
+    yields its closing vertices as ``array_intersect(N⁺(u), N⁺(v))``,
+    and each discovered triangle attributes +1 support to its three
+    edges (canonical id order).  Triangles ARE materialized here —
+    3 rows each — because support is a per-edge output, not a count;
+    that stays linear in the triangle count, which degree orientation
+    already bounds at O(m^1.5) candidate work, and the final top-k is
+    a ``TakeOrderedAndProject``, never a global sort.  Total tie order
+    (support desc, u, v) makes the cut deterministic.
+    """
+    deg, oriented, adj = _copurchase_oriented(spark, sf_dir)
+    empty = F.array().cast("array<bigint>")
+    au = adj.select(F.col("src"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv"))
+    tris = (
+        oriented.join(au, "src", "left")
+        .join(av, "dst", "left")
+        .select(
+            F.col("src").alias("x"),
+            F.col("dst").alias("y"),
+            F.explode(
+                F.array_intersect(
+                    F.coalesce(F.col("nu"), empty),
+                    F.coalesce(F.col("nv"), empty),
+                )
+            ).alias("w"),
+        )
+    )
+    def canon(p, q):
+        return [F.least(p, q).alias("u"), F.greatest(p, q).alias("v")]
+    attributed = (
+        tris.select(*canon(F.col("x"), F.col("y")))
+        .unionAll(tris.select(*canon(F.col("x"), F.col("w"))))
+        .unionAll(tris.select(*canon(F.col("y"), F.col("w"))))
+    )
+    support = attributed.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    return support.orderBy(
+        F.desc("support"), F.asc("u"), F.asc("v")
+    ).limit(EDGE_SUPPORT_TOPK)

@@ -643,3 +643,81 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(ok_f, F.col("gap_f"))
         .alias("gap_us"),
     )
+
+
+IV_DAYS = 14  #: campaign window length (days)
+IV_BLOCK = 16  #: day-block width for the range-join bucketing
+
+
+@query(
+    "join_range_interval",
+    oracle=f"""
+    WITH iv AS (
+        SELECT o_orderkey AS campaign_id,
+               CAST(o_orderdate AS DATE) AS start_day,
+               CAST(o_orderdate AS DATE) + CAST({IV_DAYS} AS INTEGER)
+                   AS end_day
+        FROM orders WHERE o_orderkey % 97 = 0),
+    pts AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+    SELECT iv.campaign_id,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           CAST(sum(p.cents) AS BIGINT) AS total_cents
+    FROM iv JOIN pts p
+      ON p.day >= iv.start_day AND p.day < iv.end_day
+    GROUP BY iv.campaign_id
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: every order landing inside any
+    campaign's {IV_DAYS}-day window, aggregated per campaign.
+
+    A naive theta join (``day BETWEEN start AND end``) is a nested loop
+    — quadratic and unrunnable at scale.  The shipped plan buckets time
+    into {IV_BLOCK}-day blocks: each interval explodes to the 1–2
+    blocks it touches (bounded because window ≤ block), each point maps
+    to exactly one block, and the join becomes a hash equijoin on the
+    block id with the precise range predicate as a post-filter.
+    Candidate volume is |points| × (intervals per block), not
+    |points| × |intervals| — the standard interval-bucketing rewrite
+    every range-join engine (and Spark's own storage-partitioned range
+    joins) applies.  The oracle states the naive theta join; identical
+    result.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    epoch_day = F.datediff(day, F.lit("1970-01-01").cast("date"))
+    iv = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("campaign_id"),
+        day.alias("start_day"),
+        F.date_add(day, IV_DAYS).alias("end_day"),
+        epoch_day.alias("start_ed"),
+    )
+    # window ≤ block ⇒ an interval spans at most 2 blocks.
+    iv_blocks = iv.select(
+        "campaign_id",
+        "start_day",
+        "end_day",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.col("start_ed") / IV_BLOCK),
+                    F.floor((F.col("start_ed") + IV_DAYS - 1) / IV_BLOCK),
+                )
+            )
+        ).alias("block"),
+    )
+    pts = o.select(
+        day.alias("day"),
+        F.floor(epoch_day / IV_BLOCK).alias("block"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    joined = iv_blocks.join(pts, "block").filter(
+        (F.col("day") >= F.col("start_day")) & (F.col("day") < F.col("end_day"))
+    )
+    return joined.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )

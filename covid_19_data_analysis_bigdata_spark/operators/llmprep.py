@@ -836,3 +836,196 @@ def llm_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-num / denx, 6).alias("zipf_exponent"),
         F.round((num * num) / (denx * deny), 6).alias("r2"),
     )
+
+
+TOKEN_BUDGET = 20_000  #: per-source token cap for the budgeted sampler
+
+
+@query(
+    "llm_source_token_budget",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+    c AS (
+        SELECT source, doc_id, n_tok,
+               CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cum
+        FROM w)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_total,
+           CAST(sum(CASE WHEN cum <= {TOKEN_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(sum(CASE WHEN cum <= {TOKEN_BUDGET} THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           round(sum(CASE WHEN cum <= {TOKEN_BUDGET} THEN n_tok ELSE 0 END)
+                 * 1.0 / {TOKEN_BUDGET}, 6) AS budget_utilization
+    FROM c
+    GROUP BY source
+    """,
+)
+def llm_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgeting: admit documents in a deterministic
+    order until each source's token allowance is spent — how a dataset
+    mixture enforces "no more than N tokens of source X" without a
+    second pass.
+
+    One window cumsum per source (single hash partition by the mixing
+    key) and a per-source rollup.  The admit decision is a pure
+    function of (source, doc_id) order, so re-runs and backfills admit
+    the same documents — the property that makes the budget
+    reproducible across pipeline runs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tok"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = w.withColumn("cum", F.sum("n_tok").over(win))
+    kept = F.col("cum") <= TOKEN_BUDGET
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_docs_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.round(
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+            / TOKEN_BUDGET,
+            6,
+        ).alias("budget_utilization"),
+    )
+
+
+CURRICULUM_STAGES = 5
+
+
+@query(
+    "llm_curriculum_order",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '),
+                           x -> len(x) > 0) AS ws
+        FROM documents),
+    sc AS (
+        SELECT doc_id, source,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws, x -> len(x)))
+                    * 1000 // greatest(len(ws), 1) AS BIGINT)
+                   AS difficulty_milli
+        FROM d),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY difficulty_milli, doc_id)
+                      AS rk,
+               count(*) OVER () AS n
+        FROM sc)
+    SELECT CAST((rk - 1) * {CURRICULUM_STAGES} // n AS BIGINT) AS stage,
+           CAST(count(*) AS BIGINT)          AS n_docs,
+           CAST(min(difficulty_milli) AS BIGINT) AS min_difficulty,
+           CAST(max(difficulty_milli) AS BIGINT) AS max_difficulty,
+           CAST(sum(n_words) AS BIGINT)      AS total_words
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: rank the corpus easy→hard and cut it
+    into equal training stages — the ordering step behind
+    curriculum-learning schedules.
+
+    Difficulty is mean word length in exact integer milli-units
+    (``total_chars·1000 div n_words``), so the global ordering is
+    integer-deterministic with a doc_id tie-break (the repo's ranking
+    convention for scores).  The global rank is one ``row_number`` over
+    an integer key — a single sort, the same cost as any global
+    ordering — and stages are equal row-count slices of that order.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # `div` (not `/`): Spark `/` is double division and CAST truncates,
+    # while the oracle's `//` floors — integer `div` keeps both exact.
+    sc = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(split(lower(text), ' '), "
+            "x -> length(x) > 0)) AS BIGINT)"
+        ).alias("n_words"),
+        F.expr(
+            "aggregate(transform(filter(split(lower(text), ' '), "
+            "x -> length(x) > 0), x -> CAST(length(x) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x) * 1000 div "
+            "greatest(size(filter(split(lower(text), ' '), "
+            "x -> length(x) > 0)), 1)"
+        ).alias("difficulty_milli"),
+    )
+    wrk = Window.orderBy("difficulty_milli", "doc_id")
+    ranked = sc.select(
+        "n_words",
+        "difficulty_milli",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    stage = (
+        (F.col("rk") - 1) * CURRICULUM_STAGES / F.col("n")
+    ).cast("long")
+    return ranked.groupBy(stage.alias("stage")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("difficulty_milli").alias("min_difficulty"),
+        F.max("difficulty_milli").alias("max_difficulty"),
+        F.sum("n_words").alias("total_words"),
+    )
+
+
+STRATA_CAP = 30  #: per-label sample cap for the stratified sampler
+
+
+@query(
+    "llm_label_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT label, vec_id,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id)
+                   AS rk
+        FROM embeddings)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN rk <= {STRATA_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(min(CASE WHEN rk <= {STRATA_CAP} THEN vec_id END)
+                AS BIGINT) AS first_kept,
+           CAST(max(CASE WHEN rk <= {STRATA_CAP} THEN vec_id END)
+                AS BIGINT) AS last_kept
+    FROM ranked
+    GROUP BY label
+    """,
+)
+def llm_label_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling: cap every label's contribution at a
+    fixed count — the balancing step before training a probe/classifier
+    on skewed clusters.
+
+    One window ``row_number`` per label (single hash partition on the
+    stratum key) with a deterministic vec_id order, so the selected
+    sample is stable across runs; the per-label audit row is what the
+    dataset card records.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    ranked = e.select(
+        "label", "vec_id", F.row_number().over(w).alias("rk")
+    )
+    kept = F.col("rk") <= STRATA_CAP
+    return ranked.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.min(F.when(kept, F.col("vec_id"))).cast("long").alias("first_kept"),
+        F.max(F.when(kept, F.col("vec_id"))).cast("long").alias("last_kept"),
+    )

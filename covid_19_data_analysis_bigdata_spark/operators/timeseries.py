@@ -1049,3 +1049,277 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * s_stat / (n.cast("double") * (n - 1)), 6
         ).alias("kendall_tau"),
     )
+
+
+@query(
+    "ts_ewma_halflife",
+    oracle="""
+    WITH RECURSIVE daily0 AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events
+        GROUP BY 1, 2),
+    daily AS (
+        SELECT event_type, day, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   AS rn
+        FROM daily0),
+    r AS (
+        SELECT event_type, rn, day, cents,
+               CAST(cents AS DOUBLE) AS ewma
+        FROM daily WHERE rn = 1
+        UNION ALL
+        SELECT d.event_type, d.rn, d.day, d.cents,
+               d.cents / 2 + r.ewma / 2
+        FROM daily d JOIN r ON d.event_type = r.event_type
+                           AND d.rn = r.rn + 1)
+    SELECT event_type, day, cents, round(ewma, 6) AS ewma
+    FROM r
+    """,
+)
+def ts_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average with a one-step half-life
+    (α = ½): the standard smoother for noisy operational series.
+
+    α = ½ is chosen deliberately for cross-engine exactness: every fold
+    step is ``x/2 + s/2`` — two exact IEEE halvings and one rounded
+    add — so Spark's ``aggregate`` fold and the oracle's recursive CTE
+    walk bit-identical states.  The recursion runs INSIDE a per-key
+    array fold (days are collected per type — bounded by the calendar,
+    not the corpus), so the distributed shape is one groupBy plus a
+    map-side lambda: nothing iterates driver-side, and a 100 TB events
+    table still folds ~365 elements per key per year.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    per = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("s")
+    )
+    folded = per.select(
+        "event_type",
+        F.aggregate(
+            "s",
+            F.expr("CAST(array() AS array<struct<day:date,cents:bigint,ewma:double>>)"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["cents"].alias("cents"),
+                        F.when(
+                            F.size(acc) == 0, x["cents"].cast("double")
+                        )
+                        .otherwise(
+                            x["cents"] / 2
+                            + F.element_at(acc, -1)["ewma"] / 2
+                        )
+                        .alias("ewma"),
+                    )
+                ),
+            ),
+        ).alias("out"),
+    )
+    e = F.explode("out").alias("e")
+    return folded.select("event_type", e).select(
+        "event_type",
+        F.col("e.day").alias("day"),
+        F.col("e.cents").alias("cents"),
+        F.round(F.col("e.ewma"), 6).alias("ewma"),
+    )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH RECURSIVE daily0 AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2),
+    daily AS (
+        SELECT event_type, day, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   AS rn
+        FROM daily0),
+    tot AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT)   AS total
+        FROM daily GROUP BY 1),
+    r AS (
+        SELECT d.event_type, d.rn, d.day,
+               greatest(CAST(0 AS BIGINT), d.x * t.n - t.total) AS s,
+               greatest(CAST(0 AS BIGINT), d.x * t.n - t.total) AS smax,
+               CASE WHEN d.x * t.n - t.total > 0 THEN d.day END AS peak_day
+        FROM daily d JOIN tot t USING (event_type) WHERE d.rn = 1
+        UNION ALL
+        SELECT d.event_type, d.rn, d.day,
+               greatest(CAST(0 AS BIGINT), r.s + d.x * t.n - t.total),
+               CASE WHEN greatest(CAST(0 AS BIGINT),
+                                  r.s + d.x * t.n - t.total) > r.smax
+                    THEN greatest(CAST(0 AS BIGINT),
+                                  r.s + d.x * t.n - t.total)
+                    ELSE r.smax END,
+               CASE WHEN greatest(CAST(0 AS BIGINT),
+                                  r.s + d.x * t.n - t.total) > r.smax
+                    THEN d.day ELSE r.peak_day END
+        FROM daily d
+        JOIN tot t USING (event_type)
+        JOIN r ON d.event_type = r.event_type AND d.rn = r.rn + 1),
+    last AS (
+        SELECT event_type, smax, peak_day,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY rn DESC) AS k
+        FROM r)
+    SELECT l.event_type, t.n AS n_days, l.smax AS cusum_scaled,
+           round(l.smax * 1.0 / t.n, 6) AS cusum_mean_units,
+           l.peak_day
+    FROM last l JOIN tot t USING (event_type)
+    WHERE l.k = 1
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection on daily event counts: the
+    running sum of deviations above the series mean, reset at zero,
+    with the peak and its date — the classic "when did volume shift"
+    screen.
+
+    All state is integer: deviations are scaled by n (``x·n − total``)
+    so the mean never becomes a float, the fold is
+    ``max(0, s + dev)``, and only the final peak is divided back to
+    mean units.  Same shape as the EWMA op: per-key array fold, no
+    driver iteration, calendar-bounded arrays.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    per = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("total"),
+    )
+    acc0 = F.expr(
+        "named_struct('s', CAST(0 AS BIGINT), 'smax', CAST(-1 AS BIGINT), "
+        "'peak_day', CAST(NULL AS DATE))"
+    )
+    def step(acc, x):
+        ns = F.greatest(
+            F.lit(0).cast("long"),
+            acc["s"] + x["x"] * F.col("n") - F.col("total"),
+        )
+        better = ns > acc["smax"]
+        return F.struct(
+            ns.alias("s"),
+            F.when(better, ns).otherwise(acc["smax"]).alias("smax"),
+            F.when(better, x["day"]).otherwise(acc["peak_day"]).alias("peak_day"),
+        )
+    folded = per.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.aggregate("s", acc0, step).alias("f"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("f.smax").alias("cusum_scaled"),
+        F.round(F.col("f.smax") / F.col("n_days"), 6).alias(
+            "cusum_mean_units"
+        ),
+        F.col("f.peak_day").alias("peak_day"),
+    )
+
+
+@query(
+    "ts_cross_correlation",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+    b AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    lags AS (SELECT unnest([0, 1, 2, 3]) AS lag),
+    paired AS (
+        SELECT l.lag, a.x, b.y
+        FROM lags l
+        JOIN a ON TRUE
+        JOIN b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+    m AS (
+        SELECT lag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM paired GROUP BY lag)
+    SELECT lag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt(CAST((n * sxx - sx * sx)
+                             * (n * syy - sy * sy) AS DOUBLE)), 6)
+               AS xcorr
+    FROM m
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event streams (do clicks
+    lead purchases by k days?) at lags 0–3 — the signal behind
+    "attribution window" choices.
+
+    Integer-moment Pearson at each lag: the daily series are tiny
+    (calendar-sized) aggregates, the lag alignment is a broadcast
+    equijoin on shifted dates, and the only floating-point ops are one
+    int→double conversion, one sqrt, one division — each correctly
+    rounded, so both engines agree to the last bit before the 6 dp
+    round.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    lags = spark.range(4).select(F.col("id").cast("int").alias("lag"))
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b.withColumnRenamed("day", "bday"),
+            F.col("bday") == F.date_add(F.col("day"), F.col("lag")),
+        )
+    )
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ).cast("double")
+    )
+    return m.select("lag", "n", F.round(num / den, 6).alias("xcorr"))

@@ -190,6 +190,18 @@ EXPECTED_IDS = {
     "llm_dedup_cluster_sizes", "llm_vocab_zipf_fit",
     # round-5 batch 1: ANSI MERGE semantics on a managed catalog table
     "etl_merge_into",
+    # round-5 batch 2: drift / freshness / reconciliation data quality
+    "dq_psi_drift", "dq_freshness_lag", "dq_duplicate_rate",
+    "dq_reconcile_aggregates",
+    # round-5 batch 3: sequential time-series (fold-based, integer-exact)
+    "ts_ewma_halflife", "ts_cusum_changepoint", "ts_cross_correlation",
+    # round-5 batch 4: training-mixture assembly
+    "llm_source_token_budget", "llm_curriculum_order",
+    "llm_label_stratified_sample",
+    # round-5 batch 5: range join, exact mode, decimal-exact corr matrix
+    "join_range_interval", "agg_mode_exact", "agg_corr_matrix",
+    # round-5 batch 6: k-truss building block
+    "graph_edge_support_topk",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
