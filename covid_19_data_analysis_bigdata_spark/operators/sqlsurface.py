@@ -371,3 +371,142 @@ def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (val FOR metric IN (total_price, n_orders))
         """
     )
+
+
+@query(
+    "sql_star_except",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+           l_returnflag, l_linestatus
+    FROM lineitem
+    WHERE l_orderkey < 100
+    """,
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * EXCEPT (…)``: project a wide table minus named columns
+    — the ergonomic form for "everything but the payload" queries.
+
+    Column pruning still reaches the scan: EXCEPT resolves to an
+    explicit projection at analysis time, so the parquet reader loads
+    only the surviving columns (same ReadSchema a hand-written select
+    gets), never wide-then-drop.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (l_quantity, l_extendedprice, l_discount,
+                         l_tax, l_shipdate)
+        FROM lineitem
+        WHERE l_orderkey < 100
+        """
+    )
+
+
+@query(
+    "sql_window_clause",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number()   OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS seq,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW), 4) AS run_total,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM orders
+    WHERE o_custkey < 50
+    """,
+)
+def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named ``WINDOW`` clause: one window specification declared once
+    and shared by several window functions — the SQL form that keeps
+    multi-metric window queries to a SINGLE Exchange+Sort (all three
+    functions below share one spec, so Catalyst plans one window
+    operator, not three).
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w                    AS seq,
+               round(sum(o_totalprice) OVER wr, 4)    AS run_total,
+               count(*) OVER (PARTITION BY o_custkey) AS n_orders
+        FROM orders
+        WHERE o_custkey < 50
+        WINDOW w  AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey),
+               wr AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@query(
+    "sql_distribute_sort_by",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT)  AS n_items,
+           round(sum(l_quantity), 4) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DISTRIBUTE BY … SORT BY``: explicit cluster-and-order layout —
+    the SQL spelling of ``repartition(col).sortWithinPartitions(col)``,
+    used to co-locate a key before a write or a downstream merge join.
+
+    The aggregate on top consumes the distribution WITHOUT a second
+    exchange (the data is already hashed on the grouping key — the
+    plan's whole point), so the oracle's plain GROUP BY sees identical
+    content.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        WITH clustered AS (
+            SELECT l_suppkey, l_quantity
+            FROM lineitem
+            DISTRIBUTE BY l_suppkey SORT BY l_suppkey
+        )
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT)  AS n_items,
+               round(sum(l_quantity), 4) AS total_qty
+        FROM clustered
+        GROUP BY l_suppkey
+        """
+    )
+
+
+@query(
+    "sql_lateral_view_explode",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents WHERE doc_id < 50)
+    SELECT word, CAST(count(*) AS BIGINT) AS freq
+    FROM w
+    WHERE len(word) >= 8
+    GROUP BY word
+    """,
+)
+def sql_lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LATERAL VIEW explode(…)``: the Hive-inherited row-generator
+    syntax (one row per array element with the parent row alongside) —
+    the SQL twin of ``select(explode(...))`` and the form a decade of
+    existing warehouse SQL is written in.
+
+    The generate sits before the aggregate, so the word filter prunes
+    generated rows inside the same stage — no exploded materialization.
+    """
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT word, count(*) AS freq
+        FROM documents
+        LATERAL VIEW explode(split(lower(text), ' ')) t AS word
+        WHERE doc_id < 50 AND length(word) >= 8
+        GROUP BY word
+        """
+    )

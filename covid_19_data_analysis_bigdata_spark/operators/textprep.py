@@ -1804,3 +1804,257 @@ def llm_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum(F.col("sz") - 1).alias("docs_removable"),
     )
+
+
+RANGE_RADIUS = 1.25  #: L2 radius for the exact range search
+RANGE_PROBES = 5  #: vec_id < RANGE_PROBES play the query set
+
+#: Sequential left-fold squared-L2 distance in DuckDB — list_prepend(0)
+#: + list_reduce replays Spark's ``F.aggregate(…, 0.0, +)`` fold order
+#: exactly, so the two engines produce bit-identical doubles and the
+#: radius threshold can never disagree at the boundary.
+_L2_FOLD_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)"
+)
+
+
+def _l2_fold(a, b):
+    """Spark twin of :data:`_L2_FOLD_SQL`: sequential left fold of the
+    squared component differences, starting at 0.0."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (_d(x) - _d(y)) * (_d(x) - _d(y))),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+@query(
+    "llm_ann_range_search",
+    oracle=f"""
+    SELECT p.vec_id AS probe_id,
+           n.vec_id AS neighbor_id,
+           round(sqrt({_L2_FOLD_SQL.format(a="p.embedding", b="n.embedding")}), 6)
+               AS dist
+    FROM embeddings p
+    JOIN embeddings n
+      ON p.vec_id < {RANGE_PROBES}
+     AND n.vec_id <> p.vec_id
+     AND sqrt({_L2_FOLD_SQL.format(a="p.embedding", b="n.embedding")})
+         <= {RANGE_RADIUS}
+    """,
+)
+def llm_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT radius (range) search — all corpus vectors within L2
+    distance {RANGE_RADIUS} of each probe — with IVF cell pruning that
+    loses nothing: a cell is skipped only when the triangle inequality
+    proves ``d(q, centroid) − R_cell > r`` (R_cell = the cell's max
+    member-to-centroid distance, computed once per cell), so every
+    qualifying vector's cell survives and the oracle can state the
+    brute-force definition.
+
+    This is the scale shape for "find everything similar" (dedup
+    sweeps, recall-critical retrieval): broadcast k centroids + k cell
+    radii, one linear assignment pass, then probes scan only the cells
+    the bound cannot exclude.  Pruning power grows with cell
+    concentration: tight clusters at 100 TB drop most of the corpus
+    per probe, and the fallback worst case is the exact scan you would
+    have run anyway.  Distances fold sequentially (see
+    :data:`_L2_FOLD_SQL`), so both engines agree bit-for-bit at the
+    radius boundary.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "val"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg(_d(F.col("val"))).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell"), "centroid")
+    )
+    cdist = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        F.sqrt(_l2_fold(F.col("embedding"), F.col("centroid"))).alias("cd"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("cd"), F.asc("cell"))
+    assigned = (
+        cdist.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cell", "cd")
+        .persist()  # feeds cell radii AND the candidate scan
+    )
+    radii = assigned.groupBy("cell").agg(F.max("cd").alias("r_cell"))
+    probes = assigned.filter(F.col("vec_id") < RANGE_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pemb"),
+    )
+    # Probe × cell lower bound: keep cells with d(q, cent) − R_cell ≤ r.
+    probe_cells = (
+        probes.crossJoin(F.broadcast(cent))
+        .select(
+            "probe_id",
+            "pemb",
+            "cell",
+            F.sqrt(_l2_fold(F.col("pemb"), F.col("centroid"))).alias("pcd"),
+        )
+        .join(F.broadcast(radii), "cell")
+        .filter(F.col("pcd") - F.col("r_cell") <= RANGE_RADIUS)
+        .select("probe_id", "pemb", "cell")
+    )
+    dist = F.sqrt(_l2_fold(F.col("pemb"), F.col("embedding")))
+    return (
+        F.broadcast(probe_cells)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("dist_raw", dist)
+        .filter(F.col("dist_raw") <= RANGE_RADIUS)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("dist_raw", 6).alias("dist"),
+        )
+    )
+
+
+KNN_JOIN_K = 3  #: neighbors per row in the all-rows k-NN join
+KNN_JOIN_B = 8  #: block count for the block-pair k-NN join
+
+
+def _knn_join_block_fn(k: int):
+    """Per-block-pair directed-kNN kernel for ``applyInPandas``.
+
+    One numpy matmul per task; emits each row's LOCAL top-k against the
+    opposite block (both directions when bi ≠ bj, self-pairs excluded
+    when bi = bj), rounded to 6 dp with the (−sim, neighbor_id) tie
+    order — the same order the global per-query merge ranks by, so
+    keeping k per direction per task makes the merge exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def topk_rows(qids, qmat, nids, nmat, same_block):
+        qn = np.sqrt((qmat * qmat).sum(axis=1))
+        nn = np.sqrt((nmat * nmat).sum(axis=1))
+        sims = np.round((qmat @ nmat.T) / (qn[:, None] * nn[None, :]), 6)
+        if same_block:
+            sims[qids[:, None] == nids[None, :]] = -np.inf
+        out_q, out_n, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for i in range(sims.shape[0]):
+            row = sims[i]
+            order = np.lexsort((nids, -row))[:kk]
+            keep = row[order] > -np.inf
+            out_q.append(np.full(keep.sum(), qids[i]))
+            out_n.append(nids[order][keep])
+            out_s.append(row[order][keep])
+        if not out_q:
+            return None
+        return (
+            np.concatenate(out_q),
+            np.concatenate(out_n),
+            np.concatenate(out_s),
+        )
+
+    def fn(key, pdf):
+        bi, bj = key
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        empty = pd.DataFrame(
+            {
+                "query_id": np.array([], np.int64),
+                "neighbor_id": np.array([], np.int64),
+                "sim": np.array([], np.float64),
+            }
+        )
+        if len(a) == 0:
+            return empty
+        aids = a["vec_id"].to_numpy(np.int64)
+        amat = np.array(a["embedding"].tolist(), np.float64)
+        parts = []
+        if bi == bj:
+            r = topk_rows(aids, amat, aids, amat, True)
+            if r:
+                parts.append(r)
+        else:
+            if len(b) == 0:
+                return empty
+            bids = b["vec_id"].to_numpy(np.int64)
+            bmat = np.array(b["embedding"].tolist(), np.float64)
+            for r in (
+                topk_rows(aids, amat, bids, bmat, False),
+                topk_rows(bids, bmat, aids, amat, False),
+            ):
+                if r:
+                    parts.append(r)
+        if not parts:
+            return empty
+        q = np.concatenate([p[0] for p in parts])
+        n = np.concatenate([p[1] for p in parts])
+        s = np.concatenate([p[2] for p in parts])
+        return pd.DataFrame(
+            {"query_id": q, "neighbor_id": n, "sim": s}
+        )
+
+    return fn
+
+
+@query(
+    "llm_knn_join",
+    oracle=f"""
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+               AS sim
+    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY a.vec_id
+        ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])),
+                       6) DESC, b.vec_id) <= {KNN_JOIN_K}
+    """,
+)
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-NN JOIN: every corpus vector gets its top-{KNN_JOIN_K}
+    cosine neighbors among all others — the build step for kNN graphs
+    (diversity analysis, graph-based dedup, UMAP-style layouts), where
+    BOTH sides are the whole corpus and the broadcast-probes plan
+    (``llm_knn_per_query``) cannot apply.
+
+    Exact block-pair plan: B·(B+1)/2 tasks, one two-block numpy matmul
+    each, each task emitting every row's LOCAL top-k against the block
+    it faces under the global (−sim, neighbor_id) tie order; the merge
+    is then one per-query rank over ≤ B·k candidates per row — exact,
+    with per-task memory O(2·corpus/B) and driver traffic zero.  At
+    100 TB you raise B until a block fits an executor; the plan is
+    unchanged.  The sub-quadratic approximate variant of the same
+    output shape is the IVF family.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.pmod("vec_id", F.lit(KNN_JOIN_B)).cast("int").alias("blk"),
+        "vec_id",
+        "embedding",
+    )
+    bi = spark.range(KNN_JOIN_B).select(F.col("id").cast("int").alias("bi"))
+    bj = spark.range(KNN_JOIN_B).select(F.col("id").cast("int").alias("bj"))
+    pairs = bi.join(bj, F.col("bi") <= F.col("bj"))
+    grouped = _pair_group_frame(e, pairs)
+    local = grouped.groupBy("bi", "bj").applyInPandas(
+        _knn_join_block_fn(KNN_JOIN_K),
+        "query_id bigint, neighbor_id bigint, sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_JOIN_K)
+        .drop("rk")
+    )

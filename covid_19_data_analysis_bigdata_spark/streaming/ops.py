@@ -696,3 +696,83 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "volume",
     )
+
+
+@query(
+    "stream_upsert_state",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_id, event_type, value
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(value), 4)     AS sum_value
+    FROM latest
+    GROUP BY event_type
+    """,
+)
+def stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style streaming upsert: every micro-batch merges into a
+    keep-latest state table (one row per user, newest event wins) —
+    the foreachBatch topology that maintains a dimension/state table
+    from a change stream when the sink has no native MERGE.
+
+    Each batch computes ``keep_latest(state ∪ batch)`` and swaps it in
+    via write-to-temp + directory rename — the manual form of the
+    atomic commit a transactional table format provides.  Correctness
+    does NOT depend on batch order or replay count: keep-latest under
+    the (ts, event_id) total order is associative, commutative, and
+    idempotent, so any at-least-once, any-order delivery converges to
+    the same fixed point — which is why the oracle can state the batch
+    QUALIFY over the raw table.  At scale the per-batch merge is one
+    shuffle on the key of (state + batch), the same cost MERGE INTO
+    pays.
+    """
+    import shutil
+
+    from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir
+
+    root = fixture_dir(sf_dir, "stream_upsert")
+    state = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cur = batch_df.select(
+            "user_id", "event_id", "event_type", "value", "ts"
+        )
+        if os.path.exists(os.path.join(state, "_SUCCESS")):
+            cur = sess.read.parquet(state).unionByName(cur)
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        merged = (
+            cur.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        tmp = state + f"_tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(state, ignore_errors=True)
+        os.rename(tmp, state)
+
+    for q in spark.streams.active:
+        if q.name == "t_upsert_state":
+            q.stop()
+            q.awaitTermination()
+    src = events_stream(spark, sf_dir)
+    handle = (
+        src.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .queryName("t_upsert_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    handle.awaitTermination()
+    back = spark.read.parquet(state)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

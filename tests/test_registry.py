@@ -202,6 +202,14 @@ EXPECTED_IDS = {
     "join_range_interval", "agg_mode_exact", "agg_corr_matrix",
     # round-5 batch 6: k-truss building block
     "graph_edge_support_topk",
+    # round-5 batch 7: CDC streaming upsert into table state
+    "stream_upsert_state",
+    # round-5 batch 8: exact radius search + full blocked k-NN join
+    "llm_ann_range_search", "llm_knn_join",
+    # round-5 batch 9: SQL-surface idioms (EXCEPT star, named WINDOW,
+    # DISTRIBUTE/SORT BY, LATERAL VIEW)
+    "sql_star_except", "sql_window_clause", "sql_distribute_sort_by",
+    "sql_lateral_view_explode",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
