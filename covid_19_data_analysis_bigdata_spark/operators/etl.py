@@ -1330,3 +1330,195 @@ def dq_reconcile_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@query(
+    "etl_backfill_gaps",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS lo,
+               CAST(max(date_trunc('day', ts)) AS DATE) AS hi
+        FROM events),
+    spine AS (
+        SELECT event_type,
+               CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM bounds
+        CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+    have AS (
+        SELECT DISTINCT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events)
+    SELECT s.event_type,
+           CAST(count(*) AS BIGINT) AS n_expected,
+           CAST(sum(CASE WHEN h.day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+           min(CASE WHEN h.day IS NULL THEN s.day END) AS first_missing
+    FROM spine s
+    LEFT JOIN have h ON h.event_type = s.event_type AND h.day = s.day
+    GROUP BY s.event_type
+    """,
+)
+def etl_backfill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill gap detection: anti-join a generated calendar spine
+    (every partition key × every day in the table's span) against the
+    days that actually have data — the audit that produces a backfill
+    worklist instead of silently short time series.
+
+    The spine is days × keys (thousands of rows regardless of fact
+    size, from one min/max aggregate broadcast into a generator), so
+    the join is broadcast-small against the distinct-day table — the
+    fact table is scanned once for bounds+distinct and never again.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    bounds = ev.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    have = ev.select("event_type", day.alias("day")).distinct()
+    h = have.withColumnRenamed("day", "hday").withColumnRenamed(
+        "event_type", "hevent_type"
+    )
+    j = spine.join(
+        h,
+        (F.col("event_type") == F.col("hevent_type"))
+        & (F.col("day") == F.col("hday")),
+        "left",
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_expected"),
+        F.sum(F.when(F.col("hday").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+        F.min(F.when(F.col("hday").isNull(), F.col("day"))).alias(
+            "first_missing"
+        ),
+    )
+
+
+TT_VERSIONS = 3  #: snapshot versions kept by the time-travel fixture
+
+
+@query(
+    "etl_time_travel",
+    oracle=f"""
+    WITH v AS (SELECT unnest(generate_series(0, {TT_VERSIONS - 1}))
+                   AS version)
+    SELECT v.version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN c_acctbal * (100 + 5 * v.version) / 100.0
+                              > 5000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high_balance
+    FROM v CROSS JOIN customer
+    GROUP BY v.version
+    """,
+)
+def etl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning + time travel on plain parquet: each write
+    lands in an immutable ``v=N`` directory and readers pin a version —
+    the manual form of a transactional format's ``VERSION AS OF``,
+    giving reproducible training runs ("data as of run 17") without
+    any table-format dependency.
+
+    Version dirs are written once (idempotent fixture: version N holds
+    the base table with a 5·N% balance uplift), then ALL versions are
+    read back through one partitioned scan (``v`` is a partition
+    column, so a single-version read prunes to one directory — the
+    exact pruning a time-travel reader needs).  The audit compares a
+    balance predicate across versions — the "what changed between
+    snapshots" question time travel exists to answer.
+    """
+    from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir
+
+    root = fixture_dir(sf_dir, "time_travel")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    for ver in range(TT_VERSIONS):
+        vdir = os.path.join(root, f"v={ver}")
+        if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            (
+                base.select(
+                    "c_custkey",
+                    (
+                        F.col("c_acctbal") * (100 + 5 * ver) / 100.0
+                    ).alias("c_acctbal"),
+                ).write.mode("overwrite").parquet(vdir)
+            )
+    snaps = spark.read.option("basePath", root).parquet(
+        *[os.path.join(root, f"v={ver}") for ver in range(TT_VERSIONS)]
+    )
+    return snaps.groupBy(F.col("v").cast("long").alias("version")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high_balance"),
+    )
+
+
+@query(
+    "etl_write_audit_publish",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (WAP): land the batch in a staging directory,
+    run audits against it (row-count reconciliation vs the source, key
+    null check), and only then atomically promote staging to the
+    published path — the pattern that keeps consumers from ever reading
+    a half-validated load.
+
+    The audits are Spark aggregates over the STAGED files (auditing
+    what was actually written, not what was meant to be written —
+    that's the point of WAP); the publish step is one directory rename,
+    the same primitive a transactional format's commit wraps.  Readers
+    only ever see the published path, which the oracle aggregates
+    through the source definition.
+    """
+    import shutil
+
+    from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir
+
+    root = fixture_dir(sf_dir, "wap")
+    staging = os.path.join(root, "staging")
+    published = os.path.join(root, "published")
+
+    if not os.path.exists(os.path.join(published, "_SUCCESS")):
+        src = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        src.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        # The audit verdict is a driver-side scalar by nature (it gates
+        # a filesystem publish); counts keep it to aggregate actions —
+        # no row materialization ever leaves the cluster.
+        n_staged = staged.count()
+        n_null = staged.filter(F.col("o_orderkey").isNull()).count()
+        expected = src.count()
+        if n_staged != expected or n_null != 0:
+            raise RuntimeError(
+                f"WAP audit failed: staged={n_staged} expected={expected} "
+                f"null_keys={n_null} — staging NOT published"
+            )
+        shutil.rmtree(published, ignore_errors=True)
+        os.rename(staging, published)
+
+    back = spark.read.parquet(published)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )

@@ -1038,3 +1038,106 @@ def graph_edge_support_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return support.orderBy(
         F.desc("support"), F.asc("u"), F.asc("v")
     ).limit(EDGE_SUPPORT_TOPK)
+
+
+KCORE_ROUNDS = 2
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey),
+    d0 AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+           GROUP BY node),
+    kv AS (SELECT CAST(sum(d) // count(*) AS BIGINT) AS k FROM d0),
+    keep0 AS (SELECT node FROM d0, kv WHERE d >= k),
+    e1 AS (SELECT u, v FROM e0
+           WHERE u IN (SELECT node FROM keep0)
+             AND v IN (SELECT node FROM keep0)),
+    d1 AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+           GROUP BY node),
+    keep1 AS (SELECT node FROM d1, kv WHERE d >= k),
+    e2 AS (SELECT u, v FROM e1
+           WHERE u IN (SELECT node FROM keep1)
+             AND v IN (SELECT node FROM keep1)),
+    d2 AS (SELECT node FROM (SELECT u AS node FROM e2
+                             UNION ALL SELECT v FROM e2)
+           GROUP BY node)
+    SELECT 0 AS round, (SELECT count(*) FROM d0) AS n_nodes,
+           (SELECT count(*) FROM e0) AS n_edges, kv.k AS k FROM kv
+    UNION ALL
+    SELECT 1, (SELECT count(*) FROM d1), (SELECT count(*) FROM e1), kv.k
+    FROM kv
+    UNION ALL
+    SELECT 2, (SELECT count(*) FROM d2), (SELECT count(*) FROM e2), kv.k
+    FROM kv
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling, {KCORE_ROUNDS} rounds: repeatedly drop nodes with
+    degree below k and the edges they carry — the densification step
+    that separates a graph's cohesive core from its periphery (and the
+    iteration inside full core decomposition).
+
+    k is data-derived as the floor of the mean degree (pure integer
+    ``sum(d) div count``), so the op peels meaningfully at every scale
+    factor instead of pinning a constant that only bites at one SF.
+    Each round is one degree aggregate plus two semi-joins of the edge
+    list against the survivor set — linear passes; rounds are unrolled
+    into the plan, state between rounds is the edge list itself.
+    """
+    deg, oriented, adj = _copurchase_oriented(spark, sf_dir)
+    edges = oriented.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    )
+    kv = deg.agg(
+        F.expr("CAST(sum(d) div count(*) AS BIGINT)").alias("k")
+    )
+
+    def degrees(e):
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    rows = []
+    e_cur = edges
+    d_cur = deg.select("node", "d")
+    for rnd in range(KCORE_ROUNDS + 1):
+        stat = (
+            d_cur.agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(e_cur.agg(F.count(F.lit(1)).alias("n_edges")))
+            .crossJoin(F.broadcast(kv))
+            .select(
+                F.lit(rnd).cast("int").alias("round"),
+                "n_nodes",
+                "n_edges",
+                "k",
+            )
+        )
+        rows.append(stat)
+        if rnd == KCORE_ROUNDS:
+            break
+        keep = d_cur.crossJoin(F.broadcast(kv)).filter(
+            F.col("d") >= F.col("k")
+        ).select("node")
+        e_cur = (
+            e_cur.join(
+                keep.withColumnRenamed("node", "u"), "u", "left_semi"
+            ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+        ).persist()
+        d_cur = degrees(e_cur)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -721,3 +721,94 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+OVL_A_DAYS = 14  #: set-A campaign length
+OVL_B_DAYS = 10  #: set-B campaign length
+OVL_BLOCK = 16  #: day-block width (≥ both lengths ⇒ ≤2 blocks/interval)
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_orderkey AS a_id,
+               CAST(o_orderdate AS DATE) AS a_start,
+               CAST(o_orderdate AS DATE) + CAST({OVL_A_DAYS} AS INTEGER)
+                   AS a_end
+        FROM orders WHERE o_orderkey % 97 = 0),
+    b AS (
+        SELECT o_orderkey AS b_id,
+               CAST(o_orderdate AS DATE) AS b_start,
+               CAST(o_orderdate AS DATE) + CAST({OVL_B_DAYS} AS INTEGER)
+                   AS b_end
+        FROM orders WHERE o_orderkey % 89 = 0)
+    SELECT a_id, b_id,
+           CAST(date_diff('day', greatest(a_start, b_start),
+                          least(a_end, b_end)) AS BIGINT) AS overlap_days
+    FROM a JOIN b
+      ON a_start < b_end AND b_start < a_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: every pair of campaigns (set A × set B)
+    whose date ranges intersect, with the overlap length — the schedule-
+    conflict / concurrent-exposure query.
+
+    Same bucketing rewrite as ``join_range_interval``, plus the
+    dedup-free attribution trick: each interval lands in the ≤2 day
+    blocks it touches, the equi-join on block proposes candidates, and
+    a pair is COUNTED ONLY in the block containing its overlap start
+    (``max(a_start, b_start)`` lies inside both intervals, so exactly
+    one shared block owns the pair) — no DISTINCT pass over the
+    candidate set, which at scale is the difference between one shuffle
+    and two.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    ed = F.datediff(day, F.lit("1970-01-01").cast("date"))
+
+    def intervals(modulus, days, p):
+        iv = o.filter(F.col("o_orderkey") % modulus == 0).select(
+            F.col("o_orderkey").alias(f"{p}_id"),
+            day.alias(f"{p}_start"),
+            F.date_add(day, days).alias(f"{p}_end"),
+            ed.alias(f"{p}_ed"),
+        )
+        return iv.select(
+            f"{p}_id",
+            f"{p}_start",
+            f"{p}_end",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(F.col(f"{p}_ed") / OVL_BLOCK),
+                        F.floor((F.col(f"{p}_ed") + days - 1) / OVL_BLOCK),
+                    )
+                )
+            ).alias("block"),
+        )
+
+    a = intervals(97, OVL_A_DAYS, "a")
+    b = intervals(89, OVL_B_DAYS, "b")
+    ov_start = F.greatest(F.col("a_start"), F.col("b_start"))
+    own_block = F.floor(
+        F.datediff(ov_start, F.lit("1970-01-01").cast("date")) / OVL_BLOCK
+    )
+    return (
+        a.join(b, "block")
+        .filter(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+            & (own_block == F.col("block"))
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.datediff(
+                F.least(F.col("a_end"), F.col("b_end")), ov_start
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+    )

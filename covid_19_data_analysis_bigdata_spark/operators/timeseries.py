@@ -1323,3 +1323,96 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
     )
     return m.select("lag", "n", F.round(num / den, 6).alias("xcorr"))
+
+
+@query(
+    "ts_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily0 AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events
+        GROUP BY 1, 2),
+    daily AS (
+        SELECT event_type, day, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   AS rn
+        FROM daily0),
+    r AS (
+        SELECT event_type, rn, day, cents,
+               CAST(cents AS DOUBLE) AS lev,
+               CAST(0 AS DOUBLE)     AS trend
+        FROM daily WHERE rn = 1
+        UNION ALL
+        SELECT d.event_type, d.rn, d.day, d.cents,
+               d.cents / 2 + (r.lev + r.trend) / 2,
+               (d.cents / 2 + (r.lev + r.trend) / 2 - r.lev) / 2
+                   + r.trend / 2
+        FROM daily d JOIN r ON d.event_type = r.event_type
+                           AND d.rn = r.rn + 1),
+    last AS (
+        SELECT event_type, lev, trend,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY rn DESC) AS k
+        FROM r)
+    SELECT event_type,
+           round(lev, 6)               AS level,
+           round(trend, 6)             AS trend,
+           round(lev + 7 * trend, 6)   AS forecast_7d
+    FROM last WHERE k = 1
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing with α = β = ½ and a
+    7-step-ahead forecast — trend-aware forecasting one rung above the
+    EWMA, the workhorse for capacity projections.
+
+    Same exactness device as ``ts_ewma_halflife``: both smoothing
+    constants are ½, so every recurrence step is halvings and adds —
+    Spark's array fold and the oracle's recursive CTE execute the
+    identical IEEE op sequence, state stays bit-equal, and only the
+    final level/trend round at 6 dp.  Distribution shape: one daily
+    aggregate, one per-key calendar-bounded fold.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    per = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("s")
+    )
+    acc0 = F.expr(
+        "named_struct('i', CAST(0 AS INT), 'lev', CAST(0 AS DOUBLE), "
+        "'trend', CAST(0 AS DOUBLE))"
+    )
+
+    def step(acc, x):
+        first = acc["i"] == 0
+        lev = F.when(first, x["cents"].cast("double")).otherwise(
+            x["cents"] / 2 + (acc["lev"] + acc["trend"]) / 2
+        )
+        trend = F.when(first, F.lit(0.0)).otherwise(
+            (lev - acc["lev"]) / 2 + acc["trend"] / 2
+        )
+        return F.struct(
+            (acc["i"] + 1).alias("i"), lev.alias("lev"), trend.alias("trend")
+        )
+
+    folded = per.select(
+        "event_type", F.aggregate("s", acc0, step).alias("f")
+    )
+    return folded.select(
+        "event_type",
+        F.round(F.col("f.lev"), 6).alias("level"),
+        F.round(F.col("f.trend"), 6).alias("trend"),
+        F.round(F.col("f.lev") + 7 * F.col("f.trend"), 6).alias(
+            "forecast_7d"
+        ),
+    )

@@ -268,7 +268,8 @@ class TestOracleTypeLattice:
         from check import type_problems
 
         rel = duckdb.connect().sql(
-            "SELECT CAST(sum(x) AS BIGINT) AS s, 'a' AS t, 1.5 AS d "
+            "SELECT CAST(sum(x) AS BIGINT) AS s, 'a' AS t, "
+            "CAST(1.5 AS DOUBLE) AS d "
             "FROM (SELECT CAST(1 AS BIGINT) AS x)"
         )
         sch = T.StructType(

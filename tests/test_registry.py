@@ -210,6 +210,12 @@ EXPECTED_IDS = {
     # DISTRIBUTE/SORT BY, LATERAL VIEW)
     "sql_star_except", "sql_window_clause", "sql_distribute_sort_by",
     "sql_lateral_view_explode",
+    # round-5 batch 10: Holt trend smoothing, calendar gap audit,
+    # parquet snapshot time travel, write-audit-publish
+    "ts_holt_linear", "etl_backfill_gaps", "etl_time_travel",
+    "etl_write_audit_publish",
+    # round-5 batch 11: interval-overlap join + k-core peeling
+    "join_interval_overlap", "graph_kcore_peel",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
