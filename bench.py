@@ -66,6 +66,11 @@ HEADLINE = [
     "agg_bitmap_distinct",  # mergeable exact-distinct bitmaps (round-4 batch)
     "llm_ann_ivfpq",        # composed IVFADC flagship (round-4 batch)
     "ml_pca_power",         # fixed-point power-iteration PCA (round-4 batch)
+    "llm_knn_join",         # both-sides-large blocked k-NN join (round-5)
+    "graph_edge_support_topk",  # per-edge triangle support (round-5)
+    "agg_corr_matrix",      # one-pass decimal-exact corr matrix (round-5)
+    "etl_merge_into",       # MERGE rewrite + managed-table round-trip (round-5)
+    "llm_ann_range_search",  # exact radius search w/ cell pruning (round-5)
 ]
 
 

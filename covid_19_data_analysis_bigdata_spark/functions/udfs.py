@@ -420,3 +420,43 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL explode_props(event_id, props) f
         """
     )
+
+
+@query(
+    "udf_arrow_optimized",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(len(string_split(o_orderpriority, '-')) AS BIGINT)
+               AS n_parts,
+           upper(o_orderpriority) AS pri_upper
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``useArrow=True``): the same scalar
+    signature as the classic pickled UDF, but arguments and results
+    cross the JVM↔Python boundary as Arrow record batches instead of
+    per-row pickles — the Spark ≥3.5 middle ground between
+    ``udf_python_scalar`` (row serialization, the documented
+    anti-pattern) and ``@pandas_udf`` (explicit Series API).
+
+    Sits in the same plan position as any Python UDF (a batch-transfer
+    eval node, never fused into codegen), so the rule stands: built-ins
+    first, Arrow transfer when Python is unavoidable.
+    """
+
+    @F.udf("n_parts bigint, pri_upper string", useArrow=True)
+    def split_pri(p: str):
+        return (len(p.split("-")), p.upper())
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", split_pri("o_orderpriority").alias("s"))
+        .select(
+            "o_orderkey",
+            F.col("s.n_parts").alias("n_parts"),
+            F.col("s.pri_upper").alias("pri_upper"),
+        )
+    )

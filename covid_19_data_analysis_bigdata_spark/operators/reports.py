@@ -1428,3 +1428,58 @@ def report_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue_cents").cast("double") / F.col("t"), 4
         ).alias("revenue_share"),
     )
+
+
+@query(
+    "report_order_gap_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT c.c_mktsegment AS segment,
+               date_diff('day',
+                         lag(CAST(o.o_orderdate AS DATE))
+                             OVER (PARTITION BY o.o_custkey
+                                   ORDER BY o.o_orderdate, o.o_orderkey),
+                         CAST(o.o_orderdate AS DATE)) AS gap_days
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT segment,
+           CAST(count(gap_days) AS BIGINT)          AS n_gaps,
+           round(avg(gap_days), 6)                  AS mean_gap,
+           round(quantile_cont(gap_days, 0.50), 6)  AS median_gap,
+           round(quantile_cont(gap_days, 0.90), 6)  AS p90_gap
+    FROM gaps
+    GROUP BY segment
+    """,
+)
+def report_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval profile: days between consecutive orders
+    per customer, summarized per market segment — the number behind
+    replenishment-cycle and churn-risk thresholds ("90% of SEGMENT
+    customers reorder within N days").
+
+    One window lag per customer (hash partition on the customer key)
+    feeding a per-segment percentile aggregate over integer day gaps;
+    both engines interpolate quantiles identically over exact
+    integers.  The dimension join is broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    day = F.col("o_orderdate").cast("date")
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff(day, F.lag(day).over(w)).alias("gap_days"),
+        )
+        .join(
+            F.broadcast(
+                c.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return gaps.groupBy("segment").agg(
+        F.count("gap_days").alias("n_gaps"),
+        F.round(F.avg("gap_days"), 6).alias("mean_gap"),
+        F.round(F.percentile("gap_days", F.lit(0.50)), 6).alias("median_gap"),
+        F.round(F.percentile("gap_days", F.lit(0.90)), 6).alias("p90_gap"),
+    )

@@ -2058,3 +2058,125 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= KNN_JOIN_K)
         .drop("rk")
     )
+
+
+CALIB_PERMS = 16  #: portable MinHash permutations for the calibration op
+
+
+def _calib_minhash_sql() -> str:
+    """DuckDB list of {CALIB_PERMS} portable MinHash values per doc —
+    polynomial base hash (engine-portable, see _POLY_SQL) pushed
+    through affine permutations mod MOD."""
+    ph = _POLY_SQL.format(col="s")
+    mins = ", ".join(
+        f"list_aggregate(list_transform(phs, "
+        f"p -> (p * {2 * i + 3} + {7 * i}) % {MOD}), 'min')"
+        for i in range(CALIB_PERMS)
+    )
+    return f"""
+    sh AS (
+        SELECT doc_id,
+               list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                              for i in generate_series(1, len(words)-2)])
+                   AS shingles
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents)
+        WHERE len(words) >= 3),
+    mh AS (
+        SELECT doc_id, shingles,
+               [{mins}] AS mhs
+        FROM (SELECT doc_id, shingles,
+                     list_transform(shingles, s -> {ph}) AS phs
+              FROM sh WHERE len(shingles) > 0))
+    """
+
+
+@query(
+    "llm_minhash_calibration",
+    oracle=f"""
+    WITH {_calib_minhash_sql()}
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_filter(range(1, {CALIB_PERMS} + 1),
+                                i -> a.mhs[i] = b.mhs[i])) AS BIGINT)
+               AS n_match,
+           round(len(list_filter(range(1, {CALIB_PERMS} + 1),
+                                 i -> a.mhs[i] = b.mhs[i]))
+                 / {CALIB_PERMS}.0, 6) AS est_jaccard,
+           round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6)
+               AS exact_jaccard
+    FROM mh a JOIN mh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for a deterministic pair sample
+    (adjacent doc ids), the {CALIB_PERMS}-permutation MinHash Jaccard
+    estimate next to the exact Jaccard — the audit that tells you
+    whether your permutation count is adequate BEFORE you trust an LSH
+    dedup sweep's thresholds at corpus scale.
+
+    Uses the engine-portable polynomial hash pushed through affine
+    permutations (mod 1e9+7) so both engines compute identical
+    signatures — unlike xxhash64, which only Spark has.  One shingle
+    pass per doc, minhashes as array math, one equijoin on the id
+    shift; everything integer until the two final divisions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shingles = _shingles(_words())
+    sh = d.select("doc_id", shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    phs = F.transform(F.col("shingles"), _polyhash)
+    mh = sh.select(
+        "doc_id",
+        "shingles",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        phs,
+                        # single-param lambda with captured literals — a
+                        # two-param lambda would receive the ARRAY INDEX
+                        # as its second argument and shadow the
+                        # permutation constant.
+                        (lambda mult, add: lambda p: (p * mult + add) % MOD)(
+                            2 * i + 3, 7 * i
+                        ),
+                    )
+                )
+                for i in range(CALIB_PERMS)
+            ]
+        ).alias("mhs"),
+    )
+    a = mh.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("shingles").alias("sa"),
+        F.col("mhs").alias("ma"),
+    )
+    b = mh.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("shingles").alias("sb"),
+        F.col("mhs").alias("mb"),
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("ma"), F.col("mb"), lambda x, y: x == y),
+            lambda t: t,
+        )
+    ).cast("long")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (
+        a.join(b, F.col("b_id") == F.col("a_id") + 1)
+        .select(
+            "a_id",
+            "b_id",
+            n_match.alias("n_match"),
+            F.round(n_match / CALIB_PERMS, 6).alias("est_jaccard"),
+            F.round(
+                inter
+                / (F.size("sa") + F.size("sb") - inter).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )

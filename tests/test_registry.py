@@ -216,6 +216,9 @@ EXPECTED_IDS = {
     "etl_write_audit_publish",
     # round-5 batch 11: interval-overlap join + k-core peeling
     "join_interval_overlap", "graph_kcore_peel",
+    # round-5 batch 12: Arrow UDF, MinHash calibration, order-gap report
+    "udf_arrow_optimized", "llm_minhash_calibration",
+    "report_order_gap_stats",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
