@@ -1141,3 +1141,114 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+@query(
+    "ml_decision_stump",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT)   AS s
+        FROM pts),
+    grp AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS s
+        FROM pts GROUP BY x),
+    pre AS (
+        SELECT x,
+               CAST(sum(c) OVER (ORDER BY x
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS nl,
+               CAST(sum(s) OVER (ORDER BY x
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS sl
+        FROM grp),
+    scored AS (
+        SELECT p.x AS split_x, p.nl, p.sl,
+               t.n - p.nl AS nr, t.s - p.sl AS sr,
+               -- between-group sum of squares gain, exact rationals
+               -- compared via doubles of exact integers:
+               (CAST(p.sl AS DOUBLE) * p.sl / p.nl
+                + CAST(t.s - p.sl AS DOUBLE) * (t.s - p.sl) / (t.n - p.nl)
+                - CAST(t.s AS DOUBLE) * t.s / t.n) AS gain
+        FROM pre p CROSS JOIN tot t
+        WHERE p.nl < t.n)
+    SELECT split_x, nl AS n_left, nr AS n_right,
+           round(CAST(sl AS DOUBLE) / nl / 100, 4)  AS mean_left,
+           round(CAST(sr AS DOUBLE) / nr / 100, 4)  AS mean_right,
+           round(gain / 10000, 4)                   AS sse_gain_dollars2
+    FROM scored
+    ORDER BY gain DESC, split_x
+    LIMIT 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 regression tree (decision stump): the single split of
+    ``quantity`` that most reduces the SSE of ``price`` — the inner
+    step of gradient-boosted tree training, expressed as the histogram
+    dataflow every distributed GBDT (XGBoost/LightGBM on Spark) uses.
+
+    Shape: per-distinct-value aggregate (the "histogram" — shuffle
+    carries distinct feature values, not rows), one prefix-sum window
+    over the value-sorted histogram, and an argmax.  SSE gain uses the
+    identity  gain = Σl²/nl + Σr²/nr − Σ²/n  over exact integer sums,
+    so the split decision is numerically identical in both engines;
+    only the reported means/gain round.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    tot = pts.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    grp = pts.groupBy("x").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("sy")
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = grp.select(
+        "x",
+        F.sum("c").over(w).alias("nl"),
+        F.sum("sy").over(w).alias("sl"),
+    )
+    d = F.col
+    scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(d("nl") < d("n"))
+        .select(
+            d("x").alias("split_x"),
+            d("nl"),
+            (d("n") - d("nl")).alias("nr"),
+            d("sl"),
+            (d("s") - d("sl")).alias("sr"),
+            (
+                d("sl").cast("double") * d("sl") / d("nl")
+                + (d("s") - d("sl")).cast("double")
+                * (d("s") - d("sl"))
+                / (d("n") - d("nl"))
+                - d("s").cast("double") * d("s") / d("n")
+            ).alias("gain"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("gain"), F.asc("split_x"))
+        .limit(1)
+        .select(
+            "split_x",
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.round(F.col("sl").cast("double") / F.col("nl") / 100, 4).alias(
+                "mean_left"
+            ),
+            F.round(F.col("sr").cast("double") / F.col("nr") / 100, 4).alias(
+                "mean_right"
+            ),
+            F.round(F.col("gain") / 10000, 4).alias("sse_gain_dollars2"),
+        )
+    )

@@ -1483,3 +1483,103 @@ def report_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_days", F.lit(0.50)), 6).alias("median_gap"),
         F.round(F.percentile("gap_days", F.lit(0.90)), 6).alias("p90_gap"),
     )
+
+
+@query(
+    "report_ab_test_lift",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS BIGINT) AS n_purch
+        FROM events
+        GROUP BY user_id),
+    med AS (SELECT quantile_cont(n_purch, 0.5) AS m FROM per_user),
+    assign AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'treatment'
+                    ELSE 'control' END AS arm,
+               CAST(CASE WHEN n_purch > m THEN 1 ELSE 0 END AS BIGINT)
+                   AS converted
+        FROM per_user CROSS JOIN med),
+    arms AS (
+        SELECT arm,
+               CAST(count(*) AS BIGINT)       AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted
+        FROM assign GROUP BY arm),
+    wide AS (
+        SELECT max(CASE WHEN arm = 'treatment' THEN n_users END)     AS nt,
+               max(CASE WHEN arm = 'treatment' THEN n_converted END) AS ct,
+               max(CASE WHEN arm = 'control' THEN n_users END)       AS nc,
+               max(CASE WHEN arm = 'control' THEN n_converted END)   AS cc
+        FROM arms)
+    SELECT nt AS n_treatment, ct AS conv_treatment,
+           nc AS n_control,   cc AS conv_control,
+           round(CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc, 6)
+               AS abs_lift,
+           round((CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc)
+                 / sqrt(CAST(ct + cc AS DOUBLE) / (nt + nc)
+                        * (1 - CAST(ct + cc AS DOUBLE) / (nt + nc))
+                        * (1.0 / nt + 1.0 / nc)), 6) AS z_score
+    FROM wide
+    """,
+)
+def report_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout: conversion lift between a
+    deterministic hash split of users, with the pooled two-proportion
+    z-score — the launch/no-launch number of every experimentation
+    pipeline.
+
+    "Converted" is purchase count strictly above the population median
+    — a self-calibrating definition that yields a non-degenerate rate
+    at every scale factor (a fixed threshold saturates at 0% or 100%
+    somewhere, making the pooled variance zero).  Per-user counts are
+    one hash aggregate, the median is one broadcast scalar, and the z
+    statistic is scalar math on exact integer counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "n_purch"
+        )
+    )
+    med = per_user.agg(
+        F.percentile("n_purch", F.lit(0.5)).alias("m")
+    )
+    assign = per_user.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("treatment"))
+        .otherwise(F.lit("control"))
+        .alias("arm"),
+        F.when(F.col("n_purch") > F.col("m"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("converted"),
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "treatment", F.col("n_users"))).alias("nt"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n_converted"))).alias("ct"),
+        F.max(F.when(F.col("arm") == "control", F.col("n_users"))).alias("nc"),
+        F.max(F.when(F.col("arm") == "control", F.col("n_converted"))).alias("cc"),
+    )
+    pt = F.col("ct").cast("double") / F.col("nt")
+    pc = F.col("cc").cast("double") / F.col("nc")
+    pp = (F.col("ct") + F.col("cc")).cast("double") / (
+        F.col("nt") + F.col("nc")
+    )
+    return wide.select(
+        F.col("nt").alias("n_treatment"),
+        F.col("ct").alias("conv_treatment"),
+        F.col("nc").alias("n_control"),
+        F.col("cc").alias("conv_control"),
+        F.round(pt - pc, 6).alias("abs_lift"),
+        F.round(
+            (pt - pc)
+            / F.sqrt(
+                pp * (1 - pp) * (1.0 / F.col("nt") + 1.0 / F.col("nc"))
+            ),
+            6,
+        ).alias("z_score"),
+    )

@@ -2180,3 +2180,83 @@ def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+PREFIX_DUP_MIN = 16  #: chars of shared prefix that flag a near-dup start
+
+
+@query(
+    "llm_prefix_dup_scan",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT doc_id, text,
+               substring(text, 1, {PREFIX_DUP_MIN}) AS bucket,
+               lead(doc_id) OVER (PARTITION BY substring(text, 1, {PREFIX_DUP_MIN})
+                                  ORDER BY text, doc_id) AS next_id,
+               lead(text)   OVER (PARTITION BY substring(text, 1, {PREFIX_DUP_MIN})
+                                  ORDER BY text, doc_id) AS next_text
+        FROM documents),
+    pairs AS (
+        SELECT doc_id AS a_id, next_id AS b_id,
+               CAST(CASE WHEN coalesce(list_position(
+                              list_transform(
+                                  generate_series(1, least(len(text),
+                                                           len(next_text))),
+                                  i -> CASE WHEN substring(text, i, 1)
+                                            = substring(next_text, i, 1)
+                                       THEN 1 ELSE 0 END), 0), 0) = 0
+                         THEN least(len(text), len(next_text))
+                         ELSE list_position(
+                              list_transform(
+                                  generate_series(1, least(len(text),
+                                                           len(next_text))),
+                                  i -> CASE WHEN substring(text, i, 1)
+                                            = substring(next_text, i, 1)
+                                       THEN 1 ELSE 0 END), 0) - 1
+                    END AS BIGINT) AS prefix_len
+        FROM ordered WHERE next_id IS NOT NULL)
+    SELECT a_id, b_id, prefix_len
+    FROM pairs
+    WHERE prefix_len >= {PREFIX_DUP_MIN}
+    """,
+)
+def llm_prefix_dup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplication screen: sorted-neighbor pairs sharing at least
+    {PREFIX_DUP_MIN} leading characters — the cheap first-pass that
+    catches templated page heads and re-crawled articles before any
+    shingle machinery runs.
+
+    Scale-correct sorted-neighbor: the window partitions on the first
+    {PREFIX_DUP_MIN} characters (any pair at or above the threshold
+    shares that prefix, so bucketing loses nothing) — a hash partition
+    per bucket instead of the single-task global sort a naive
+    ``ORDER BY text`` window costs.  The common-prefix length is char-
+    array zip math on MATERIALIZED arrays (an indexed lambda over the
+    raw column would make Catalyst re-evaluate the string per position).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring("text", 1, PREFIX_DUP_MIN)
+    w = Window.partitionBy(bucket).orderBy("text", "doc_id")
+    ordered = d.select(
+        "doc_id",
+        "text",
+        F.lead("doc_id").over(w).alias("next_id"),
+        F.lead("text").over(w).alias("next_text"),
+    ).filter(F.col("next_id").isNotNull())
+    pairs = ordered.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("next_id").alias("b_id"),
+        F.zip_with(
+            F.split(F.col("text"), ""),
+            F.split(F.col("next_text"), ""),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ).alias("eq"),
+    )
+    first_zero = F.array_position(F.col("eq"), 0)
+    prefix_len = (
+        F.when(first_zero == 0, F.size("eq")).otherwise(first_zero - 1)
+    ).cast("long")
+    return (
+        pairs.select("a_id", "b_id", prefix_len.alias("prefix_len"))
+        .filter(F.col("prefix_len") >= PREFIX_DUP_MIN)
+    )

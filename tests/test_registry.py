@@ -219,6 +219,8 @@ EXPECTED_IDS = {
     # round-5 batch 12: Arrow UDF, MinHash calibration, order-gap report
     "udf_arrow_optimized", "llm_minhash_calibration",
     "report_order_gap_stats",
+    # round-5 batch 13: GBDT stump, A/B z-test, prefix-dup screen
+    "ml_decision_stump", "report_ab_test_lift", "llm_prefix_dup_scan",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
