@@ -1006,7 +1006,10 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             pairs.append((a, b))
     m = base.agg(*aggs)
-    rows = []
+    # All six correlations as columns of the ONE aggregate row, then
+    # stack() to unpivot — a union of per-pair selects would duplicate
+    # the whole aggregate subtree (and its scan) once per pair.
+    corr_cols = []
     for a, b in pairs:
         n = F.col("n").cast("double")
         num = n * F.col(f"q_{a}_{b}").cast("double") - F.col(
@@ -1024,14 +1027,13 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.col(f"s_{b}").cast("double")
             )
         )
-        rows.append(
-            m.select(
-                F.lit(a).alias("var_x"),
-                F.lit(b).alias("var_y"),
-                F.round(num / den, 6).alias("corr"),
-            )
+        corr_cols.append(F.round(num / den, 6).alias(f"corr_{a}_{b}"))
+    wide = m.select(*corr_cols)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', corr_{a}_{b}" for a, b in pairs
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (var_x, var_y, corr)"
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    )

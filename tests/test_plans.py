@@ -465,3 +465,42 @@ def test_merge_into_joins_on_key_no_cartesian(spark, sf_dir):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_interval_join_is_equijoin_on_block(spark, sf_dir):
+    """The interval joins must plan as hash equijoins on the day-block
+    key with the range predicate as a post-filter — never a
+    BroadcastNestedLoopJoin over the raw theta condition."""
+    for name in ("join_range_interval", "join_interval_overlap"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_knn_join_stays_blocked(spark, sf_dir):
+    """llm_knn_join must run through the block-pair applyInPandas
+    kernel (FlatMapGroupsInPandas) — the corpus×corpus join must never
+    materialize as a row-level join."""
+    plan = _plan(spark, sf_dir, "llm_knn_join")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_dup_scan_partitions_by_bucket(spark, sf_dir):
+    """The sorted-neighbor window must hash-partition on the prefix
+    bucket, not sort globally in one task (no Window over an empty
+    partition spec)."""
+    plan = _plan(spark, sf_dir, "llm_prefix_dup_scan")
+    assert "hashpartitioning(substring" in plan.replace(" ", "").lower() or (
+        "hashpartitioning" in plan
+    )
+
+
+def test_corr_matrix_single_aggregate_pass(spark, sf_dir):
+    """agg_corr_matrix computes all 14 moments in ONE aggregation over
+    the fact table; the 6 output rows must not re-scan lineitem six
+    times (union of projections over one aggregate, so ≤2 scans after
+    plan reuse, not 6)."""
+    plan = _plan(spark, sf_dir, "agg_corr_matrix")
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 2, f"corr matrix re-scans the fact table: {n_scans}"
