@@ -213,8 +213,19 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — the same linear shape however large training gets.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", _shingles(_words()).alias("shingles")).filter(
-        F.size("shingles") > 0
+    sh = (
+        # Two-step projection: materialize the word array BEFORE the
+        # shingle transform (an unmaterialized split inside the indexed
+        # lambda re-tokenizes the document per position — the known
+        # O(len²) Catalyst inlining trap), and persist — the frame
+        # feeds the eval set, the train explode, AND the final join,
+        # which unpersisted meant three full shingling passes (the
+        # round-5 bench isolation showed 22 s/run at sf0.1 for what is
+        # one ~2 s computation).
+        d.select("doc_id", _words().alias("words"))
+        .select("doc_id", _shingles(F.col("words")).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist()
     )
     eval_set = (
         sh.filter(F.col("doc_id") < EVAL_DOCS)
@@ -366,8 +377,16 @@ def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_ids, "content_hash"
     )
 
-    sh = d.select("doc_id", _shingles(words).alias("shingles")).filter(
-        F.size("shingles") > 0
+    sh = (
+        # Materialized-words projection + persist: the shingle frame
+        # feeds both the eval set and the train-side hit count, and an
+        # unmaterialized tokenizer inside the shingle lambda re-splits
+        # the document per position (the same O(len²) inlining trap
+        # fixed in llm_decontaminate — 16 s/run at sf0.1 before).
+        d.select("doc_id", words.alias("w"))
+        .select("doc_id", _shingles(F.col("w")).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist()
     )
     eval_set = (
         sh.filter(F.col("doc_id") < EVAL_DOCS)

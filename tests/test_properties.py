@@ -136,9 +136,14 @@ def test_ivf_neighbors_come_from_probed_cells_only(spark, sf_dir):
         assert len(cells) <= 2  # nprobe = 2
 
 
-def test_simhash_fingerprint_fits_24_bits(spark, sf_dir):
+def test_simhash_fingerprint_fits_declared_bits(spark, sf_dir):
+    from covid_19_data_analysis_bigdata_spark.operators.textprep import (
+        SIMHASH_BITS,
+    )
+
     for r in _q(spark, sf_dir, "llm_dedup_simhash").collect():
-        assert 0 <= r["simhash"] < (1 << 24)
+        assert 0 <= r["simhash"] < (1 << SIMHASH_BITS)
+        assert r["n_cands_multi"] >= 0
 
 
 def test_lang_id_confusion_covers_all_docs(spark, sf_dir):
