@@ -1252,3 +1252,350 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("gain") / 10000, 4).alias("sse_gain_dollars2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Connected components via hash-min label propagation (round 5)
+# --------------------------------------------------------------------------
+
+CC_ITERS = 8
+
+
+def _cc_iter_sql(i: int) -> str:
+    """One unrolled hash-min round: every node keeps the min of its own
+    label and its neighbors' labels from the previous round.
+
+    ``MATERIALIZED`` is load-bearing: DuckDB inlines CTEs by default,
+    and each round references the previous one twice (own label +
+    neighbor messages), so without it the plan expands 2^ITERS copies
+    of the edge build.
+    """
+    return f"""
+    lab{i + 1} AS MATERIALIZED (
+        SELECT node, min(label) AS label
+        FROM (SELECT node, label FROM lab{i}
+              UNION ALL
+              SELECT e.v AS node, l.label
+              FROM ed e JOIN lab{i} l ON l.node = e.u)
+        GROUP BY node)
+    """
+
+
+@query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ed AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey <> b.l_partkey),
+    lab0 AS MATERIALIZED (
+        SELECT DISTINCT l_partkey AS node, l_partkey AS label FROM items),
+    {",".join(_cc_iter_sql(i) for i in range(CC_ITERS))}
+    , comp AS (
+        SELECT label, count(*) AS component_size
+        FROM lab{CC_ITERS} GROUP BY label)
+    SELECT CAST(component_size AS BIGINT) AS component_size,
+           CAST(count(*) AS BIGINT)       AS n_components
+    FROM comp GROUP BY component_size
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase part graph by hash-min
+    label propagation — the membership primitive the registry's BFS
+    (distance), PageRank (importance), and triangle (clustering) probes
+    reference, and the same dataflow the fuzzy-dedup cluster step uses
+    at corpus scale.
+
+    The operator is *defined* as exactly {CC_ITERS} hash-min rounds
+    (min label within {CC_ITERS} hops — past this graph's observed
+    diameter), so both engines compute an identical recurrence instead
+    of racing an unordered fixpoint.  The Spark side propagates
+    **deltas only**: a node re-broadcasts its label just on the round
+    the label decreased, which is equivalent to the oracle's full
+    re-broadcast because labels are monotone and every node folds the
+    min with its own previous label.  Per round that is one shuffle
+    bounded by the still-changing frontier — the hash-min variant that
+    survives power-law graphs at 100 TB (full re-broadcast pays
+    |E| rows every round; the frontier collapses geometrically).
+    Output is the exact component-size histogram, all integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    adj = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    lab = (
+        items.select(F.col("l_partkey").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    frontier = lab
+    for _ in range(CC_ITERS):
+        cand = (
+            adj.join(frontier, F.col("u") == F.col("node"))
+            .groupBy(F.col("v").alias("nd"))
+            .agg(F.min("label").alias("cand"))
+        )
+        joined = lab.join(cand, lab.node == cand.nd, "left")
+        new_lab = joined.select(
+            "node", F.least("label", F.coalesce("cand", "label")).alias("label")
+        ).localCheckpoint(eager=False)
+        frontier = (
+            joined.filter(F.col("cand") < F.col("label"))
+            .select("node", F.col("cand").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        lab = new_lab
+    comp = lab.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
+    return comp.groupBy("component_size").agg(
+        F.count(F.lit(1)).alias("n_components")
+    )
+
+
+# --------------------------------------------------------------------------
+# Neighbor-overlap (Jaccard) supplier similarity (round 5)
+# --------------------------------------------------------------------------
+
+JACCARD_TOPK = 20
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH rel AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    deg AS (SELECT s, count(*) AS d FROM rel GROUP BY s),
+    common AS (
+        SELECT a.s AS s1, b.s AS s2, count(*) AS n_common
+        FROM rel a JOIN rel b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s),
+    scored AS (
+        SELECT c.s1, c.s2, c.n_common,
+               d1.d + d2.d - c.n_common AS n_union,
+               round(CAST(c.n_common AS DOUBLE)
+                     / (d1.d + d2.d - c.n_common), 6) AS jaccard
+        FROM common c
+        JOIN deg d1 ON d1.s = c.s1
+        JOIN deg d2 ON d2.s = c.s2)
+    SELECT s1, s2,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_union AS BIGINT)  AS n_union,
+           jaccard
+    FROM scored
+    QUALIFY row_number() OVER (ORDER BY jaccard DESC, s1, s2)
+            <= {JACCARD_TOPK}
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{JACCARD_TOPK} supplier pairs by Jaccard similarity of their
+    customer sets — the neighbor-overlap link-prediction / item-item
+    collaborative-filtering primitive, on the customer↔supplier
+    bipartite graph.
+
+    Candidate pairs come from a **wedge join through the shared
+    customer** (never supplier × supplier): per-center fanout is the
+    customer's distinct-supplier count, so work is Σ_c d(c)²/2 with
+    d(c) bounded by order volume per customer — the bipartite shape
+    that stays linear-ish at 100 TB.  On a corpus with celebrity hub
+    centers the standard mitigation (drop or sample centers above a
+    degree cap before the wedge, which only loses pairs whose overlap
+    is dominated by hubs) plugs into the `rel` stage; at TPC-H shape
+    no cap is needed and the result is exact.  Union size comes from
+    the inclusion–exclusion identity |A∪B| = d(A)+d(B)−|A∩B| — no
+    second pass.  Total order: (jaccard DESC, s1, s2).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rel = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    deg = rel.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = rel.alias("a")
+    b = rel.alias("b")
+    common = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    scored = (
+        common.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            (F.col("d1") + F.col("d2") - F.col("n_common")).alias("n_union"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(F.desc("jaccard"), F.asc("s1"), F.asc("s2"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= JACCARD_TOPK)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_naive_bayes",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    tokc AS (SELECT * FROM tok WHERE token <> ''),
+    train AS (SELECT * FROM tokc WHERE doc_id % 2 = 0),
+    prior AS (
+        SELECT lang, count(*) AS n_docs_c
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+    tot AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % 2 = 0),
+    ntok AS (SELECT lang, count(*) AS n_c FROM train GROUP BY lang),
+    voc AS (SELECT count(DISTINCT token) AS v_sz FROM train),
+    model AS (
+        SELECT lang AS cls, token, count(*) AS c_tc
+        FROM train GROUP BY lang, token),
+    ttok AS (
+        SELECT doc_id, lang, token, count(*) AS n_t
+        FROM tokc WHERE doc_id % 2 = 1
+        GROUP BY doc_id, lang, token),
+    tlen AS (
+        SELECT doc_id, lang AS lang_actual, sum(n_t) AS t_d
+        FROM ttok GROUP BY doc_id, lang),
+    cls AS (
+        SELECT p.lang AS cls, p.n_docs_c, n.n_c, v.v_sz, t.n_docs
+        FROM prior p JOIN ntok n ON n.lang = p.lang
+        CROSS JOIN voc v CROSS JOIN tot t),
+    ll_tok AS (
+        SELECT t.doc_id, m.cls,
+               sum(t.n_t * ln(m.c_tc + 1)) AS ll_match
+        FROM ttok t JOIN model m ON m.token = t.token
+        GROUP BY t.doc_id, m.cls),
+    score AS (
+        SELECT d.doc_id, d.lang_actual, c.cls,
+               ln(c.n_docs_c) - ln(c.n_docs)
+               - d.t_d * ln(c.n_c + c.v_sz)
+               + coalesce(l.ll_match, 0.0) AS s
+        FROM tlen d CROSS JOIN cls c
+        LEFT JOIN ll_tok l ON l.doc_id = d.doc_id AND l.cls = c.cls),
+    pred AS (
+        SELECT doc_id, lang_actual, cls AS lang_pred
+        FROM score
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY round(s, 6) DESC, cls) = 1)
+    SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang_actual, lang_pred
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes: train on even doc_ids (token counts per
+    language with add-one smoothing), classify odd doc_ids, emit the
+    confusion matrix — the counting-classifier companion to the
+    registry's k-means / OLS / PCA / decision-stump quartet.
+
+    The whole model is GROUP BY counts, so training is one linear pass
+    with map-side partial aggregation, and the model table (V × C
+    rows — tiny vs corpus) broadcast-joins to the test tokens: scoring
+    is map-side at any corpus size, the textbook reason NB is the
+    classifier you can actually train at 100 TB.  Determinism: with
+    add-one smoothing, log P(t|c) sums telescope into
+    Σ n_t·ln(c_tc+1) − T_d·ln(N_c+V), so unseen (token, class) pairs
+    contribute ln(1)=0 and drop out of the join — every ln() argument
+    in both engines is an exactly-representable integer, and the
+    argmax applies the registry's round(·,6)-with-class-tie-break
+    ranking convention.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    train = tok.filter(F.col("doc_id") % 2 == 0)
+    prior = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs_c"))
+    )
+    tot = docs.filter(F.col("doc_id") % 2 == 0).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    ntok = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+    voc = train.agg(F.countDistinct("token").alias("v_sz"))
+    model = (
+        train.groupBy(F.col("lang").alias("cls"), "token")
+        .agg(F.count(F.lit(1)).alias("c_tc"))
+    )
+    ttok = (
+        tok.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("doc_id", F.col("lang").alias("lang_actual"), "token")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+        .persist()
+    )
+    tlen = ttok.groupBy("doc_id", "lang_actual").agg(F.sum("n_t").alias("t_d"))
+    cls = (
+        prior.join(ntok, "lang")
+        .crossJoin(F.broadcast(voc))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("lang").alias("cls"), "n_docs_c", "n_c", "v_sz", "n_docs"
+        )
+    )
+    ll_tok = (
+        ttok.join(F.broadcast(model), "token")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum(F.col("n_t") * F.log(F.col("c_tc") + 1)).alias("ll_match"))
+    )
+    score = (
+        tlen.crossJoin(F.broadcast(cls))
+        .join(ll_tok, ["doc_id", "cls"], "left")
+        .select(
+            "doc_id",
+            "lang_actual",
+            "cls",
+            (
+                F.log("n_docs_c")
+                - F.log("n_docs")
+                - F.col("t_d") * F.log(F.col("n_c") + F.col("v_sz"))
+                + F.coalesce("ll_match", F.lit(0.0))
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round(F.col("s"), 6)), F.asc("cls")
+    )
+    pred = (
+        score.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang_actual", F.col("cls").alias("lang_pred"))
+    )
+    return pred.groupBy("lang_actual", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -1583,3 +1583,68 @@ def report_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto-optimal frontier (skyline) over the part catalog (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "report_skyline_parts",
+    oracle="""
+    WITH pts AS (
+        SELECT p_retailprice, p_size, count(*) AS n_parts
+        FROM part GROUP BY p_retailprice, p_size)
+    SELECT p_retailprice,
+           CAST(p_size AS INTEGER) AS p_size,
+           CAST(n_parts AS BIGINT) AS n_parts
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def report_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of the part catalog: the (price, size)
+    points where no other part is both cheaper-or-equal and
+    bigger-or-equal with at least one strict — the multi-criteria
+    "best offers" report the per-metric top-k queries can't express.
+
+    The oracle states dominance declaratively (NOT EXISTS); the Spark
+    plan replaces that quadratic self-join with the sort-based
+    sweep: after collapsing to distinct (price, size) points, sort by
+    (price ASC, size DESC) and keep a point iff the running max of
+    size over all strictly-preceding rows is below its own size —
+    every preceding row is cheaper-or-equal, so surviving the sweep is
+    exactly non-dominance, in one O(n log n) pass.  At scale the sweep
+    runs twice: a *local* prune inside arbitrary hash buckets first
+    (dominated-in-any-subset ⇒ dominated-globally, so the prune is
+    always safe) shrinks the input, then the global sweep touches only
+    local winners — the standard distributed-skyline shape; the final
+    window is over frontier points, a set bounded by distinct price
+    levels, not by table size.
+    """
+    part = load_table(spark, sf_dir, "part")
+    pts = part.groupBy("p_retailprice", "p_size").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    sweep_cols = [F.asc("p_retailprice"), F.desc("p_size")]
+    local_w = (
+        Window.partitionBy(F.pmod(F.hash("p_retailprice"), F.lit(16)))
+        .orderBy(*sweep_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pruned = pts.withColumn("mx", F.max("p_size").over(local_w)).filter(
+        F.col("mx").isNull() | (F.col("mx") < F.col("p_size"))
+    ).drop("mx")
+    global_w = Window.orderBy(*sweep_cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        pruned.withColumn("mx", F.max("p_size").over(global_w))
+        .filter(F.col("mx").isNull() | (F.col("mx") < F.col("p_size")))
+        .select("p_retailprice", "p_size", "n_parts")
+    )

@@ -221,6 +221,10 @@ EXPECTED_IDS = {
     "report_order_gap_stats",
     # round-5 batch 13: GBDT stump, A/B z-test, prefix-dup screen
     "ml_decision_stump", "report_ab_test_lift", "llm_prefix_dup_scan",
+    # round-5 batch 14: connected components, Jaccard neighbor overlap,
+    # naive Bayes confusion matrix, Pareto skyline
+    "graph_connected_components", "graph_jaccard_neighbors",
+    "ml_naive_bayes", "report_skyline_parts",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
