@@ -1522,3 +1522,97 @@ def etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# FK-candidate inference by containment profiling (round 5)
+# --------------------------------------------------------------------------
+
+#: (label, child table, child col, parent table, parent col) — three
+#: true FK edges plus three decoys (a partial overlap, a reversed
+#: edge, and a coincidental full containment) so the profile has to
+#: discriminate, not just confirm.
+FK_CANDIDATES = (
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("part.p_size->nation.n_nationkey", "part", "p_size",
+     "nation", "n_nationkey"),
+    ("customer.c_custkey->orders.o_custkey", "customer", "c_custkey",
+     "orders", "o_custkey"),
+    ("supplier.s_suppkey->customer.c_custkey", "supplier", "s_suppkey",
+     "customer", "c_custkey"),
+)
+
+
+def _containment_oracle() -> str:
+    arms = [
+        f"""
+        SELECT '{label}' AS candidate,
+               CAST(count(*) AS BIGINT)       AS n_child_distinct,
+               CAST(count(p.hit) AS BIGINT)   AS n_matched,
+               round(CAST(count(p.hit) AS DOUBLE) / count(*), 6)
+                   AS containment,
+               count(p.hit) = count(*)        AS is_contained
+        FROM (SELECT DISTINCT {ccol} AS v FROM {child}
+              WHERE {ccol} IS NOT NULL) c
+        LEFT JOIN (SELECT DISTINCT {pcol} AS v, 1 AS hit
+                   FROM {parent}) p USING (v)
+        """
+        for label, child, ccol, parent, pcol in FK_CANDIDATES
+    ]
+    return " UNION ALL ".join(arms)
+
+
+@query("dq_fk_containment", oracle=_containment_oracle())
+def dq_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key *inference*: for candidate (child col → parent col)
+    pairs, the fraction of distinct child values contained in the
+    parent column — the schema-discovery profile that proposes join
+    edges on an unfamiliar lake, complementing
+    ``dq_referential_orphans`` (which validates edges already known).
+
+    Each arm reduces both columns to distinct values first, so the
+    containment join touches |distinct| rows, never table rows — on a
+    100 TB fact table that's the difference between profiling key
+    columns in seconds and scanning the lake per candidate; the
+    distinct sets of real key columns are dimension-sized and the
+    parent side broadcasts.  The decoy rows document the method's
+    limits: ``supplier.s_suppkey->customer.c_custkey`` scores 1.0
+    containment despite not being a real FK (dense surrogate ranges
+    overlap coincidentally), which is why the profile reports the
+    evidence, not a verdict — and why real systems follow up with
+    name/cardinality priors.
+    """
+    arms = []
+    for label, child, ccol, parent, pcol in FK_CANDIDATES:
+        c = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(ccol).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+        )
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pcol).alias("v"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        arms.append(
+            c.join(p, "v", "left").agg(
+                F.lit(label).alias("candidate"),
+                F.count(F.lit(1)).alias("n_child_distinct"),
+                F.count("hit").alias("n_matched"),
+                F.round(
+                    F.count("hit").cast("double") / F.count(F.lit(1)), 6
+                ).alias("containment"),
+                (F.count("hit") == F.count(F.lit(1))).alias("is_contained"),
+            )
+        )
+    out = arms[0]
+    for frame in arms[1:]:
+        out = out.unionAll(frame)
+    return out

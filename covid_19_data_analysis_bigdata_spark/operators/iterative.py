@@ -1463,9 +1463,11 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "ml_naive_bayes",
-    oracle="""
+#: Shared CTE chain: tokenize → split train/test on doc_id parity →
+#: count-based NB model → per-doc log-scores → argmax prediction.
+#: Ends with the ``pred(doc_id, lang_actual, lang_pred)`` CTE; the
+#: confusion-matrix and metrics oracles append their own final SELECT.
+_NB_PRED_SQL = """
     WITH tok AS (
         SELECT doc_id, lang,
                unnest(string_split(text, ' ')) AS token
@@ -1509,15 +1511,12 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM score
         QUALIFY row_number() OVER (PARTITION BY doc_id
                                    ORDER BY round(s, 6) DESC, cls) = 1)
-    SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
-    FROM pred GROUP BY lang_actual, lang_pred
-    """,
-)
-def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial naive Bayes: train on even doc_ids (token counts per
-    language with add-one smoothing), classify odd doc_ids, emit the
-    confusion matrix — the counting-classifier companion to the
-    registry's k-means / OLS / PCA / decision-stump quartet.
+"""
+
+
+def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared NB dataflow (mirrors ``_NB_PRED_SQL``): one row per test
+    doc with ``lang_actual`` / ``lang_pred``.
 
     The whole model is GROUP BY counts, so training is one linear pass
     with map-side partial aggregation, and the model table (V × C
@@ -1591,11 +1590,115 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.desc(F.round(F.col("s"), 6)), F.asc("cls")
     )
-    pred = (
+    return (
         score.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("lang_actual", F.col("cls").alias("lang_pred"))
     )
+
+
+@query(
+    "ml_naive_bayes",
+    oracle=_NB_PRED_SQL
+    + """
+    SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang_actual, lang_pred
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes: train on even doc_ids (token counts per
+    language with add-one smoothing), classify odd doc_ids, emit the
+    confusion matrix — the counting-classifier companion to the
+    registry's k-means / OLS / PCA / decision-stump quartet.  The model
+    and scoring dataflow live in :func:`_nb_predictions`.
+    """
+    pred = _nb_predictions(spark, sf_dir)
     return pred.groupBy("lang_actual", "lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "ml_eval_metrics",
+    oracle=_NB_PRED_SQL
+    + """
+    , tp AS (
+        SELECT lang_actual AS cls, count(*) AS n_tp
+        FROM pred WHERE lang_actual = lang_pred GROUP BY lang_actual),
+    act AS (
+        SELECT lang_actual AS cls, count(*) AS n_actual
+        FROM pred GROUP BY lang_actual),
+    prd AS (
+        SELECT lang_pred AS cls, count(*) AS n_pred
+        FROM pred GROUP BY lang_pred)
+    SELECT a.cls,
+           CAST(a.n_actual AS BIGINT)              AS n_actual,
+           CAST(coalesce(p.n_pred, 0) AS BIGINT)   AS n_pred,
+           CAST(coalesce(t.n_tp, 0) AS BIGINT)     AS n_tp,
+           round(CASE WHEN coalesce(p.n_pred, 0) = 0 THEN 0.0
+                      ELSE CAST(coalesce(t.n_tp, 0) AS DOUBLE) / p.n_pred
+                 END, 6) AS precision_c,
+           round(CAST(coalesce(t.n_tp, 0) AS DOUBLE) / a.n_actual, 6)
+               AS recall_c,
+           round(2.0 * coalesce(t.n_tp, 0)
+                 / (a.n_actual + coalesce(p.n_pred, 0)), 6) AS f1_c
+    FROM act a
+    LEFT JOIN prd p ON p.cls = a.cls
+    LEFT JOIN tp  t ON t.cls = a.cls
+    """,
+)
+def ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 over the naive-Bayes
+    predictions — the evaluation readout that turns a classifier into
+    a monitorable pipeline stage.
+
+    Everything reduces over the tiny ``pred`` table (one row per test
+    doc), so the metrics stage costs three count aggregates and two
+    broadcast joins regardless of corpus size.  Determinism: F1 uses
+    the single-division form 2·tp / (n_actual + n_pred) instead of
+    rounding precision and recall first, so each output is exactly one
+    IEEE divide of two integers, rounded once at 6 dp.  Classes the
+    model never predicts get precision 0 by convention (guarded
+    division).  Every class present in the test split appears (left
+    joins from the actual-count side).
+    """
+    pred = _nb_predictions(spark, sf_dir)
+    tp = (
+        pred.filter(F.col("lang_actual") == F.col("lang_pred"))
+        .groupBy(F.col("lang_actual").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("n_tp"))
+    )
+    act = pred.groupBy(F.col("lang_actual").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_actual")
+    )
+    prd = pred.groupBy(F.col("lang_pred").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    joined = (
+        act.join(F.broadcast(prd), "cls", "left")
+        .join(F.broadcast(tp), "cls", "left")
+        .select(
+            "cls",
+            "n_actual",
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("n_tp", F.lit(0)).alias("n_tp"),
+        )
+    )
+    return joined.select(
+        "cls",
+        "n_actual",
+        "n_pred",
+        "n_tp",
+        F.round(
+            F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+                F.col("n_tp").cast("double") / F.col("n_pred")
+            ),
+            6,
+        ).alias("precision_c"),
+        F.round(F.col("n_tp").cast("double") / F.col("n_actual"), 6).alias(
+            "recall_c"
+        ),
+        F.round(
+            2.0 * F.col("n_tp") / (F.col("n_actual") + F.col("n_pred")), 6
+        ).alias("f1_c"),
     )

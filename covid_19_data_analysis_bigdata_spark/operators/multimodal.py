@@ -197,3 +197,106 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("f_consonant", 6).alias("f_consonant"),
         F.round("f_space", 6).alias("f_space"),
     )
+
+
+# --------------------------------------------------------------------------
+# Caption–embedding alignment score (round 5)
+# --------------------------------------------------------------------------
+
+ALIGN_DIM = 64  #: pseudo-embedding width (first ALIGN_DIM caption bytes)
+
+#: Sequential left-fold dot product in DuckDB — replays Spark's
+#: ``F.aggregate(…, 0.0, +)`` fold order so both engines produce
+#: bit-identical doubles (same convention as textprep._L2_FOLD_SQL).
+_DOT_FOLD_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def _dot_fold(a, b):
+    """Spark twin of :data:`_DOT_FOLD_SQL`."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+@query(
+    "multimodal_caption_align",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT e.label, e.embedding,
+               list_transform(generate_series(1, {ALIGN_DIM}),
+                              i -> ascii(substr(d.text, CAST(i AS INTEGER), 1)))
+                   AS pseudo
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.n_chars >= {ALIGN_DIM}),
+    scored AS (
+        SELECT label,
+               round({_DOT_FOLD_SQL.format(a="embedding", b="pseudo")}
+                     / sqrt({_DOT_FOLD_SQL.format(a="embedding", b="embedding")}
+                            * {_DOT_FOLD_SQL.format(a="pseudo", b="pseudo")}),
+                     6) AS align
+        FROM pairs),
+    fx AS (SELECT label,
+                  CAST(round(align * 1000000) AS BIGINT) AS ci,
+                  align
+           FROM scored)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(CAST(sum(ci) AS BIGINT) AS DOUBLE)
+                 / count(*) / 1000000, 6) AS mean_align,
+           round(min(align), 6) AS min_align,
+           round(max(align), 6) AS max_align
+    FROM fx GROUP BY label
+    """,
+)
+def multimodal_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-shaped caption↔embedding alignment: cosine between
+    each image embedding and a pseudo text embedding (the caption's
+    first {ALIGN_DIM} byte values — the deterministic stand-in for a
+    real text encoder), aggregated per label.  This is the
+    joint-modality *filtering* stage of a LAION-style pipeline: pairs
+    whose caption doesn't match the image score low and get dropped
+    before training.
+
+    Scale shape: one equi-join of the caption table to the embedding
+    table on id (co-partitioned by key at 100 TB — no broadcast
+    needed, no skew: ids are unique), then a purely map-side cosine
+    per row and one partial+final aggregate — the whole corpus
+    streams through in a single pass.  Determinism: dot products are
+    sequential left folds (bit-identical across engines), the cosine
+    is rounded once at 6 dp, and the per-label mean is computed in
+    fixed-point micro-units (BIGINT sum of round(align·1e6)) so no
+    order-dependent double accumulation ever crosses the engine
+    boundary.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= ALIGN_DIM
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "label",
+        "embedding",
+        F.expr(
+            f"transform(sequence(1, {ALIGN_DIM}),"
+            " i -> ascii(substr(text, i, 1)))"
+        ).alias("pseudo"),
+    )
+    e, p = F.col("embedding"), F.col("pseudo")
+    align = F.round(
+        _dot_fold(e, p) / F.sqrt(_dot_fold(e, e) * _dot_fold(p, p)), 6
+    )
+    scored = pairs.select("label", align.alias("align")).withColumn(
+        "ci", F.round(F.col("align") * 1000000).cast("long")
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum("ci").cast("double") / F.count(F.lit(1)) / 1000000, 6
+        ).alias("mean_align"),
+        F.round(F.min("align"), 6).alias("min_align"),
+        F.round(F.max("align"), 6).alias("max_align"),
+    )

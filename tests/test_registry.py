@@ -225,6 +225,9 @@ EXPECTED_IDS = {
     # naive Bayes confusion matrix, Pareto skyline
     "graph_connected_components", "graph_jaccard_neighbors",
     "ml_naive_bayes", "report_skyline_parts",
+    # round-5 batch 15: classifier eval metrics, FK containment
+    # inference, caption-embedding alignment
+    "ml_eval_metrics", "dq_fk_containment", "multimodal_caption_align",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
