@@ -1702,3 +1702,85 @@ def ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("n_tp") / (F.col("n_actual") + F.col("n_pred")), 6
         ).alias("f1_c"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rank-based ROC AUC (Mann–Whitney U with tie correction) (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_roc_auc",
+    oracle="""
+    WITH s AS (
+        SELECT l_discount AS score,
+               count(*) AS cnt,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS np
+        FROM lineitem GROUP BY l_discount),
+    w AS (
+        SELECT score, cnt, np,
+               coalesce(sum(cnt) OVER (ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cb
+        FROM s),
+    t AS (
+        SELECT CAST(sum(np) AS BIGINT)              AS n_pos,
+               CAST(sum(cnt) - sum(np) AS BIGINT)   AS n_neg,
+               CAST(sum(np * (2 * cb + cnt + 1)) AS BIGINT) AS sum2
+        FROM w)
+    SELECT n_pos, n_neg,
+           round(CAST(sum2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * n_pos * n_neg), 6) AS auc,
+           round(CAST(sum2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * n_pos * n_neg) * 2 - 1, 6) AS gini
+    FROM t
+    """,
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of ``l_discount`` as a (deliberately weak) ranking
+    score for the "line item returned" label — the
+    threshold-independent classifier diagnostic that completes the
+    eval family (confusion matrix → per-class P/R/F1 → AUC/Gini).
+
+    AUC is computed as the tie-corrected Mann–Whitney statistic over
+    *score-level* aggregates: group to distinct scores (one partial+
+    final agg over the fact table — the only full-data pass), then a
+    running-count window assigns each score group its doubled average
+    rank 2·r̄ = 2·cum_before + cnt + 1, entirely in BIGINT.  The
+    window runs over |distinct scores| rows, not |rows|, so the plan
+    is insensitive to fact-table size — the standard trick that makes
+    exact AUC (naively a sort over all 100 TB of scores) an aggregate
+    problem.  AUC = (Σ np·2r̄ − n_pos(n_pos+1)) / (2·n_pos·n_neg):
+    one IEEE division at the end, rounded at 6 dp; Gini = 2·AUC − 1
+    from the same unrounded quotient.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy(F.col("l_discount").alias("score")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        ).alias("np"),
+    )
+    cb_w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    w = s.select(
+        "score",
+        "cnt",
+        "np",
+        F.coalesce(F.sum("cnt").over(cb_w), F.lit(0)).alias("cb"),
+    )
+    t = w.agg(
+        F.sum("np").alias("n_pos"),
+        (F.sum("cnt") - F.sum("np")).alias("n_neg"),
+        F.sum(
+            F.col("np") * (2 * F.col("cb") + F.col("cnt") + 1)
+        ).alias("sum2"),
+    )
+    auc_raw = (
+        F.col("sum2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    ).cast("double") / (2.0 * F.col("n_pos") * F.col("n_neg"))
+    return t.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc_raw, 6).alias("auc"),
+        F.round(auc_raw * 2 - 1, 6).alias("gini"),
+    )

@@ -1416,3 +1416,198 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_7d"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Event-sequence pattern matching (round 5)
+# --------------------------------------------------------------------------
+
+#: (pattern name, regex over per-user event-initial strings:
+#: c=click e=error p=purchase s=signup v=view).  Plain regexes whose
+#: semantics agree between RE2 (DuckDB) and Java regex (Spark).
+SEQ_PATTERNS = (
+    ("view_click_purchase", "v.*c.*p"),
+    ("signup_then_purchase", "s.*p"),
+    ("error_then_purchase", "e.*p"),
+    ("view_error_only", "^[ve]+$"),
+)
+
+
+@query(
+    "events_sequence_match",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id),
+    m AS (
+        SELECT count(*) AS n_users,
+    """
+    + ",\n".join(
+        f"""sum(CASE WHEN regexp_matches(seq, '{rx}')
+                     THEN 1 ELSE 0 END) AS m{i}"""
+        for i, (_, rx) in enumerate(SEQ_PATTERNS)
+    )
+    + """
+        FROM seqs)
+    """
+    + " UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS pattern,
+               CAST(m{i} AS BIGINT) AS n_matched,
+               round(100.0 * m{i} / n_users, 4) AS pct_users
+        FROM m
+        """
+        for i, (name, _) in enumerate(SEQ_PATTERNS)
+    ),
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-shaped sequence analytics: encode each user's
+    event history as a string of event-type initials (total order
+    ts, event_id), then count users whose history matches each of
+    {len(SEQ_PATTERNS)} behavioral regexes — funnels with arbitrary
+    gaps, pure negative patterns ("never converted"), and retry
+    shapes that the pairwise interval-join funnel can't express.
+
+    The encode is one groupBy collecting a per-user array (bounded by
+    per-user event count, the natural partition key at 100 TB); all
+    patterns then evaluate in a single map-side pass over one row per
+    user — adding a pattern costs one regex per user-row, not a new
+    join.  Counting is exact; the regex dialect subset used (literals,
+    ``.*``, anchored character classes) behaves identically in RE2
+    and Java regex.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.expr(
+                            "struct(ts, event_id,"
+                            " substr(event_type, 1, 1) AS c)"
+                        )
+                    )
+                ),
+                lambda x: x.getField("c"),
+            ),
+            "",
+        ).alias("seq")
+    )
+    m = seqs.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[
+            F.sum(
+                F.when(F.col("seq").rlike(rx), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"m{i}")
+            for i, (_, rx) in enumerate(SEQ_PATTERNS)
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', m{i}" for i, (name, _) in enumerate(SEQ_PATTERNS)
+    )
+    return m.select(
+        F.expr(
+            f"stack({len(SEQ_PATTERNS)}, {stack_args})"
+            " AS (pattern, n_matched)"
+        ),
+        "n_users",
+    ).select(
+        "pattern",
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.round(100.0 * F.col("n_matched") / F.col("n_users"), 4).alias(
+            "pct_users"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bollinger bands over the daily revenue series (round 5)
+# --------------------------------------------------------------------------
+
+BOLL_WINDOW = 7  #: trailing days (inclusive)
+BOLL_K = 2  #: band half-width in standard deviations
+
+
+@query(
+    "ts_bollinger_bands",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderdate),
+    w AS (
+        SELECT day,
+               CAST(count(*) OVER win AS BIGINT)            AS n_days,
+               CAST(sum(cents) OVER win AS BIGINT)          AS s1,
+               CAST(sum(CAST(cents AS DECIMAL(38, 0)) * cents) OVER win
+                    AS DECIMAL(38, 0))                      AS s2
+        FROM daily
+        WINDOW win AS (ORDER BY day
+                       ROWS BETWEEN {BOLL_WINDOW - 1} PRECEDING
+                            AND CURRENT ROW))
+    SELECT day, n_days,
+           round(CAST(s1 AS DOUBLE) / n_days / 100, 4) AS mid,
+           round(CAST(s1 AS DOUBLE) / n_days / 100
+                 + {BOLL_K} * sqrt(CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / n_days / 100, 4) AS upper_band,
+           round(CAST(s1 AS DOUBLE) / n_days / 100
+                 - {BOLL_K} * sqrt(CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / n_days / 100, 4) AS lower_band
+    FROM w
+    """,
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on daily revenue: trailing {BOLL_WINDOW}-day
+    mean ± {BOLL_K}σ — the volatility envelope that complements the
+    plain moving average (win_moving_avg) and the z-score anomaly
+    screen (ts_anomaly_zscore, which uses a *global* σ).
+
+    Mean and population σ both derive from two integer window sums
+    over exact cents (Σx, Σx²): σ = √(n·Σx² − (Σx)²)/n, so every
+    float enters exactly once per output (int→double conversion,
+    sqrt, divisions — all correctly-rounded IEEE ops identical across
+    engines).  One shuffle to the daily grain, one sort for the
+    window; the daily series is tiny at any corpus scale.  Σx² runs in
+    a DECIMAL(38,0) accumulator (the repo's corr-matrix convention —
+    BIGINT overflows at sf0.1 daily volumes); the n·Σx² − (Σx)²
+    combine then happens in double with the identical expression
+    shape on both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    win = (
+        Window.orderBy("day")
+        .rowsBetween(-(BOLL_WINDOW - 1), Window.currentRow)
+    )
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(win).alias("n_days"),
+        F.sum("cents").over(win).alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .over(win)
+        .alias("s2"),
+    )
+    mid_raw = F.col("s1").cast("double") / F.col("n_days") / 100
+    sd_term = (
+        F.lit(BOLL_K)
+        * F.sqrt(
+            F.col("n_days").cast("double") * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
+        / F.col("n_days")
+        / 100
+    )
+    return w.select(
+        "day",
+        "n_days",
+        F.round(mid_raw, 4).alias("mid"),
+        F.round(mid_raw + sd_term, 4).alias("upper_band"),
+        F.round(mid_raw - sd_term, 4).alias("lower_band"),
+    )

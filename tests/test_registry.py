@@ -228,6 +228,9 @@ EXPECTED_IDS = {
     # round-5 batch 15: classifier eval metrics, FK containment
     # inference, caption-embedding alignment
     "ml_eval_metrics", "dq_fk_containment", "multimodal_caption_align",
+    # round-5 batch 16: sequence-pattern regex match, Bollinger bands,
+    # tie-corrected rank AUC
+    "events_sequence_match", "ts_bollinger_bands", "ml_roc_auc",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
