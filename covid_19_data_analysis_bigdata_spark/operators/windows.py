@@ -449,3 +449,91 @@ def win_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.nth_value("o_orderkey", 3).over(wf).alias("third_cheapest_so_far"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling OLS trend slope (round 5)
+# --------------------------------------------------------------------------
+
+SLOPE_WINDOW = 14  #: trailing days (inclusive)
+
+
+@query(
+    "win_rolling_slope",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderdate),
+    idx AS (
+        SELECT day, cents,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM daily),
+    w AS (
+        SELECT day,
+               CAST(count(*) OVER win AS BIGINT)           AS n_days,
+               CAST(sum(t) OVER win AS BIGINT)             AS st,
+               CAST(sum(cents) OVER win AS BIGINT)         AS sy,
+               CAST(sum(t * t) OVER win AS BIGINT)         AS stt,
+               CAST(sum(t * cents) OVER win AS BIGINT)     AS sty
+        FROM idx
+        WINDOW win AS (ORDER BY day
+                       ROWS BETWEEN {SLOPE_WINDOW - 1} PRECEDING
+                            AND CURRENT ROW))
+    SELECT day, n_days,
+           CASE WHEN n_days < 2 THEN 0.0
+                ELSE round(CAST(n_days * sty - st * sy AS DOUBLE)
+                           / (n_days * stt - st * st) / 100, 4)
+           END AS slope_dollars_per_day
+    FROM w
+    """,
+)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {SLOPE_WINDOW}-day OLS trend slope of daily revenue —
+    the local trend detector between a moving average (level) and
+    Mann–Kendall (global monotonicity): its sign flips exactly where
+    the trend turns, in dollars/day units a dashboard can read.
+
+    The closed form β̂ = (nΣty − Σt·Σy) / (nΣt² − (Σt)²) needs only
+    four trailing window sums, all over exact integers (t is the
+    day's row index, y exact cents), so the slope is one IEEE
+    division per row — no per-window refit, no float accumulation.
+    Magnitudes stay inside BIGINT by construction (t ≤ |days|,
+    windowed Σty ≤ w·t·y ≈ 10¹⁴ at sf0.1).  Same daily-grain shuffle
+    + one sort as every trailing-window op; scales with |days|, not
+    |orders|.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    idx = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    win = (
+        Window.orderBy("day")
+        .rowsBetween(-(SLOPE_WINDOW - 1), Window.currentRow)
+    )
+    w = idx.select(
+        "day",
+        F.count(F.lit(1)).over(win).alias("n_days"),
+        F.sum("t").over(win).alias("st"),
+        F.sum("cents").over(win).alias("sy"),
+        F.sum(F.col("t") * F.col("t")).over(win).alias("stt"),
+        F.sum(F.col("t") * F.col("cents")).over(win).alias("sty"),
+    )
+    slope = (
+        F.col("n_days") * F.col("sty") - F.col("st") * F.col("sy")
+    ).cast("double") / (
+        F.col("n_days") * F.col("stt") - F.col("st") * F.col("st")
+    ) / 100
+    return w.select(
+        "day",
+        "n_days",
+        F.when(F.col("n_days") < 2, F.lit(0.0))
+        .otherwise(F.round(slope, 4))
+        .alias("slope_dollars_per_day"),
+    )

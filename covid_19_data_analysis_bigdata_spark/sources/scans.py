@@ -423,3 +423,83 @@ def read_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Binary-file source (media ingestion path) (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+    SELECT lang,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(sum(octet_length(CAST(
+                CAST(doc_id AS VARCHAR) || chr(9) || text || chr(10)
+                AS BLOB))) AS BIGINT) AS total_bytes,
+           md5(string_agg(CAST(doc_id AS VARCHAR) || chr(9) || text,
+                          chr(10) ORDER BY doc_id) || chr(10))
+               AS content_md5
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the sixth format, and the one a
+    multimodal corpus actually lands in: whole files as rows of
+    (path, length, content BINARY), the ingestion front door for the
+    image/audio decode stages in operators/multimodal.py.
+
+    Fixture: the documents table is written once as one text file per
+    language (single writer task, rows in doc_id order, so the bytes
+    are a pure function of the data).  The read side is
+    ``spark.read.format("binaryFile")`` with a recursive lookup; each
+    file arrives as ONE row with its full byte content, checksummed
+    JVM-side (md5 over the binary column) and reconciled against the
+    oracle's reconstruction of the same byte stream from the table —
+    proving content integrity byte-for-byte, not just row counts.
+    Scale: binaryFile parallelizes per file and never splits one (a
+    media blob must arrive whole); the 100 TB layout therefore wants
+    many medium files, not one giant one — the fixture's
+    file-per-partition shape.  Driver never touches content bytes.
+    """
+    import os
+
+    from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir
+
+    d = load_table(spark, sf_dir, "documents")
+    out = os.path.join(fixture_dir(sf_dir, "binary"), "documents_bin")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            d.select(
+                "lang",
+                F.concat_ws(
+                    "\t", F.col("doc_id").cast("string"), F.col("text")
+                ).alias("value"),
+            )
+            .repartition(1)
+            .sortWithinPartitions("lang", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .text(out)
+        )
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(out)
+    )
+    return (
+        files.select(
+            F.regexp_extract(F.col("path"), "lang=([a-z]+)", 1).alias("lang"),
+            F.col("length"),
+            F.md5(F.col("content")).alias("file_md5"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("length").cast("long").alias("total_bytes"),
+            F.min("file_md5").alias("content_md5"),
+        )
+    )

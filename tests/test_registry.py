@@ -231,6 +231,8 @@ EXPECTED_IDS = {
     # round-5 batch 16: sequence-pattern regex match, Bollinger bands,
     # tie-corrected rank AUC
     "events_sequence_match", "ts_bollinger_bands", "ml_roc_auc",
+    # round-5 batch 17: binaryFile media-ingest source, rolling OLS slope
+    "scan_binary_files", "win_rolling_slope",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
