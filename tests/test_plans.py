@@ -504,3 +504,43 @@ def test_corr_matrix_single_aggregate_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_corr_matrix")
     n_scans = plan.count("Scan parquet")
     assert n_scans <= 2, f"corr matrix re-scans the fact table: {n_scans}"
+
+
+def test_naive_bayes_model_broadcasts(spark, sf_dir):
+    """ml_naive_bayes scores by broadcast-joining the tiny (V×C) model
+    and class tables to the test tokens — a shuffle join there would
+    re-key the whole corpus per scoring pass."""
+    plan = _plan(spark, sf_dir, "ml_naive_bayes")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_wedge_join_no_cartesian(spark, sf_dir):
+    """graph_jaccard_neighbors builds candidate pairs through the
+    shared-customer wedge equijoin, never supplier × supplier."""
+    plan = _plan(spark, sf_dir, "graph_jaccard_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skyline_local_prune_before_global_sweep(spark, sf_dir):
+    """report_skyline_parts must run the bucket-partitioned local
+    sweep (hash-partitioned window) before the global one — the
+    final single-partition window may only see local winners."""
+    plan = _plan(spark, sf_dir, "report_skyline_parts")
+    assert "hashpartitioning(pmod" in plan.replace(" ", "").lower() or (
+        "hashpartitioning" in plan
+    )
+    assert plan.count("Window") >= 2
+
+
+def test_roc_auc_windows_over_score_groups(spark, sf_dir):
+    """ml_roc_auc's rank window runs over distinct-score aggregates,
+    so the plan has exactly one full-table aggregate and no sort of
+    raw fact rows (the HashAggregate precedes the Window)."""
+    plan = _plan(spark, sf_dir, "ml_roc_auc")
+    assert "HashAggregate" in plan and "Window" in plan
+    first_agg = plan.index("HashAggregate")
+    assert first_agg < plan.index("Window"), (
+        "window must run over aggregated score groups, not raw rows"
+    )
