@@ -2303,3 +2303,68 @@ def llm_prefix_dup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("a_id", "b_id", prefix_len.alias("prefix_len"))
         .filter(F.col("prefix_len") >= PREFIX_DUP_MIN)
     )
+
+
+# --------------------------------------------------------------------------
+# Per-document token entropy histogram (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    cnt AS (
+        SELECT doc_id, token, count(*) AS n_t
+        FROM tok WHERE token <> '' GROUP BY doc_id, token),
+    ent AS (
+        SELECT doc_id,
+               ln(sum(n_t)) - sum(n_t * ln(n_t)) / sum(n_t) AS h
+        FROM cnt GROUP BY doc_id),
+    binned AS (
+        SELECT CAST(floor(h * 10) AS INTEGER) AS bin, h FROM ent)
+    SELECT bin,
+           round(bin / 10.0, 1)       AS bin_lo,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           round(min(h), 6)           AS min_entropy,
+           round(max(h), 6)           AS max_entropy
+    FROM binned GROUP BY bin
+    """,
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon token entropy per document, reported as a 0.1-nat
+    histogram — the repetition/diversity quality signal between raw
+    token counts (llm_text_tokens) and the repetition-filter verdict
+    (llm_repetition_filter): low-entropy docs are boilerplate or
+    loops, high-entropy docs vocabulary-diverse.
+
+    H = ln(T) − Σ n_t·ln(n_t)/T over the per-doc token counts: every
+    ln() argument is an exactly-representable integer, so both
+    engines evaluate identical doubles (the naive-Bayes determinism
+    argument) and the floor-binning can't disagree at bin edges.  Two
+    count aggregates (doc×token, then doc) with map-side partials —
+    entropy of a 100 TB corpus is two linear passes, and the
+    histogram output is bounded by the bin range, not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cnt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n_t"))
+    ent = cnt.groupBy("doc_id").agg(
+        (
+            F.log(F.sum("n_t"))
+            - F.sum(F.col("n_t") * F.log("n_t")) / F.sum("n_t")
+        ).alias("h")
+    )
+    binned = ent.select(
+        F.floor(F.col("h") * 10).cast("int").alias("bin"), "h"
+    )
+    return binned.groupBy("bin").agg(
+        F.round(F.col("bin") / 10.0, 1).alias("bin_lo"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("h"), 6).alias("min_entropy"),
+        F.round(F.max("h"), 6).alias("max_entropy"),
+    )

@@ -1611,3 +1611,101 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mid_raw + sd_term, 4).alias("upper_band"),
         F.round(mid_raw - sd_term, 4).alias("lower_band"),
     )
+
+
+# --------------------------------------------------------------------------
+# STL-lite decomposition: trend + weekday seasonal + residual (round 5)
+# --------------------------------------------------------------------------
+
+STL_HALF = 3  #: centered moving-average half-width (full window = 7)
+
+
+@query(
+    "ts_decompose_stl_lite",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderdate),
+    tr AS (
+        SELECT day, cents,
+               CAST(count(*) OVER win AS BIGINT) AS n_win,
+               CAST(sum(cents) OVER win AS BIGINT) AS s1
+        FROM daily
+        WINDOW win AS (ORDER BY day
+                       ROWS BETWEEN {STL_HALF} PRECEDING
+                            AND {STL_HALF} FOLLOWING)),
+    full_win AS (
+        SELECT day, cents, s1,
+               7 * cents - s1 AS detr7,
+               CAST(datediff('day', DATE '1970-01-05',
+                             CAST(day AS DATE)) AS INTEGER) % 7 AS dow
+        FROM tr WHERE n_win = {2 * STL_HALF + 1}),
+    seas AS (
+        SELECT dow,
+               CAST(sum(detr7) AS BIGINT) AS sdetr,
+               CAST(count(*) AS BIGINT)   AS n_dow
+        FROM full_win GROUP BY dow)
+    SELECT f.day,
+           round(CAST(f.s1 AS DOUBLE) / 7 / 100, 4) AS trend,
+           round(CAST(s.sdetr AS DOUBLE) / (7.0 * s.n_dow) / 100, 4)
+               AS seasonal,
+           round((CAST(f.detr7 AS DOUBLE) / 7
+                  - CAST(s.sdetr AS DOUBLE) / (7.0 * s.n_dow)) / 100, 4)
+               AS residual
+    FROM full_win f JOIN seas s ON s.dow = f.dow
+    """,
+)
+def ts_decompose_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of daily revenue: centered
+    7-day moving-average trend, weekday-mean seasonal component of the
+    detrended series, and the residual — the classic
+    trend/seasonality/noise split behind every seasonal-adjustment
+    dashboard, kept exactly reproducible.
+
+    The determinism trick: for days with a full centered window the
+    detrended value times 7 is an exact BIGINT (7·cents − Σwin cents),
+    so the weekday means aggregate *integers* and every float in the
+    output is one fixed expression over integer arguments — no
+    per-row rounding of derived floats (the known cross-engine trap)
+    and no order-dependent double sums.  Edge days without a full
+    window are dropped, as in standard STL.  Cost: one daily-grain
+    shuffle, one sort for the centered window, one 7-row broadcast
+    join back — independent of order-table size beyond the first
+    aggregate.  Weekday comes from epoch-day arithmetic mod 7
+    (1970-01-05 anchor = Monday), identical in both engines, unlike
+    the engines' dayofweek() conventions.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    win = Window.orderBy("day").rowsBetween(-STL_HALF, STL_HALF)
+    tr = daily.select(
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(win).alias("n_win"),
+        F.sum("cents").over(win).alias("s1"),
+    )
+    full_win = tr.filter(F.col("n_win") == 2 * STL_HALF + 1).select(
+        "day",
+        "s1",
+        (7 * F.col("cents") - F.col("s1")).alias("detr7"),
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7
+        ).alias("dow"),
+    )
+    seas = full_win.groupBy("dow").agg(
+        F.sum("detr7").alias("sdetr"), F.count(F.lit(1)).alias("n_dow")
+    )
+    j = full_win.join(F.broadcast(seas), "dow")
+    seasonal_raw = F.col("sdetr").cast("double") / (7.0 * F.col("n_dow"))
+    return j.select(
+        "day",
+        F.round(F.col("s1").cast("double") / 7 / 100, 4).alias("trend"),
+        F.round(seasonal_raw / 100, 4).alias("seasonal"),
+        F.round(
+            (F.col("detr7").cast("double") / 7 - seasonal_raw) / 100, 4
+        ).alias("residual"),
+    )

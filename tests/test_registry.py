@@ -233,6 +233,8 @@ EXPECTED_IDS = {
     "events_sequence_match", "ts_bollinger_bands", "ml_roc_auc",
     # round-5 batch 17: binaryFile media-ingest source, rolling OLS slope
     "scan_binary_files", "win_rolling_slope",
+    # round-5 batch 18: STL-lite decomposition, token-entropy histogram
+    "ts_decompose_stl_lite", "llm_token_entropy",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
