@@ -71,6 +71,9 @@ HEADLINE = [
     "agg_corr_matrix",      # one-pass decimal-exact corr matrix (round-5)
     "etl_merge_into",       # MERGE rewrite + managed-table round-trip (round-5)
     "llm_ann_range_search",  # exact radius search w/ cell pruning (round-5)
+    "ml_roc_auc",           # score-group rank AUC over the fact table (round-5)
+    "report_skyline_parts",  # two-stage distributed skyline sweep (round-5)
+    "ts_bollinger_bands",   # decimal-exact trailing volatility bands (round-5)
 ]
 
 
