@@ -1794,3 +1794,93 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(auc_raw, 6).alias("auc"),
         F.round(auc_raw * 2 - 1, 6).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cumulative gains / lift table at score-level granularity (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_cumulative_gains",
+    oracle="""
+    WITH s AS (
+        SELECT l_discount AS score,
+               count(*) AS cnt,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS np
+        FROM lineitem GROUP BY l_discount),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all,
+                 CAST(sum(np) AS BIGINT)  AS n_pos_all
+          FROM s),
+    c AS (
+        SELECT score, cnt, np,
+               CAST(sum(cnt) OVER win AS BIGINT) AS cum_n,
+               CAST(sum(np) OVER win AS BIGINT)  AS cum_pos
+        FROM s
+        WINDOW win AS (ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))
+    SELECT c.score,
+           CAST(c.cnt AS BIGINT)  AS n_rows,
+           CAST(c.np AS BIGINT)   AS n_pos,
+           c.cum_n, c.cum_pos,
+           round(100.0 * c.cum_n / t.n_all, 6)       AS cum_pct_rows,
+           round(100.0 * c.cum_pos / t.n_pos_all, 6) AS cum_capture_pct,
+           round((CAST(c.cum_pos AS DOUBLE) / t.n_pos_all)
+                 / (CAST(c.cum_n AS DOUBLE) / t.n_all), 6) AS lift
+    FROM c CROSS JOIN t
+    """,
+)
+def ml_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table for the discount→return ranking
+    (the campaign-targeting readout next to ml_roc_auc): sweeping the
+    score threshold from high to low, what fraction of all positives
+    is captured at each cumulative share of the population, and the
+    lift over random targeting.
+
+    Reported at *score-level* granularity — the gains curve's natural
+    resolution — so like the AUC the whole table derives from one
+    aggregate over the fact table plus a window across |distinct
+    scores| rows; a decile table would need a total order over
+    individual rows (arbitrary within tied scores), this form never
+    breaks ties it can't justify.  Counts are exact integers; each
+    percentage/lift is one or two IEEE divisions rounded at 6 dp.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy(F.col("l_discount").alias("score")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        ).alias("np"),
+    )
+    t = s.agg(
+        F.sum("cnt").alias("n_all"), F.sum("np").alias("n_pos_all")
+    )
+    win = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = s.select(
+        "score",
+        "cnt",
+        "np",
+        F.sum("cnt").over(win).alias("cum_n"),
+        F.sum("np").over(win).alias("cum_pos"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "score",
+        F.col("cnt").alias("n_rows"),
+        F.col("np").alias("n_pos"),
+        "cum_n",
+        "cum_pos",
+        F.round(100.0 * F.col("cum_n") / F.col("n_all"), 6).alias(
+            "cum_pct_rows"
+        ),
+        F.round(100.0 * F.col("cum_pos") / F.col("n_pos_all"), 6).alias(
+            "cum_capture_pct"
+        ),
+        F.round(
+            (F.col("cum_pos").cast("double") / F.col("n_pos_all"))
+            / (F.col("cum_n").cast("double") / F.col("n_all")),
+            6,
+        ).alias("lift"),
+    )

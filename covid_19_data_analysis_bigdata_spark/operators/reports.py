@@ -1648,3 +1648,170 @@ def report_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("mx").isNull() | (F.col("mx") < F.col("p_size")))
         .select("p_retailprice", "p_size", "n_parts")
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped closed-form OLS: discount sensitivity per brand (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "report_price_elasticity",
+    oracle="""
+    WITH m AS (
+        SELECT p.p_brand,
+               CAST(count(*) AS BIGINT)                      AS n,
+               CAST(sum(CAST(round(l.l_discount * 10000) AS BIGINT))
+                    AS BIGINT)                               AS sx,
+               CAST(sum(CAST(l.l_quantity AS BIGINT))
+                    AS BIGINT)                               AS sy,
+               CAST(sum(CAST(round(l.l_discount * 10000) AS BIGINT)
+                        * CAST(round(l.l_discount * 10000) AS BIGINT))
+                    AS BIGINT)                               AS sxx,
+               CAST(sum(CAST(round(l.l_discount * 10000) AS BIGINT)
+                        * CAST(l.l_quantity AS BIGINT))
+                    AS BIGINT)                               AS sxy
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand)
+    SELECT p_brand, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx) * 10000, 6) AS slope_qty_per_disc,
+           round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6)         AS intercept_qty
+    FROM m
+    """,
+)
+def report_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount sensitivity: the OLS slope of quantity on
+    discount, fit simultaneously for every brand — the grouped
+    regression pattern (N independent fits = ONE aggregate) that
+    turns "fit a model per segment" from a driver-side loop into a
+    single shuffle at any segment count.
+
+    Both slope and intercept come from the closed-form normal
+    equations over five integer moments per group (n, Σx, Σy, Σx²,
+    Σxy; x in basis points so every moment is exact BIGINT), so each
+    output is one IEEE division of two integers — no per-group
+    iterative fit, no float accumulation.  The part dimension
+    broadcast-joins to the fact table.  Slope is rescaled to
+    quantity-per-unit-discount (×10⁴ bp) for readability.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    x = F.round(F.col("l_discount") * 10000).cast("long")
+    y = F.col("l_quantity").cast("long")
+    m = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "p_brand",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / den
+            * 10000,
+            6,
+        ).alias("slope_qty_per_disc"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+                "double"
+            )
+            / den,
+            6,
+        ).alias("intercept_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ratio-to-parent OLAP shares (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "report_ratio_to_parent",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name),
+    w AS (
+        SELECT region, nation, cents,
+               CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT)
+                   AS region_cents,
+               CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+        FROM rev)
+    SELECT region, nation,
+           round(CAST(cents AS DOUBLE) / 100, 2)           AS revenue,
+           round(100.0 * cents / region_cents, 6)          AS pct_of_region,
+           round(100.0 * cents / total_cents, 6)           AS pct_of_total,
+           round(100.0 * region_cents / total_cents, 6)    AS region_pct_of_total
+    FROM w
+    """,
+)
+def report_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent shares down the region → nation hierarchy —
+    the OLAP `RATIO_TO_REPORT` idiom: every nation's share of its
+    region AND of the world, plus its region's share of the world, in
+    one result (rollup gives the levels, but not the cross-level
+    ratios).
+
+    One aggregate to the (region, nation) grain — dimension tables
+    broadcast onto the fact scan — then two window sums over the
+    25-row aggregate, so the share computation is free at any fact
+    size.  Revenue sums in exact cents; every share is one integer
+    division rounded at 6 dp.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w = rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.sum("cents").over(Window.partitionBy("region")).alias("region_cents"),
+        F.sum("cents").over(
+            Window.partitionBy()
+        ).alias("total_cents"),
+    )
+    return w.select(
+        "region",
+        "nation",
+        F.round(F.col("cents").cast("double") / 100, 2).alias("revenue"),
+        F.round(100.0 * F.col("cents") / F.col("region_cents"), 6).alias(
+            "pct_of_region"
+        ),
+        F.round(100.0 * F.col("cents") / F.col("total_cents"), 6).alias(
+            "pct_of_total"
+        ),
+        F.round(
+            100.0 * F.col("region_cents") / F.col("total_cents"), 6
+        ).alias("region_pct_of_total"),
+    )

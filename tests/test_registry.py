@@ -235,6 +235,10 @@ EXPECTED_IDS = {
     "scan_binary_files", "win_rolling_slope",
     # round-5 batch 18: STL-lite decomposition, token-entropy histogram
     "ts_decompose_stl_lite", "llm_token_entropy",
+    # round-5 batch 19: cumulative gains table, grouped OLS elasticity,
+    # ratio-to-parent shares
+    "ml_cumulative_gains", "report_price_elasticity",
+    "report_ratio_to_parent",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
