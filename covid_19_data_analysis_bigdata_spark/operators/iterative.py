@@ -1884,3 +1884,138 @@ def ml_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Modularity of the brand partition over the co-purchase graph (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "graph_modularity",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v FROM edges)
+        GROUP BY node),
+    dc AS (
+        SELECT p.p_brand,
+               CAST(count(*) AS BIGINT)  AS n_nodes,
+               CAST(sum(g.d) AS BIGINT)  AS d_c
+        FROM deg g JOIN part p ON p.p_partkey = g.node
+        GROUP BY p.p_brand),
+    ec AS (
+        SELECT pu.p_brand, CAST(count(*) AS BIGINT) AS e_c
+        FROM edges e
+        JOIN part pu ON pu.p_partkey = e.u
+        JOIN part pv ON pv.p_partkey = e.v
+        WHERE pu.p_brand = pv.p_brand
+        GROUP BY pu.p_brand),
+    comm AS (
+        SELECT d.p_brand, d.n_nodes, d.d_c,
+               CAST(coalesce(ec.e_c, 0) AS BIGINT) AS e_c
+        FROM dc d LEFT JOIN ec ON ec.p_brand = d.p_brand)
+    SELECT c.p_brand, c.n_nodes, c.e_c, c.d_c,
+           round(CAST(c.e_c AS DOUBLE) / m.n_edges
+                 - (CAST(c.d_c AS DOUBLE) / (2 * m.n_edges))
+                   * (CAST(c.d_c AS DOUBLE) / (2 * m.n_edges)), 6)
+               AS contribution,
+           round(CAST(4 * m.n_edges * sum(c.e_c) OVER ()
+                      - sum(c.d_c * c.d_c) OVER () AS DOUBLE)
+                 / (4.0 * m.n_edges * m.n_edges), 6) AS q_total
+    FROM comm c CROSS JOIN m
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition over the co-purchase
+    part graph — the partition-quality metric that completes the graph
+    family: components say what's connected, k-core/triangles how
+    densely, modularity whether a given labeling explains the edge
+    structure (Q ≈ 0 here: brands don't drive co-purchase, a finding
+    in itself).
+
+    Per community Q_c = e_c/m − (d_c/2m)²; both terms derive from two
+    broadcast-dimension joins onto the edge list and degree table —
+    no per-community subgraph materialization, so community count is
+    free.  The global Q avoids summing per-community doubles
+    (order-dependent) by algebra: Q = (4m·Σe_c − Σd_c²)/(4m²), an
+    exact integer expression under two window sums, divided once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    m = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    brand = part.select("p_partkey", "p_brand")
+    dc = (
+        deg.join(F.broadcast(brand), deg.node == brand.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("d_c")
+        )
+    )
+    bu = brand.select(
+        F.col("p_partkey").alias("u"), F.col("p_brand").alias("brand_u")
+    )
+    bv = brand.select(
+        F.col("p_partkey").alias("v"), F.col("p_brand").alias("brand_v")
+    )
+    ec = (
+        edges.join(F.broadcast(bu), "u")
+        .join(F.broadcast(bv), "v")
+        .filter(F.col("brand_u") == F.col("brand_v"))
+        .groupBy(F.col("brand_u").alias("p_brand"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    comm = dc.join(ec, "p_brand", "left").select(
+        "p_brand",
+        "n_nodes",
+        "d_c",
+        F.coalesce("e_c", F.lit(0)).alias("e_c"),
+    )
+    j = comm.crossJoin(F.broadcast(m))
+    half = F.col("d_c").cast("double") / (2 * F.col("n_edges"))
+    wall = Window.partitionBy()
+    return j.select(
+        "p_brand",
+        "n_nodes",
+        "e_c",
+        "d_c",
+        F.round(
+            F.col("e_c").cast("double") / F.col("n_edges") - half * half, 6
+        ).alias("contribution"),
+        F.round(
+            (
+                4 * F.col("n_edges") * F.sum("e_c").over(wall)
+                - F.sum(F.col("d_c") * F.col("d_c")).over(wall)
+            ).cast("double")
+            / (4.0 * F.col("n_edges") * F.col("n_edges")),
+            6,
+        ).alias("q_total"),
+    )

@@ -239,6 +239,8 @@ EXPECTED_IDS = {
     # ratio-to-parent shares
     "ml_cumulative_gains", "report_price_elasticity",
     "report_ratio_to_parent",
+    # round-5 batch 20: modularity of the brand partition
+    "graph_modularity",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
