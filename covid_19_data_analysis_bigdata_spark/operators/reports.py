@@ -1815,3 +1815,108 @@ def report_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * F.col("region_cents") / F.col("total_cents"), 6
         ).alias("region_pct_of_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Customer segment migration matrix (round 5)
+# --------------------------------------------------------------------------
+
+#: Per-customer half-period revenue bands (cents).  Per-customer order
+#: volume is scale-factor-invariant (TPC-H holds orders/customer
+#: constant), so fixed bands split the population at every SF.
+MIGRATION_BANDS = (30_000_000, 70_000_000)  # $300k / $700k
+
+
+@query(
+    "report_customer_migration",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(o_orderdate) AS d0,
+               CAST(datediff('day', min(o_orderdate), max(o_orderdate)) // 2
+                    AS INTEGER) AS half_days
+        FROM orders),
+    halves AS (
+        SELECT o.o_custkey,
+               CASE WHEN datediff('day', b.d0, o.o_orderdate)
+                         <= b.half_days
+                    THEN 'early' ELSE 'late' END AS half,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o CROSS JOIN bounds b),
+    rev AS (
+        SELECT o_custkey, half,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM halves GROUP BY o_custkey, half),
+    seg AS (
+        SELECT o_custkey, half,
+               CASE WHEN cents < {MIGRATION_BANDS[0]} THEN 'low'
+                    WHEN cents < {MIGRATION_BANDS[1]} THEN 'mid'
+                    ELSE 'high' END AS segment
+        FROM rev),
+    e AS (SELECT o_custkey, segment FROM seg WHERE half = 'early'),
+    l AS (SELECT o_custkey, segment FROM seg WHERE half = 'late'),
+    mat AS (
+        SELECT coalesce(e.segment, 'none') AS seg_early,
+               coalesce(l.segment, 'none') AS seg_late
+        FROM e FULL OUTER JOIN l ON l.o_custkey = e.o_custkey)
+    SELECT seg_early, seg_late,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM mat GROUP BY seg_early, seg_late
+    """,
+)
+def report_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment migration: band every customer's revenue in
+    the early and late half of the order history (fixed cents
+    thresholds, plus 'none' for absence) and count the transition
+    matrix — the churn/upgrade flow report behind every retention
+    dashboard, and the two-period generalization of the static RFM
+    segmentation already in the registry.
+
+    The period split is data-derived but exact (integer midpoint of
+    the date span, broadcast to the scan); each half reduces to one
+    per-customer integer revenue, and the matrix is a full outer join
+    of two customer-grain aggregates co-partitioned on the key —
+    two shuffles at fact scale, one at customer scale, regardless of
+    corpus size.  All-counts output, no floats anywhere.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("d0"),
+        (F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) / 2)
+        .cast("int")
+        .alias("half_days"),
+    )
+    halves = o.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        F.when(
+            F.datediff(F.col("o_orderdate"), F.col("d0"))
+            <= F.col("half_days"),
+            F.lit("early"),
+        )
+        .otherwise(F.lit("late"))
+        .alias("half"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rev = halves.groupBy("o_custkey", "half").agg(
+        F.sum("cents").alias("cents")
+    )
+    seg = rev.select(
+        "o_custkey",
+        "half",
+        F.when(F.col("cents") < MIGRATION_BANDS[0], F.lit("low"))
+        .when(F.col("cents") < MIGRATION_BANDS[1], F.lit("mid"))
+        .otherwise(F.lit("high"))
+        .alias("segment"),
+    )
+    e = seg.filter(F.col("half") == "early").select(
+        "o_custkey", F.col("segment").alias("seg_e")
+    )
+    late = seg.filter(F.col("half") == "late").select(
+        "o_custkey", F.col("segment").alias("seg_l")
+    )
+    mat = e.join(late, "o_custkey", "full_outer").select(
+        F.coalesce("seg_e", F.lit("none")).alias("seg_early"),
+        F.coalesce("seg_l", F.lit("none")).alias("seg_late"),
+    )
+    return mat.groupBy("seg_early", "seg_late").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

@@ -241,6 +241,8 @@ EXPECTED_IDS = {
     "report_ratio_to_parent",
     # round-5 batch 20: modularity of the brand partition
     "graph_modularity",
+    # round-5 batch 21: two-period segment migration matrix
+    "report_customer_migration",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
