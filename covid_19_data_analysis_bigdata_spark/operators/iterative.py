@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_19_data_analysis_bigdata_spark.core import query
-from covid_19_data_analysis_bigdata_spark.operators.llm import _d
+from covid_19_data_analysis_bigdata_spark.operators.llm import _cosine, _d
 from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir, load_table
 
 KMEANS_ITERS = 2
@@ -2018,4 +2018,349 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (4.0 * F.col("n_edges") * F.col("n_edges")),
             6,
         ).alias("q_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ridge regression via regularized normal equations (round 5)
+# --------------------------------------------------------------------------
+
+RIDGE_LAMBDA = 1000
+
+
+@query(
+    "ml_ridge_closed_form",
+    oracle=f"""
+    WITH feat AS (
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice) AS BIGINT) AS y,
+               CAST(count(*) AS BIGINT) AS x1,
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS x2
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice),
+    m0 AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x1) AS DOUBLE) AS sx1,
+               CAST(sum(x2) AS DOUBLE) AS sx2,
+               CAST(sum(x1 * x1) AS DOUBLE) AS s11_raw,
+               CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+               CAST(sum(x2 * x2) AS DOUBLE) AS s22_raw,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+               CAST(sum(x2 * y) AS DOUBLE) AS s2y
+        FROM feat),
+    m AS (
+        SELECT n, sx1, sx2,
+               s11_raw + {RIDGE_LAMBDA}.0 AS s11, s12,
+               s22_raw + {RIDGE_LAMBDA}.0 AS s22,
+               sy, s1y, s2y
+        FROM m0)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST({RIDGE_LAMBDA} AS BIGINT) AS ridge_lambda,
+           round({_OLS_DETS['det0']} / {_OLS_DETS['det']}, 6) AS beta0,
+           round({_OLS_DETS['det1']} / {_OLS_DETS['det']}, 6) AS beta1,
+           round({_OLS_DETS['det2']} / {_OLS_DETS['det']}, 6) AS beta2
+    FROM m
+    """,
+)
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression (L2-regularized OLS) on the same two-feature
+    order-total problem as ``ml_ols_normal_eq``, solved in closed form:
+    (X'X + lambda*I')beta = X'y with the intercept row unpenalized
+    (I' = diag(0, 1, 1)), i.e. lambda is added to the diagonal moments
+    s11 and s22 only.
+
+    Same 100 TB shape as the OLS op — one partial+final aggregate
+    produces the nine sufficient statistics, the 3x3 Cramer solve is a
+    fixed expression over a single row, nothing iterative and nothing
+    on the driver.  Cross-engine determinism: moments are exact BIGINT
+    sums converted once to double; lambda is added AFTER the exact
+    conversion (an exact double op on both engines); the determinant
+    trees are written identically on both sides.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    feat = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("x1"),
+            F.sum(F.round("l_quantity").cast("long")).alias("x2"),
+        )
+        .select(
+            F.round(F.col("o_totalprice")).cast("long").alias("y"),
+            "x1",
+            "x2",
+        )
+    )
+    m = feat.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        (F.sum(F.col("x1") * F.col("x1")).cast("double")
+         + F.lit(float(RIDGE_LAMBDA))).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        (F.sum(F.col("x2") * F.col("x2")).cast("double")
+         + F.lit(float(RIDGE_LAMBDA))).alias("s22"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+    )
+    c = F.col
+    det = c("n") * (c("s11") * c("s22") - c("s12") * c("s12")) - c("sx1") * (
+        c("sx1") * c("s22") - c("s12") * c("sx2")
+    ) + c("sx2") * (c("sx1") * c("s12") - c("s11") * c("sx2"))
+    det0 = c("sy") * (c("s11") * c("s22") - c("s12") * c("s12")) - c("sx1") * (
+        c("s1y") * c("s22") - c("s12") * c("s2y")
+    ) + c("sx2") * (c("s1y") * c("s12") - c("s11") * c("s2y"))
+    det1 = c("n") * (c("s1y") * c("s22") - c("s12") * c("s2y")) - c("sy") * (
+        c("sx1") * c("s22") - c("s12") * c("sx2")
+    ) + c("sx2") * (c("sx1") * c("s2y") - c("s1y") * c("sx2"))
+    det2 = c("n") * (c("s11") * c("s2y") - c("s1y") * c("s12")) - c("sx1") * (
+        c("sx1") * c("s2y") - c("s1y") * c("sx2")
+    ) + c("sy") * (c("sx1") * c("s12") - c("s11") * c("sx2"))
+    return m.select(
+        c("n").cast("long").alias("n_orders"),
+        F.lit(RIDGE_LAMBDA).cast("long").alias("ridge_lambda"),
+        F.round(det0 / det, 6).alias("beta0"),
+        F.round(det1 / det, 6).alias("beta1"),
+        F.round(det2 / det, 6).alias("beta2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-NN majority-vote classification over the embedding corpus (round 5)
+# --------------------------------------------------------------------------
+
+KNN_CLS_K = 5
+KNN_CLS_MOD = 7
+
+
+@query(
+    "ml_knn_classify",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id % {KNN_CLS_MOD} = 0),
+    cand AS (
+        SELECT p.vec_id AS probe_id, p.label AS true_label,
+               n.label AS n_label, n.vec_id AS nid,
+               round(list_cosine_similarity(
+                   CAST(p.embedding AS DOUBLE[]),
+                   CAST(n.embedding AS DOUBLE[])), 6) AS sim
+        FROM probes p
+        JOIN embeddings n ON n.vec_id % {KNN_CLS_MOD} <> 0),
+    topk AS (
+        SELECT * FROM cand
+        QUALIFY row_number() OVER (
+            PARTITION BY probe_id ORDER BY sim DESC, nid) <= {KNN_CLS_K}),
+    votes AS (
+        SELECT probe_id, true_label, n_label,
+               CAST(count(*) AS BIGINT) AS votes
+        FROM topk GROUP BY 1, 2, 3)
+    SELECT probe_id, true_label, n_label AS pred_label, votes,
+           CAST(CASE WHEN n_label = true_label THEN 1 ELSE 0 END
+                AS INTEGER) AS correct
+    FROM votes
+    QUALIFY row_number() OVER (
+        PARTITION BY probe_id ORDER BY votes DESC, n_label) = 1
+    """,
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier: every 7th vector is held out as a probe and
+    classified by majority label of its 5 nearest cosine neighbors in
+    the remaining corpus (ties: larger vote count, then smaller label).
+
+    The probe set is a bounded fraction of the corpus and is broadcast;
+    the corpus streams through a map-side nested loop (no corpus
+    shuffle, linear scan — the same 100 TB shape as
+    ``llm_knn_per_query``; the sub-quadratic variant would swap in the
+    IVF cell-pruned candidate stage of ``llm_ann_ivf``).  Cross-engine
+    determinism: neighbor ranking and the vote tally both order on
+    round(sim, 6) with vec_id / label tie-breaks, so last-bit cosine
+    divergence cannot flip the prediction.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % KNN_CLS_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("label").alias("true_label"),
+    )
+    corpus = e.filter(F.col("vec_id") % KNN_CLS_MOD != 0).select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ne"),
+        F.col("label").alias("n_label"),
+    )
+    sim = F.round(_cosine(F.col("pe"), F.col("ne")), 6)
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("nid"))
+    topk = (
+        corpus.join(F.broadcast(probes))
+        .select("probe_id", "true_label", "n_label", "nid", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KNN_CLS_K)
+    )
+    votes = topk.groupBy("probe_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("probe_id").orderBy(
+        F.desc("votes"), F.asc("n_label")
+    )
+    return (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .select(
+            "probe_id",
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            "votes",
+            F.when(F.col("n_label") == F.col("true_label"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square contingency contributions (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_chi2_contingency",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM orders GROUP BY 1, 2),
+    margins AS (
+        SELECT c.*,
+               sum(observed) OVER (PARTITION BY o_orderstatus)   AS r_tot,
+               sum(observed) OVER (PARTITION BY o_orderpriority) AS c_tot,
+               sum(observed) OVER ()                             AS n_tot
+        FROM cells c)
+    SELECT o_orderstatus, o_orderpriority, observed,
+           round(CAST(r_tot * c_tot AS DOUBLE) / n_tot, 6) AS expected,
+           round(CAST(observed * n_tot - r_tot * c_tot AS DOUBLE)
+                 * CAST(observed * n_tot - r_tot * c_tot AS DOUBLE)
+                 / CAST(r_tot * c_tot * n_tot AS DOUBLE), 6) AS chi2_term
+    FROM margins
+    """,
+)
+def ml_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order status and order
+    priority, reported as the per-cell contingency contributions
+    (observed, expected, (O-E)^2/E term).
+
+    One groupBy builds the contingency cells; the margins are window
+    sums over the tiny cell table (|status| x |priority| rows — the
+    windows run on one executor regardless of corpus size, after the
+    corpus was reduced by an associative count).  Per-cell terms are
+    emitted as rows rather than summed into one statistic so no
+    order-dependent double accumulation exists: the term is computed
+    from exact BIGINT margins as (O*N - R*C)^2 / (R*C*N) — the
+    difference is an exact int64, squared and divided in double with
+    identical op order in both engines.  The oracle's window sums over
+    BIGINT counts stay BIGINT in DuckDB (no HUGEINT widening: sums of
+    row counts over one table are < 2^63).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    wr = Window.partitionBy("o_orderstatus")
+    wc = Window.partitionBy("o_orderpriority")
+    wn = Window.partitionBy()
+    m = cells.select(
+        "*",
+        F.sum("observed").over(wr).alias("r_tot"),
+        F.sum("observed").over(wc).alias("c_tot"),
+        F.sum("observed").over(wn).alias("n_tot"),
+    )
+    diff = (
+        F.col("observed") * F.col("n_tot") - F.col("r_tot") * F.col("c_tot")
+    ).cast("double")
+    return m.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "observed",
+        F.round(
+            (F.col("r_tot") * F.col("c_tot")).cast("double") / F.col("n_tot"),
+            6,
+        ).alias("expected"),
+        F.round(
+            diff * diff
+            / (F.col("r_tot") * F.col("c_tot") * F.col("n_tot")).cast(
+                "double"
+            ),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation: label precision@k of exact cosine search (round 5)
+# --------------------------------------------------------------------------
+
+PREC_K = 10
+
+
+@query(
+    "ml_precision_at_k",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20),
+    cand AS (
+        SELECT p.vec_id AS probe_id, p.label AS true_label,
+               n.label AS n_label, n.vec_id AS nid,
+               round(list_cosine_similarity(
+                   CAST(p.embedding AS DOUBLE[]),
+                   CAST(n.embedding AS DOUBLE[])), 6) AS sim
+        FROM probes p JOIN embeddings n ON n.vec_id <> p.vec_id),
+    topk AS (
+        SELECT * FROM cand
+        QUALIFY row_number() OVER (
+            PARTITION BY probe_id ORDER BY sim DESC, nid) <= {PREC_K})
+    SELECT probe_id, any_value(true_label) AS true_label,
+           CAST(sum(CASE WHEN n_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits_at_k,
+           round(sum(CASE WHEN n_label = true_label THEN 1 ELSE 0 END)
+                 / {PREC_K}.0, 6) AS precision_at_k
+    FROM topk GROUP BY probe_id
+    """,
+)
+def ml_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality metric: for 20 probe vectors, precision@10 of
+    exact cosine search measured against the stored class labels (a
+    neighbor is a hit when its label matches the probe's).
+
+    This is the evaluation harness a recall-tuned ANN deployment runs
+    next to ``llm_ann_ivf``: broadcast probes, one linear corpus scan,
+    per-probe top-k under the deterministic (round(sim, 6), vec_id)
+    order, then an integer hit count with a single exact division.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("label").alias("true_label"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ne"),
+        F.col("label").alias("n_label"),
+    )
+    sim = F.round(_cosine(F.col("pe"), F.col("ne")), 6)
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("nid"))
+    topk = (
+        n.join(F.broadcast(probes), F.col("nid") != F.col("probe_id"))
+        .select("probe_id", "true_label", "n_label", "nid", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= PREC_K)
+    )
+    hit = F.when(F.col("n_label") == F.col("true_label"), 1).otherwise(0)
+    return topk.groupBy("probe_id").agg(
+        F.first("true_label").alias("true_label"),
+        F.sum(hit).alias("hits_at_k"),
+        F.round(F.sum(hit) / float(PREC_K), 6).alias("precision_at_k"),
     )

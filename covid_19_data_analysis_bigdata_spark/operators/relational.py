@@ -9,7 +9,7 @@ path) and keeps predicates sargable so parquet pushdown engages.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_19_data_analysis_bigdata_spark.core import query
@@ -409,3 +409,53 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey"
     )
     return a.intersectAll(b)
+
+
+# --------------------------------------------------------------------------
+# Deterministic fixed-k reservoir sample (round 5)
+# --------------------------------------------------------------------------
+
+RESERVOIR_K = 500
+
+
+@query(
+    "sample_reservoir_topk",
+    oracle=f"""
+    SELECT event_id, event_type, value,
+           row_number() OVER (
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+               AS sample_rank
+    FROM events
+    QUALIFY row_number() OVER (
+        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+        <= {RESERVOIR_K}
+    """,
+)
+def sample_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample without replacement: the k=500 rows
+    with the smallest md5(event_id) — a deterministic 'reservoir' that
+    is independent of partitioning, row order, and engine, unlike
+    rand()-seeded reservoirs.
+
+    Spark executes the orderBy+limit as TakeOrderedAndProject: each
+    partition keeps its local top-k heap and only k rows per partition
+    travel to the final merge, so at 100 TB the cost is one linear
+    scan plus a k·P-row reduction — no full sort, no shuffle of the
+    corpus.  The rank column is re-derived on the 500-row result
+    (single tiny partition, exact same (md5, event_id) total order the
+    selection used).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    sampled = (
+        ev.select("event_id", "event_type", "value", h.alias("h"))
+        .orderBy("h", "event_id")
+        .limit(RESERVOIR_K)
+    )
+    w = Window.orderBy("h", "event_id")
+    return sampled.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("sample_rank"),
+    )

@@ -1709,3 +1709,238 @@ def ts_decompose_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("detr7").cast("double") / 7 - seasonal_raw) / 100, 4
         ).alias("residual"),
     )
+
+
+# --------------------------------------------------------------------------
+# Clickstream path analysis (round 5)
+# --------------------------------------------------------------------------
+
+PATH_LEN = 8
+PATH_TOPN = 20
+
+
+@query(
+    "events_user_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM seq WHERE rn <= {PATH_LEN} GROUP BY user_id),
+    counted AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        FROM paths GROUP BY path)
+    SELECT path, n_users FROM counted
+    QUALIFY row_number() OVER (ORDER BY n_users DESC, path) <= {PATH_TOPN}
+    """,
+)
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 opening clickstream paths: each user's first 8 events (by
+    timestamp, event_id tie-break) concatenated into a '>'-separated
+    path string, ranked by how many users share the exact path.
+
+    The per-user sequence is one window (partitioned by user — no
+    global sort); path assembly is sort_array over the ≤8 collected
+    (rn, type) structs, so the shuffled payload per user is bounded by
+    the path length, not the user's event count.  The final top-N runs
+    over the path-count table (≤ |users| rows, already aggregated).
+    Total order everywhere: (ts, event_id) inside the path,
+    (n_users DESC, path) for the ranking.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= PATH_LEN)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s.getField("event_type"),
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    wt = Window.orderBy(F.desc("n_users"), F.asc("path"))
+    return (
+        counted.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= PATH_TOPN)
+        .drop("rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# First-view → first-purchase conversion latency distribution (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH first_view AS (
+        SELECT user_id, min(ts) AS vts
+        FROM events WHERE event_type = 'view' GROUP BY user_id),
+    conv AS (
+        SELECT v.user_id,
+               min(epoch_ms(e.ts) - epoch_ms(v.vts)) AS delta_ms
+        FROM first_view v
+        JOIN events e
+          ON e.user_id = v.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts > v.vts
+        GROUP BY v.user_id)
+    SELECT CAST(delta_ms // 3600000 AS BIGINT) AS hours_to_convert,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(delta_ms) AS BIGINT) AS min_delta_ms,
+           CAST(max(delta_ms) AS BIGINT) AS max_delta_ms
+    FROM conv GROUP BY 1
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency histogram: per user, milliseconds from the
+    first 'view' to the first subsequent 'purchase', bucketed into
+    whole hours.
+
+    Two associative aggregates around one equi-join on user_id (the
+    first-view table is a per-user min — at 100 TB both sides are
+    hash-partitioned on user_id and the join co-locates; no windows,
+    no skew beyond per-user event density).  Latencies are exact
+    epoch-millisecond BIGINTs; the hour bucket is integer floor
+    division (non-negative deltas, so truncating and flooring agree in
+    both engines).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    conv = (
+        fv.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("pts") > F.col("vts")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_millis("pts") - F.unix_millis("vts")).alias(
+                "delta_ms"
+            )
+        )
+    )
+    return conv.groupBy(
+        F.expr("delta_ms div 3600000").alias("hours_to_convert")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("delta_ms").alias("min_delta_ms"),
+        F.max("delta_ms").alias("max_delta_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-type co-occurrence within user-days (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_cooccurrence",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type
+        FROM events),
+    totals AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        FROM ud GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM ud a
+        JOIN ud b ON a.user_id = b.user_id AND a.day = b.day
+                 AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_both,
+           ta.n_days AS n_a, tb.n_days AS n_b,
+           round(CAST(p.n_both AS DOUBLE)
+                 / (ta.n_days + tb.n_days - p.n_both), 6) AS jaccard
+    FROM pairs p
+    JOIN totals ta ON ta.event_type = p.type_a
+    JOIN totals tb ON tb.event_type = p.type_b
+    """,
+)
+def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence: for every unordered pair of event
+    types, on how many (user, day) grains both occurred, with the
+    Jaccard overlap of their active-day sets.
+
+    The corpus collapses to DISTINCT (user, day, type) first — one
+    associative dedup — and the pair join is keyed on (user, day), so
+    candidate pairs are bounded by |types|² per grain (types is a small
+    domain), never by raw event counts; the same shape Market-basket
+    co-occurrence takes at 100 TB.  Jaccard is one exact-integer
+    division; totals are broadcast back onto the pair table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+    ).distinct()
+    totals = ud.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    a = ud.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = ud.select(
+        F.col("user_id").alias("ub"),
+        F.col("day").alias("db"),
+        F.col("event_type").alias("type_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("ub"))
+            & (F.col("day") == F.col("db"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n_days").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n_days").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -537,3 +537,101 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(slope, 4))
         .alias("slope_dollars_per_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling correlation between two event series (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "win_rolling_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1),
+    roll AS (
+        SELECT day, x, y,
+               count(*)   OVER w AS n,
+               sum(x)     OVER w AS sx,
+               sum(y)     OVER w AS sy,
+               sum(x * x) OVER w AS sxx,
+               sum(y * y) OVER w AS syy,
+               sum(x * y) OVER w AS sxy
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT day, x, y,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
+                 6) AS corr_7d
+    FROM roll WHERE n = 7
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between the daily error count
+    and the daily click count, from exact integer moments.
+
+    The corpus collapses to one row per day first (associative
+    conditional counts), so the window runs over the tiny day-level
+    series; on a real deployment the frame would be partitioned per
+    (metric pair / tenant) key — here there is a single global pair,
+    and the single-partition window is over |days| rows, not the
+    corpus.  Determinism: all six moments are exact BIGINTs inside the
+    row frame; the correlation is formed from them with an identical
+    expression tree in both engines (one subtraction pattern, two
+    correctly-rounded sqrts, one division), rounded once at the end —
+    no accumulation of doubles anywhere.  Full windows only (n = 7) so
+    edge frames can't produce engine-specific NULL shapes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    roll = daily.select(
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    d1 = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    d2 = F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return (
+        roll.filter(F.col("n") == 7)
+        .select(
+            "day",
+            "x",
+            "y",
+            F.round(
+                num / F.nullif(d1 * d2, F.lit(0.0)), 6
+            ).alias("corr_7d"),
+        )
+    )

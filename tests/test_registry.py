@@ -243,6 +243,16 @@ EXPECTED_IDS = {
     "graph_modularity",
     # round-5 batch 21: two-period segment migration matrix
     "report_customer_migration",
+    # round-5 batch 22: closed-form ridge, k-NN majority classifier,
+    # chi-square contingency terms, retrieval precision@k
+    "ml_ridge_closed_form", "ml_knn_classify", "ml_chi2_contingency",
+    "ml_precision_at_k",
+    # round-5 batch 23: clickstream paths, conversion-latency histogram,
+    # event-type co-occurrence
+    "events_user_paths", "events_time_to_convert", "events_cooccurrence",
+    # round-5 batch 24: deterministic fixed-k reservoir sample,
+    # rolling 7-day correlation from integer moments
+    "sample_reservoir_topk", "win_rolling_corr",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
