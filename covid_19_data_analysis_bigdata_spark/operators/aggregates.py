@@ -1037,3 +1037,60 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(pairs)}, {stack_args}) AS (var_x, var_y, corr)"
         )
     )
+
+
+
+# --------------------------------------------------------------------------
+# Discrete (order-statistic) percentiles (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    WITH ordered AS (
+        SELECT l_linestatus, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_linestatus
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               count(*) OVER (PARTITION BY l_linestatus) AS n
+        FROM lineitem)
+    SELECT l_linestatus,
+           max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                    THEN l_extendedprice END) AS p25_disc,
+           max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN l_extendedprice END) AS p50_disc,
+           max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                    THEN l_extendedprice END) AS p90_disc
+    FROM ordered GROUP BY l_linestatus
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC WITHIN GROUP — the order-statistic quantile that
+    returns an actual data value (smallest value whose cumulative
+    distribution reaches p), complementing the interpolating
+    ``agg_percentile``.
+
+    Returned values are untouched input doubles, so there is no float
+    arithmetic to diverge — the only cross-engine risk is the SELECTION
+    rule, which the oracle pins to Spark's definition explicitly
+    (value at row ceil(p·n) of the sorted group) rather than trusting
+    DuckDB's quantile_disc indexing to agree.  Exact discrete
+    percentiles need the per-group sorted order; at 100 TB the
+    approx_percentile sketch replaces this, which is why both live in
+    the inventory.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_pdisc")
+    return spark.sql(
+        """
+        SELECT l_linestatus,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS p25_disc,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS p50_disc,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS p90_disc
+        FROM li_pdisc GROUP BY l_linestatus
+        """
+    )

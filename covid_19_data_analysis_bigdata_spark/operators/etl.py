@@ -1616,3 +1616,61 @@ def dq_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in arms[1:]:
         out = out.unionAll(frame)
     return out
+
+
+# --------------------------------------------------------------------------
+# Key-sequence gap detection (round 5)
+# --------------------------------------------------------------------------
+
+IDGAP_TOPN = 20
+
+
+@query(
+    "dq_id_gaps",
+    oracle=f"""
+    WITH keys AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+    gaps AS (
+        SELECT lag(k) OVER (ORDER BY k) + 1 AS gap_start,
+               k - 1                        AS gap_end,
+               k - lag(k) OVER (ORDER BY k) - 1 AS gap_len
+        FROM keys
+        QUALIFY k - lag(k) OVER (ORDER BY k) > 1)
+    SELECT gap_start, gap_end, CAST(gap_len AS BIGINT) AS gap_len
+    FROM gaps
+    QUALIFY row_number() OVER (ORDER BY gap_len DESC, gap_start)
+            <= {IDGAP_TOPN}
+    """,
+)
+def dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness check: the 20 largest missing runs in the
+    finished-order key space (the load-monitoring question 'which id
+    ranges did the upstream extract skip?').
+
+    Gaps-and-islands via one lag window over the sorted key column.
+    The global sort is the honest cost of a total-order gap scan; at
+    100 TB the same window is run per key-shard (range-partition the
+    key space first, then only shard boundaries need a second tiny
+    pass — the range partitioner Spark already uses for the sort).
+    All arithmetic is exact BIGINT; the top-N is totally ordered by
+    (gap_len DESC, gap_start).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    keys = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("k")
+    )
+    w = Window.orderBy("k")
+    gaps = (
+        keys.select(
+            (F.lag("k").over(w) + 1).alias("gap_start"),
+            (F.col("k") - 1).alias("gap_end"),
+            (F.col("k") - F.lag("k").over(w) - 1).alias("gap_len"),
+        )
+        .filter(F.col("gap_len") > 0)
+    )
+    wt = Window.orderBy(F.desc("gap_len"), F.asc("gap_start"))
+    return (
+        gaps.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= IDGAP_TOPN)
+        .drop("rk")
+    )

@@ -2364,3 +2364,111 @@ def ml_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).alias("hits_at_k"),
         F.round(F.sum(hit) / float(PREC_K), 6).alias("precision_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-node (local) clustering coefficients (round 5)
+# --------------------------------------------------------------------------
+
+LCC_TOPN = 30
+
+
+@query(
+    "graph_clustering_local",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL
+              SELECT v AS node FROM edges)
+        GROUP BY node),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+    tcount AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS t
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY node)
+    SELECT d.node, d.d, coalesce(t.t, 0) AS n_triangles,
+           round(2.0 * coalesce(t.t, 0) / (d.d * (d.d - 1)), 6) AS local_cc
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    WHERE d.d >= 3
+    QUALIFY row_number() OVER (
+        ORDER BY round(2.0 * coalesce(t.t, 0) / (d.d * (d.d - 1)), 6) DESC,
+                 d.node) <= {LCC_TOPN}
+    """,
+)
+def graph_clustering_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient — the 30 most clique-embedded parts
+    in the co-purchase graph (cc(v) = 2·tri(v) / d(v)(d(v)−1), degree
+    ≥ 3 only).
+
+    Reuses the degree-oriented adjacency of ``graph_triangle_count``:
+    per-edge out-neighbor intersections enumerate each triangle exactly
+    once, the intersection array is exploded to its member nodes, and
+    one unionAll + groupBy attributes every triangle to its three
+    corners — per-node counts with the same O(m^1.5) bound and no
+    wedge materialization.  The oracle re-counts with the canonical
+    a<b<c join, different geometry, same triangles.  The coefficient
+    is one double division of exact integers, and the top-N orders on
+    the ROUNDED value with the node id as tie-break so last-bit
+    division differences cannot reorder engines.
+    """
+    deg, oriented, adj = _copurchase_oriented(spark, sf_dir)
+    empty = F.array().cast("array<bigint>")
+    au = adj.select(F.col("src"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv"))
+    tri = (
+        oriented.join(au, "src", "left")
+        .join(av, "dst", "left")
+        .select(
+            "src",
+            "dst",
+            F.explode(
+                F.array_intersect(
+                    F.coalesce(F.col("nu"), empty),
+                    F.coalesce(F.col("nv"), empty),
+                )
+            ).alias("w"),
+        )
+    )
+    tcount = (
+        tri.select(F.col("src").alias("node"))
+        .unionAll(tri.select(F.col("dst").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    cc = F.round(
+        2.0
+        * F.coalesce(F.col("t"), F.lit(0))
+        / (F.col("d") * (F.col("d") - 1)),
+        6,
+    )
+    ranked = (
+        deg.join(tcount, "node", "left")
+        .filter(F.col("d") >= 3)
+        .select(
+            "node",
+            "d",
+            F.coalesce(F.col("t"), F.lit(0)).alias("n_triangles"),
+            cc.alias("local_cc"),
+        )
+    )
+    wt = Window.orderBy(F.desc("local_cc"), F.asc("node"))
+    return (
+        ranked.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= LCC_TOPN)
+        .drop("rk")
+    )

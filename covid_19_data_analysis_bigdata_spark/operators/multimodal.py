@@ -300,3 +300,65 @@ def multimodal_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("align"), 6).alias("min_align"),
         F.round(F.max("align"), 6).alias("max_align"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus byte-value histogram (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_byte_histogram",
+    oracle="""
+    SELECT code, CAST(count(*) AS BIGINT) AS n_bytes
+    FROM (SELECT unicode(c) AS code
+          FROM (SELECT unnest(string_split_regex(text, '')) AS c
+                FROM documents))
+    WHERE code >= 0
+    GROUP BY code
+    """,
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-value histogram of the whole document corpus — the payload
+    profiling stage a media/ingest pipeline runs to detect encoding
+    drift (a BOM, a codepage, binary junk inside 'text') before any
+    decode step.
+
+    This is the Arrow-batch reduction pattern on real plumbing: each
+    ``mapInPandas`` batch encodes its text column to bytes, counts all
+    256 byte values in ONE vectorized numpy bincount, and emits a
+    ≤256-row partial — so the shuffled payload per 10k-document batch
+    is bounded by the alphabet, not the corpus (classic map-side
+    combine done manually where no built-in aggregate exists).  The
+    final groupBy folds the partials associatively.  The corpus is
+    ASCII, so the oracle's per-codepoint split is byte-identical to
+    the UTF-8 encode on the Spark side (unicode('') = -1 rows are the
+    regex-split artifacts, filtered).
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+
+    def _byte_hist(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            buf = np.frombuffer(
+                b"".join(pdf["text"].str.encode("utf-8").tolist()),
+                dtype=np.uint8,
+            )
+            counts = np.bincount(buf, minlength=256)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "code": nz.astype("int64"),
+                    "n_partial": counts[nz].astype("int64"),
+                }
+            )
+
+    partials = d.mapInPandas(_byte_hist, "code long, n_partial long")
+    return partials.groupBy("code").agg(
+        F.sum("n_partial").alias("n_bytes")
+    )

@@ -253,6 +253,10 @@ EXPECTED_IDS = {
     # round-5 batch 24: deterministic fixed-k reservoir sample,
     # rolling 7-day correlation from integer moments
     "sample_reservoir_topk", "win_rolling_corr",
+    # round-5 batch 25: discrete percentile, key-sequence gap scan,
+    # corpus byte histogram, local clustering coefficient
+    "agg_percentile_disc", "dq_id_gaps", "multimodal_byte_histogram",
+    "graph_clustering_local",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
