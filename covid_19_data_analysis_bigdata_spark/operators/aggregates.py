@@ -1094,3 +1094,152 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM li_pdisc GROUP BY l_linestatus
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized mean over integer values with order-statistic bounds (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH q AS (
+        SELECT l_linestatus, CAST(round(l_quantity) AS BIGINT) AS v,
+               l_orderkey, l_linenumber
+        FROM lineitem),
+    ordered AS (
+        SELECT l_linestatus, v,
+               row_number() OVER (
+                   PARTITION BY l_linestatus
+                   ORDER BY v, l_orderkey, l_linenumber) AS rn,
+               count(*) OVER (PARTITION BY l_linestatus) AS n
+        FROM q),
+    bounds AS (
+        SELECT l_linestatus,
+               max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                        THEN v END) AS lo,
+               max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                        THEN v END) AS hi
+        FROM ordered GROUP BY l_linestatus)
+    SELECT q.l_linestatus, b.lo, b.hi,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(least(greatest(q.v, b.lo), b.hi)) AS DOUBLE)
+                 / count(*), 6) AS winsorized_mean
+    FROM q JOIN bounds b ON b.l_linestatus = q.l_linestatus
+    GROUP BY q.l_linestatus, b.lo, b.hi
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean of line quantity per line status: values are
+    clamped to the [p05, p95] order statistics before averaging — the
+    robust location estimate that survives fat-tailed metrics.
+
+    Two passes over the corpus, both associative: the bounds come from
+    PERCENTILE_DISC (actual data values — integers here, so the
+    clamped values stay exact integers and the final mean is one
+    division of an exact BIGINT sum), then the clamp+mean aggregates
+    with the 3-row bounds table broadcast onto the scan.  The oracle
+    pins the percentile selection rule explicitly (row ceil(p·n) of
+    the sorted group) so both engines choose identical bounds.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select(
+        "l_linestatus",
+        F.round("l_quantity").cast("long").alias("v"),
+    ).createOrReplaceTempView("li_wins")
+    bounds = spark.sql(
+        """
+        SELECT l_linestatus,
+               percentile_disc(0.05) WITHIN GROUP (ORDER BY v) AS lo,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY v) AS hi
+        FROM li_wins GROUP BY l_linestatus
+        """
+    ).select(
+        "l_linestatus",
+        # percentile_disc returns DOUBLE even over integer input; the
+        # selected value IS an integer datum, so the cast is exact.
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+    )
+    q = li.select(
+        "l_linestatus", F.round("l_quantity").cast("long").alias("v")
+    )
+    clamped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    return (
+        q.join(F.broadcast(bounds), "l_linestatus")
+        .groupBy("l_linestatus", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(clamped).cast("double") / F.count(F.lit(1)), 6
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Geometric mean via ordered fold over the value domain (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_geometric_mean",
+    oracle="""
+    WITH counts AS (
+        SELECT l_linestatus, CAST(round(l_quantity) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem WHERE l_quantity >= 1
+        GROUP BY 1, 2),
+    folded AS (
+        SELECT l_linestatus,
+               CAST(sum(cnt) AS BIGINT) AS n,
+               list_reduce(
+                   list_prepend(0.0, list(cnt * ln(v) ORDER BY v)),
+                   (acc, t) -> acc + t) AS log_sum
+        FROM counts GROUP BY l_linestatus)
+    SELECT l_linestatus, n,
+           round(log_sum / n, 6) AS log_gmean,
+           round(exp(log_sum / n), 6) AS geo_mean
+    FROM folded
+    """,
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of line quantity per line status — the
+    multiplicative average exp(mean(ln x)) that a skewed positive
+    metric (latency, file size, token count) actually wants.
+
+    A naive sum(ln x) is an order-dependent double accumulation (the
+    forbidden cross-engine pattern); instead the value domain
+    collapses to exact per-value counts first, and the log-sum is a
+    SEQUENTIAL fold over the ≤|domain| (value-ordered) terms —
+    Spark's F.aggregate and DuckDB's list_reduce execute the identical
+    chain of IEEE adds, so the sum is bit-equal by construction (the
+    repo's proven fold-equality pattern).  ln over exact-integer
+    arguments matches across engines; the corpus itself is touched by
+    one associative count aggregate only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.filter(F.col("l_quantity") >= 1)
+        .groupBy(
+            "l_linestatus",
+            F.round("l_quantity").cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    folded = counts.groupBy("l_linestatus").agg(
+        F.sum("cnt").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("v", "cnt"))),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + t.getField("cnt") * F.log(t.getField("v")),
+        ).alias("log_sum"),
+    )
+    return folded.select(
+        "l_linestatus",
+        "n",
+        F.round(F.col("log_sum") / F.col("n"), 6).alias("log_gmean"),
+        F.round(F.exp(F.col("log_sum") / F.col("n")), 6).alias("geo_mean"),
+    )

@@ -1674,3 +1674,97 @@ def dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= IDGAP_TOPN)
         .drop("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test, exact integers (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_ks_two_sample",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS v,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_r,
+               CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_n
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY 1),
+    cum AS (
+        SELECT v,
+               sum(c_r) OVER (ORDER BY v) AS cum_r,
+               sum(c_n) OVER (ORDER BY v) AS cum_n,
+               sum(c_r) OVER ()           AS n_r,
+               sum(c_n) OVER ()           AS n_n
+        FROM vals),
+    d AS (
+        SELECT v, n_r, n_n,
+               abs(cum_r * n_n - cum_n * n_r) AS d_num
+        FROM cum)
+    SELECT CAST(n_r AS BIGINT) AS n_r, CAST(n_n AS BIGINT) AS n_n,
+           v AS at_value,
+           round(CAST(d_num AS DOUBLE) / (n_r * n_n), 6) AS ks_d
+    FROM d
+    QUALIFY row_number() OVER (ORDER BY d_num DESC, v) = 1
+    """,
+)
+def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the quantity
+    distributions of returned ('R') vs non-returned ('N') lines — the
+    drift test a DQ gate runs between yesterday's and today's loads.
+
+    Exact throughout: the value domain collapses to per-value counts
+    (one associative aggregate), the ECDFs are cumulative-count
+    windows over that tiny domain table, and the sup-distance is
+    maximized on the INTEGER cross-multiplied numerator
+    |c1·n2 − c2·n1| (no float ECDFs to compare), with one division at
+    the single surviving row.  Scale: the windowed part runs over
+    |distinct values| rows, not the corpus; the corpus is touched by
+    the first aggregate only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = (
+        li.filter(F.col("l_returnflag").isin("R", "N"))
+        .groupBy(F.round("l_quantity").cast("long").alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("c_r"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "N", 1).otherwise(0)
+            ).alias("c_n"),
+        )
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = vals.select(
+        "v",
+        F.sum("c_r").over(wv).alias("cum_r"),
+        F.sum("c_n").over(wv).alias("cum_n"),
+        F.sum("c_r").over(wall).alias("n_r"),
+        F.sum("c_n").over(wall).alias("n_n"),
+    )
+    d = cum.select(
+        "v",
+        "n_r",
+        "n_n",
+        F.abs(
+            F.col("cum_r") * F.col("n_n") - F.col("cum_n") * F.col("n_r")
+        ).alias("d_num"),
+    )
+    return (
+        d.orderBy(F.desc("d_num"), F.asc("v"))
+        .limit(1)
+        .select(
+            "n_r",
+            "n_n",
+            F.col("v").alias("at_value"),
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_r") * F.col("n_n")),
+                6,
+            ).alias("ks_d"),
+        )
+    )

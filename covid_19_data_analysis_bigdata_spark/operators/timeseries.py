@@ -1944,3 +1944,84 @@ def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend estimator (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_theil_sen",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 4) AS y
+        FROM events GROUP BY 1),
+    idx AS (
+        SELECT datediff('day', DATE '2024-01-01', day) AS x, y FROM daily),
+    slopes AS (
+        SELECT a.x AS xa, b.x AS xb,
+               (b.y - a.y) / (b.x - a.x) AS s
+        FROM idx a JOIN idx b ON b.x > a.x),
+    ranked AS (
+        SELECT s,
+               row_number() OVER (ORDER BY s, xa, xb) AS rn,
+               count(*) OVER () AS m
+        FROM slopes)
+    SELECT CAST(max(m) AS BIGINT) AS n_pairs,
+           round((max(CASE WHEN rn = (m + 1) // 2 THEN s END)
+                  + max(CASE WHEN rn = (m + 2) // 2 THEN s END)) / 2.0,
+                 6) AS sen_slope
+    FROM ranked
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator of the daily-revenue trend: the median of
+    all pairwise slopes — the robust alternative to
+    ``ts_trend_forecast``'s OLS line (one wild outlier day moves OLS,
+    not the pairwise median).
+
+    The corpus collapses to one row per day first, so the O(d²)
+    pairwise stage runs over the day-level series (d days → d(d−1)/2
+    slope rows), never over raw events — at 100 TB d grows with the
+    retention window, not the data volume.  Determinism: each slope is
+    a single IEEE division of identically-computed inputs (4dp-rounded
+    daily sums, exact integer day indices), so both engines hold
+    bit-identical slope doubles; the median picks rows ⌊(m+1)/2⌋ and
+    ⌊(m+2)/2⌋ under the total order (s, xa, xb) and averages them —
+    selection arithmetic, no accumulation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    idx = daily.select(
+        F.datediff("day", F.lit("2024-01-01").cast("date")).alias("x"), "y"
+    )
+    a = idx.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = idx.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("xb") > F.col("xa")).select(
+        "xa",
+        "xb",
+        (
+            (F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))
+        ).alias("s"),
+    )
+    w = Window.orderBy("s", "xa", "xb")
+    wall = Window.partitionBy()
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    lo = F.max(
+        F.when(F.col("rn") == F.expr("(m + 1) div 2"), F.col("s"))
+    )
+    hi = F.max(
+        F.when(F.col("rn") == F.expr("(m + 2) div 2"), F.col("s"))
+    )
+    return ranked.agg(
+        F.max("m").cast("long").alias("n_pairs"),
+        F.round((lo + hi) / 2.0, 6).alias("sen_slope"),
+    )

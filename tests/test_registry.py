@@ -257,6 +257,10 @@ EXPECTED_IDS = {
     # corpus byte histogram, local clustering coefficient
     "agg_percentile_disc", "dq_id_gaps", "multimodal_byte_histogram",
     "graph_clustering_local",
+    # round-5 batch 26: exact two-sample KS drift test, winsorized mean,
+    # Theil-Sen robust slope, fold-exact geometric mean
+    "dq_ks_two_sample", "agg_winsorized_mean", "ts_theil_sen",
+    "agg_geometric_mean",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
