@@ -1920,3 +1920,95 @@ def report_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mat.groupBy("seg_early", "seg_late").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+# --------------------------------------------------------------------------
+# Period-over-period price/volume mix decomposition (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "report_price_volume_mix",
+    oracle="""
+    WITH base AS (
+        SELECT p.p_brand,
+               CAST(year(l.l_shipdate) AS INTEGER) AS yr,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(round(l.l_quantity) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE year(l.l_shipdate) IN (1996, 1997)),
+    per AS (
+        SELECT p_brand,
+               CAST(sum(CASE WHEN yr = 1996 THEN cents ELSE 0 END)
+                    AS BIGINT) AS rev1,
+               CAST(sum(CASE WHEN yr = 1997 THEN cents ELSE 0 END)
+                    AS BIGINT) AS rev2,
+               CAST(sum(CASE WHEN yr = 1996 THEN qty ELSE 0 END)
+                    AS BIGINT) AS qty1,
+               CAST(sum(CASE WHEN yr = 1997 THEN qty ELSE 0 END)
+                    AS BIGINT) AS qty2
+        FROM base GROUP BY p_brand)
+    SELECT p_brand, rev1, rev2, qty1, qty2,
+           round(100.0 * (rev2 - rev1) / rev1, 6) AS rev_growth_pct,
+           round(100.0 * (qty2 - qty1) / qty1, 6) AS qty_growth_pct,
+           round(100.0 * (rev2 - rev1) / rev1
+                 - 100.0 * (qty2 - qty1) / qty1, 6) AS price_mix_pp
+    FROM per
+    WHERE rev1 > 0 AND qty1 > 0
+    """,
+)
+def report_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per brand decomposed into volume
+    growth and price/mix effect (growth-rate difference in percentage
+    points) — the finance bridge explaining WHY revenue moved.
+
+    Revenue is summed as exact integer cents and quantity as exact
+    integers (associative, partial-aggregated); each output metric is
+    formed from those exact sums with at most two IEEE divisions in an
+    identical expression tree, rounded once.  The part dimension is
+    broadcast onto the fact scan; the year filter prunes at the
+    parquet level.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    base = (
+        li.filter(F.year("l_shipdate").isin(1996, 1997))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.round("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    per = base.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("yr") == 1996, F.col("cents")).otherwise(0)).alias(
+            "rev1"
+        ),
+        F.sum(F.when(F.col("yr") == 1997, F.col("cents")).otherwise(0)).alias(
+            "rev2"
+        ),
+        F.sum(F.when(F.col("yr") == 1996, F.col("qty")).otherwise(0)).alias(
+            "qty1"
+        ),
+        F.sum(F.when(F.col("yr") == 1997, F.col("qty")).otherwise(0)).alias(
+            "qty2"
+        ),
+    )
+    rg = 100.0 * (F.col("rev2") - F.col("rev1")) / F.col("rev1")
+    qg = 100.0 * (F.col("qty2") - F.col("qty1")) / F.col("qty1")
+    return (
+        per.filter((F.col("rev1") > 0) & (F.col("qty1") > 0))
+        .select(
+            "p_brand",
+            "rev1",
+            "rev2",
+            "qty1",
+            "qty2",
+            F.round(rg, 6).alias("rev_growth_pct"),
+            F.round(qg, 6).alias("qty_growth_pct"),
+            F.round(rg - qg, 6).alias("price_mix_pp"),
+        )
+    )

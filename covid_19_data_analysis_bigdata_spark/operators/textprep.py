@@ -2368,3 +2368,115 @@ def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("h"), 6).alias("min_entropy"),
         F.round(F.max("h"), 6).alias("max_entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# ROUGE-1 overlap between adjacent same-source documents (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_rouge_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+    sizes AS (
+        SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_toks
+        FROM toks GROUP BY doc_id, source),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_toks AS n_a, b.n_toks AS n_b
+        FROM sizes a
+        JOIN sizes b ON b.doc_id = a.doc_id + 20 AND b.source = a.source),
+    common AS (
+        SELECT ta.doc_id AS doc_a, CAST(count(*) AS BIGINT) AS n_common
+        FROM toks ta
+        JOIN toks tb ON tb.doc_id = ta.doc_id + 20
+                    AND tb.source = ta.source
+                    AND tb.tok = ta.tok
+        GROUP BY ta.doc_id)
+    SELECT p.doc_a, p.doc_b, p.n_a, p.n_b,
+           coalesce(c.n_common, 0) AS n_common,
+           round(CAST(coalesce(c.n_common, 0) AS DOUBLE) / p.n_b, 6)
+               AS rouge1_precision,
+           round(CAST(coalesce(c.n_common, 0) AS DOUBLE) / p.n_a, 6)
+               AS rouge1_recall,
+           round(2.0 * coalesce(c.n_common, 0) / (p.n_a + p.n_b), 6)
+               AS rouge1_f1
+    FROM pairs p LEFT JOIN common c ON c.doc_a = p.doc_a
+    """,
+)
+def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 set overlap (precision / recall / F1 over distinct
+    unigrams) between each document and its successor within the same
+    source stream (doc_id + 20 — sources interleave every 20 ids) — the reference-vs-candidate summarization metric, run here
+    over a linear candidate pairing.
+
+    The candidate stage is the scale lever: pairs are keyed
+    (doc_id+20, source) — a co-partitioned equi-join, linear in corpus
+    size, never all-pairs (a real eval harness joins predictions to
+    references by example id the same way).  Token sets are DISTINCT
+    (doc, token) rows from the corpus-standard whitespace tokenizer;
+    all three metrics are single divisions of exact counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).distinct()
+    sizes = toks.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_toks")
+    )
+    a = sizes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("src_a"),
+        F.col("n_toks").alias("n_a"),
+    )
+    b = sizes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.col("n_toks").alias("n_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("doc_b") == F.col("doc_a") + 20)
+        & (F.col("src_b") == F.col("src_a")),
+    ).select("doc_a", "doc_b", "n_a", "n_b")
+    ta = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("src_a"),
+        "tok",
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("tb_id"),
+        F.col("source").alias("src_b"),
+        F.col("tok").alias("tok_b"),
+    )
+    common = (
+        ta.join(
+            tb,
+            (F.col("tb_id") == F.col("doc_a") + 20)
+            & (F.col("src_b") == F.col("src_a"))
+            & (F.col("tok_b") == F.col("tok")),
+        )
+        .groupBy("doc_a")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0).cast("long"))
+    return pairs.join(common, "doc_a", "left").select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        nc.alias("n_common"),
+        F.round(nc.cast("double") / F.col("n_b"), 6).alias(
+            "rouge1_precision"
+        ),
+        F.round(nc.cast("double") / F.col("n_a"), 6).alias("rouge1_recall"),
+        F.round(2.0 * nc / (F.col("n_a") + F.col("n_b")), 6).alias(
+            "rouge1_f1"
+        ),
+    )

@@ -2025,3 +2025,77 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m").cast("long").alias("n_pairs"),
         F.round((lo + hi) / 2.0, 6).alias("sen_slope"),
     )
+
+
+# --------------------------------------------------------------------------
+# Maximum drawdown of the daily-revenue curve (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1),
+    cum AS (
+        SELECT day,
+               sum(cents) OVER (ORDER BY day) AS equity
+        FROM daily),
+    dd AS (
+        SELECT day, equity,
+               max(equity) OVER (ORDER BY day) AS peak,
+               max(equity) OVER (ORDER BY day) - equity AS drawdown
+        FROM cum)
+    SELECT day AS trough_day, CAST(equity AS BIGINT) AS equity_cents,
+           CAST(peak AS BIGINT) AS peak_cents,
+           CAST(drawdown AS BIGINT) AS drawdown_cents,
+           round(CAST(drawdown AS DOUBLE) / peak, 6) AS drawdown_frac
+    FROM dd
+    QUALIFY row_number() OVER (ORDER BY drawdown DESC, day) = 1
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily-value curve: the day on
+    which the running equity sits furthest (in absolute cents) below
+    its running peak — the risk metric every monitoring/finance series
+    wants next to its trend.
+
+    Everything before the final division is exact BIGINT: daily sums
+    are integer cents, the equity curve and its running peak are
+    cumulative-window integer sums over the day-level table (corpus
+    reduced by one associative aggregate first), and the argmax row is
+    totally ordered by (drawdown DESC, day).  At 100 TB the windows
+    run over |days| rows; the corpus pass is one groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day", F.sum("cents").over(wc).alias("equity")
+    )
+    dd = cum.select(
+        "day",
+        "equity",
+        F.max("equity").over(wc).alias("peak"),
+        (F.max("equity").over(wc) - F.col("equity")).alias("drawdown"),
+    )
+    return (
+        dd.orderBy(F.desc("drawdown"), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("trough_day"),
+            F.col("equity").alias("equity_cents"),
+            F.col("peak").alias("peak_cents"),
+            F.col("drawdown").alias("drawdown_cents"),
+            F.round(
+                F.col("drawdown").cast("double") / F.col("peak"), 6
+            ).alias("drawdown_frac"),
+        )
+    )

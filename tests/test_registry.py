@@ -261,6 +261,9 @@ EXPECTED_IDS = {
     # Theil-Sen robust slope, fold-exact geometric mean
     "dq_ks_two_sample", "agg_winsorized_mean", "ts_theil_sen",
     "agg_geometric_mean",
+    # round-5 batch 27: price/volume mix bridge, max drawdown,
+    # ROUGE-1 overlap over a linear candidate pairing
+    "report_price_volume_mix", "ts_max_drawdown", "llm_rouge_overlap",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
