@@ -544,3 +544,70 @@ def test_roc_auc_windows_over_score_groups(spark, sf_dir):
     assert first_agg < plan.index("Window"), (
         "window must run over aggregated score groups, not raw rows"
     )
+
+
+def test_knn_classify_broadcasts_probes(spark, sf_dir):
+    """The probe side of the k-NN classifier must broadcast; the corpus
+    streams map-side.  A SortMergeJoin here would shuffle the whole
+    corpus by nothing useful."""
+    plan = _plan(spark, sf_dir, "ml_knn_classify")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_precision_at_k_broadcasts_probes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ml_precision_at_k")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_reservoir_sample_is_take_ordered(spark, sf_dir):
+    """Fixed-k hash sample must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global Sort of the corpus."""
+    plan = _plan(spark, sf_dir, "sample_reservoir_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_price_volume_mix_broadcasts_part_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "report_price_volume_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rouge_overlap_no_cartesian(spark, sf_dir):
+    """Candidate pairing is the (doc_id+20, source) equi-join — if the
+    planner ever degrades it to a nested loop the eval is all-pairs."""
+    plan = _plan(spark, sf_dir, "llm_rouge_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ks_two_sample_windows_over_value_domain(spark, sf_dir):
+    """The ECDF windows must run over the per-value aggregate, not raw
+    lineitem rows (HashAggregate before Window in the plan)."""
+    plan = _plan(spark, sf_dir, "dq_ks_two_sample")
+    assert "HashAggregate" in plan and "Window" in plan
+    # the window's sort key is the aggregated value column `v`, never a
+    # raw lineitem column — i.e. the corpus was collapsed before the sort
+    lines = plan.splitlines()
+    sort_args = " ".join(
+        lines[i + 2]
+        for i, l in enumerate(lines)
+        if l.startswith("(") and l.rstrip().endswith(" Sort")
+        and i + 2 < len(lines)
+    )
+    assert "v#" in sort_args and "l_quantity" not in sort_args
+
+
+def test_cooccurrence_joins_on_user_day(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_cooccurrence")
+    assert "CartesianProduct" not in plan
+
+
+def test_byte_histogram_partials_before_shuffle(spark, sf_dir):
+    """mapInPandas emits <=256-row partials per batch; the exchange
+    must carry the partials (post-Python), and the Python stage must
+    be Arrow-batched, not row-at-a-time."""
+    plan = _plan(spark, sf_dir, "multimodal_byte_histogram")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
