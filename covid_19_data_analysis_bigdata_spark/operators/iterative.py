@@ -2472,3 +2472,73 @@ def graph_clustering_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= LCC_TOPN)
         .drop("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Hashing-trick feature vectors (round 5)
+# --------------------------------------------------------------------------
+
+FEATHASH_DIM = 64
+FEATHASH_DOCS = 20
+
+
+@query(
+    "ml_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents WHERE doc_id < {FEATHASH_DOCS}),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                   % {FEATHASH_DIM} AS bucket
+        FROM toks),
+    vec AS (
+        SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM hashed GROUP BY 1, 2),
+    tot AS (
+        SELECT doc_id, sum(cnt) AS n_toks FROM vec GROUP BY doc_id)
+    SELECT v.doc_id, v.bucket, v.cnt,
+           round(CAST(v.cnt AS DOUBLE) / t.n_toks, 6) AS tf
+    FROM vec v JOIN tot t USING (doc_id)
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: tokens are hashed into a fixed
+    64-bucket space (no vocabulary build, no dictionary broadcast) and
+    each document becomes a sparse (bucket, count, tf) vector — the
+    stateless featurizer that scales to any vocabulary because the
+    feature space is fixed up front.
+
+    The hash must be ENGINE-PORTABLE to oracle-check: the first 8 hex
+    digits of md5(token) parsed as an integer, mod the dimension —
+    identical in Spark (conv base-16) and DuckDB ('0x' cast), unlike
+    xxhash64/murmur which are engine-specific.  One linear tokenize
+    pass, one associative count; tf is a single exact division.  The
+    20-doc probe bound keeps the demo output small — the dataflow is
+    corpus-shape-independent.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.filter(F.col("doc_id") < FEATHASH_DOCS).select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % FEATHASH_DIM
+        ).alias("bucket"),
+    )
+    vec = hashed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wt = Window.partitionBy("doc_id")
+    return vec.select(
+        "doc_id",
+        "bucket",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double") / F.sum("cnt").over(wt), 6
+        ).alias("tf"),
+    )

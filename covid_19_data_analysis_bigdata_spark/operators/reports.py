@@ -2012,3 +2012,118 @@ def report_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rg - qg, 6).alias("price_mix_pp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Position-based (40/20/40) multi-touch attribution (round 5)
+# --------------------------------------------------------------------------
+
+ATTR_WINDOW_DAYS = 7
+
+
+@query(
+    "report_position_attribution",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id AS conv_id, user_id, ts AS cts
+        FROM events WHERE event_type = 'purchase'),
+    touches AS (
+        SELECT p.conv_id, e.event_type, e.ts, e.event_id,
+               row_number() OVER (
+                   PARTITION BY p.conv_id ORDER BY e.ts, e.event_id)
+                   AS pos,
+               count(*) OVER (PARTITION BY p.conv_id) AS k
+        FROM purchases p
+        JOIN events e
+          ON e.user_id = p.user_id
+         AND e.event_type IN ('view', 'click')
+         AND e.ts < p.cts
+         AND e.ts >= p.cts - INTERVAL {ATTR_WINDOW_DAYS} DAY),
+    credited AS (
+        SELECT event_type,
+               CASE WHEN k = 1 THEN 1000000
+                    WHEN k = 2 THEN 500000
+                    WHEN pos = 1 OR pos = k THEN 400000
+                    ELSE 200000 // (k - 2)
+               END AS credit_micro
+        FROM touches),
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(credit_micro) AS BIGINT) AS credit_micro
+        FROM credited GROUP BY event_type)
+    SELECT event_type, n_touches, credit_micro,
+           round(CAST(credit_micro AS DOUBLE)
+                 / (SELECT sum(credit_micro) FROM agg), 6) AS credit_share
+    FROM agg
+    """,
+)
+def report_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (40/20/40) multi-touch attribution: each purchase
+    distributes credit over the user's view/click touches in the prior
+    7 days — 40% to the first touch, 40% to the last, 20% split over
+    the middle — aggregated per channel (event type).
+
+    Fractional credits are DEFINED in integer micro-units (400000 /
+    200000 div (k−2), truncation documented) so every aggregate is an
+    exact BIGINT sum — no order-dependent float accumulation at any
+    scale; the share is one division at the 3-row result.  The touch
+    join keys on user_id with a 7-day range predicate (per-user event
+    density bounds the candidates; a coarse time bucket on the
+    equi-key caps it at 100 TB, as in ``events_funnel_conversion``);
+    positions come from one window per conversion.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("cts"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        "event_type",
+        "ts",
+        "event_id",
+    )
+    touches = p.join(
+        t,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("ts") < F.col("cts"))
+        & (
+            F.col("ts")
+            >= F.col("cts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAY")
+        ),
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    wk = Window.partitionBy("conv_id")
+    pos = touches.select(
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1000000))
+        .when(F.col("k") == 2, F.lit(500000))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("k")),
+            F.lit(400000),
+        )
+        .otherwise(F.expr("200000 div (k - 2)"))
+    )
+    agg = pos.select("event_type", credit.alias("credit_micro")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("credit_micro").alias("credit_micro"),
+    )
+    wall = Window.partitionBy()
+    return agg.select(
+        "event_type",
+        "n_touches",
+        "credit_micro",
+        F.round(
+            F.col("credit_micro").cast("double")
+            / F.sum("credit_micro").over(wall),
+            6,
+        ).alias("credit_share"),
+    )

@@ -2099,3 +2099,134 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drawdown_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_holt_winters",
+    oracle="""
+    WITH RECURSIVE daily0 AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events
+        GROUP BY 1, 2),
+    daily AS (
+        SELECT event_type, day, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   AS rn
+        FROM daily0),
+    r AS (
+        SELECT event_type, rn,
+               CAST(cents AS DOUBLE) AS lev,
+               CAST(0 AS DOUBLE)     AS trend,
+               CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[])
+                   AS sarr
+        FROM daily WHERE rn = 1
+        UNION ALL
+        SELECT event_type, rn, lev2,
+               (lev2 - lev) / 2 + trend / 2,
+               list_append(sarr[2:7],
+                           (cents - lev2) / 2 + s_old / 2)
+        FROM (
+            SELECT d.event_type, d.rn, d.cents,
+                   r.lev, r.trend, r.sarr,
+                   r.sarr[1] AS s_old,
+                   (d.cents - r.sarr[1]) / 2 + (r.lev + r.trend) / 2
+                       AS lev2
+            FROM daily d
+            JOIN r ON d.event_type = r.event_type AND d.rn = r.rn + 1)),
+    last AS (
+        SELECT event_type, lev, trend, sarr,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY rn DESC) AS k
+        FROM r)
+    SELECT event_type,
+           round(lev, 6)                          AS level,
+           round(trend, 6)                        AS trend,
+           round(sarr[1], 6)                      AS s_next,
+           round(lev + trend + sarr[1], 6)        AS forecast_1d,
+           round(lev + 7 * trend + sarr[7], 6)    AS forecast_7d
+    FROM last WHERE k = 1
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple-exponential smoothing (weekly
+    season m = 7, α = β = γ = ½) with 1- and 7-day-ahead forecasts —
+    the seasonality-aware rung above ``ts_holt_linear``.
+
+    The smoothing state is (level, trend, last-7-seasonals); every
+    update is halvings and adds of previously-identical doubles, so
+    Spark's array fold (struct accumulator carrying the 7-slot
+    seasonal ring) and the oracle's recursive CTE (list column as the
+    ring) execute the identical IEEE op sequence step for step —
+    bit-equal state by construction, rounded once at the end.  Cold
+    start: level seeds from the first observation, trend and
+    seasonals from zero (uniform recursion, no special-cased warmup
+    pass).  Distribution shape: one daily associative aggregate over
+    the corpus, then a per-key calendar-bounded fold — |days| steps
+    per key regardless of raw event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    per = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("s")
+    )
+    acc0 = F.expr(
+        "named_struct('i', CAST(0 AS INT), 'lev', CAST(0 AS DOUBLE), "
+        "'trend', CAST(0 AS DOUBLE), "
+        "'sarr', array(0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D))"
+    )
+
+    def step(acc, x):
+        first = acc["i"] == 0
+        s_old = F.element_at(acc["sarr"], 1)
+        lev = F.when(first, x["cents"].cast("double")).otherwise(
+            (x["cents"] - s_old) / 2 + (acc["lev"] + acc["trend"]) / 2
+        )
+        trend = F.when(first, F.lit(0.0)).otherwise(
+            (lev - acc["lev"]) / 2 + acc["trend"] / 2
+        )
+        s_new = F.when(first, F.lit(0.0)).otherwise(
+            (x["cents"] - lev) / 2 + s_old / 2
+        )
+        return F.struct(
+            (acc["i"] + 1).alias("i"),
+            lev.alias("lev"),
+            trend.alias("trend"),
+            F.concat(F.slice(acc["sarr"], 2, 6), F.array(s_new)).alias(
+                "sarr"
+            ),
+        )
+
+    folded = per.select(
+        "event_type", F.aggregate("s", acc0, step).alias("f")
+    )
+    return folded.select(
+        "event_type",
+        F.round(F.col("f.lev"), 6).alias("level"),
+        F.round(F.col("f.trend"), 6).alias("trend"),
+        F.round(F.element_at(F.col("f.sarr"), 1), 6).alias("s_next"),
+        F.round(
+            F.col("f.lev") + F.col("f.trend")
+            + F.element_at(F.col("f.sarr"), 1),
+            6,
+        ).alias("forecast_1d"),
+        F.round(
+            F.col("f.lev") + 7 * F.col("f.trend")
+            + F.element_at(F.col("f.sarr"), 7),
+            6,
+        ).alias("forecast_7d"),
+    )

@@ -264,6 +264,9 @@ EXPECTED_IDS = {
     # round-5 batch 27: price/volume mix bridge, max drawdown,
     # ROUGE-1 overlap over a linear candidate pairing
     "report_price_volume_mix", "ts_max_drawdown", "llm_rouge_overlap",
+    # round-5 batch 28: Holt-Winters seasonal smoothing, hashing-trick
+    # features, position-based multi-touch attribution
+    "ts_holt_winters", "ml_feature_hashing", "report_position_attribution",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
