@@ -503,3 +503,90 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("file_md5").alias("content_md5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Permissive CSV ingest with corrupt-record quarantine (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scan_csv_quarantine",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 10 = 3 THEN 'quarantined'
+                ELSE 'parsed' END AS bucket,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 10 = 3 THEN 0
+                         ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                    END) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingest with a corrupt-record quarantine — the
+    DLT/write-audit idiom at the source: malformed rows land in
+    ``_corrupt_record`` instead of killing the load, and the query
+    reports parsed-vs-quarantined volume plus the parsed total.
+
+    Fixture: the orders table written once as CSV with every
+    (orderkey % 10 == 3) row's price field poisoned to a non-numeric
+    token — a deterministic function of the data, so the oracle knows
+    exactly which rows must quarantine.  The read declares the schema
+    plus ``_corrupt_record`` (schema-on-read, no inference pass —
+    the 100 TB discipline), and rows whose price failed to parse keep
+    the raw line in the corrupt column.  PERMISSIVE parsing is per-row
+    and embarrassingly parallel; the quarantine split is one
+    conditional aggregate.
+    """
+    import os
+
+    from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(fixture_dir(sf_dir, "csvq"), "orders_poisoned")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            o.select(
+                "o_orderkey",
+                F.when(F.col("o_orderkey") % 10 == 3, F.lit("N/A"))
+                .otherwise(
+                    F.format_number(F.col("o_totalprice"), 2)
+                )
+                .alias("price_str"),
+            )
+            .select(
+                F.concat_ws(
+                    ",",
+                    F.col("o_orderkey").cast("string"),
+                    F.regexp_replace("price_str", ",", ""),
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(out)
+        )
+    schema = "o_orderkey BIGINT, o_totalprice DOUBLE, _corrupt_record STRING"
+    rows = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return (
+        rows.select(
+            F.when(F.col("_corrupt_record").isNotNull(), "quarantined")
+            .otherwise("parsed")
+            .alias("bucket"),
+            F.when(
+                F.col("_corrupt_record").isNotNull(), F.lit(0)
+            )
+            .otherwise(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )

@@ -267,6 +267,9 @@ EXPECTED_IDS = {
     # round-5 batch 28: Holt-Winters seasonal smoothing, hashing-trick
     # features, position-based multi-touch attribution
     "ts_holt_winters", "ml_feature_hashing", "report_position_attribution",
+    # round-5 batch 29: streaming exact windowed distinct, Arrow-optimized
+    # scalar UDF, permissive-CSV corrupt-record quarantine
+    "stream_window_distinct", "udf_arrow_scalar", "scan_csv_quarantine",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
