@@ -2127,3 +2127,99 @@ def report_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("credit_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve (cumulative revenue by cohort age) (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "report_cohort_ltv",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               CAST(date_trunc('week',
+                    CAST(min(date_trunc('day', ts)) AS DATE)) AS DATE)
+                   AS cohort_week,
+               CAST(min(date_trunc('day', ts)) AS DATE) AS d0
+        FROM events GROUP BY user_id),
+    rev AS (
+        SELECT f.cohort_week,
+               CAST(floor(date_diff('day', f.d0,
+                    CAST(date_trunc('day', e.ts) AS DATE)) / 7.0)
+                    AS BIGINT) AS week_offset,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events e JOIN f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2),
+    cohort_sizes AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+        FROM f GROUP BY cohort_week)
+    SELECT r.cohort_week, r.week_offset, s.n_users,
+           CAST(sum(r.cents) OVER (
+               PARTITION BY r.cohort_week
+               ORDER BY r.week_offset) AS BIGINT) AS cum_cents,
+           round(CAST(sum(r.cents) OVER (
+                     PARTITION BY r.cohort_week
+                     ORDER BY r.week_offset) AS DOUBLE)
+                 / s.n_users / 100.0, 6) AS ltv_per_user
+    FROM rev r JOIN cohort_sizes s USING (cohort_week)
+    """,
+)
+def report_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative purchase revenue per user by weekly
+    signup cohort and cohort age — the growth-accounting view that
+    tells you whether newer cohorts monetize faster.
+
+    Revenue reduces to exact integer cents at the (cohort, age-week)
+    grain in one associative pass; the cumulative curve is a window
+    over that tiny matrix (|cohorts| × |ages| rows) and LTV-per-user
+    is formed as two exact divisions in an identical expression tree.
+    First-touch assignment is a per-user min — co-partitioned with the
+    revenue join on user_id at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0")
+    ).select(
+        "user_id",
+        F.date_trunc("week", "d0").cast("date").alias("cohort_week"),
+        "d0",
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("day", "ts").cast("date"), F.col("d0"))
+                / 7.0
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    sizes = f.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = rev.join(F.broadcast(sizes), "cohort_week")
+    cum = F.sum("cents").over(wc)
+    return j.select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        cum.alias("cum_cents"),
+        F.round(
+            cum.cast("double") / F.col("n_users") / 100.0, 6
+        ).alias("ltv_per_user"),
+    )

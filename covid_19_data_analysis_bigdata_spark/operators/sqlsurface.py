@@ -510,3 +510,57 @@ def sql_lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY word
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic two-phase pivot (values discovered at run time) (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sql_pivot_dynamic",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def sql_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic pivot: the category list is DISCOVERED at planning time
+    (``pivot(col)`` with no value list — Spark runs its own bounded
+    distinct job and sorts the values), complementing ``pivot_wide``'s
+    explicit-list form.
+
+    The discovery pass is the real-world ergonomic when the category
+    domain isn't known at authoring time; it costs one extra
+    aggregate over the pivot column (bounded output — Spark caps it at
+    spark.sql.pivotMaxValues), after which the plan is the same
+    conditional-aggregation Expand as the static pivot.  The final
+    projection pins the contract schema and zero-fills combinations
+    absent from a given day, which also keeps the engines'
+    missing-cell conventions (NULL vs 0) aligned.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type")
+        .agg(F.count(F.lit(1)))
+    )
+    value_cols = sorted(c for c in wide.columns if c != "day")
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in value_cols
+        ],
+    )

@@ -2230,3 +2230,96 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("forecast_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hampel outlier filter (rolling median ± 3·MAD) (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_hampel_outliers",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2),
+    framed AS (
+        SELECT event_type, day, cents,
+               list(cents) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS frame
+        FROM daily),
+    scored AS (
+        SELECT event_type, day, cents,
+               list_sort(frame)[4] AS med
+        FROM framed WHERE len(frame) = 7),
+    final AS (
+        SELECT s.event_type, s.day, s.cents, s.med,
+               list_sort(list_transform(f.frame,
+                                        v -> abs(v - s.med)))[4] AS mad
+        FROM scored s
+        JOIN framed f ON f.event_type = s.event_type AND f.day = s.day)
+    SELECT event_type, day, cents, med AS med_cents, mad AS mad_cents
+    FROM final
+    WHERE abs(cents - med) > 3 * mad
+    """,
+)
+def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter: a day is an outlier when its value sits more than
+    3 rolling MADs from the rolling 7-day median — the robust
+    replacement for z-score spike detection (one spike inflates a
+    stddev but barely moves a median).
+
+    Entirely integer arithmetic: daily sums are exact cents, the
+    rolling median is the 4th element of the sorted 7-slot frame
+    (selection, not interpolation), the MAD is the same selection over
+    absolute deviations, and the flag is an integer comparison — no
+    float op anywhere, so the engines cannot diverge.  The frame
+    arrays are bounded (7 slots) and the windows run over the
+    day-grain table; edge days with partial frames are excluded
+    explicitly (len = 7) so both engines skip identical rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    framed = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.collect_list("cents").over(w).alias("frame"),
+    ).filter(F.size("frame") == 7)
+    med = F.element_at(F.sort_array("frame"), 4)
+    scored = framed.select(
+        "event_type", "day", "cents", "frame", med.alias("med")
+    )
+    mad = F.element_at(
+        F.sort_array(
+            F.transform("frame", lambda v: F.abs(v - F.col("med")))
+        ),
+        4,
+    )
+    return (
+        scored.select(
+            "event_type",
+            "day",
+            "cents",
+            F.col("med").alias("med_cents"),
+            mad.alias("mad_cents"),
+        )
+        .filter(
+            F.abs(F.col("cents") - F.col("med_cents"))
+            > 3 * F.col("mad_cents")
+        )
+    )

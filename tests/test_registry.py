@@ -270,6 +270,9 @@ EXPECTED_IDS = {
     # round-5 batch 29: streaming exact windowed distinct, Arrow-optimized
     # scalar UDF, permissive-CSV corrupt-record quarantine
     "stream_window_distinct", "udf_arrow_scalar", "scan_csv_quarantine",
+    # round-5 batch 30: cohort LTV curve, Hampel outlier filter,
+    # dynamic two-phase pivot
+    "report_cohort_ltv", "ts_hampel_outliers", "sql_pivot_dynamic",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
