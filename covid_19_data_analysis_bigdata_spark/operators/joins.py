@@ -812,3 +812,93 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_days"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy string-matching join (Levenshtein within blocked candidates)
+# (round 5)
+# --------------------------------------------------------------------------
+
+FUZZY_MAXDIST = 3
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.p_brand,
+               a.p_partkey AS a_key, b.p_partkey AS b_key,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM part a
+        JOIN part b ON b.p_brand = a.p_brand
+                   AND b.p_partkey > a.p_partkey),
+    stats AS (
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN dist <= {FUZZY_MAXDIST} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_close
+        FROM pairs GROUP BY p_brand),
+    best AS (
+        SELECT p_brand, a_key AS best_a, b_key AS best_b,
+               CAST(dist AS BIGINT) AS best_dist
+        FROM pairs
+        QUALIFY row_number() OVER (
+            PARTITION BY p_brand ORDER BY dist, a_key, b_key) = 1)
+    SELECT s.p_brand, s.n_pairs, s.n_close,
+           b.best_a, b.best_b, b.best_dist
+    FROM stats s JOIN best b USING (p_brand)
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-matching join: per brand, how many part-name pairs
+    sit within Levenshtein distance 3, and the closest pair — the
+    entity-resolution primitive for names that token-level dedup
+    (``llm_dedup_ngram``) misses (one-character typos inside a word).
+
+    BLOCKING is the scale story: candidates are generated by the
+    brand equi-join (never all-pairs — same discipline as the LSH
+    dedup family; at 100 TB the block key would add a name-length or
+    first-character band to cap block size), and the edit distance is
+    a JVM built-in over the blocked pairs.  Levenshtein is exact
+    integer arithmetic — identical in both engines — and every
+    ranking orders on (dist, a_key, b_key).
+    """
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        "p_brand",
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("b_brand"),
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("b_brand") == F.col("p_brand"))
+        & (F.col("b_key") > F.col("a_key")),
+    ).select(
+        "p_brand",
+        "a_key",
+        "b_key",
+        F.levenshtein("a_name", "b_name").alias("dist"),
+    )
+    stats = pairs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("dist") <= FUZZY_MAXDIST, 1).otherwise(0)
+        ).alias("n_close"),
+    )
+    wb = Window.partitionBy("p_brand").orderBy("dist", "a_key", "b_key")
+    best = (
+        pairs.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_brand",
+            F.col("a_key").alias("best_a"),
+            F.col("b_key").alias("best_b"),
+            F.col("dist").cast("long").alias("best_dist"),
+        )
+    )
+    return stats.join(best, "p_brand")

@@ -2323,3 +2323,197 @@ def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 3 * F.col("mad_cents")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quadratic trend fit (closed-form normal equations) (round 5)
+# --------------------------------------------------------------------------
+
+from covid_19_data_analysis_bigdata_spark.operators.iterative import (  # noqa: E402
+    _OLS_DETS,
+)
+
+
+@query(
+    "ts_polyfit_quadratic",
+    oracle=f"""
+    WITH daily AS (
+        SELECT datediff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS x,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM events GROUP BY 1),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE)        AS n,
+               CAST(sum(x) AS DOUBLE)          AS sx1,
+               CAST(sum(x * x) AS DOUBLE)      AS sx2,
+               CAST(sum(x * x) AS DOUBLE)      AS s11,
+               CAST(sum(x * x * x) AS DOUBLE)  AS s12,
+               CAST(sum(x * x * x * x) AS DOUBLE) AS s22,
+               CAST(sum(y) AS DOUBLE)          AS sy,
+               CAST(sum(x * y) AS DOUBLE)      AS s1y,
+               CAST(sum(x * x * y) AS DOUBLE)  AS s2y
+        FROM daily)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round({_OLS_DETS['det0']} / {_OLS_DETS['det']}, 6) AS beta0,
+           round({_OLS_DETS['det1']} / {_OLS_DETS['det']}, 6) AS beta1,
+           round({_OLS_DETS['det2']} / {_OLS_DETS['det']}, 6) AS beta2,
+           round({_OLS_DETS['det1']} / (-2.0 * {_OLS_DETS['det2']}), 6)
+               AS vertex_day
+    FROM m
+    """,
+)
+def ts_polyfit_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic trend fit of daily revenue (y = b0 + b1·x + b2·x²) by
+    closed-form normal equations — detects acceleration/deceleration
+    that the linear ``ts_trend_forecast`` cannot, plus the vertex day
+    (where the fitted parabola turns).
+
+    The quadratic design matrix is the 2-feature OLS problem with
+    (x, x²) as the features, so the solve reuses the exact
+    Cramer-determinant expressions of ``ml_ols_normal_eq`` verbatim:
+    eight integer power/cross moments over the day-grain table (all
+    < 2⁵³ — x ≤ |days|, y exact cents), one double conversion each,
+    identical determinant trees.  The vertex −b1/(2·b2) reduces to
+    det1/(−2·det2) — one division, no compounding of rounded betas.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("x")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+    )
+    x, y = F.col("x"), F.col("y")
+    m = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx1"),
+        F.sum(x * x).cast("double").alias("sx2"),
+        F.sum(x * x).cast("double").alias("s11"),
+        F.sum(x * x * x).cast("double").alias("s12"),
+        F.sum(x * x * x * x).cast("double").alias("s22"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("s1y"),
+        F.sum(x * x * y).cast("double").alias("s2y"),
+    )
+    c = F.col
+    det = c("n") * (c("s11") * c("s22") - c("s12") * c("s12")) - c("sx1") * (
+        c("sx1") * c("s22") - c("s12") * c("sx2")
+    ) + c("sx2") * (c("sx1") * c("s12") - c("s11") * c("sx2"))
+    det0 = c("sy") * (c("s11") * c("s22") - c("s12") * c("s12")) - c("sx1") * (
+        c("s1y") * c("s22") - c("s12") * c("s2y")
+    ) + c("sx2") * (c("s1y") * c("s12") - c("s11") * c("s2y"))
+    det1 = c("n") * (c("s1y") * c("s22") - c("s12") * c("s2y")) - c("sy") * (
+        c("sx1") * c("s22") - c("s12") * c("sx2")
+    ) + c("sx2") * (c("sx1") * c("s2y") - c("s1y") * c("sx2"))
+    det2 = c("n") * (c("s11") * c("s2y") - c("s1y") * c("s12")) - c("sx1") * (
+        c("sx1") * c("s2y") - c("s1y") * c("sx2")
+    ) + c("sy") * (c("sx1") * c("s12") - c("s11") * c("sx2"))
+    return m.select(
+        c("n").cast("long").alias("n_days"),
+        F.round(det0 / det, 6).alias("beta0"),
+        F.round(det1 / det, 6).alias("beta1"),
+        F.round(det2 / det, 6).alias("beta2"),
+        F.round(det1 / (-2.0 * det2), 6).alias("vertex_day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Variance-ratio random-walk diagnostic (round 5)
+# --------------------------------------------------------------------------
+
+VR_K = 5
+
+
+@query(
+    "ts_variance_ratio",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1),
+    lagged AS (
+        SELECT day, cents,
+               lag(cents, 1) OVER (ORDER BY day) AS l1,
+               lag(cents, {VR_K}) OVER (ORDER BY day) AS lk
+        FROM daily),
+    d1 AS (
+        SELECT count(*) AS n1,
+               CAST(sum(cents - l1) AS BIGINT) AS s1,
+               CAST(sum((cents - l1) * (cents - l1)) AS BIGINT) AS q1
+        FROM lagged WHERE l1 IS NOT NULL),
+    dk AS (
+        SELECT count(*) AS nk,
+               CAST(sum(cents - lk) AS BIGINT) AS sk,
+               CAST(sum((cents - lk) * (cents - lk)) AS BIGINT) AS qk
+        FROM lagged WHERE lk IS NOT NULL)
+    SELECT CAST(n1 AS BIGINT) AS n_diff1,
+           CAST(nk AS BIGINT) AS n_diffk,
+           round(((CAST(nk AS DOUBLE) * qk - CAST(sk AS DOUBLE)
+                   * CAST(sk AS DOUBLE))
+                  / (CAST(nk AS DOUBLE) * CAST(nk AS DOUBLE)))
+                 / ({VR_K}.0 * ((CAST(n1 AS DOUBLE) * q1
+                                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                                / (CAST(n1 AS DOUBLE)
+                                   * CAST(n1 AS DOUBLE)))), 6)
+               AS variance_ratio
+    FROM d1 CROSS JOIN dk
+    """,
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance ratio VR(k) = Var(k-day diff) / (k ·
+    Var(1-day diff)) of the daily-revenue series — the random-walk
+    diagnostic: VR ≈ 1 for a memoryless walk, < 1 mean-reverting,
+    > 1 trending.
+
+    Both difference populations reduce to three integer sums each
+    (count, Σd, Σd²) over the day-grain table; the two variances and
+    their ratio are formed in one identical double expression tree
+    (exact BIGINT sums converted once — Σd² can exceed 2⁵³ at large
+    scale, where both engines round the SAME exact integer to the
+    same double, so determinism survives even when exactness doesn't).
+    Windows are two lags over |days| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "cents",
+        F.lag("cents", 1).over(w).alias("l1"),
+        F.lag("cents", VR_K).over(w).alias("lk"),
+    )
+    d1 = lagged.filter(F.col("l1").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(F.col("cents") - F.col("l1")).alias("s1"),
+        F.sum(
+            (F.col("cents") - F.col("l1")) * (F.col("cents") - F.col("l1"))
+        ).alias("q1"),
+    )
+    dk = lagged.filter(F.col("lk").isNotNull()).agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum(F.col("cents") - F.col("lk")).alias("sk"),
+        F.sum(
+            (F.col("cents") - F.col("lk")) * (F.col("cents") - F.col("lk"))
+        ).alias("qk"),
+    )
+    c = F.col
+    var_k = (
+        c("nk").cast("double") * c("qk")
+        - c("sk").cast("double") * c("sk").cast("double")
+    ) / (c("nk").cast("double") * c("nk").cast("double"))
+    var_1 = (
+        c("n1").cast("double") * c("q1")
+        - c("s1").cast("double") * c("s1").cast("double")
+    ) / (c("n1").cast("double") * c("n1").cast("double"))
+    return d1.crossJoin(dk).select(
+        c("n1").alias("n_diff1"),
+        c("nk").alias("n_diffk"),
+        F.round(var_k / (float(VR_K) * var_1), 6).alias("variance_ratio"),
+    )

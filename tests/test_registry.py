@@ -273,6 +273,9 @@ EXPECTED_IDS = {
     # round-5 batch 30: cohort LTV curve, Hampel outlier filter,
     # dynamic two-phase pivot
     "report_cohort_ltv", "ts_hampel_outliers", "sql_pivot_dynamic",
+    # round-5 batch 31: blocked Levenshtein fuzzy join, quadratic trend
+    # fit, variance-ratio diagnostic
+    "join_fuzzy_levenshtein", "ts_polyfit_quadratic", "ts_variance_ratio",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
