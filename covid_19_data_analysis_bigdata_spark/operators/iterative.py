@@ -2542,3 +2542,76 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("double") / F.sum("cnt").over(wt), 6
         ).alias("tf"),
     )
+
+
+# --------------------------------------------------------------------------
+# Precision-recall curve at score-level granularity (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_pr_curve",
+    oracle="""
+    WITH s AS (
+        SELECT l_discount AS score,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS np
+        FROM lineitem GROUP BY l_discount),
+    cum AS (
+        SELECT score,
+               sum(cnt) OVER (ORDER BY score DESC) AS pred_pos,
+               sum(np)  OVER (ORDER BY score DESC) AS tp,
+               sum(np)  OVER ()                    AS n_pos
+        FROM s)
+    SELECT score AS threshold,
+           CAST(pred_pos AS BIGINT) AS n_predicted,
+           CAST(tp AS BIGINT)       AS n_true_pos,
+           round(CAST(tp AS DOUBLE) / pred_pos, 6) AS precision_at,
+           round(CAST(tp AS DOUBLE) / n_pos, 6)    AS recall_at
+    FROM cum
+    """,
+)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The precision-recall curve for the same weak ranking score as
+    ``ml_roc_auc`` (predict 'returned' when discount ≥ threshold),
+    one row per distinct score threshold.
+
+    Same score-level trick as the AUC: one associative aggregate to
+    |distinct scores| rows, then two cumulative windows ordered by
+    descending score give (predicted-positive, true-positive) counts
+    at every threshold simultaneously — the full curve in one pass,
+    never a per-threshold rescan.  Points are emitted as rows with
+    single exact divisions (no area integration, so no order-dependent
+    accumulation; the scalar summary lives in ``ml_roc_auc``).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy(F.col("l_discount").alias("score")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("np"),
+    )
+    wc = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = s.select(
+        F.col("score").alias("threshold"),
+        F.sum("cnt").over(wc).alias("pred_pos"),
+        F.sum("np").over(wc).alias("tp"),
+        F.sum("np").over(wall).alias("n_pos"),
+    )
+    return cum.select(
+        "threshold",
+        F.col("pred_pos").alias("n_predicted"),
+        F.col("tp").alias("n_true_pos"),
+        F.round(
+            F.col("tp").cast("double") / F.col("pred_pos"), 6
+        ).alias("precision_at"),
+        F.round(F.col("tp").cast("double") / F.col("n_pos"), 6).alias(
+            "recall_at"
+        ),
+    )

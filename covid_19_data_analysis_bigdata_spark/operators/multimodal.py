@@ -362,3 +362,93 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("code").agg(
         F.sum("n_partial").alias("n_bytes")
     )
+
+
+# --------------------------------------------------------------------------
+# Audio energy profile: framed RMS over the payload (round 5)
+# --------------------------------------------------------------------------
+
+AUDIO_FRAME = 256
+AUDIO_DOCS = 10
+AUDIO_MAX_FRAMES = 40
+
+
+@query(
+    "multimodal_audio_rms",
+    oracle=f"""
+    WITH frames AS (
+        SELECT d.doc_id, t.k AS frame_idx,
+               substr(d.text, 1 + t.k * {AUDIO_FRAME}, {AUDIO_FRAME})
+                   AS chunk
+        FROM documents d, generate_series(0, {AUDIO_MAX_FRAMES - 1}) t(k)
+        WHERE d.doc_id < {AUDIO_DOCS}
+          AND t.k * {AUDIO_FRAME} < length(d.text)),
+    samples AS (
+        SELECT doc_id, frame_idx,
+               CAST(length(chunk) AS BIGINT) AS n_samples,
+               CAST(sum(unicode(c) * unicode(c)) AS BIGINT) AS ssq
+        FROM (SELECT doc_id, frame_idx, chunk,
+                     unnest(string_split_regex(chunk, '')) AS c
+              FROM frames)
+        GROUP BY doc_id, frame_idx, chunk)
+    SELECT doc_id, frame_idx, n_samples,
+           round(sqrt(CAST(ssq AS DOUBLE) / n_samples), 6) AS rms
+    FROM samples
+    """,
+)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy profile: the payload is framed into fixed 256-byte
+    windows and each frame reduces to its RMS amplitude — the
+    silence-detection / loudness-normalization stage of an audio
+    pipeline, with the decode stub standing in for PCM samples
+    (payload bytes AS samples; a real codec drops into the same
+    mapInPandas slot).
+
+    Each Arrow batch frames its payloads and computes all RMS values
+    in vectorized numpy (1 → N explode with bounded N — the
+    ``multimodal_frame_sample`` batch shape); per-frame output is
+    (doc, frame, n_samples, rms).  The sum of squared byte values is
+    an exact BIGINT; RMS is one division and one sqrt — correctly
+    rounded, identical in both engines.  Probe bound: 10 docs keeps
+    the demo small; the dataflow is corpus-linear with no shuffle.
+    """
+    import pandas as pd
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < AUDIO_DOCS)
+        .select("doc_id", "text")
+    )
+
+    def _rms(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_samples": [], "ssq": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                buf = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                n_frames = min(
+                    AUDIO_MAX_FRAMES,
+                    (len(buf) + AUDIO_FRAME - 1) // AUDIO_FRAME,
+                )
+                for k in range(n_frames):
+                    chunk = buf[k * AUDIO_FRAME : (k + 1) * AUDIO_FRAME]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["n_samples"].append(len(chunk))
+                    out["ssq"].append(
+                        int((chunk.astype(np.int64) ** 2).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    frames = d.mapInPandas(
+        _rms, "doc_id long, frame_idx long, n_samples long, ssq long"
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "n_samples",
+        F.round(
+            F.sqrt(F.col("ssq").cast("double") / F.col("n_samples")), 6
+        ).alias("rms"),
+    )

@@ -564,3 +564,50 @@ def sql_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in value_cols
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# Optimizer hint surface (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sql_join_hints",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 4) AS total_balance
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL optimizer hints: ``/*+ BROADCAST(n) */`` forces the
+    dimension broadcast explicitly — the escape hatch when statistics
+    mislead the cost model (stale stats after a big load, or a dim
+    just over the autoBroadcast threshold that the author KNOWS fits).
+
+    Semantically a no-op (the oracle is the plain join), so the check
+    proves hints change only the physical strategy, never results.
+    The hint travels through the SQL parser — this is the surface
+    users actually type, distinct from the DataFrame ``F.broadcast``
+    used across this repo.  At 100 TB the same hint family covers
+    MERGE / SHUFFLE_HASH / SHUFFLE_REPLICATE_NL and REPARTITION(n).
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "cust_hint"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_hint"
+    )
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n) */
+               n.n_name,
+               count(*) AS n_customers,
+               round(sum(c.c_acctbal), 4) AS total_balance
+        FROM cust_hint c JOIN nation_hint n
+          ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+        """
+    )

@@ -276,6 +276,9 @@ EXPECTED_IDS = {
     # round-5 batch 31: blocked Levenshtein fuzzy join, quadratic trend
     # fit, variance-ratio diagnostic
     "join_fuzzy_levenshtein", "ts_polyfit_quadratic", "ts_variance_ratio",
+    # round-5 batch 32: framed audio RMS, SQL optimizer hints,
+    # score-level precision-recall curve
+    "multimodal_audio_rms", "sql_join_hints", "ml_pr_curve",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
