@@ -660,3 +660,86 @@ def csv_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("t").alias("parsed_type"),
         parsed.getField("u").alias("parsed_user"),
     )
+
+
+# --------------------------------------------------------------------------
+# Business-day arithmetic from epoch-day congruences (round 5)
+# --------------------------------------------------------------------------
+
+#: Count of days k in [a, b) with k ≡ r (mod 7), epoch-day arithmetic.
+#: 1970-01-01 is a Thursday, so dow(k) = (k + 4) % 7 with 0 = Sunday;
+#: Saturday ⇒ k ≡ 2 (mod 7), Sunday ⇒ k ≡ 3 (mod 7).  The +70000
+#: offset keeps every operand positive so floor-div and truncating-div
+#: agree in both engines.
+_DOW_COUNT = (
+    "(( {b} - {r} + 70000 ) div 7 - ( {a} - {r} + 70000 ) div 7)"
+)
+
+
+@query(
+    "date_business_days",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+               datediff('day', DATE '1970-01-01',
+                        CAST(o.o_orderdate AS DATE)) AS a,
+               datediff('day', DATE '1970-01-01',
+                        CAST(l.l_shipdate AS DATE)) AS b
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate),
+    bd AS (
+        SELECT month,
+               (b - a)
+               - ((b - 2 + 70000) // 7 - (a - 2 + 70000) // 7)
+               - ((b - 3 + 70000) // 7 - (a - 3 + 70000) // 7)
+                   AS bdays
+        FROM d)
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(bdays) AS BIGINT) AS total_bdays,
+           round(CAST(sum(bdays) AS DOUBLE) / count(*), 6) AS avg_bdays,
+           CAST(max(bdays) AS BIGINT) AS max_bdays
+    FROM bd GROUP BY month
+    """,
+)
+def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business days between order and ship date per order month —
+    weekday-only SLA arithmetic in closed form (no per-day explode, no
+    calendar table): weekend days in [order, ship) are counted by the
+    modular-congruence identity countDow(a,b,r) = ⌊(b−r+C)/7⌋ −
+    ⌊(a−r+C)/7⌋ over epoch days, so each row costs O(1) regardless of
+    the interval length — at 100 TB this is the difference between a
+    projection and a 100× row explosion.
+
+    All arithmetic is exact integer (epoch days, floor divisions kept
+    positive by the constant offset so both engines' division
+    semantics coincide); the only division is the final per-month
+    mean.  A holiday calendar would join a broadcast dim on top —
+    orthogonal to the weekday identity.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01").cast("date")
+    d = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("a"),
+            F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("b"),
+        )
+    )
+    sat = F.expr(_DOW_COUNT.format(a="a", b="b", r=2))
+    sun = F.expr(_DOW_COUNT.format(a="a", b="b", r=3))
+    bd = d.select(
+        "month",
+        ((F.col("b") - F.col("a")) - sat - sun).alias("bdays"),
+    )
+    return bd.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("bdays").alias("total_bdays"),
+        F.round(
+            F.sum("bdays").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_bdays"),
+        F.max("bdays").alias("max_bdays"),
+    )

@@ -1768,3 +1768,52 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Ordering-consistency check between two orderings (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_monotonic_violations",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS prev_ts
+        FROM events)
+    SELECT CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+           round(100.0 * sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END)
+                 / count(*), 6) AS violation_pct
+    FROM seq WHERE prev_ts IS NOT NULL
+    """,
+)
+def dq_monotonic_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordering-consistency DQ check: does event_id order agree with
+    event-time order per user?  Counts adjacent inversions (an event
+    whose timestamp precedes its predecessor's in id order) — the
+    out-of-order-ingest detector that decides whether downstream
+    watermarks and as-of joins can trust the id sequence.
+
+    One per-user lag window (partitioned — no global sort), one
+    conditional aggregate; timestamps compare as raw values with no
+    arithmetic.  Adjacent-pair checking is O(n) and catches every
+    boundary of an out-of-order run (full inversion COUNT would be
+    O(n log n) per user and adds no actionable signal).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).filter(F.col("prev_ts").isNotNull())
+    viol = F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0)
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(viol).alias("n_violations"),
+        F.round(100.0 * F.sum(viol) / F.count(F.lit(1)), 6).alias(
+            "violation_pct"
+        ),
+    )

@@ -2517,3 +2517,85 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         c("nk").alias("n_diffk"),
         F.round(var_k / (float(VR_K) * var_1), 6).alias("variance_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival time statistics per event type (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_inter_arrival",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id)
+                   AS gap_ms
+        FROM events),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)   AS n_gaps,
+               CAST(sum(gap_ms) AS BIGINT) AS s1,
+               CAST(sum(gap_ms * gap_ms) AS BIGINT) AS s2,
+               CAST(min(gap_ms) AS BIGINT) AS min_gap_ms,
+               CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+        FROM seq WHERE gap_ms IS NOT NULL
+        GROUP BY event_type)
+    SELECT event_type, n_gaps, min_gap_ms, max_gap_ms,
+           round(CAST(s1 AS DOUBLE) / n_gaps, 6) AS mean_gap_ms,
+           round(sqrt(CAST(n_gaps AS DOUBLE) * s2
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / CAST(s1 AS DOUBLE), 6) AS cv
+    FROM m
+    """,
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time profile per event type: mean gap, extremes,
+    and the coefficient of variation — CV ≈ 1 marks a Poisson-like
+    memoryless stream, CV ≫ 1 bursty, CV ≪ 1 metronomic; the traffic
+    fingerprint capacity planning reads first.
+
+    Gaps are exact epoch-millisecond integers (the ms grain keeps Σg² inside int64 — µs squares overflow) from one per-type lag
+    window (partitioned; at 100 TB a (type, day-bucket) key bounds
+    partition height and only bucket boundaries need a stitch pass).
+    CV is formed from three exact integer sums in an identical
+    expression tree: √(n·Σg² − (Σg)²) / Σg — algebraically
+    sd_pop/mean · n/n, so no intermediate mean is materialized and
+    rounded.  Σg² stays under 2⁶³ for day-bounded partitions (gaps
+    are bounded by the bucket span, the same bound that keeps the
+    window partition bounded).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (
+            F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)
+        ).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    m = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_ms").alias("s1"),
+        F.sum(F.col("gap_ms") * F.col("gap_ms")).alias("s2"),
+        F.min("gap_ms").alias("min_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+    )
+    c = F.col
+    return m.select(
+        "event_type",
+        "n_gaps",
+        "min_gap_ms",
+        "max_gap_ms",
+        F.round(c("s1").cast("double") / c("n_gaps"), 6).alias(
+            "mean_gap_ms"
+        ),
+        F.round(
+            F.sqrt(
+                c("n_gaps").cast("double") * c("s2")
+                - c("s1").cast("double") * c("s1").cast("double")
+            )
+            / c("s1").cast("double"),
+            6,
+        ).alias("cv"),
+    )

@@ -279,6 +279,10 @@ EXPECTED_IDS = {
     # round-5 batch 32: framed audio RMS, SQL optimizer hints,
     # score-level precision-recall curve
     "multimodal_audio_rms", "sql_join_hints", "ml_pr_curve",
+    # round-5 batch 33: ordering-consistency DQ, business-day
+    # arithmetic, inter-arrival-time profile
+    "dq_monotonic_violations", "date_business_days",
+    "events_inter_arrival",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
