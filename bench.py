@@ -74,6 +74,11 @@ HEADLINE = [
     "ml_roc_auc",           # score-group rank AUC over the fact table (round-5)
     "report_skyline_parts",  # two-stage distributed skyline sweep (round-5)
     "ts_bollinger_bands",   # decimal-exact trailing volatility bands (round-5)
+    "graph_clustering_local",  # per-node triangle attribution (round-5 late)
+    "ts_holt_winters",      # triple-exponential fold smoothing (round-5 late)
+    "ml_knn_classify",      # broadcast-probe kNN vote (round-5 late)
+    "join_fuzzy_levenshtein",  # blocked edit-distance join (round-5 late)
+    "dq_ks_two_sample",     # integer-ECDF sup distance (round-5 late)
 ]
 
 

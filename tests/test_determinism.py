@@ -38,6 +38,15 @@ SENSITIVE = [
     "llm_sparse_cosine",
     "llm_ann_pq",
     "ts_mann_kendall",
+    # round-5 batch 22-33 float-sensitive additions
+    "ts_holt_winters",
+    "agg_geometric_mean",
+    "ts_theil_sen",
+    "win_rolling_corr",
+    "ml_knn_classify",
+    "ml_ridge_closed_form",
+    "ts_variance_ratio",
+    "ts_polyfit_quadratic",
 ]
 
 
