@@ -2615,3 +2615,72 @@ def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Smoothed target encoding (round 5)
+# --------------------------------------------------------------------------
+
+TENC_SMOOTH = 100
+
+
+@query(
+    "ml_target_encoding",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderpriority),
+    g AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_all,
+               CAST(sum(cents) AS BIGINT) AS cents_all
+        FROM t)
+    SELECT t.o_orderpriority, t.n,
+           round(CAST(t.cents AS DOUBLE) / t.n / 100.0, 6)
+               AS raw_mean,
+           round((t.cents + {TENC_SMOOTH}.0
+                  * (CAST(g.cents_all AS DOUBLE) / g.n_all))
+                 / (t.n + {TENC_SMOOTH}) / 100.0, 6)
+               AS encoded
+    FROM t CROSS JOIN g
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of order priority against order
+    value: enc(c) = (Σy_c + m·ȳ) / (n_c + m) with m = 100 — the
+    feature-engineering standard that shrinks rare categories toward
+    the global mean instead of memorizing them.
+
+    Two associative aggregates (per-category, then global — both exact
+    integer cents) and a broadcast of the one-row global; the encoding
+    is a fixed expression tree with two divisions, computed identically
+    in both engines.  Leakage control (per-fold exclusion) would swap
+    the global CTE for a fold-complement one — same dataflow shape.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    t = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    g = t.agg(
+        F.sum("n").alias("n_all"), F.sum("cents").alias("cents_all")
+    )
+    j = t.crossJoin(F.broadcast(g))
+    gmean = F.col("cents_all").cast("double") / F.col("n_all")
+    return j.select(
+        "o_orderpriority",
+        "n",
+        F.round(
+            F.col("cents").cast("double") / F.col("n") / 100.0, 6
+        ).alias("raw_mean"),
+        F.round(
+            (F.col("cents") + float(TENC_SMOOTH) * gmean)
+            / (F.col("n") + TENC_SMOOTH)
+            / 100.0,
+            6,
+        ).alias("encoded"),
+    )

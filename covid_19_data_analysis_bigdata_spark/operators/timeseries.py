@@ -2599,3 +2599,99 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cv"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-step funnel with step-wise conversion (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel_steps",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+        SELECT v.user_id, v.t1, min(e.ts) AS t2
+        FROM v JOIN events e
+          ON e.user_id = v.user_id AND e.event_type = 'click'
+         AND e.ts > v.t1
+        GROUP BY v.user_id, v.t1),
+    p AS (
+        SELECT c.user_id, c.t1, c.t2, min(e.ts) AS t3
+        FROM c JOIN events e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         AND e.ts > c.t2
+        GROUP BY c.user_id, c.t1, c.t2),
+    counts AS (
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_click,
+               (SELECT count(*) FROM p) AS n_purchase)
+    SELECT CAST(n_view AS BIGINT)     AS n_view,
+           CAST(n_click AS BIGINT)    AS n_click,
+           CAST(n_purchase AS BIGINT) AS n_purchase,
+           round(100.0 * n_click / n_view, 6)        AS view_to_click_pct,
+           round(100.0 * n_purchase / n_click, 6)    AS click_to_purchase_pct,
+           round(100.0 * n_purchase / n_view, 6)     AS overall_pct
+    FROM counts
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ordered funnel (first view → first later click →
+    first later purchase) with step-wise and overall conversion — the
+    product-analytics staple one rung above the two-step
+    ``events_funnel_conversion``.
+
+    Each step is a per-user min over an equi-join on user_id against
+    the previous step's (bounded, one-row-per-user) frontier — the
+    chain co-partitions on the user key end to end, so N funnel steps
+    are N co-located joins, never a sequence scan with growing state.
+    All counts are exact; conversions are single divisions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    c = (
+        v.join(
+            clicks,
+            (F.col("cu") == F.col("user_id")) & (F.col("cts") > F.col("t1")),
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("cts").alias("t2"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    p = (
+        c.join(
+            buys,
+            (F.col("pu") == F.col("user_id")) & (F.col("pts") > F.col("t2")),
+        )
+        .groupBy("user_id", "t1", "t2")
+        .agg(F.min("pts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    j = nv.crossJoin(nc).crossJoin(np_)
+    return j.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(100.0 * F.col("n_click") / F.col("n_view"), 6).alias(
+            "view_to_click_pct"
+        ),
+        F.round(
+            100.0 * F.col("n_purchase") / F.col("n_click"), 6
+        ).alias("click_to_purchase_pct"),
+        F.round(100.0 * F.col("n_purchase") / F.col("n_view"), 6).alias(
+            "overall_pct"
+        ),
+    )

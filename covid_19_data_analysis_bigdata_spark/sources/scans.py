@@ -524,19 +524,22 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERMISSIVE CSV ingest with a corrupt-record quarantine — the
-    DLT/write-audit idiom at the source: malformed rows land in
-    ``_corrupt_record`` instead of killing the load, and the query
-    reports parsed-vs-quarantined volume plus the parsed total.
+    """Malformed-row quarantine on CSV ingest — the DLT/write-audit
+    idiom at the source: rows whose fragile field fails to parse are
+    counted into a quarantine bucket instead of killing the load, and
+    the query reports parsed-vs-quarantined volume plus the parsed
+    total.
 
     Fixture: the orders table written once as CSV with every
     (orderkey % 10 == 3) row's price field poisoned to a non-numeric
     token — a deterministic function of the data, so the oracle knows
     exactly which rows must quarantine.  The read declares the schema
-    plus ``_corrupt_record`` (schema-on-read, no inference pass —
-    the 100 TB discipline), and rows whose price failed to parse keep
-    the raw line in the corrupt column.  PERMISSIVE parsing is per-row
-    and embarrassingly parallel; the quarantine split is one
+    with the fragile field as STRING and quarantines on ``try_cast``
+    failure — deliberately NOT Spark's ``_corrupt_record`` column,
+    which cannot be queried without caching the raw parse
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), a
+    non-starter at 100 TB; try_cast also pins the corruptness rule in
+    the query, per-row and embarrassingly parallel.  The split is one
     conditional aggregate.
     """
     import os
@@ -566,22 +569,22 @@ def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .text(out)
         )
-    schema = "o_orderkey BIGINT, o_totalprice DOUBLE, _corrupt_record STRING"
-    rows = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .csv(out)
-    )
+    # NOTE: Spark's built-in _corrupt_record column cannot be referenced
+    # without caching the raw parse (UNSUPPORTED_FEATURE.QUERY_ONLY_
+    # CORRUPT_RECORD_COLUMN) — a non-starter at 100 TB.  Equivalent and
+    # cache-free: land the fragile field as STRING and quarantine on
+    # try_cast failure, which also pins the "what counts as corrupt"
+    # rule in the query instead of the parser.
+    schema = "o_orderkey BIGINT, price_str STRING"
+    rows = spark.read.schema(schema).option("mode", "PERMISSIVE").csv(out)
+    parsed = F.expr("try_cast(price_str AS DOUBLE)")
     return (
         rows.select(
-            F.when(F.col("_corrupt_record").isNotNull(), "quarantined")
+            F.when(parsed.isNull(), "quarantined")
             .otherwise("parsed")
             .alias("bucket"),
-            F.when(
-                F.col("_corrupt_record").isNotNull(), F.lit(0)
-            )
-            .otherwise(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.when(parsed.isNull(), F.lit(0))
+            .otherwise(F.round(parsed * 100).cast("long"))
             .alias("cents"),
         )
         .groupBy("bucket")

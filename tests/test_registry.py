@@ -283,6 +283,9 @@ EXPECTED_IDS = {
     # arithmetic, inter-arrival-time profile
     "dq_monotonic_violations", "date_business_days",
     "events_inter_arrival",
+    # round-5 batch 34: three-step ordered funnel, smoothed target
+    # encoding
+    "events_funnel_steps", "ml_target_encoding",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
