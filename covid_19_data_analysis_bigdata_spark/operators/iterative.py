@@ -2684,3 +2684,81 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("encoded"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic neighbor sampling (GraphSAGE-style fan-out) (round 5)
+# --------------------------------------------------------------------------
+
+NBR_SAMPLE_K = 5
+
+
+@query(
+    "graph_sample_neighbors",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey <> b.l_partkey),
+    ranked AS (
+        SELECT u, v,
+               row_number() OVER (
+                   PARTITION BY u
+                   ORDER BY md5(CAST(u AS VARCHAR) || ':'
+                                || CAST(v AS VARCHAR)), v) AS rk
+        FROM edges)
+    SELECT u AS node, v AS sampled_neighbor,
+           CAST(rk AS INTEGER) AS sample_slot
+    FROM ranked
+    WHERE rk <= {NBR_SAMPLE_K} AND u % 50 = 0
+    """,
+)
+def graph_sample_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style neighbor sampling: each probe node keeps a
+    deterministic fan-out of ≤5 neighbors, selected by md5-hash rank
+    over the directed edge — the minibatch-construction primitive for
+    GNN training, where unbounded-degree hubs must be capped without
+    biasing toward storage order.
+
+    Hash-rank sampling is reproducible across engines, partitionings
+    and runs (no RNG state), uniform per edge, and executes as one
+    per-node window over the adjacency — at 100 TB the window
+    partitions by node, and hub nodes cost O(deg log k) in the
+    per-partition top-k, never materializing beyond their partition.
+    Probe set (node % 50 = 0) bounds the demo output; the sampling
+    dataflow itself is corpus-wide.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    h = F.md5(
+        F.concat(
+            F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+        )
+    )
+    w = Window.partitionBy("u").orderBy(h, F.col("v"))
+    return (
+        edges.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= NBR_SAMPLE_K) & (F.col("u") % 50 == 0))
+        .select(
+            F.col("u").alias("node"),
+            F.col("v").alias("sampled_neighbor"),
+            F.col("rk").cast("int").alias("sample_slot"),
+        )
+    )

@@ -23,7 +23,7 @@ batch by batch with bounded executor memory.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_19_data_analysis_bigdata_spark.core import query
@@ -451,4 +451,101 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(F.col("ssq").cast("double") / F.col("n_samples")), 6
         ).alias("rms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shot-boundary detection over framed payloads (round 5)
+# --------------------------------------------------------------------------
+
+SHOT_THRESHOLD_PCT = 40
+
+
+@query(
+    "multimodal_shot_boundaries",
+    oracle=f"""
+    WITH frames AS (
+        SELECT d.doc_id, t.k AS frame_idx,
+               substr(d.text, 1 + t.k * {AUDIO_FRAME}, {AUDIO_FRAME})
+                   AS chunk
+        FROM documents d, generate_series(0, {AUDIO_MAX_FRAMES - 1}) t(k)
+        WHERE d.doc_id < {AUDIO_DOCS}
+          AND t.k * {AUDIO_FRAME} < length(d.text)),
+    feat AS (
+        SELECT doc_id, frame_idx,
+               CAST(sum(unicode(c) * unicode(c)) AS BIGINT) AS ssq
+        FROM (SELECT doc_id, frame_idx,
+                     unnest(string_split_regex(chunk, '')) AS c
+              FROM frames)
+        GROUP BY doc_id, frame_idx),
+    delta AS (
+        SELECT doc_id, frame_idx, ssq,
+               lag(ssq) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                   AS prev_ssq
+        FROM feat)
+    SELECT doc_id, frame_idx, ssq, prev_ssq,
+           CAST(abs(ssq - prev_ssq) AS BIGINT) AS abs_delta
+    FROM delta
+    WHERE prev_ssq IS NOT NULL
+      AND abs(ssq - prev_ssq) * 100 > {SHOT_THRESHOLD_PCT} * prev_ssq
+    """,
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection: a frame whose energy feature jumps more
+    than 40% from its predecessor marks a cut — the video-segmentation
+    stage downstream of ``multimodal_frame_sample`` (real pixel
+    histograms drop into the same feature slot; the stub feature is
+    the framed payload's squared-byte sum).
+
+    The per-frame feature reduction is the Arrow-batch stage; boundary
+    detection is one lag window partitioned by document (frames per
+    doc are bounded, so partitions are bounded).  The threshold
+    compares exact integers cross-multiplied (Δ·100 > 40·prev) — no
+    division, no float, no epsilon ambiguity between engines.
+    """
+    import pandas as pd
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < AUDIO_DOCS)
+        .select("doc_id", "text")
+    )
+
+    def _ssq(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "ssq": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                buf = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                n_frames = min(
+                    AUDIO_MAX_FRAMES,
+                    (len(buf) + AUDIO_FRAME - 1) // AUDIO_FRAME,
+                )
+                for k in range(n_frames):
+                    chunk = buf[k * AUDIO_FRAME : (k + 1) * AUDIO_FRAME]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["ssq"].append(
+                        int((chunk.astype(np.int64) ** 2).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    feat = d.mapInPandas(_ssq, "doc_id long, frame_idx long, ssq long")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = feat.select(
+        "doc_id",
+        "frame_idx",
+        "ssq",
+        F.lag("ssq").over(w).alias("prev_ssq"),
+    ).filter(F.col("prev_ssq").isNotNull())
+    return delta.filter(
+        F.abs(F.col("ssq") - F.col("prev_ssq")) * 100
+        > SHOT_THRESHOLD_PCT * F.col("prev_ssq")
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "ssq",
+        "prev_ssq",
+        F.abs(F.col("ssq") - F.col("prev_ssq")).alias("abs_delta"),
     )

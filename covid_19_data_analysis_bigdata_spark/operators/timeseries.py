@@ -2695,3 +2695,85 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overall_pct"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-user longest activity streak (round 5)
+# --------------------------------------------------------------------------
+
+STREAK_TOPN = 20
+
+
+@query(
+    "events_active_streak_users",
+    oracle=f"""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events),
+    grp AS (
+        SELECT user_id, day,
+               datediff('day', DATE '1970-01-01', day)
+               - row_number() OVER (
+                     PARTITION BY user_id ORDER BY day) AS anchor
+        FROM act),
+    runs AS (
+        SELECT user_id, anchor,
+               CAST(count(*) AS BIGINT) AS streak_days,
+               min(day) AS streak_start
+        FROM grp GROUP BY user_id, anchor),
+    best AS (
+        SELECT user_id, streak_days, streak_start
+        FROM runs
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY streak_days DESC, streak_start) = 1)
+    SELECT user_id, streak_days, streak_start
+    FROM best
+    QUALIFY row_number() OVER (
+        ORDER BY streak_days DESC, user_id) <= {STREAK_TOPN}
+    """,
+)
+def events_active_streak_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 users with the longest consecutive-day activity streaks
+    (and when each streak began) — the engagement metric behind
+    'X-day streak' product mechanics.
+
+    Classic gaps-and-islands: distinct (user, day) grain, then the
+    day-minus-row_number anchor groups consecutive days into runs with
+    ONE per-user window and one aggregate — no self-join, no recursion.
+    All arithmetic is exact integer epoch-day; every ranking carries a
+    total order.  The corpus touches one DISTINCT; everything after
+    runs at the user-day grain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    epoch = F.lit("1970-01-01").cast("date")
+    wu = Window.partitionBy("user_id").orderBy("day")
+    grp = act.select(
+        "user_id",
+        "day",
+        (F.datediff(F.col("day"), epoch) - F.row_number().over(wu)).alias(
+            "anchor"
+        ),
+    )
+    runs = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    best = (
+        runs.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") == 1)
+        .select("user_id", "streak_days", "streak_start")
+    )
+    wt = Window.orderBy(F.desc("streak_days"), F.asc("user_id"))
+    return (
+        best.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= STREAK_TOPN)
+        .drop("rk")
+    )

@@ -286,6 +286,10 @@ EXPECTED_IDS = {
     # round-5 batch 34: three-step ordered funnel, smoothed target
     # encoding
     "events_funnel_steps", "ml_target_encoding",
+    # round-5 batch 35: hash-rank neighbor sampling, per-user activity
+    # streaks, shot-boundary detection
+    "graph_sample_neighbors", "events_active_streak_users",
+    "multimodal_shot_boundaries",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
