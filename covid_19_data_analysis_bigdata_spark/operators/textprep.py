@@ -2480,3 +2480,156 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rouge1_f1"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Distinctive terms per embedding cluster (round 5)
+# --------------------------------------------------------------------------
+
+CLUSTER_TERMS_TOPN = 5
+CLUSTER_TERMS_MIN = 5
+
+
+@query(
+    "llm_cluster_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT e.label, unnest(string_split(lower(d.text), ' ')) AS tok
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+    lab AS (
+        SELECT label, tok, CAST(count(*) AS BIGINT) AS c_lt
+        FROM toks GROUP BY 1, 2),
+    lt AS (SELECT label, CAST(sum(c_lt) AS BIGINT) AS n_l
+           FROM lab GROUP BY label),
+    gt AS (SELECT tok, CAST(sum(c_lt) AS BIGINT) AS c_t
+           FROM lab GROUP BY tok),
+    g AS (SELECT CAST(sum(c_lt) AS BIGINT) AS n_all FROM lab),
+    scored AS (
+        SELECT lab.label, lab.tok, lab.c_lt,
+               round((CAST(lab.c_lt AS DOUBLE) / lt.n_l)
+                     / (CAST(gt.c_t AS DOUBLE) / g.n_all), 6) AS lift
+        FROM lab JOIN lt USING (label) JOIN gt USING (tok) CROSS JOIN g
+        WHERE lab.c_lt >= {CLUSTER_TERMS_MIN})
+    SELECT label, tok, c_lt, lift FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY label ORDER BY lift DESC, tok)
+        <= {CLUSTER_TERMS_TOPN}
+    """,
+)
+def llm_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling: the 5 most distinctive tokens per embedding
+    label, scored by lift (token share within the cluster / global
+    share, min support 5) — how a curation pipeline names the clusters
+    its embedding model produced.
+
+    Three associative count aggregates (label×token, label, token) and
+    one bounded broadcast of the marginals; lift is two divisions in
+    one identical tree, ranked on the ROUNDED value with the token as
+    tie-break.  The doc↔vector pairing is the id equi-join; at 100 TB
+    every stage is a hash aggregate or broadcast join — nothing holds
+    more than a marginal table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    toks = (
+        d.join(e, e.vec_id == d.doc_id)
+        .select(
+            "label", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+    )
+    lab = toks.groupBy("label", "tok").agg(
+        F.count(F.lit(1)).alias("c_lt")
+    )
+    lt = lab.groupBy("label").agg(F.sum("c_lt").alias("n_l"))
+    gt = lab.groupBy("tok").agg(F.sum("c_lt").alias("c_t"))
+    g = lab.agg(F.sum("c_lt").alias("n_all"))
+    scored = (
+        lab.filter(F.col("c_lt") >= CLUSTER_TERMS_MIN)
+        .join(F.broadcast(lt), "label")
+        .join(gt, "tok")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "label",
+            "tok",
+            "c_lt",
+            F.round(
+                (F.col("c_lt").cast("double") / F.col("n_l"))
+                / (F.col("c_t").cast("double") / F.col("n_all")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("lift"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CLUSTER_TERMS_TOPN)
+        .drop("rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining for contrastive training (round 5)
+# --------------------------------------------------------------------------
+
+HARDNEG_K = 5
+HARDNEG_PROBES = 20
+
+
+@query(
+    "llm_hard_negatives",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id < {HARDNEG_PROBES}),
+    cand AS (
+        SELECT p.vec_id AS probe_id, p.label AS probe_label,
+               n.vec_id AS neg_id, n.label AS neg_label,
+               round(list_cosine_similarity(
+                   CAST(p.embedding AS DOUBLE[]),
+                   CAST(n.embedding AS DOUBLE[])), 6) AS sim
+        FROM probes p
+        JOIN embeddings n ON n.label <> p.label)
+    SELECT probe_id, probe_label, neg_id, neg_label, sim
+    FROM cand
+    QUALIFY row_number() OVER (
+        PARTITION BY probe_id ORDER BY sim DESC, neg_id) <= {HARDNEG_K}
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each probe, the 5 most-similar vectors
+    with a DIFFERENT label — the contrastive-training data stage
+    (easy negatives teach nothing; the near-but-wrong ones define the
+    decision boundary).
+
+    Same broadcast-probe linear-scan shape as ``ml_knn_classify`` with
+    the label-mismatch predicate fused into the join (filtered before
+    ranking, not after, so the top-k is over true negatives); ranking
+    on (round(sim, 6), id).  The IVF candidate stage substitutes at
+    100 TB, unchanged.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < HARDNEG_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("label").alias("probe_label"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("ne"),
+        F.col("label").alias("neg_label"),
+    )
+    sim = F.round(_cosine(F.col("pe"), F.col("ne")), 6)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neg_id"))
+    return (
+        n.join(
+            F.broadcast(probes),
+            F.col("neg_label") != F.col("probe_label"),
+        )
+        .select(
+            "probe_id", "probe_label", "neg_id", "neg_label",
+            sim.alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HARDNEG_K)
+        .drop("rk")
+    )

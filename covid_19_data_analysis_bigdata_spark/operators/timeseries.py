@@ -2777,3 +2777,76 @@ def events_active_streak_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= STREAK_TOPN)
         .drop("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Local-maxima peak detection with integer prominence (round 5)
+# --------------------------------------------------------------------------
+
+PEAK_PROM_PCT = 10
+
+
+@query(
+    "ts_peak_detection",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2),
+    nbr AS (
+        SELECT event_type, day, cents,
+               lag(cents)  OVER w AS prev_c,
+               lead(cents) OVER w AS next_c
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day, cents,
+           prev_c AS prev_cents, next_c AS next_cents
+    FROM nbr
+    WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+      AND cents > prev_c AND cents > next_c
+      AND (cents - greatest(prev_c, next_c)) * 100
+          > {PEAK_PROM_PCT} * greatest(prev_c, next_c)
+    """,
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maxima peak detection: a day strictly above both
+    neighbors whose height clears the taller neighbor by more than
+    10% — the spike-cataloging pass that feeds incident review (which
+    days DID spike, not just whether today deviates, which is
+    ``ts_anomaly_zscore``'s job).
+
+    One lag+lead window per series over the day-grain table; the
+    prominence test is exact-integer cross-multiplication
+    (Δ·100 > 10·max(neighbors)) — no division, no float threshold
+    ambiguity.  Both the window partitioning and the candidate set
+    are bounded by |series| × |days|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    nbr = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.lag("cents").over(w).alias("prev_c"),
+        F.lead("cents").over(w).alias("next_c"),
+    ).filter(F.col("prev_c").isNotNull() & F.col("next_c").isNotNull())
+    tall = F.greatest(F.col("prev_c"), F.col("next_c"))
+    return nbr.filter(
+        (F.col("cents") > F.col("prev_c"))
+        & (F.col("cents") > F.col("next_c"))
+        & ((F.col("cents") - tall) * 100 > PEAK_PROM_PCT * tall)
+    ).select(
+        "event_type",
+        "day",
+        "cents",
+        F.col("prev_c").alias("prev_cents"),
+        F.col("next_c").alias("next_cents"),
+    )

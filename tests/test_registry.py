@@ -290,6 +290,9 @@ EXPECTED_IDS = {
     # streaks, shot-boundary detection
     "graph_sample_neighbors", "events_active_streak_users",
     "multimodal_shot_boundaries",
+    # round-5 batch 36: cluster topic terms, hard-negative mining,
+    # integer-prominence peak detection
+    "llm_cluster_terms", "llm_hard_negatives", "ts_peak_detection",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
