@@ -2223,3 +2223,91 @@ def report_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             cum.cast("double") / F.col("n_users") / 100.0, 6
         ).alias("ltv_per_user"),
     )
+
+
+# --------------------------------------------------------------------------
+# Period-over-period rank movers (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "report_rank_movers",
+    oracle="""
+    WITH per AS (
+        SELECT p.p_brand,
+               CAST(year(l.l_shipdate) AS INTEGER) AS yr,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE year(l.l_shipdate) IN (1996, 1997)
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT p_brand, yr, cents,
+               CAST(rank() OVER (
+                   PARTITION BY yr ORDER BY cents DESC, p_brand)
+                   AS INTEGER) AS rnk
+        FROM per),
+    wide AS (
+        SELECT a.p_brand,
+               a.rnk AS rank_1996, b.rnk AS rank_1997,
+               a.cents AS cents_1996, b.cents AS cents_1997
+        FROM ranked a JOIN ranked b
+          ON b.p_brand = a.p_brand AND a.yr = 1996 AND b.yr = 1997)
+    SELECT p_brand, rank_1996, rank_1997,
+           CAST(rank_1996 - rank_1997 AS INTEGER) AS places_moved,
+           cents_1996, cents_1997
+    FROM wide
+    WHERE rank_1996 <> rank_1997
+    """,
+)
+def report_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank movers: brands whose revenue league-table position changed
+    between 1996 and 1997, with how many places they moved — the
+    'movers and shakers' slide of every period-close review.
+
+    Revenue per (brand, year) is one exact-cents aggregate over the
+    year-pruned scan; ranks are per-year windows over the 25-row brand
+    table with (cents DESC, brand) total order, so ties cannot break
+    differently across engines; the join back to pair the two years is
+    a self-join of that tiny table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per = (
+        li.filter(F.year("l_shipdate").isin(1996, 1997))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("cents"), F.asc("p_brand"))
+    ranked = per.select(
+        "p_brand", "yr", "cents", F.rank().over(w).cast("int").alias("rnk")
+    )
+    a = ranked.filter(F.col("yr") == 1996).select(
+        "p_brand",
+        F.col("rnk").alias("rank_1996"),
+        F.col("cents").alias("cents_1996"),
+    )
+    b = ranked.filter(F.col("yr") == 1997).select(
+        F.col("p_brand").alias("pb"),
+        F.col("rnk").alias("rank_1997"),
+        F.col("cents").alias("cents_1997"),
+    )
+    return (
+        a.join(b, F.col("pb") == F.col("p_brand"))
+        .filter(F.col("rank_1996") != F.col("rank_1997"))
+        .select(
+            "p_brand",
+            "rank_1996",
+            "rank_1997",
+            (F.col("rank_1996") - F.col("rank_1997"))
+            .cast("int")
+            .alias("places_moved"),
+            "cents_1996",
+            "cents_1997",
+        )
+    )

@@ -824,3 +824,90 @@ def stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n_ev").alias("n_events"),
     )
+
+
+ALERT_RATE_PCT = 20
+
+
+@query(
+    "stream_error_rate_alert",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1),
+    flagged AS (
+        SELECT day, n_errors, n_events,
+               (n_errors * 100 > {ALERT_RATE_PCT} * n_events) AS breach,
+               lag(n_errors * 100 > {ALERT_RATE_PCT} * n_events)
+                   OVER (ORDER BY day) AS prev_breach
+        FROM daily)
+    SELECT day, n_errors, n_events,
+           round(100.0 * n_errors / n_events, 6) AS error_pct,
+           CASE WHEN breach AND NOT coalesce(prev_breach, FALSE)
+                THEN 'FIRED'
+                WHEN NOT breach AND coalesce(prev_breach, FALSE)
+                THEN 'RESOLVED'
+           END AS alert
+    FROM flagged
+    WHERE (breach AND NOT coalesce(prev_breach, FALSE))
+       OR (NOT breach AND coalesce(prev_breach, FALSE))
+    """,
+)
+def stream_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming alerting topology: the per-day error rate is
+    maintained as a watermarked windowed aggregate on the stream, and
+    alert EDGES (threshold first breached / first recovered) are
+    derived from the final state — emit-on-transition, not
+    emit-on-every-breach, the dedup discipline that keeps a paging
+    system quiet.
+
+    The streaming stage carries one (errors, total) counter pair per
+    open window; the edge detection is one lag over the day-grain
+    result (a foreachBatch sink would evaluate the same lag
+    incrementally).  The threshold test is integer cross-multiplied
+    (errors·100 > 20·total) so no engine float ambiguity; the rate is
+    reported with one division.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_errors"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    out = run_to_table(spark, agg, "t_error_alert", "complete")
+    daily = out.select(
+        F.col("w.start").cast("date").alias("day"),
+        "n_errors",
+        "n_events",
+    )
+    breach = F.col("n_errors") * 100 > ALERT_RATE_PCT * F.col("n_events")
+    wd = Window.orderBy("day")
+    flagged = daily.select(
+        "day",
+        "n_errors",
+        "n_events",
+        breach.alias("breach"),
+        F.lag(breach).over(wd).alias("prev_breach"),
+    )
+    prev = F.coalesce(F.col("prev_breach"), F.lit(False))
+    return flagged.filter(
+        (F.col("breach") & ~prev) | (~F.col("breach") & prev)
+    ).select(
+        "day",
+        "n_errors",
+        "n_events",
+        F.round(
+            100.0 * F.col("n_errors") / F.col("n_events"), 6
+        ).alias("error_pct"),
+        F.when(F.col("breach") & ~prev, "FIRED")
+        .when(~F.col("breach") & prev, "RESOLVED")
+        .alias("alert"),
+    )

@@ -293,6 +293,9 @@ EXPECTED_IDS = {
     # round-5 batch 36: cluster topic terms, hard-negative mining,
     # integer-prominence peak detection
     "llm_cluster_terms", "llm_hard_negatives", "ts_peak_detection",
+    # round-5 batch 37: league-table rank movers, streaming
+    # emit-on-transition error-rate alerting
+    "report_rank_movers", "stream_error_rate_alert",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
