@@ -2762,3 +2762,129 @@ def graph_sample_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("sample_slot"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Silhouette score against label centroids, exact fixed point (round 5)
+# --------------------------------------------------------------------------
+
+SIL_PROBES = 50
+SIL_Q = 1000  #: embedding quantization (v -> round(v*1e3) BIGINT)
+
+
+@query(
+    "ml_silhouette_lite",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label, t.ord,
+               CAST(round(CAST(embedding[t.ord] AS DOUBLE) * {SIL_Q})
+                    AS BIGINT) AS vq
+        FROM embeddings, generate_series(1, 64) AS t(ord)),
+    cent AS (
+        SELECT label AS clabel, ord,
+               CAST(sum(vq) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ex GROUP BY label, ord),
+    num AS (
+        SELECT e.vec_id, e.label, c.clabel, max(c.n) AS n,
+               CAST(sum((e.vq * c.n - c.s) * (e.vq * c.n - c.s))
+                    AS BIGINT) AS num
+        FROM ex e JOIN cent c ON c.ord = e.ord
+        WHERE e.vec_id < {SIL_PROBES}
+        GROUP BY e.vec_id, e.label, c.clabel),
+    own AS (
+        SELECT vec_id, label,
+               sqrt(CAST(num AS DOUBLE)) / ({SIL_Q}.0 * n) AS a_dist
+        FROM num WHERE clabel = label),
+    other AS (
+        SELECT vec_id, clabel AS nearest_other,
+               sqrt(CAST(num AS DOUBLE)) / ({SIL_Q}.0 * n) AS b_dist
+        FROM num WHERE clabel <> label
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id
+            ORDER BY sqrt(CAST(num AS DOUBLE)) / ({SIL_Q}.0 * n),
+                     clabel) = 1)
+    SELECT o.vec_id, w.label, o.nearest_other,
+           round(w.a_dist, 6) AS a_dist,
+           round(o.b_dist, 6) AS b_dist,
+           round((o.b_dist - w.a_dist) / greatest(w.a_dist, o.b_dist), 6)
+               AS silhouette
+    FROM own w JOIN other o ON o.vec_id = w.vec_id
+    """,
+)
+def ml_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid silhouette: for 50 probe vectors, the distance to the
+    own-label centroid (a), the nearest other-label centroid (b), and
+    s = (b−a)/max(a,b) — the cluster-quality diagnostic that says
+    whether the label structure is actually separable in embedding
+    space.
+
+    Fixed-point exactness (the k-means/PCA device): embeddings
+    quantize to integer milli-units, so the squared distance to a
+    centroid clears its denominator — Σ(v·n − S)² is an exact BIGINT
+    per (vector, centroid) with S, n exact integer centroid sums —
+    and floats appear only in the final sqrt/divide chain, identical
+    single IEEE ops in both engines.  Dataflow: one posexplode, one
+    (label, dim) aggregate (the centroid table, broadcastable), one
+    probe×centroid join bounded by |labels|, one aggregate back.
+    Means of silhouettes are deliberately NOT emitted (order-dependent
+    float accumulation); per-vector rows are.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("ord0", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("ord0") + 1).alias("ord"),
+        F.round(F.col("val").cast("double") * SIL_Q)
+        .cast("long")
+        .alias("vq"),
+    )
+    cent = ex.groupBy(F.col("label").alias("clabel"), "ord").agg(
+        F.sum("vq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    diff = F.col("vq") * F.col("n") - F.col("s")
+    num = (
+        ex.filter(F.col("vec_id") < SIL_PROBES)
+        .join(F.broadcast(cent), "ord")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(diff * diff).alias("num"),
+        )
+    )
+    dist = F.sqrt(F.col("num").cast("double")) / (
+        float(SIL_Q) * F.col("n")
+    )
+    own = num.filter(F.col("clabel") == F.col("label")).select(
+        "vec_id", "label", dist.alias("a_dist")
+    )
+    wother = Window.partitionBy("vec_id").orderBy(
+        dist.asc(), F.col("clabel").asc()
+    )
+    other = (
+        num.filter(F.col("clabel") != F.col("label"))
+        .withColumn("rk", F.row_number().over(wother))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("vec_id").alias("ov"),
+            F.col("clabel").alias("nearest_other"),
+            dist.alias("b_dist"),
+        )
+    )
+    j = own.join(other, own.vec_id == F.col("ov"))
+    return j.select(
+        "vec_id",
+        "label",
+        "nearest_other",
+        F.round(F.col("a_dist"), 6).alias("a_dist"),
+        F.round(F.col("b_dist"), 6).alias("b_dist"),
+        F.round(
+            (F.col("b_dist") - F.col("a_dist"))
+            / F.greatest(F.col("a_dist"), F.col("b_dist")),
+            6,
+        ).alias("silhouette"),
+    )

@@ -2311,3 +2311,88 @@ def report_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents_1997",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Lorenz curve decile points (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "report_lorenz_points",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey),
+    deciled AS (
+        SELECT cents,
+               ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+        FROM cust),
+    agg AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM deciled GROUP BY decile),
+    cum AS (
+        SELECT decile, n_customers, cents,
+               sum(cents) OVER (ORDER BY decile) AS cum_cents,
+               sum(cents) OVER ()                AS tot_cents,
+               sum(n_customers) OVER (ORDER BY decile) AS cum_n,
+               sum(n_customers) OVER ()                AS tot_n
+        FROM agg)
+    SELECT decile, n_customers, cents,
+           round(CAST(cum_n AS DOUBLE) / tot_n, 6)         AS pop_share,
+           round(CAST(cum_cents AS DOUBLE) / tot_cents, 6) AS revenue_share
+    FROM cum
+    """,
+)
+def report_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile resolution: cumulative revenue share vs
+    cumulative population share over customers ranked by spend — the
+    plottable companion to the scalar ``report_gini_concentration``.
+
+    One exact-cents aggregate to customer grain, one ntile window with
+    a total order (cents, custkey), then cumulative windows over the
+    10-row decile table.  Shares are single divisions of exact
+    BIGINTs.  The ntile total order makes decile boundaries — and
+    therefore every emitted point — identical across engines and
+    partitionings.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    wd = Window.orderBy("cents", "o_custkey")
+    deciled = cust.select(
+        "cents", F.ntile(10).over(wd).alias("decile")
+    )
+    agg = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("cents"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = agg.select(
+        "decile",
+        "n_customers",
+        "cents",
+        F.sum("cents").over(wc).alias("cum_cents"),
+        F.sum("cents").over(wall).alias("tot_cents"),
+        F.sum("n_customers").over(wc).alias("cum_n"),
+        F.sum("n_customers").over(wall).alias("tot_n"),
+    )
+    return cum.select(
+        "decile",
+        "n_customers",
+        "cents",
+        F.round(
+            F.col("cum_n").cast("double") / F.col("tot_n"), 6
+        ).alias("pop_share"),
+        F.round(
+            F.col("cum_cents").cast("double") / F.col("tot_cents"), 6
+        ).alias("revenue_share"),
+    )

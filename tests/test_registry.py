@@ -296,6 +296,9 @@ EXPECTED_IDS = {
     # round-5 batch 37: league-table rank movers, streaming
     # emit-on-transition error-rate alerting
     "report_rank_movers", "stream_error_rate_alert",
+    # round-5 batch 38: Lorenz curve points, fixed-point centroid
+    # silhouette
+    "report_lorenz_points", "ml_silhouette_lite",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
