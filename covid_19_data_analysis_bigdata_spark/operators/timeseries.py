@@ -2850,3 +2850,84 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_c").alias("prev_cents"),
         F.col("next_c").alias("next_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Session bounce rate (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_bounce_rate",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g),
+    sess AS (
+        SELECT user_id, session_no,
+               CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, session_no)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           round(100.0 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / count(*), 6) AS bounce_pct
+    FROM sess GROUP BY day
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of 30-minute-gap sessions that
+    contain exactly one event, attributed to the session's start day —
+    the engagement-quality headline next to session counts.
+
+    Reuses the gaps-and-islands sessionization (one per-user lag + one
+    running sum — no self-join), collapses to session grain, then one
+    conditional aggregate per day.  Counts exact, one division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = g.select(
+        "user_id", "ts", F.sum("is_new").over(ws).alias("session_no")
+    )
+    sess = s.groupBy("user_id", "session_no").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return sess.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(bounce).alias("n_bounces"),
+        F.round(
+            100.0 * F.sum(bounce) / F.count(F.lit(1)), 6
+        ).alias("bounce_pct"),
+    )

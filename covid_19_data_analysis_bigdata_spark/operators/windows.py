@@ -635,3 +635,73 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr_7d"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted moving average with integer weights (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "win_weighted_moving_avg",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2),
+    lagged AS (
+        SELECT event_type, day, cents,
+               lag(cents, 1) OVER w AS c1,
+               lag(cents, 2) OVER w AS c2,
+               lag(cents, 3) OVER w AS c3,
+               lag(cents, 4) OVER w AS c4,
+               lag(cents, 5) OVER w AS c5,
+               lag(cents, 6) OVER w AS c6
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day, cents,
+           round((7 * cents + 6 * c1 + 5 * c2 + 4 * c3
+                  + 3 * c4 + 2 * c5 + 1 * c6) / 28.0 / 100.0, 6)
+               AS wma_7d
+    FROM lagged
+    WHERE c6 IS NOT NULL
+    """,
+)
+def win_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted 7-day moving average (today weighted 7, six
+    days ago weighted 1) — the smoother that reacts faster than the
+    flat ``win_moving_avg`` without the state of an EWMA.
+
+    The weighted numerator is an exact BIGINT combination of seven
+    lagged integer-cent values (explicit lags rather than a frame
+    aggregate, because a weighted frame sum has no built-in and the
+    weight vector is fixed); one division normalizes at the end.
+    Partial windows are excluded (c6 IS NOT NULL) so both engines
+    emit identical rows.  Per-series partitioned window over the
+    day-grain table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lags = [F.lag("cents", i).over(w).alias(f"c{i}") for i in range(1, 7)]
+    lagged = daily.select("event_type", "day", "cents", *lags).filter(
+        F.col("c6").isNotNull()
+    )
+    num = (
+        7 * F.col("cents") + 6 * F.col("c1") + 5 * F.col("c2")
+        + 4 * F.col("c3") + 3 * F.col("c4") + 2 * F.col("c5")
+        + 1 * F.col("c6")
+    )
+    return lagged.select(
+        "event_type",
+        "day",
+        "cents",
+        F.round(num / 28.0 / 100.0, 6).alias("wma_7d"),
+    )

@@ -299,6 +299,9 @@ EXPECTED_IDS = {
     # round-5 batch 38: Lorenz curve points, fixed-point centroid
     # silhouette
     "report_lorenz_points", "ml_silhouette_lite",
+    # round-5 batch 39: linearly-weighted moving average, session
+    # bounce rate
+    "win_weighted_moving_avg", "events_bounce_rate",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
