@@ -611,3 +611,55 @@ def test_byte_histogram_partials_before_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_byte_histogram")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_holt_winters_no_join_single_fold(spark, sf_dir):
+    """The HW state advance is an array fold inside a projection over
+    one aggregate — a Join or extra Window would mean the recursion
+    leaked into a dataflow dependency."""
+    plan = _plan(spark, sf_dir, "ts_holt_winters")
+    assert "Join" not in plan
+
+
+def test_fuzzy_levenshtein_blocks_on_brand(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_fuzzy_levenshtein")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sample_neighbors_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_sample_neighbors")
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_rms_arrow_batched(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_audio_rms")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_shot_boundaries_arrow_batched(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_shot_boundaries")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hard_negatives_broadcasts_probes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_silhouette_broadcasts_centroids(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ml_silhouette_lite")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_ma_windows_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "win_weighted_moving_avg")
+    assert "Join" not in plan and "Window" in plan
+
+
+def test_bounce_rate_no_self_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_bounce_rate")
+    assert "Join" not in plan and "Window" in plan
