@@ -2396,3 +2396,68 @@ def report_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_cents").cast("double") / F.col("tot_cents"), 6
         ).alias("revenue_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Open-order backlog aging (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "report_backlog_aging",
+    oracle="""
+    WITH anchor AS (
+        SELECT CAST(max(o_orderdate) AS DATE) AS as_of FROM orders),
+    aged AS (
+        SELECT CASE
+                 WHEN date_diff('day', CAST(o_orderdate AS DATE), as_of)
+                      <= 30 THEN '0-30'
+                 WHEN date_diff('day', CAST(o_orderdate AS DATE), as_of)
+                      <= 90 THEN '31-90'
+                 WHEN date_diff('day', CAST(o_orderdate AS DATE), as_of)
+                      <= 180 THEN '91-180'
+                 ELSE '180+'
+               END AS age_bucket,
+               o_totalprice
+        FROM orders, anchor
+        WHERE o_orderstatus = 'O')
+    SELECT age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS backlog_cents
+    FROM aged GROUP BY age_bucket
+    """,
+)
+def report_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging: open ('O') orders bucketed by age in days
+    relative to the newest order date — the AR/fulfilment aging
+    report every operations dashboard carries.
+
+    The as-of anchor is a one-row global aggregate joined in with a
+    ``crossJoin`` that Spark plans as a broadcast of a scalar, so the
+    fact scan stays a single pass; the bucket CASE is evaluated
+    map-side and the final group-by has 4 keys.  Age arithmetic is
+    whole-day integer ``datediff``; money is exact integer cents.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    anchor = od.agg(F.max(F.col("o_orderdate").cast("date")).alias("as_of"))
+    age = F.datediff(F.col("as_of"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 90, "31-90")
+        .when(age <= 180, "91-180")
+        .otherwise("180+")
+    )
+    return (
+        od.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            bucket.alias("age_bucket"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("backlog_cents"),
+        )
+    )

@@ -2931,3 +2931,64 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * F.sum(bounce) / F.count(F.lit(1)), 6
         ).alias("bounce_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Second-order Markov transitions (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_markov_second_order",
+    oracle="""
+    WITH tri AS (
+        SELECT lag(event_type, 2) OVER w AS prev2,
+               lag(event_type, 1) OVER w AS prev1,
+               event_type AS cur
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    cnt AS (
+        SELECT prev2, prev1, cur, CAST(count(*) AS BIGINT) AS n
+        FROM tri WHERE prev2 IS NOT NULL
+        GROUP BY prev2, prev1, cur)
+    SELECT prev2, prev1, cur, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY prev2, prev1), 6) AS p_cond
+    FROM cnt
+    """,
+)
+def events_markov_second_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order Markov model of the event stream: counts and
+    conditional probabilities of each event type given the TWO
+    preceding events in the same user's timeline — what a next-action
+    predictor or anomalous-flow detector trains on (first-order
+    transitions are ``report_event_transitions``; a second order
+    exposes context the first order blends away).
+
+    Two lags over one per-user window (single shuffle on user_id),
+    then a group-by on the trigram — the state space is |types|³, so
+    the aggregate output is tiny no matter the corpus size.  The
+    conditional probability divides two exact BIGINTs per row, and
+    the context totals come from a window over the grouped (tiny)
+    table, not a second scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.lag("event_type", 2).over(w).alias("prev2"),
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.col("event_type").alias("cur"),
+    ).filter(F.col("prev2").isNotNull())
+    cnt = tri.groupBy("prev2", "prev1", "cur").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ctx = Window.partitionBy("prev2", "prev1")
+    return cnt.select(
+        "prev2",
+        "prev1",
+        "cur",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(ctx), 6
+        ).alias("p_cond"),
+    )

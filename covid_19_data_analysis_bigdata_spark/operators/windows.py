@@ -705,3 +705,70 @@ def win_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.round(num / 28.0 / 100.0, 6).alias("wma_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Conditional-reset running total (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "win_reset_cumsum",
+    oracle="""
+    WITH seg AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(round(l_quantity) AS BIGINT) AS qty,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY l_suppkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment_no
+        FROM lineitem)
+    SELECT l_suppkey, l_orderkey, l_linenumber, segment_no,
+           CAST(sum(qty) OVER (PARTITION BY l_suppkey, segment_no
+                               ORDER BY l_orderkey, l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS run_qty
+    FROM seg
+    """,
+)
+def win_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-supplier quantity total that RESTARTS at every
+    returned ('R') line — the classic conditional-reset running sum
+    (inventory counters that zero on an audit event, error counters
+    that clear on success).
+
+    The reset is expressed without any self-join or loop: a running
+    count of reset markers assigns a segment number, then a second
+    running sum scoped to (supplier, segment) accumulates within each
+    segment.  Two window passes over the SAME partitioning key, so the
+    single hash-partition by ``l_suppkey`` is reused — one shuffle
+    total, any data size.  Quantities are integral by construction;
+    cast to BIGINT so both engines emit exact integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w_seg = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).over(w_seg).alias("segment_no"),
+    )
+    w_run = (
+        Window.partitionBy("l_suppkey", "segment_no")
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return seg.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "segment_no",
+        F.sum("qty").over(w_run).alias("run_qty"),
+    )

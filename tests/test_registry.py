@@ -302,6 +302,10 @@ EXPECTED_IDS = {
     # round-5 batch 39: linearly-weighted moving average, session
     # bounce rate
     "win_weighted_moving_avg", "events_bounce_rate",
+    # round-5 batch 40: conditional-reset running sum, backlog aging,
+    # second-order Markov transitions
+    "win_reset_cumsum", "report_backlog_aging",
+    "events_markov_second_order",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
