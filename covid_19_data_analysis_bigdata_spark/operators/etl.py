@@ -1817,3 +1817,78 @@ def dq_monotonic_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_pct"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# String pattern conformance rates (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_string_pattern_conformance",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'orders.priority_code' AS rule,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN regexp_matches(o_orderpriority,
+                        '^[1-5]-[A-Z]+$') THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_conform
+        FROM orders
+        UNION ALL
+        SELECT 'customer.name_format',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN regexp_matches(c_name,
+                        '^Customer#[0-9]{9}$') THEN 1 ELSE 0 END) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'part.name_two_words',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN regexp_matches(p_name,
+                        '^[a-z]+ [a-z]+$') THEN 1 ELSE 0 END) AS BIGINT)
+        FROM part
+        UNION ALL
+        SELECT 'part.brand_code',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN regexp_matches(p_brand,
+                        '^Brand#[0-9]{1,2}$') THEN 1 ELSE 0 END) AS BIGINT)
+        FROM part) t
+    """,
+)
+def dq_string_pattern_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex conformance audit: for each declared string-format rule,
+    the rowcount and how many rows match — the schema-on-read contract
+    check a landing-zone pipeline runs before promoting a batch (the
+    deliberately-strict priority rule scores <100% because
+    'NOT SPECIFIED' contains a space — a real finding, not a tautology).
+
+    Each rule is one map-side regexp + conditional count over its own
+    table — a full scan per rule but zero shuffles beyond the 1-row
+    partial-aggregate merge, and rules over the same table share one
+    scan under the union.  Patterns stay in the RE2-compatible subset
+    (anchors, classes, bounded repeats) so Java and RE2 semantics
+    agree.
+    """
+    def rule(df: DataFrame, name: str, col: str, pat: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col(col).rlike(pat), 1).otherwise(0)
+            ).alias("n_conform"),
+        )
+
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    pt = load_table(spark, sf_dir, "part")
+    return (
+        rule(od, "orders.priority_code", "o_orderpriority", "^[1-5]-[A-Z]+$")
+        .unionAll(
+            rule(cu, "customer.name_format", "c_name", "^Customer#[0-9]{9}$")
+        )
+        .unionAll(
+            rule(pt, "part.name_two_words", "p_name", "^[a-z]+ [a-z]+$")
+        )
+        .unionAll(
+            rule(pt, "part.brand_code", "p_brand", "^Brand#[0-9]{1,2}$")
+        )
+    )

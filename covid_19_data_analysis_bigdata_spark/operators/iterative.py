@@ -2888,3 +2888,151 @@ def ml_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("silhouette"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mutual information of two categorical columns (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_mutual_information",
+    oracle="""
+    WITH joint AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n_xy
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+    m AS (
+        SELECT segment, priority, n_xy,
+               sum(n_xy) OVER (PARTITION BY segment)  AS n_x,
+               sum(n_xy) OVER (PARTITION BY priority) AS n_y,
+               sum(n_xy) OVER ()                      AS n
+        FROM joint),
+    c AS (
+        SELECT segment, priority, n_xy,
+               CAST(round(1e6 * (CAST(n_xy AS DOUBLE) / n)
+                          * ln(CAST(n_xy * n AS DOUBLE) / (n_x * n_y)))
+                    AS BIGINT) AS mi_contrib_unats
+        FROM m)
+    SELECT segment, priority, n_xy, mi_contrib_unats,
+           CAST(sum(mi_contrib_unats) OVER () AS BIGINT) AS mi_total_unats
+    FROM c
+    """,
+)
+def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between customer market segment and order
+    priority — the dependence screen a feature-selection pass runs over
+    every categorical column pair before training (MI ≈ 0 here is
+    itself the finding: priority is assigned independently of segment).
+
+    One broadcast join + one group-by collapses the fact table to the
+    |X|·|Y| contingency table (≤ 25 cells); marginals come from window
+    sums over that tiny table, never a second fact scan.  Each cell's
+    contribution (p_xy·ln(p_xy/(p_x·p_y))) is one ln over a ratio of
+    exact BIGINT products, scaled to integer micro-nats, so the global
+    MI total is an order-independent integer sum — the same
+    determinism discipline as ``llm_pmi_cooccur``.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    joint = (
+        od.join(
+            F.broadcast(cu.select("c_custkey", "c_mktsegment")),
+            od.o_custkey == cu.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    m = joint.select(
+        "segment",
+        "priority",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("segment")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("priority")).alias("n_y"),
+        F.sum("n_xy").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    contrib = F.round(
+        1e6
+        * (F.col("n_xy").cast("double") / F.col("n"))
+        * F.log(
+            (F.col("n_xy") * F.col("n")).cast("double")
+            / (F.col("n_x") * F.col("n_y"))
+        )
+    ).cast("long")
+    c = m.select(
+        "segment", "priority", "n_xy", contrib.alias("mi_contrib_unats")
+    )
+    return c.select(
+        "*",
+        F.sum("mi_contrib_unats")
+        .over(Window.partitionBy())
+        .alias("mi_total_unats"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Calibration (reliability) bins for a ranking score (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_calibration_bins",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS bin_pct,
+               CAST(round(l_discount * 100) AS BIGINT) AS sc,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem),
+    g AS (
+        SELECT bin_pct,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(sc) AS BIGINT)  AS sum_sc,
+               CAST(sum(y) AS BIGINT)   AS n_pos
+        FROM b GROUP BY bin_pct)
+    SELECT bin_pct, n, n_pos,
+           round(CAST(sum_sc AS DOUBLE) / (100.0 * n), 6) AS mean_score,
+           round(CAST(n_pos AS DOUBLE) / n, 6)            AS pos_rate,
+           round(abs(CAST(sum_sc AS DOUBLE) / (100.0 * n)
+                     - CAST(n_pos AS DOUBLE) / n), 6)     AS abs_gap
+    FROM g
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram: bin the ``l_discount`` ranking score (the
+    same deliberately-weak score ``ml_roc_auc`` evaluates) and compare
+    each bin's mean predicted score to its empirical positive rate —
+    the calibration readout that decides whether scores can be read as
+    probabilities or need Platt/isotonic post-scaling.
+
+    Scores are exact 2-decimal, so binning is integer percent units
+    and per-bin mean score is an integer sum with ONE division at the
+    end — no order-dependent double accumulation.  A single partial+
+    final aggregate over the fact table; output is |bins| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("bin_pct"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("sc"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g = b.groupBy("bin_pct").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sc").alias("sum_sc"),
+        F.sum("y").alias("n_pos"),
+    )
+    mean_score = F.col("sum_sc").cast("double") / (100.0 * F.col("n"))
+    pos_rate = F.col("n_pos").cast("double") / F.col("n")
+    return g.select(
+        "bin_pct",
+        "n",
+        "n_pos",
+        F.round(mean_score, 6).alias("mean_score"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(F.abs(mean_score - pos_rate), 6).alias("abs_gap"),
+    )

@@ -306,6 +306,10 @@ EXPECTED_IDS = {
     # second-order Markov transitions
     "win_reset_cumsum", "report_backlog_aging",
     "events_markov_second_order",
+    # round-5 batch 41: mutual information, calibration bins, regex
+    # conformance audit
+    "ml_mutual_information", "ml_calibration_bins",
+    "dq_string_pattern_conformance",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
