@@ -1892,3 +1892,80 @@ def dq_string_pattern_conformance(spark: SparkSession, sf_dir: str) -> DataFrame
             rule(pt, "part.brand_code", "p_brand", "^Brand#[0-9]{1,2}$")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Anomalous ingest partitions vs median daily volume (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_anomalous_partitions",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1),
+    ranked AS (
+        SELECT day, n_rows,
+               row_number() OVER (ORDER BY n_rows, day) AS rn,
+               count(*) OVER () AS n_days
+        FROM daily),
+    med AS (
+        SELECT n_rows AS med_rows FROM ranked
+        WHERE rn = CAST(ceil(n_days / 2.0) AS BIGINT))
+    SELECT d.day, d.n_rows, m.med_rows,
+           CASE WHEN abs(d.n_rows - m.med_rows) * 2 > m.med_rows
+                THEN 1 ELSE 0 END AS is_anomalous,
+           round(100.0 * (d.n_rows - m.med_rows) / m.med_rows, 6)
+               AS dev_pct
+    FROM daily d, med m
+    """,
+)
+def dq_anomalous_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly scan: each daily partition's row count
+    against the exact median daily count, flagging days that deviate
+    more than 50% — the landing-zone tripwire that catches a
+    half-delivered batch or a duplicated replay before downstream
+    jobs consume it.
+
+    The day-grain rollup is the only fact-table pass; the median is
+    the explicit lower-median row (rank ⌈n/2⌉ with a day tie-break —
+    the same discrete-selection rule as ``agg_percentile_disc``, no
+    engine median() whose interpolation could differ), broadcast back
+    over the ~|days| table as a one-row cross join.  The 50% fence is
+    an integer cross-multiplication.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    ranked = daily.select(
+        "day",
+        "n_rows",
+        F.row_number()
+        .over(Window.orderBy("n_rows", "day"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_days"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n_days") / 2.0).cast("long")
+    ).select(F.col("n_rows").alias("med_rows"))
+    return daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        "n_rows",
+        "med_rows",
+        F.when(
+            F.abs(F.col("n_rows") - F.col("med_rows")) * 2
+            > F.col("med_rows"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_anomalous"),
+        F.round(
+            100.0
+            * (F.col("n_rows") - F.col("med_rows"))
+            / F.col("med_rows"),
+            6,
+        ).alias("dev_pct"),
+    )

@@ -2461,3 +2461,106 @@ def report_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("backlog_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ABC/XYZ inventory classification (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "report_abc_xyz",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY l_partkey),
+    abc AS (
+        SELECT l_partkey, rev_cents,
+               CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+               CAST(sum(rev_cents) OVER () AS BIGINT)        AS tot_cents
+        FROM per_part),
+    monthly AS (
+        SELECT l_partkey, date_trunc('month', l_shipdate) AS mon,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2),
+    xyz AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT)    AS n_mon,
+               CAST(sum(q) AS BIGINT)      AS s1,
+               CAST(sum(q * q) AS BIGINT)  AS s2
+        FROM monthly GROUP BY l_partkey),
+    cls AS (
+        SELECT a.l_partkey,
+               CASE WHEN a.cum_cents * 100 <= 80 * a.tot_cents THEN 'A'
+                    WHEN a.cum_cents * 100 <= 95 * a.tot_cents THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               CASE WHEN 4 * (x.n_mon * x.s2 - x.s1 * x.s1)
+                         <= x.s1 * x.s1 THEN 'X'
+                    WHEN x.n_mon * x.s2 - x.s1 * x.s1
+                         <= x.s1 * x.s1 THEN 'Y'
+                    ELSE 'Z' END AS xyz_class,
+               a.rev_cents
+        FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey)
+    SELECT abc_class, xyz_class,
+           CAST(count(*) AS BIGINT)       AS n_parts,
+           CAST(sum(rev_cents) AS BIGINT) AS rev_cents
+    FROM cls GROUP BY abc_class, xyz_class
+    """,
+)
+def report_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ matrix: parts classed by cumulative revenue share
+    (A ≤ 80%, B ≤ 95%, C rest) crossed with demand variability
+    (coefficient of variation of monthly quantity: X cv ≤ 0.5,
+    Y cv ≤ 1, Z above) — the two-axis inventory segmentation behind
+    stocking-policy decisions (AX = automate, CZ = drop).
+
+    Two partial aggregates over the fact table collapse it to
+    per-part grain; the ABC running share is a window over the part
+    table only, and both class boundaries are integer
+    cross-multiplications (cum·100 ≤ 80·tot; 4·(nΣq²−S²) ≤ S² is
+    cv² ≤ 0.25 cleared of division) — no float thresholds to disagree
+    across engines.  Output is the ≤ 9-cell matrix.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("rev_cents")
+    )
+    w_cum = Window.orderBy(
+        F.col("rev_cents").desc(), "l_partkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    abc = per_part.select(
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+        F.sum("rev_cents").over(Window.partitionBy()).alias("tot_cents"),
+    )
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("mon")
+    ).agg(F.sum(F.round("l_quantity").cast("long")).alias("q"))
+    xyz = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_mon"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    var_n = F.col("n_mon") * F.col("s2") - F.col("s1") * F.col("s1")
+    s1sq = F.col("s1") * F.col("s1")
+    cls = abc.join(xyz, "l_partkey").select(
+        F.when(F.col("cum_cents") * 100 <= 80 * F.col("tot_cents"), "A")
+        .when(F.col("cum_cents") * 100 <= 95 * F.col("tot_cents"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.when(4 * var_n <= s1sq, "X")
+        .when(var_n <= s1sq, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        "rev_cents",
+    )
+    return cls.groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev_cents").alias("rev_cents"),
+    )

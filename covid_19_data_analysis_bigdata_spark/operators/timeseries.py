@@ -2992,3 +2992,100 @@ def events_markov_second_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(ctx), 6
         ).alias("p_cond"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stochastic oscillator (%K / %D) (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_stochastic_oscillator",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2),
+    ext AS (
+        SELECT event_type, day, cents,
+               min(cents) OVER w14  AS mn,
+               max(cents) OVER w14  AS mx,
+               count(*)  OVER w14   AS n14
+        FROM daily
+        WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+    k AS (
+        SELECT event_type, day,
+               100.0 * (cents - mn) / (mx - mn) AS kraw
+        FROM ext WHERE n14 = 14 AND mx > mn),
+    d AS (
+        SELECT event_type, day, kraw,
+               lag(kraw, 1) OVER w AS k1,
+               lag(kraw, 2) OVER w AS k2
+        FROM k WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day,
+           round(kraw, 6) AS pct_k,
+           round((kraw + k1 + k2) / 3.0, 6) AS pct_d
+    FROM d WHERE k2 IS NOT NULL
+    """,
+)
+def ts_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator over each event-type's daily value
+    series: %K locates today inside the trailing 14-day min–max range
+    (0 = at the low, 100 = at the high) and %D smooths %K with a
+    3-day mean — the classic overbought/oversold momentum pair.
+
+    One day-grain rollup, one 14-row min/max/count frame, then two
+    explicit lags for the smoother — three window passes over the SAME
+    per-series partitioning, so one shuffle on event_type total.
+    Warm-up rows (frame < 14 days) and flat ranges (max = min) are
+    excluded with exact integer tests; %D sums its three unrounded
+    doubles in explicit left-to-right lag order so both engines hit
+    identical IEEE operations before the single 6 dp round.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w14 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, 0)
+    )
+    ext = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.min("cents").over(w14).alias("mn"),
+        F.max("cents").over(w14).alias("mx"),
+        F.count(F.lit(1)).over(w14).alias("n14"),
+    )
+    k = ext.filter((F.col("n14") == 14) & (F.col("mx") > F.col("mn"))).select(
+        "event_type",
+        "day",
+        (
+            100.0
+            * (F.col("cents") - F.col("mn"))
+            / (F.col("mx") - F.col("mn"))
+        ).alias("kraw"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = k.select(
+        "event_type",
+        "day",
+        "kraw",
+        F.lag("kraw", 1).over(w).alias("k1"),
+        F.lag("kraw", 2).over(w).alias("k2"),
+    ).filter(F.col("k2").isNotNull())
+    return d.select(
+        "event_type",
+        "day",
+        F.round(F.col("kraw"), 6).alias("pct_k"),
+        F.round(
+            (F.col("kraw") + F.col("k1") + F.col("k2")) / 3.0, 6
+        ).alias("pct_d"),
+    )

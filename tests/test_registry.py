@@ -310,6 +310,10 @@ EXPECTED_IDS = {
     # conformance audit
     "ml_mutual_information", "ml_calibration_bins",
     "dq_string_pattern_conformance",
+    # round-5 batch 42: ABC/XYZ matrix, stochastic oscillator,
+    # ingest-volume anomaly scan
+    "report_abc_xyz", "ts_stochastic_oscillator",
+    "dq_anomalous_partitions",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
