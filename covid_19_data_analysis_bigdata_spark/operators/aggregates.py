@@ -1243,3 +1243,91 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("log_sum") / F.col("n"), 6).alias("log_gmean"),
         F.round(F.exp(F.col("log_sum") / F.col("n")), 6).alias("geo_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Theil inequality index per segment (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_theil_index",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+    seg AS (
+        SELECT segment, cents,
+               CAST(sum(cents) OVER (PARTITION BY segment) AS BIGINT)
+                   AS seg_cents,
+               CAST(count(*) OVER (PARTITION BY segment) AS BIGINT)
+                   AS n_cust
+        FROM cust),
+    t AS (
+        SELECT segment, n_cust, seg_cents,
+               CAST(round(1e6 * (CAST(cents AS DOUBLE) / seg_cents)
+                    * ln(CAST(cents * n_cust AS DOUBLE) / seg_cents))
+                    AS BIGINT) AS term
+        FROM seg)
+    SELECT segment,
+           CAST(max(n_cust) AS BIGINT)    AS n_cust,
+           CAST(max(seg_cents) AS BIGINT) AS tot_cents,
+           CAST(sum(term) AS BIGINT)      AS theil_unats
+    FROM t GROUP BY segment
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend within each market
+    segment — the decomposable inequality measure that complements the
+    registry's Gini (``report_gini_concentration``) and Lorenz curve:
+    T = Σᵢ (xᵢ/X)·ln(xᵢ·n/X), zero under perfect equality, ln(n) at
+    full concentration.
+
+    One aggregate collapses orders to customer grain; segment totals
+    come from window sums over that (already small) grain, and each
+    customer's contribution is quantized to integer micro-nats before
+    the final sum — so the per-segment index is an exact integer
+    regardless of partitioning or accumulation order, the same
+    discipline as ``ml_mutual_information``.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    cust = (
+        od.join(
+            F.broadcast(cu.select("c_custkey", "c_mktsegment")),
+            od.o_custkey == cu.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    wseg = Window.partitionBy("segment")
+    seg = cust.select(
+        "segment",
+        "cents",
+        F.sum("cents").over(wseg).alias("seg_cents"),
+        F.count(F.lit(1)).over(wseg).alias("n_cust"),
+    )
+    term = F.round(
+        1e6
+        * (F.col("cents").cast("double") / F.col("seg_cents"))
+        * F.log(
+            (F.col("cents") * F.col("n_cust")).cast("double")
+            / F.col("seg_cents")
+        )
+    ).cast("long")
+    return (
+        seg.select("segment", "n_cust", "seg_cents", term.alias("term"))
+        .groupBy("segment")
+        .agg(
+            F.max("n_cust").alias("n_cust"),
+            F.max("seg_cents").alias("tot_cents"),
+            F.sum("term").alias("theil_unats"),
+        )
+    )

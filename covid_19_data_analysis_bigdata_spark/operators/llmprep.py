@@ -1048,3 +1048,137 @@ def llm_label_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(kept, F.col("vec_id"))).cast("long").alias("first_kept"),
         F.max(F.when(kept, F.col("vec_id"))).cast("long").alias("last_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style hashed-ngram importance weights (round 5)
+# --------------------------------------------------------------------------
+
+DSIR_DIM = 128
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "llm_dsir_importance",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS words
+        FROM documents),
+    hb AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+                   % {DSIR_DIM} AS bucket
+        FROM (SELECT doc_id, lang,
+                     unnest([words[i] || ' ' || words[i+1]
+                             for i in generate_series(1, len(words) - 1)])
+                         AS gram
+              FROM w)),
+    vec AS (
+        SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM hb GROUP BY 1, 2),
+    corp AS (
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS c_g,
+               CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS t_g
+        FROM hb GROUP BY bucket),
+    tot AS (
+        SELECT CAST(sum(c_g) AS BIGINT) AS c_tot,
+               CAST(sum(t_g) AS BIGINT) AS t_tot
+        FROM corp),
+    lam AS (
+        SELECT bucket,
+               CAST(round(1e6 * ln(
+                    (CAST((t_g + 1) * (tot.c_tot + {DSIR_DIM}) AS DOUBLE))
+                  / (CAST((c_g + 1) * (tot.t_tot + {DSIR_DIM}) AS DOUBLE))))
+                    AS BIGINT) AS lam_unats
+        FROM corp CROSS JOIN tot)
+    SELECT v.doc_id, d.lang,
+           CAST(sum(v.cnt) AS BIGINT)                 AS n_bigrams,
+           CAST(sum(v.cnt * l.lam_unats) AS BIGINT)   AS score_unats
+    FROM vec v
+    JOIN lam l USING (bucket)
+    JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    public): score every document by how much its hashed-bigram
+    distribution looks like the TARGET slice (English docs) versus the
+    whole corpus — the importance-resampling signal used to pick
+    pretraining data that matches a high-quality target domain.
+
+    Bigrams hash into a fixed {DSIR_DIM}-bucket space with the
+    engine-portable md5-prefix hash (``ml_feature_hashing``'s trick),
+    so no vocabulary is built and the bucket log-likelihood-ratio
+    table λ_g = ln(p̂_target(g)/p̂_corpus(g)) (Laplace-smoothed) is a
+    {DSIR_DIM}-row broadcast no matter the corpus size.  λ is
+    quantized to integer micro-nats BEFORE the per-document
+    sum Σ cnt_g·λ_g, so document scores are exact integer dot
+    products — order-independent across engines and partitionings.
+    One tokenize pass, two associative aggregates, one broadcast join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+    n = F.size(words) - 1
+    grams = F.zip_with(
+        F.slice(words, 1, n),
+        F.slice(words, 2, n),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    hb = (
+        d.filter(F.size(words) >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(grams).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+                % DSIR_DIM
+            ).alias("bucket"),
+        )
+    )
+    # lang is functionally dependent on doc_id, so carrying it as a
+    # group key is free and avoids re-joining the (at scale,
+    # unbroadcastable) documents table for it.
+    vec = hb.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    corp = hb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_g"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("t_g"),
+    )
+    tot = corp.agg(
+        F.sum("c_g").alias("c_tot"), F.sum("t_g").alias("t_tot")
+    )
+    lam = corp.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            1e6
+            * F.log(
+                ((F.col("t_g") + 1) * (F.col("c_tot") + DSIR_DIM)).cast(
+                    "double"
+                )
+                / ((F.col("c_g") + 1) * (F.col("t_tot") + DSIR_DIM)).cast(
+                    "double"
+                )
+            )
+        )
+        .cast("long")
+        .alias("lam_unats"),
+    )
+    return (
+        vec.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("lam_unats")).alias("score_unats"),
+        )
+    )

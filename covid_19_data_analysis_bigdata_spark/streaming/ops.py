@@ -911,3 +911,54 @@ def stream_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(~F.col("breach") & prev, "RESOLVED")
         .alias("alert"),
     )
+
+
+@query(
+    "stream_topk_per_window",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    r AS (
+        SELECT day, event_type, cnt,
+               CAST(row_number() OVER (PARTITION BY day
+                    ORDER BY cnt DESC, event_type) AS BIGINT) AS rnk
+        FROM c)
+    SELECT day, event_type, cnt, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling day window — the "trending now"
+    panel of a live dashboard.
+
+    Ranking inside a streaming aggregation is not expressible in a
+    single append-mode topology (rank is non-monotone as counts grow),
+    so the operator is the standard two-stage shape: the STREAM
+    maintains the per-(window, type) counts with a 1-day watermark —
+    the unbounded, stateful, scale-bearing half — and the rank is a
+    window function over the final counts table, whose size is
+    |days|·|types| regardless of stream volume.  At 100 TB/day the
+    same topology stands: the memory sink becomes a Delta/Kafka sink
+    and the rank runs in the serving query.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = run_to_table(spark, agg, "t_topk_win", "complete")
+    counts = out.select(
+        F.col("w.start").cast("date").alias("day"), "event_type", "cnt"
+    )
+    wr = Window.partitionBy("day").orderBy(
+        F.col("cnt").desc(), "event_type"
+    )
+    return counts.select(
+        "day",
+        "event_type",
+        "cnt",
+        F.row_number().over(wr).cast("long").alias("rnk"),
+    ).filter(F.col("rnk") <= 3)

@@ -314,6 +314,9 @@ EXPECTED_IDS = {
     # ingest-volume anomaly scan
     "report_abc_xyz", "ts_stochastic_oscillator",
     "dq_anomalous_partitions",
+    # round-5 batch 43: DSIR importance weights, Theil index,
+    # streaming top-k per window
+    "llm_dsir_importance", "agg_theil_index", "stream_topk_per_window",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
