@@ -1331,3 +1331,63 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term").alias("theil_unats"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Herfindahl–Hirschman concentration index (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH sup AS (
+        SELECT l_returnflag AS flag, l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1, 2),
+    sh AS (
+        SELECT flag, l_suppkey,
+               CAST(round(1e6 * CAST(cents AS DOUBLE)
+                    / sum(cents) OVER (PARTITION BY flag)) AS BIGINT)
+                   AS share_ppm
+        FROM sup)
+    SELECT flag,
+           CAST(count(*) AS BIGINT)                    AS n_suppliers,
+           CAST(sum(share_ppm * share_ppm) AS BIGINT)  AS hhi_scaled
+    FROM sh GROUP BY flag
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue concentration
+    within each return-flag market — the antitrust-style concentration
+    scalar that complements the registry's Gini/Lorenz/Pareto family
+    (HHI weights the LARGEST shares quadratically, so it moves first
+    when one supplier starts dominating).
+
+    One aggregate to supplier grain, a window share over that grain,
+    then Σ share² — with shares quantized to integer ppm BEFORE
+    squaring, so the index (scaled by 10¹²) is an exact integer sum:
+    no order-dependent double accumulation, and the ppm² products
+    (≤ 10¹²·n) stay far inside BIGINT at any supplier count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = li.groupBy(F.col("l_returnflag").alias("flag"), "l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    sh = sup.select(
+        "flag",
+        F.round(
+            1e6
+            * F.col("cents").cast("double")
+            / F.sum("cents").over(Window.partitionBy("flag"))
+        )
+        .cast("long")
+        .alias("share_ppm"),
+    )
+    return sh.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("share_ppm") * F.col("share_ppm")).alias("hhi_scaled"),
+    )

@@ -3089,3 +3089,173 @@ def ts_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("kraw") + F.col("k1") + F.col("k2")) / 3.0, 6
         ).alias("pct_d"),
     )
+
+
+# --------------------------------------------------------------------------
+# 7-day rolling retention (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_rolling_retention",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events),
+    ret AS (
+        SELECT a.day,
+               CAST(count(*) AS BIGINT) AS n_active,
+               CAST(sum(CASE WHEN b.user_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+        FROM act a
+        LEFT JOIN act b ON b.user_id = a.user_id
+                       AND b.day = a.day + INTERVAL 7 DAY
+        GROUP BY a.day),
+    mx AS (SELECT max(day) AS last_day FROM act)
+    SELECT day, n_active, n_retained,
+           round(100.0 * n_retained / n_active, 6) AS retention_pct
+    FROM ret, mx
+    WHERE day <= last_day - INTERVAL 7 DAY
+    """,
+)
+def events_rolling_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-7 rolling retention: of the users active on day d, the
+    share also active exactly on day d+7 — the growth-team headline
+    that monthly cohort retention (``report_retention_cohort``) is too
+    coarse to show.
+
+    The stream collapses to the distinct (user, day) activity grid
+    first — the only full-data pass — then a self equi-join on
+    (user, day+7) over that much smaller grid; both sides hash on
+    user_id so the join co-partitions, and days beyond the observable
+    horizon are cut against the max-day scalar rather than silently
+    reported as churn.  Counts exact, one division per day row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    a = act.alias("a")
+    b = act.alias("b")
+    ret = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.day") == F.date_add(F.col("a.day"), 7)),
+            "left",
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("b.user_id").isNotNull(), 1).otherwise(0)
+            ).alias("n_retained"),
+        )
+    )
+    mx = act.agg(F.max("day").alias("last_day"))
+    return (
+        ret.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.date_sub(F.col("last_day"), 7))
+        .select(
+            "day",
+            "n_active",
+            "n_retained",
+            F.round(
+                100.0 * F.col("n_retained") / F.col("n_active"), 6
+            ).alias("retention_pct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Relative Strength Index (SMA variant) (round 5)
+# --------------------------------------------------------------------------
+
+RSI_DAYS = 14
+
+
+@query(
+    "ts_rsi",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2),
+    chg AS (
+        SELECT event_type, day,
+               cents - lag(cents) OVER w AS delta
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    acc AS (
+        SELECT event_type, day,
+               CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+                    OVER w14 AS BIGINT) AS gains,
+               CAST(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+                    OVER w14 AS BIGINT) AS losses,
+               count(delta) OVER w14 AS n14
+        FROM chg
+        WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN {RSI_DAYS - 1} PRECEDING
+                            AND CURRENT ROW))
+    SELECT event_type, day, gains, losses,
+           round(100.0 * gains / (gains + losses), 6) AS rsi
+    FROM acc WHERE n14 = {RSI_DAYS} AND gains + losses > 0
+    """,
+)
+def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day Relative Strength Index (simple-average variant) per
+    event-type series: RSI = 100·G/(G+L) where G and L are the summed
+    up-moves and down-moves over the trailing window — the
+    overbought/oversold companion to ``ts_stochastic_oscillator``
+    (which locates the level; RSI characterizes the moves).
+
+    Day-grain rollup → one lag for deltas → one 14-row frame summing
+    gains and losses — all three passes share the per-series
+    partitioning, one shuffle total.  Deltas are integer cents, so G
+    and L are exact BIGINTs and the identity RSI = 100·G/(G+L) needs
+    exactly ONE division (the textbook 100−100/(1+RS) form divides
+    twice and loses exactness); warm-up rows are excluded by an exact
+    frame count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    chg = daily.select(
+        "event_type",
+        "day",
+        (F.col("cents") - F.lag("cents").over(w)).alias("delta"),
+    )
+    w14 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(RSI_DAYS - 1), 0)
+    )
+    acc = chg.select(
+        "event_type",
+        "day",
+        F.sum(
+            F.when(F.col("delta") > 0, F.col("delta")).otherwise(0)
+        ).over(w14).alias("gains"),
+        F.sum(
+            F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0)
+        ).over(w14).alias("losses"),
+        F.count("delta").over(w14).alias("n14"),
+    )
+    return acc.filter(
+        (F.col("n14") == RSI_DAYS) & (F.col("gains") + F.col("losses") > 0)
+    ).select(
+        "event_type",
+        "day",
+        "gains",
+        "losses",
+        F.round(
+            100.0 * F.col("gains") / (F.col("gains") + F.col("losses")), 6
+        ).alias("rsi"),
+    )

@@ -317,6 +317,8 @@ EXPECTED_IDS = {
     # round-5 batch 43: DSIR importance weights, Theil index,
     # streaming top-k per window
     "llm_dsir_importance", "agg_theil_index", "stream_topk_per_window",
+    # round-5 batch 44: rolling retention, RSI, HHI concentration
+    "events_rolling_retention", "ts_rsi", "agg_hhi_concentration",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
