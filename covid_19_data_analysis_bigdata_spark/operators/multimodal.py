@@ -549,3 +549,97 @@ def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_ssq",
         F.abs(F.col("ssq") - F.col("prev_ssq")).alias("abs_delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash near-duplicate scan (round 5)
+# --------------------------------------------------------------------------
+
+PHASH_BITS = 64
+PHASH_WIN = 16
+PHASH_STRIDE = 17
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               [CAST(('0x' || substr(md5(substr(text,
+                        (k * {PHASH_STRIDE})
+                            % greatest(length(text) - {PHASH_WIN - 1}, 1)
+                            + 1,
+                        {PHASH_WIN})), 1, 2)) AS BIGINT)
+                for k in generate_series(0, {PHASH_BITS - 1})] AS pixels
+        FROM documents),
+    h AS (
+        SELECT doc_id, pixels,
+               list_aggregate(pixels, 'sum') AS tot
+        FROM px),
+    a AS (
+        SELECT doc_id,
+               array_to_string(list_transform(pixels,
+                   p -> CASE WHEN {PHASH_BITS} * p > tot
+                        THEN '1' ELSE '0' END), '') AS ahash
+        FROM h)
+    SELECT ahash,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc
+    FROM a GROUP BY ahash
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash near-duplicate scan over media payloads: the
+    decode stage samples {PHASH_BITS} strided windows of the payload
+    as pseudo-pixels (the deterministic codec stub — a real decoder
+    would produce an 8×8 luma grid), each pixel thresholds against the
+    payload mean to one bit, and identical 64-bit signatures group —
+    the perceptual-dedup shape (pHash/aHash) used to collapse
+    re-encoded copies of the same image before training.
+
+    The Arrow-batched ``mapInPandas`` stage is the production shell:
+    payload in, fixed-width signature out, no shuffle until the final
+    signature group-by (which is the exact-dedup hash aggregate, scale
+    free).  Pixel bytes come from md5 (engine-portable) over
+    CHARACTER-indexed windows so Python slicing and SQL substr agree
+    on multibyte text.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def ahash(batches):
+        for pdf in batches:
+            out = []
+            for t in pdf["text"]:
+                n = len(t)
+                base = max(n - (PHASH_WIN - 1), 1)
+                pixels = [
+                    int(
+                        hashlib.md5(
+                            t[
+                                (k * PHASH_STRIDE) % base:
+                                (k * PHASH_STRIDE) % base + PHASH_WIN
+                            ].encode("utf-8")
+                        ).hexdigest()[:2],
+                        16,
+                    )
+                    for k in range(PHASH_BITS)
+                ]
+                tot = sum(pixels)
+                out.append(
+                    "".join(
+                        "1" if PHASH_BITS * p > tot else "0" for p in pixels
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ahash": out}
+            )
+
+    sigs = d.mapInPandas(ahash, "doc_id bigint, ahash string")
+    return sigs.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+    )

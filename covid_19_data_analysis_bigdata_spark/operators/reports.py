@@ -2564,3 +2564,78 @@ def report_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("rev_cents").alias("rev_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Month-of-year seasonality index (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "report_seasonality_index",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_part('year', o_orderdate) AS BIGINT)  AS yr,
+               CAST(date_part('month', o_orderdate) AS BIGINT) AS mon,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2),
+    per_mon AS (
+        SELECT mon,
+               CAST(count(*) AS BIGINT)    AS n_occ,
+               CAST(sum(cents) AS BIGINT)  AS sum_cents
+        FROM monthly GROUP BY mon),
+    tot AS (
+        SELECT CAST(sum(n_occ) AS BIGINT)     AS total_occ,
+               CAST(sum(sum_cents) AS BIGINT) AS total_cents
+        FROM per_mon)
+    SELECT mon, n_occ, sum_cents,
+           round(100.0 * sum_cents * total_occ
+                 / (n_occ * CAST(total_cents AS DOUBLE)), 6)
+               AS seasonality_idx
+    FROM per_mon, tot
+    """,
+)
+def report_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: each calendar month's average
+    revenue per occurrence as a percentage of the all-month average
+    (100 = no seasonality) — the multiplicative seasonal profile a
+    demand planner divides out before trend-fitting, at the yearly
+    grain the weekday profile (``report_weekday_seasonality``) can't
+    see.
+
+    One aggregate to (year, month) grain, one to month-of-year, and a
+    broadcast one-row total; the index is a single division of exact
+    integer products (sum_m·N_occ vs n_m·total), so occurrence-count
+    imbalance (the last partial year) is normalized exactly rather
+    than through a chain of rounded averages.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    monthly = od.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    per_mon = monthly.groupBy("mon").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    tot = per_mon.agg(
+        F.sum("n_occ").alias("total_occ"),
+        F.sum("sum_cents").alias("total_cents"),
+    )
+    return per_mon.crossJoin(F.broadcast(tot)).select(
+        "mon",
+        "n_occ",
+        "sum_cents",
+        F.round(
+            100.0
+            * F.col("sum_cents")
+            * F.col("total_occ")
+            / (F.col("n_occ") * F.col("total_cents").cast("double")),
+            6,
+        ).alias("seasonality_idx"),
+    )

@@ -611,3 +611,48 @@ def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT semi-structured column surface (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sql_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT)            AS k_int,
+           CAST(props->>'$.k' AS BIGINT) // 10      AS k_decile,
+           json_extract(props, '$')::VARCHAR        AS norm_json,
+           json_type(props) = 'OBJECT'              AS is_obj
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def sql_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface over the embedded-JSON ``props``
+    column: ``parse_json`` builds the open-schema VARIANT value once,
+    ``variant_get`` does the typed path extraction, and
+    ``to_json`` round-trips it to canonical text — the semi-structured
+    idiom that replaces string re-parsing per field (every
+    ``get_json_object`` call re-parses; a VARIANT parses ONCE into a
+    binary form and serves any number of typed path reads, the
+    difference that matters when a 100 TB event stream carries
+    wide JSON payloads).
+
+    The canonical-text column pins the normalization contract
+    (DuckDB's ``json_extract($)`` canonicalizes identically); the
+    object-type predicate maps to ``schema_of_variant``'s top-level
+    tag.  All map-side expression work on a pruned two-column scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.filter(F.col("event_id") % 20 == 0).select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        (F.variant_get(v, "$.k", "bigint") / 10)
+        .cast("long")
+        .alias("k_decile"),
+        F.to_json(v).alias("norm_json"),
+        F.schema_of_variant(v).startswith("OBJECT").alias("is_obj"),
+    )

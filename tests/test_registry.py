@@ -319,6 +319,10 @@ EXPECTED_IDS = {
     "llm_dsir_importance", "agg_theil_index", "stream_topk_per_window",
     # round-5 batch 44: rolling retention, RSI, HHI concentration
     "events_rolling_retention", "ts_rsi", "agg_hhi_concentration",
+    # round-5 batch 45: VARIANT surface, perceptual-hash dedup,
+    # month-of-year seasonality index
+    "sql_variant_extract", "multimodal_phash_dedup",
+    "report_seasonality_index",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
