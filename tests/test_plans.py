@@ -663,3 +663,118 @@ def test_weighted_ma_windows_only(spark, sf_dir):
 def test_bounce_rate_no_self_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_bounce_rate")
     assert "Join" not in plan and "Window" in plan
+
+
+# ---- round-5 batches 40-45 ----
+
+
+def test_reset_cumsum_single_window_partitioning(spark, sf_dir):
+    """Both window passes share the l_suppkey hash partitioning: the
+    plan must contain exactly one Exchange (plus AQE reads), never a
+    second shuffle between the segment and running-sum windows."""
+    plan = _plan(spark, sf_dir, "win_reset_cumsum")
+    assert "Join" not in plan and "Window" in plan
+    n_exchanges = plan.count("Arguments: hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_backlog_aging_broadcasts_anchor(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "report_backlog_aging")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar anchor
+    assert "CartesianProduct" not in plan
+
+
+def test_markov2_aggregates_before_ranking(spark, sf_dir):
+    """The conditional-probability window must run over the grouped
+    trigram table (HashAggregate before the second Window)."""
+    plan = _plan(spark, sf_dir, "events_markov_second_order")
+    assert "HashAggregate" in plan and "Window" in plan
+
+
+def test_mutual_information_broadcasts_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ml_mutual_information")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_calibration_bins_single_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ml_calibration_bins")
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_pattern_conformance_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dq_string_pattern_conformance")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_abc_xyz_windows_over_part_grain(spark, sf_dir):
+    """The ABC running-share window sorts the per-part aggregate, not
+    raw lineitem (HashAggregate precedes the Sort feeding Window)."""
+    plan = _plan(spark, sf_dir, "report_abc_xyz")
+    assert "HashAggregate" in plan and "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stochastic_oscillator_two_shuffles_max(spark, sf_dir):
+    """One (type, day) partial-agg shuffle carrying only day-grain
+    partials, one re-partition to the per-series window key — and the
+    three window passes (14-day frame, two lags) all reuse the second."""
+    plan = _plan(spark, sf_dir, "ts_stochastic_oscillator")
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 2, plan
+
+
+def test_anomalous_partitions_broadcasts_median(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dq_anomalous_partitions")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row median
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_broadcasts_lambda_table(spark, sf_dir):
+    """The per-doc score join must broadcast the 128-row λ table —
+    never shuffle the doc-grain vectors against it."""
+    plan = _plan(spark, sf_dir, "llm_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_theil_windows_over_customer_grain(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_theil_index")
+    assert "BroadcastHashJoin" in plan and "Window" in plan
+
+
+def test_rolling_retention_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_rolling_retention")
+    assert "CartesianProduct" not in plan
+
+
+def test_rsi_two_shuffles_max(spark, sf_dir):
+    """Same two-shuffle ceiling as the oscillator: day-grain partial
+    agg, then one per-series re-partition shared by delta lag and the
+    14-row gains/losses frame."""
+    plan = _plan(spark, sf_dir, "ts_rsi")
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 2, plan
+
+
+def test_hhi_window_over_supplier_grain(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_hhi_concentration")
+    assert "Join" not in plan and "Window" in plan
+
+
+def test_variant_extract_stays_jvm_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_variant_extract")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_phash_arrow_batched_then_hash_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_phash_dedup")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_seasonality_index_broadcasts_total(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "report_seasonality_index")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
