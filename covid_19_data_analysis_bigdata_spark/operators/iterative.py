@@ -3036,3 +3036,129 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pos_rate, 6).alias("pos_rate"),
         F.round(F.abs(mean_score - pos_rate), 6).alias("abs_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch gradient descent on sufficient statistics (round 5)
+# --------------------------------------------------------------------------
+
+GD_ITERS = 8
+GD_LR = 1e-4
+
+
+def _gd_iter_sql(k: int) -> str:
+    """One unrolled GD step over the 5 pre-aggregated moments."""
+    return f"""
+    i{k + 1} AS (
+        SELECT {k + 1} AS it,
+               round(w - {GD_LR} * 2.0
+                     * (w * sxx + b * sx - sxy) / n, 6) AS w,
+               round(b - {GD_LR} * 2.0
+                     * (w * sx + b * n - sy) / n, 6)    AS b
+        FROM i{k}, m)
+    """
+
+
+@query(
+    "ml_gradient_descent",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sx,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sxx,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS sy,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS sxy
+        FROM lineitem),
+    i0 AS (SELECT 0 AS it, 0.0 AS w, 0.0 AS b),
+    {",".join(_gd_iter_sql(k) for k in range(GD_ITERS))}
+    SELECT CAST(it AS BIGINT) AS it, w, b
+    FROM ({" UNION ALL ".join(f"SELECT * FROM i{k}"
+                              for k in range(GD_ITERS + 1))}) t
+    """,
+)
+def ml_gradient_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch gradient descent for least-squares y = w·x + b
+    (price-cents on quantity), defined as exactly {GD_ITERS} steps at
+    a fixed learning rate, emitting the whole trajectory — the
+    iterative-optimizer shape (the registry's closed forms:
+    ``ml_ols_normal_eq``, ``ml_ridge_closed_form``; this is the path
+    every model WITHOUT a closed form takes).
+
+    The crucial scale property: the squared-loss gradient is linear
+    in the 5 sufficient statistics (n, Σx, Σx², Σy, Σxy), so the data
+    is touched ONCE to build exact integer moments and the
+    {GD_ITERS}-step loop runs on scalars — loop cost independent of
+    data size, no per-iteration job, nothing cached.  Each step
+    rounds (w, b) to 6 dp so the trajectory is a fixed-point sequence
+    both engines reproduce bit-for-bit from the same integer moments.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    # Runtime fold, NOT unrolled column expressions: each step
+    # references (w, b) twice, so nesting grows the expression tree
+    # 4^ITERS and the first cut of this operator spent 55 s in
+    # analysis/codegen alone.  F.aggregate evaluates the recurrence
+    # iteratively at RUNTIME over a sequence literal — constant-size
+    # plan, same fixed-point trajectory (the ts_holt_winters fold
+    # discipline).
+    step = lambda acc, _: F.struct(  # noqa: E731
+        F.round(
+            acc["w"]
+            - GD_LR
+            * 2.0
+            * (acc["w"] * F.col("sxx") + acc["b"] * F.col("sx")
+               - F.col("sxy"))
+            / F.col("n"),
+            6,
+        ).alias("w"),
+        F.round(
+            acc["b"]
+            - GD_LR
+            * 2.0
+            * (acc["w"] * F.col("sx") + acc["b"] * F.col("n")
+               - F.col("sy"))
+            / F.col("n"),
+            6,
+        ).alias("b"),
+        F.concat(
+            acc["traj"],
+            F.array(F.struct(acc["w"].alias("w"), acc["b"].alias("b"))),
+        ).alias("traj"),
+    )
+    acc0 = F.struct(
+        F.lit(0.0).alias("w"),
+        F.lit(0.0).alias("b"),
+        F.expr(
+            "CAST(array() AS ARRAY<STRUCT<w: DOUBLE, b: DOUBLE>>)"
+        ).alias("traj"),
+    )
+    final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(GD_ITERS)),
+        acc0,
+        step,
+        lambda acc: F.concat(
+            acc["traj"],
+            F.array(F.struct(acc["w"].alias("w"), acc["b"].alias("b"))),
+        ),
+    )
+    return m.select(
+        F.posexplode(final).alias("it", "s")
+    ).select(
+        F.col("it").cast("long").alias("it"),
+        F.col("s.w").alias("w"),
+        F.col("s.b").alias("b"),
+    )

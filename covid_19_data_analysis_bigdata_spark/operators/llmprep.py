@@ -1182,3 +1182,97 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * F.col("lam_unats")).alias("score_unats"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Held-out cross-entropy of a train-split unigram LM (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_heldout_cross_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+    tr AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM tok WHERE doc_id % 5 < 4 GROUP BY w),
+    tot AS (
+        SELECT CAST(sum(c) AS BIGINT)   AS t,
+               CAST(count(*) AS BIGINT) AS v
+        FROM tr),
+    ho AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok WHERE doc_id % 5 = 4 GROUP BY doc_id, w),
+    lam AS (
+        SELECT ho.doc_id, ho.cnt,
+               CAST(round(1e6 * ln(CAST(tot.t + tot.v AS DOUBLE)
+                                   / (coalesce(tr.c, 0) + 1)))
+                    AS BIGINT) AS lam,
+               CASE WHEN tr.c IS NULL THEN 1 ELSE 0 END AS oov
+        FROM ho LEFT JOIN tr USING (w) CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT)       AS n_toks,
+           CAST(sum(cnt * oov) AS BIGINT) AS n_oov,
+           CAST(sum(cnt * lam) AS BIGINT) AS nll_unats
+    FROM lam GROUP BY doc_id
+    """,
+)
+def llm_heldout_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model evaluation: train a Laplace-smoothed
+    unigram LM on the 80% train split (doc_id mod 5 < 4) and score
+    every HELD-OUT document's negative log-likelihood — the
+    train/eval-split discipline that ``llm_perplexity_unigram`` (fit
+    and scored on the same corpus) deliberately does not have, and the
+    quality signal data-curation loops sort by (high held-out NLL =
+    out-of-distribution or noisy).
+
+    Token NLLs are quantized to integer micro-nats at the TYPE level
+    (one λ per vocabulary word) before the per-document Σ cnt·λ, so
+    scores are exact integers; OOV tokens take the λ of count 0
+    through the same smoothed formula via the left join.  The
+    vocabulary join hashes on the token — it scales with corpus
+    vocabulary and is never broadcast; only the 1-row (T, V) scalar
+    is.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    tr = (
+        tok.filter(F.col("doc_id") % 5 < 4)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tr.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    ho = (
+        tok.filter(F.col("doc_id") % 5 == 4)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lam = (
+        ho.join(tr, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "cnt",
+            F.round(
+                1e6
+                * F.log(
+                    (F.col("t") + F.col("v")).cast("double")
+                    / (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                )
+            )
+            .cast("long")
+            .alias("lam"),
+            F.when(F.col("c").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return lam.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_toks"),
+        F.sum(F.col("cnt") * F.col("oov")).alias("n_oov"),
+        F.sum(F.col("cnt") * F.col("lam")).alias("nll_unats"),
+    )

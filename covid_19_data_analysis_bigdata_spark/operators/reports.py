@@ -2639,3 +2639,63 @@ def report_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonality_idx"),
     )
+
+
+# --------------------------------------------------------------------------
+# Customer reactivation (win-back) count per quarter (round 5)
+# --------------------------------------------------------------------------
+
+REACTIVATION_GAP_DAYS = 180
+
+
+@query(
+    "report_customer_reactivation",
+    oracle=f"""
+    WITH seq AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS od,
+               lag(CAST(o_orderdate AS DATE))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS prev_od
+        FROM orders),
+    react AS (
+        SELECT o_custkey,
+               CAST(date_trunc('quarter', od) AS DATE) AS quarter
+        FROM seq
+        WHERE prev_od IS NOT NULL
+          AND date_diff('day', prev_od, od) > {REACTIVATION_GAP_DAYS})
+    SELECT quarter,
+           CAST(count(*) AS BIGINT)                 AS n_reactivations,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM react GROUP BY quarter
+    """,
+)
+def report_customer_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win-back report: orders placed after more than
+    {REACTIVATION_GAP_DAYS} days of customer silence, counted per
+    quarter — the lifecycle-marketing readout that complements
+    ``report_idle_customers`` (who is idle NOW) with how many idle
+    customers each quarter actually CAME BACK.
+
+    One per-customer lag over the orders table (single shuffle on
+    custkey), an integer day-gap filter, then a tiny per-quarter
+    aggregate; exact whole-day arithmetic, no float thresholds.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = od.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.lag(F.col("o_orderdate").cast("date")).over(w).alias("prev_od"),
+    )
+    react = seq.filter(
+        F.col("prev_od").isNotNull()
+        & (F.datediff("od", "prev_od") > REACTIVATION_GAP_DAYS)
+    ).select(
+        "o_custkey",
+        F.date_trunc("quarter", "od").cast("date").alias("quarter"),
+    )
+    return react.groupBy("quarter").agg(
+        F.count(F.lit(1)).alias("n_reactivations"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )

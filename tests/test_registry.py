@@ -323,6 +323,10 @@ EXPECTED_IDS = {
     # month-of-year seasonality index
     "sql_variant_extract", "multimodal_phash_dedup",
     "report_seasonality_index",
+    # round-5 batch 46: moment-space gradient descent, held-out LM
+    # cross-entropy, customer reactivation
+    "ml_gradient_descent", "llm_heldout_cross_entropy",
+    "report_customer_reactivation",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
