@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
@@ -510,4 +510,78 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         net_centpct("l_extendedprice", "l_discount").alias("net_centpct"),
         tier("l_quantity").alias("tier"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped-agg pandas UDF as a WINDOW function (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "udf_pandas_window",
+    oracle="""
+    WITH d AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT)                    AS qty
+        FROM lineitem WHERE l_suppkey < 50)
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(sum(cents * qty) OVER w * 10
+                // (sum(qty) OVER w) AS BIGINT) AS wavg_millicents
+    FROM d
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_orderkey, l_linenumber, cents, qty
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def udf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF evaluated OVER A BOUNDED WINDOW — the
+    fifth vectorized-Python integration shape (scalar, grouped-map,
+    grouped-agg, mapInPandas, and now window-agg): Spark ships each
+    3-row frame to the same Arrow UDF that ``udaf_pandas_grouped_agg``
+    uses in ``agg()``, proving one UDF definition serves both
+    aggregation contexts.
+
+    The frame is ROWS-bounded (2 PRECEDING), which Spark requires for
+    pandas window UDFs, and the tie-broken ordering plus all-integer
+    arithmetic (cents × integral qty summed as int64, floor-divided in
+    milli-cent units) keep the rolling value engine-exact — a double
+    quotient here lands on decimal ties whose round() direction the
+    engines disagree on.  The supplier filter bounds the demo output;
+    the dataflow is one window pass after one shuffle on the
+    partition key, any data size.
+    """
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def roll_wavg(cents: pd.Series, qty: pd.Series) -> int:
+        c = cents.to_numpy(np.int64)
+        q = qty.to_numpy(np.int64)
+        return int((c * q).sum() * 10 // q.sum())
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey") < 50
+    ).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    # suppkey 0 carries a duplicate pair — so the frame ordering
+    # tie-breaks on the value columns; rows equal on ALL four keys are
+    # interchangeable within a frame, making the ordering total for
+    # frame-content purposes.
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "cents", "qty")
+        .rowsBetween(-2, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        roll_wavg("cents", "qty").over(w).alias("wavg_millicents"),
     )

@@ -3162,3 +3162,101 @@ def ml_gradient_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.w").alias("w"),
         F.col("s.b").alias("b"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-hop (friends-of-friends) reach of hub nodes (round 5)
+# --------------------------------------------------------------------------
+
+TWO_HOP_HUBS = 20
+
+
+@query(
+    "graph_two_hop_reach",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ed AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+            FROM ed GROUP BY u),
+    hubs AS (
+        SELECT node, d FROM deg
+        ORDER BY d DESC, node LIMIT {TWO_HOP_HUBS}),
+    n1 AS (
+        SELECT h.node AS hub, e.v
+        FROM hubs h JOIN ed e ON e.u = h.node),
+    n2 AS (
+        SELECT DISTINCT n1.hub, e2.v AS w
+        FROM n1 JOIN ed e2 ON e2.u = n1.v
+        WHERE e2.v <> n1.hub),
+    fof AS (
+        SELECT n2.hub, n2.w FROM n2
+        LEFT JOIN n1 ON n1.hub = n2.hub AND n1.v = n2.w
+        WHERE n1.v IS NULL)
+    SELECT h.node AS hub, h.d AS degree,
+           CAST(count(f.w) AS BIGINT) AS n_two_hop
+    FROM hubs h LEFT JOIN fof f ON f.hub = h.node
+    GROUP BY h.node, h.d
+    """,
+)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friends-of-friends reach of the {TWO_HOP_HUBS} highest-degree
+    parts in the co-purchase graph: how many parts are exactly two
+    hops away (reachable through a neighbor, not adjacent themselves)
+    — the audience-expansion / influence-radius measure that degree
+    alone overstates when a hub's neighbors all know each other.
+
+    The hub restriction is what makes exact 2-hop computable at scale:
+    the quadratic neighbor-of-neighbor expansion runs only for a
+    broadcast top-k seed set (hubs is ≤{TWO_HOP_HUBS} rows joined
+    map-side), so the expensive join is |N1(hubs)| ⋈ edges — linear in
+    edge count — and the dedup + anti-join against direct neighbors
+    stay keyed on (hub, node).  Same degree-oriented edge build as the
+    triangle family (``graph_triangle_count``).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    ed = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = ed.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    hubs = deg.orderBy(F.col("d").desc(), "node").limit(TWO_HOP_HUBS)
+    n1 = F.broadcast(hubs).join(
+        ed, ed.u == F.col("node")
+    ).select(F.col("node").alias("hub"), "v")
+    n2 = (
+        n1.join(
+            ed.select(F.col("u").alias("v2u"), F.col("v").alias("w")),
+            F.col("v") == F.col("v2u"),
+        )
+        .filter(F.col("w") != F.col("hub"))
+        .select("hub", "w")
+        .distinct()
+    )
+    fof = n2.join(
+        n1.select("hub", F.col("v").alias("w")),
+        ["hub", "w"],
+        "left_anti",
+    )
+    return (
+        F.broadcast(hubs)
+        .join(fof, fof.hub == F.col("node"), "left")
+        .groupBy(F.col("node").alias("hub"), F.col("d").alias("degree"))
+        .agg(F.count("w").alias("n_two_hop"))
+    )

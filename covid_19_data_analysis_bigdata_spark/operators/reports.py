@@ -2699,3 +2699,91 @@ def report_customer_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_reactivations"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+# --------------------------------------------------------------------------
+# Supplier scorecard (round 5)
+# --------------------------------------------------------------------------
+
+SCORECARD_TOPK = 20
+ON_TIME_DAYS = 30
+
+
+@query(
+    "report_supplier_scorecard",
+    oracle=f"""
+    WITH f AS (
+        SELECT l.l_suppkey,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+               CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   CAST(l.l_shipdate AS DATE))
+                         <= {ON_TIME_DAYS} THEN 1 ELSE 0 END AS on_time,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    s AS (
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT)      AS n_lines,
+               CAST(sum(cents) AS BIGINT)    AS rev_cents,
+               CAST(sum(on_time) AS BIGINT)  AS n_on_time,
+               CAST(sum(ret) AS BIGINT)      AS n_returned
+        FROM f GROUP BY l_suppkey)
+    SELECT l_suppkey, n_lines, rev_cents,
+           round(100.0 * n_on_time / n_lines, 6)  AS on_time_pct,
+           round(100.0 * n_returned / n_lines, 6) AS return_pct
+    FROM s
+    ORDER BY rev_cents DESC, l_suppkey
+    LIMIT {SCORECARD_TOPK}
+    """,
+)
+def report_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier scorecard: the top-{SCORECARD_TOPK} suppliers by
+    revenue with their on-time-ship rate (shipped within
+    {ON_TIME_DAYS} days of order) and return rate — the multi-metric
+    vendor review table procurement actually looks at, where each
+    metric alone (``report_late_shipping``, ``report_returned_items``)
+    tells half the story.
+
+    One fact-to-fact join on orderkey (both sides hash-partition on
+    it), one aggregate to supplier grain, then a top-k that Spark
+    plans as TakeOrderedAndProject — no global sort materialization.
+    Day arithmetic and counts are exact integers; the two rates are
+    one division each off integer counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    f = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.when(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            <= ON_TIME_DAYS,
+            1,
+        )
+        .otherwise(0)
+        .alias("on_time"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    s = f.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("cents").alias("rev_cents"),
+        F.sum("on_time").alias("n_on_time"),
+        F.sum("ret").alias("n_returned"),
+    )
+    return (
+        s.select(
+            "l_suppkey",
+            "n_lines",
+            "rev_cents",
+            F.round(
+                100.0 * F.col("n_on_time") / F.col("n_lines"), 6
+            ).alias("on_time_pct"),
+            F.round(
+                100.0 * F.col("n_returned") / F.col("n_lines"), 6
+            ).alias("return_pct"),
+        )
+        .orderBy(F.col("rev_cents").desc(), "l_suppkey")
+        .limit(SCORECARD_TOPK)
+    )

@@ -327,6 +327,10 @@ EXPECTED_IDS = {
     # cross-entropy, customer reactivation
     "ml_gradient_descent", "llm_heldout_cross_entropy",
     "report_customer_reactivation",
+    # round-5 batch 47: pandas window UDF, supplier scorecard,
+    # two-hop reach
+    "udf_pandas_window", "report_supplier_scorecard",
+    "graph_two_hop_reach",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
