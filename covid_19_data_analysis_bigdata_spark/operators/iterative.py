@@ -3260,3 +3260,90 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("node").alias("hub"), F.col("d").alias("degree"))
         .agg(F.count("w").alias("n_two_hop"))
     )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA F-test across segments (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_anova_oneway",
+    oracle="""
+    WITH y AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(round(o.o_totalprice) AS BIGINT) AS usd
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    g AS (
+        SELECT segment,
+               CAST(count(*) AS BIGINT)         AS n_g,
+               CAST(sum(usd) AS BIGINT)         AS s_g,
+               CAST(sum(usd * usd) AS BIGINT)   AS q_g
+        FROM y GROUP BY segment),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT)  AS k,
+               CAST(sum(n_g) AS BIGINT)  AS n,
+               CAST(sum(s_g) AS BIGINT)  AS s,
+               sum(CAST(s_g AS DOUBLE) * s_g / n_g) AS sum_sq_over_n,
+               CAST(sum(q_g) AS BIGINT)  AS q
+        FROM g)
+    SELECT k, n,
+           round(sum_sq_over_n - CAST(s AS DOUBLE) * s / n, 6)
+               AS ss_between,
+           round(q - sum_sq_over_n, 6) AS ss_within,
+           round(((sum_sq_over_n - CAST(s AS DOUBLE) * s / n) / (k - 1))
+                 / ((q - sum_sq_over_n) / (n - k)), 6) AS f_stat
+    FROM m
+    """,
+)
+def ml_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean order value differ across market
+    segments?  Completes the registry's hypothesis-test family —
+    chi-square for two categoricals (``ml_chi2_contingency``), KS for
+    two continuous samples (``dq_ks_two_sample``), ANOVA for one
+    continuous response across k groups.
+
+    The F statistic needs only per-group integer moments (n, Σy, Σy²),
+    so the fact table is touched once by a partial+final aggregate and
+    the k-row group table folds to a single row.  The response is
+    measured in WHOLE DOLLARS, not cents: Σy² in cents overflows
+    BIGINT already at 60 k orders (5·10⁷² ≈ 2.5·10¹⁵ each), while
+    dollar units keep Σy² exact into the billions of rows — the
+    F statistic is scale-invariant so the test is unchanged.
+    S_g²/n_g is evaluated in double with one deterministic expression
+    order shared by both engines.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    y = od.join(
+        F.broadcast(cu.select("c_custkey", "c_mktsegment")),
+        od.o_custkey == cu.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice")).cast("long").alias("usd"),
+    )
+    g = y.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("usd").alias("s_g"),
+        F.sum(F.col("usd") * F.col("usd")).alias("q_g"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum(
+            F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+        ).alias("sum_sq_over_n"),
+        F.sum("q_g").alias("q"),
+    )
+    ssb = F.col("sum_sq_over_n") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("sum_sq_over_n")
+    return m.select(
+        "k",
+        "n",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )

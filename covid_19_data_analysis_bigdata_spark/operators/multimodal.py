@@ -643,3 +643,88 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("canonical_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Blur / sharpness scoring stage (round 5)
+# --------------------------------------------------------------------------
+
+BLUR_THRESHOLD = 500000
+
+
+@query(
+    "multimodal_blur_score",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               [CAST(('0x' || substr(md5(substr(text,
+                        (k * {PHASH_STRIDE})
+                            % greatest(length(text) - {PHASH_WIN - 1}, 1)
+                            + 1,
+                        {PHASH_WIN})), 1, 2)) AS BIGINT)
+                for k in generate_series(0, {PHASH_BITS - 1})] AS pixels
+        FROM documents)
+    SELECT doc_id,
+           CAST(list_aggregate(
+                [(pixels[i+1] - pixels[i]) * (pixels[i+1] - pixels[i])
+                 for i in generate_series(1, len(pixels) - 1)],
+                'sum') AS BIGINT) AS sharpness,
+           CAST(list_aggregate(
+                [(pixels[i+1] - pixels[i]) * (pixels[i+1] - pixels[i])
+                 for i in generate_series(1, len(pixels) - 1)],
+                'sum') < {BLUR_THRESHOLD} AS BOOLEAN) AS is_blurry
+    FROM px
+    """,
+)
+def multimodal_blur_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur detection stage: sum of squared adjacent-pixel differences
+    (the 1-D Laplacian-energy proxy) over the same {PHASH_BITS}-sample
+    stub decode as ``multimodal_phash_dedup`` — the sharpness gate an
+    image-training pipeline applies before spending GPU time on a
+    frame (variance-of-Laplacian is the standard OpenCV recipe; the
+    codec here is the deterministic stub, the plumbing is real).
+
+    Arrow-batched ``mapInPandas``, zero shuffles — a pure per-row
+    filter stage emitting an exact integer energy and a thresholded
+    flag, streaming through a 100 TB corpus partition by partition.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def blur(batches):
+        for pdf in batches:
+            scores = []
+            for t in pdf["text"]:
+                n = len(t)
+                base = max(n - (PHASH_WIN - 1), 1)
+                pixels = [
+                    int(
+                        hashlib.md5(
+                            t[
+                                (k * PHASH_STRIDE) % base:
+                                (k * PHASH_STRIDE) % base + PHASH_WIN
+                            ].encode("utf-8")
+                        ).hexdigest()[:2],
+                        16,
+                    )
+                    for k in range(PHASH_BITS)
+                ]
+                scores.append(
+                    sum(
+                        (b - a) * (b - a)
+                        for a, b in zip(pixels, pixels[1:])
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sharpness": scores}
+            )
+
+    sc = d.mapInPandas(blur, "doc_id bigint, sharpness bigint")
+    return sc.select(
+        "doc_id",
+        "sharpness",
+        (F.col("sharpness") < BLUR_THRESHOLD).alias("is_blurry"),
+    )

@@ -3259,3 +3259,120 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * F.col("gains") / (F.col("gains") + F.col("losses")), 6
         ).alias("rsi"),
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA crossover signals (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_ewma_crossover",
+    oracle="""
+    WITH RECURSIVE daily0 AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2),
+    daily AS (
+        SELECT event_type, day, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   AS rn
+        FROM daily0),
+    r AS (
+        SELECT event_type, rn, day,
+               CAST(cents AS DOUBLE) AS fast,
+               CAST(cents AS DOUBLE) AS slow
+        FROM daily WHERE rn = 1
+        UNION ALL
+        SELECT d.event_type, d.rn, d.day,
+               d.cents / 2 + r.fast / 2,
+               d.cents / 8 + 7 * (r.slow / 8)
+        FROM daily d JOIN r ON d.event_type = r.event_type
+                           AND d.rn = r.rn + 1),
+    sgn AS (
+        SELECT event_type, day,
+               CASE WHEN fast > slow THEN 1
+                    WHEN fast < slow THEN -1 ELSE 0 END AS s,
+               lag(CASE WHEN fast > slow THEN 1
+                        WHEN fast < slow THEN -1 ELSE 0 END)
+                   OVER (PARTITION BY event_type ORDER BY day) AS prev_s
+        FROM r)
+    SELECT event_type, day,
+           CASE WHEN s > prev_s THEN 'golden' ELSE 'death' END AS crossover
+    FROM sgn WHERE prev_s IS NOT NULL AND s <> prev_s
+    """,
+)
+def ts_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast/slow EWMA crossover detector: days where the half-life-1
+    smoother (α=½) crosses the slower α=⅛ smoother — the golden-cross
+    / death-cross momentum signal, here over each event-type's daily
+    value series.
+
+    Both smoothers advance inside ONE per-series array fold (the
+    ``ts_ewma_halflife`` discipline: days collected per type, bounded
+    by the calendar), with steps written as x/2 + s/2 and
+    x/8 + 7·(s/8) — halvings are exact IEEE operations and the single
+    multiply/add sequence is identical in the oracle's recursive CTE,
+    so both engines walk bit-equal (fast, slow) states and the sign
+    comparisons agree exactly.  Crossings are then one lag over the
+    day-grain signs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    per = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("s")
+    )
+    acc0 = F.expr(
+        "CAST(array() AS array<struct<day:date,fast:double,slow:double>>)"
+    )
+
+    def step(acc, x):
+        prev_fast = F.element_at(acc, -1)["fast"]
+        prev_slow = F.element_at(acc, -1)["slow"]
+        c = x["cents"].cast("double")
+        first = F.size(acc) == 0
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    F.when(first, c)
+                    .otherwise(c / 2 + prev_fast / 2)
+                    .alias("fast"),
+                    F.when(first, c)
+                    .otherwise(c / 8 + 7 * (prev_slow / 8))
+                    .alias("slow"),
+                )
+            ),
+        )
+
+    folded = per.select(
+        "event_type", F.explode(F.aggregate("s", acc0, step)).alias("e")
+    ).select(
+        "event_type",
+        F.col("e.day").alias("day"),
+        F.when(F.col("e.fast") > F.col("e.slow"), 1)
+        .when(F.col("e.fast") < F.col("e.slow"), -1)
+        .otherwise(0)
+        .alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    sgn = folded.select(
+        "event_type", "day", "s", F.lag("s").over(w).alias("prev_s")
+    )
+    return sgn.filter(
+        F.col("prev_s").isNotNull() & (F.col("s") != F.col("prev_s"))
+    ).select(
+        "event_type",
+        "day",
+        F.when(F.col("s") > F.col("prev_s"), "golden")
+        .otherwise("death")
+        .alias("crossover"),
+    )

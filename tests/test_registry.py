@@ -331,6 +331,9 @@ EXPECTED_IDS = {
     # two-hop reach
     "udf_pandas_window", "report_supplier_scorecard",
     "graph_two_hop_reach",
+    # round-5 batch 48: EWMA crossover signals, one-way ANOVA,
+    # blur scoring stage
+    "ts_ewma_crossover", "ml_anova_oneway", "multimodal_blur_score",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
