@@ -1391,3 +1391,62 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum(F.col("share_ppm") * F.col("share_ppm")).alias("hhi_scaled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Argument-extrema aggregates (max_by / min_by) (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_arg_minmax",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               l_partkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               printf('%020d|%020d|%020d',
+                      CAST(round(l_extendedprice * 100) AS BIGINT),
+                      l_orderkey, l_partkey) AS ordkey
+        FROM lineitem)
+    SELECT l_returnflag,
+           CAST(arg_max(l_partkey, ordkey) AS BIGINT) AS top_part,
+           CAST(max(cents) AS BIGINT)                 AS top_cents,
+           CAST(arg_min(l_partkey, ordkey) AS BIGINT) AS bottom_part,
+           CAST(min(cents) AS BIGINT)                 AS bottom_cents
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument-extrema aggregates: WHICH part carried the priciest and
+    cheapest line per return flag, via ``max_by``/``min_by`` — the
+    aggregate that answers "the value at the extreme", replacing the
+    window-rank-filter detour (rank, filter rn = 1) with one
+    partial+final aggregate and no sort at all.
+
+    Determinism is the trap with arg-extrema: ties in the ordering
+    value make the result engine- and partitioning-dependent.  Both
+    sides therefore maximize the composite (cents, orderkey, partkey)
+    — a strict total order, so the winning row is unique by
+    construction — encoded as one fixed-width zero-padded string
+    because DuckDB's ``arg_max`` takes scalar keys only (lexicographic
+    order on %020d fields equals numeric order for non-negatives).
+    One shuffle of 5 partial rows per mapper.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    c = li.select(
+        "l_returnflag",
+        "l_partkey",
+        cents.alias("cents"),
+        F.format_string(
+            "%020d|%020d|%020d", cents, F.col("l_orderkey"),
+            F.col("l_partkey")
+        ).alias("ordkey"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.max_by("l_partkey", F.col("ordkey")).alias("top_part"),
+        F.max("cents").alias("top_cents"),
+        F.min_by("l_partkey", F.col("ordkey")).alias("bottom_part"),
+        F.min("cents").alias("bottom_cents"),
+    )

@@ -3347,3 +3347,131 @@ def ml_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
         ).alias("f_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cramér's V effect size for categorical pairs (round 5)
+# --------------------------------------------------------------------------
+
+def _cramers_cte(table_expr: str, x: str, y: str, pair: str) -> str:
+    """One pair's quantized chi² + V, as a standalone SELECT."""
+    return f"""
+    SELECT '{pair}' AS pair,
+           CAST(max(n_tot) AS BIGINT) AS n,
+           CAST(max(df_min) AS BIGINT) AS df_min,
+           CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+           round(sqrt(CAST(sum(term_micro) AS DOUBLE) / 1e6
+                      / (max(n_tot) * max(df_min))), 6) AS cramers_v
+    FROM (
+        SELECT CAST(round(1e6
+                   * CAST(observed * n_tot - r_tot * c_tot AS DOUBLE)
+                   * CAST(observed * n_tot - r_tot * c_tot AS DOUBLE)
+                   / (CAST(r_tot AS DOUBLE) * c_tot * n_tot))
+                AS BIGINT) AS term_micro,
+               n_tot,
+               least(count(DISTINCT xv) OVER () - 1,
+                     count(DISTINCT yv) OVER () - 1) AS df_min
+        FROM (
+            SELECT c.*,
+                   sum(observed) OVER (PARTITION BY xv) AS r_tot,
+                   sum(observed) OVER (PARTITION BY yv) AS c_tot,
+                   sum(observed) OVER ()                AS n_tot
+            FROM (SELECT {x} AS xv, {y} AS yv,
+                         CAST(count(*) AS BIGINT) AS observed
+                  FROM {table_expr} GROUP BY 1, 2) c) m) t
+    """
+
+
+@query(
+    "ml_cramers_v",
+    oracle=f"""
+    {_cramers_cte("(SELECT o.o_orderpriority, c.c_mktsegment FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) j", "c_mktsegment", "o_orderpriority", "segment_x_priority")}
+    UNION ALL
+    {_cramers_cte("lineitem", "l_returnflag", "l_linestatus", "flag_x_status")}
+    """,
+)
+def ml_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for two categorical column pairs — the
+    normalized [0, 1] association strength that makes chi² values
+    comparable across tables of different size and shape (the
+    feature-selection ranking number; ``ml_chi2_contingency`` reports
+    the raw per-cell terms, V is what you sort by).
+
+    Each pair is one contingency aggregate + window margins over the
+    tiny cell table; per-cell chi² terms are quantized to integer
+    micro-units BEFORE summation so the statistic is an
+    order-independent integer sum, then V = √(χ²/(N·min(r−1,c−1)))
+    is one closing expression.  The (O·N − R·C) difference is cast to
+    double before squaring — at 600 k rows its square exceeds int64.
+    """
+    def one(cells: DataFrame, pair: str) -> DataFrame:
+        wx = Window.partitionBy("xv")
+        wy = Window.partitionBy("yv")
+        wall = Window.partitionBy()
+        m = cells.select(
+            "xv",
+            "yv",
+            "observed",
+            F.sum("observed").over(wx).alias("r_tot"),
+            F.sum("observed").over(wy).alias("c_tot"),
+            F.sum("observed").over(wall).alias("n_tot"),
+        )
+        d = (
+            F.col("observed") * F.col("n_tot")
+            - F.col("r_tot") * F.col("c_tot")
+        ).cast("double")
+        t = m.select(
+            F.round(
+                1e6
+                * d
+                * d
+                / (
+                    F.col("r_tot").cast("double")
+                    * F.col("c_tot")
+                    * F.col("n_tot")
+                )
+            )
+            .cast("long")
+            .alias("term_micro"),
+            "n_tot",
+            F.least(
+                F.size(F.collect_set("xv").over(wall)) - 1,
+                F.size(F.collect_set("yv").over(wall)) - 1,
+            ).cast("long").alias("df_min"),
+        )
+        return t.agg(
+            F.lit(pair).alias("pair"),
+            F.max("n_tot").alias("n"),
+            F.max("df_min").alias("df_min"),
+            F.sum("term_micro").alias("chi2_micro"),
+            F.round(
+                F.sqrt(
+                    F.sum("term_micro").cast("double")
+                    / 1e6
+                    / (F.max("n_tot") * F.max("df_min"))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    cells1 = (
+        od.join(
+            F.broadcast(cu.select("c_custkey", "c_mktsegment")),
+            od.o_custkey == cu.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("xv"),
+            F.col("o_orderpriority").alias("yv"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    cells2 = li.groupBy(
+        F.col("l_returnflag").alias("xv"),
+        F.col("l_linestatus").alias("yv"),
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    return one(cells1, "segment_x_priority").unionAll(
+        one(cells2, "flag_x_status")
+    )

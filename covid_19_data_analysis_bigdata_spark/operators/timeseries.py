@@ -3376,3 +3376,90 @@ def ts_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("death")
         .alias("crossover"),
     )
+
+
+# --------------------------------------------------------------------------
+# XmR (individuals / moving-range) control chart (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_control_chart_xmr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2),
+    mr AS (
+        SELECT event_type, day, cents,
+               abs(cents - lag(cents) OVER w) AS mrange
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    lim AS (
+        SELECT event_type,
+               CAST(sum(cents) AS BIGINT)  AS s,
+               CAST(count(*) AS BIGINT)    AS n,
+               CAST(sum(mrange) AS BIGINT) AS smr,
+               CAST(count(mrange) AS BIGINT) AS nmr
+        FROM mr GROUP BY event_type)
+    SELECT m.event_type, m.day, m.cents,
+           round(CAST(l.s AS DOUBLE) / l.n
+                 + 2.66 * l.smr / l.nmr, 6) AS ucl,
+           round(CAST(l.s AS DOUBLE) / l.n
+                 - 2.66 * l.smr / l.nmr, 6) AS lcl,
+           CAST(m.cents > CAST(l.s AS DOUBLE) / l.n
+                          + 2.66 * l.smr / l.nmr
+                OR m.cents < CAST(l.s AS DOUBLE) / l.n
+                             - 2.66 * l.smr / l.nmr
+                AS BOOLEAN) AS out_of_control
+    FROM mr m JOIN lim l ON m.event_type = l.event_type
+    """,
+)
+def ts_control_chart_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals + moving-range) control chart per event-type
+    series: natural process limits x̄ ± 2.66·m̄R from consecutive-day
+    moving ranges, flagging out-of-control days — the SPC chart that
+    separates routine variation from special causes, unlike the
+    z-score scan (``ts_anomaly_zscore``) whose sigma is inflated by
+    the very shifts it hunts.
+
+    One per-series lag pass for moving ranges, one tiny per-series
+    aggregate for the limits, then a broadcast join back — the limits
+    table is |series| rows, so the join is map-side at any scale.
+    Ranges and sums are exact integer cents; the control limits are
+    one shared double expression evaluated identically by both
+    engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    mr = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.abs(F.col("cents") - F.lag("cents").over(w)).alias("mrange"),
+    )
+    lim = mr.groupBy("event_type").agg(
+        F.sum("cents").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mrange").alias("smr"),
+        F.count("mrange").alias("nmr"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    band = 2.66 * F.col("smr") / F.col("nmr")
+    return mr.join(F.broadcast(lim), "event_type").select(
+        "event_type",
+        "day",
+        "cents",
+        F.round(mean + band, 6).alias("ucl"),
+        F.round(mean - band, 6).alias("lcl"),
+        (
+            (F.col("cents") > mean + band) | (F.col("cents") < mean - band)
+        ).alias("out_of_control"),
+    )

@@ -334,6 +334,9 @@ EXPECTED_IDS = {
     # round-5 batch 48: EWMA crossover signals, one-way ANOVA,
     # blur scoring stage
     "ts_ewma_crossover", "ml_anova_oneway", "multimodal_blur_score",
+    # round-5 batch 49: arg-extrema aggregates, XmR control chart,
+    # Cramér's V effect size
+    "agg_arg_minmax", "ts_control_chart_xmr", "ml_cramers_v",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
