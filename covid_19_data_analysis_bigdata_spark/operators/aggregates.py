@@ -1450,3 +1450,67 @@ def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("l_partkey", F.col("ordkey")).alias("bottom_part"),
         F.min("cents").alias("bottom_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Frequency moments F0/F1/F2 (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_frequency_moments",
+    oracle="""
+    WITH f AS (
+        SELECT 'event_type' AS col, event_type AS v,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM events GROUP BY v
+        UNION ALL
+        SELECT 'user_id', CAST(user_id AS VARCHAR),
+               CAST(count(*) AS BIGINT)
+        FROM events GROUP BY user_id)
+    SELECT col,
+           CAST(count(*) AS BIGINT)          AS f0_distinct,
+           CAST(sum(freq) AS BIGINT)         AS f1_count,
+           CAST(sum(freq * freq) AS BIGINT)  AS f2_selfjoin,
+           round(CAST(sum(freq * freq) AS DOUBLE) * count(*)
+                 / (CAST(sum(freq) AS DOUBLE) * sum(freq)), 6)
+               AS skew_ratio
+    FROM f GROUP BY col
+    """,
+)
+def agg_frequency_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency moments of the two natural event-stream keys: F0
+    (distinct values), F1 (stream length) and F2 (Σ f² — the
+    self-join size / "surprise number" from the AMS sketch literature)
+    plus the normalized skew ratio F2·F0/F1² (1 = uniform; large =
+    heavy-hitter-dominated) — the numbers a query planner wants
+    BEFORE choosing a join strategy on that key, computed exactly.
+
+    Each key collapses to its frequency table with one associative
+    count (the only full-data passes), then the moments are one more
+    tiny aggregate; everything integer until the final ratio.  F2 on
+    a 100 TB key would use the AMS/CountSketch estimate — this exact
+    version is the oracle such a sketch calibrates against, the same
+    pairing as ``agg_approx_distinct`` vs ``agg_count_distinct``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f1 = ev.groupBy(F.col("event_type").alias("v")).agg(
+        F.count(F.lit(1)).alias("freq")
+    ).select(F.lit("event_type").alias("col"), "v", "freq")
+    f2 = ev.groupBy(
+        F.col("user_id").cast("string").alias("v")
+    ).agg(F.count(F.lit(1)).alias("freq")).select(
+        F.lit("user_id").alias("col"), "v", "freq"
+    )
+    f = f1.unionAll(f2)
+    return f.groupBy("col").agg(
+        F.count(F.lit(1)).alias("f0_distinct"),
+        F.sum("freq").alias("f1_count"),
+        F.sum(F.col("freq") * F.col("freq")).alias("f2_selfjoin"),
+        F.round(
+            F.sum(F.col("freq") * F.col("freq")).cast("double")
+            * F.count(F.lit(1))
+            / (F.sum("freq").cast("double") * F.sum("freq")),
+            6,
+        ).alias("skew_ratio"),
+    )

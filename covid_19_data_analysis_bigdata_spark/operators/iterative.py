@@ -3475,3 +3475,99 @@ def ml_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one(cells1, "segment_x_priority").unionAll(
         one(cells2, "flag_x_status")
     )
+
+
+# --------------------------------------------------------------------------
+# Learning curve: fit quality vs training-set size (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_learning_curve",
+    oracle="""
+    WITH b AS (
+        SELECT l_orderkey % 5 AS bucket,
+               CAST(round(l_quantity) AS BIGINT)      AS x,
+               CAST(round(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem),
+    g AS (
+        SELECT bucket,
+               CAST(count(*) AS BIGINT)   AS n,
+               CAST(sum(x) AS BIGINT)     AS sx,
+               CAST(sum(y) AS BIGINT)     AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM b GROUP BY bucket),
+    c AS (
+        SELECT bucket + 1 AS n_buckets,
+               CAST(sum(n)  OVER w AS BIGINT) AS n,
+               CAST(sum(sx) OVER w AS BIGINT) AS sx,
+               CAST(sum(sy) OVER w AS BIGINT) AS sy,
+               CAST(sum(sxx) OVER w AS BIGINT) AS sxx,
+               CAST(sum(sxy) OVER w AS BIGINT) AS sxy,
+               CAST(sum(syy) OVER w AS BIGINT) AS syy
+        FROM g
+        WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING))
+    SELECT n_buckets, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+    FROM c
+    """,
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve: R² of the price-on-quantity least-squares fit
+    as the training set grows through 5 nested subsets (orderkey mod
+    5 < s) — the diagnostic that separates "needs more data" from
+    "needs more features" before anyone spends cluster time on either.
+
+    The key dataflow point: all 5 fits come from ONE pass.  Moments
+    (n, Σx, Σy, Σx², Σxy, Σy²) aggregate per bucket, a 5-row running
+    window turns them into nested-subset moments (sufficient
+    statistics are additive — that's what makes incremental /
+    distributed fitting work), and R² per size is a closed-form
+    expression.  Integer moments stay in BIGINT (prices in whole
+    dollars — Σy² in cents overflows int64); the R² products are cast
+    to double at the same points in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        (F.col("l_orderkey") % 5).alias("bucket"),
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        (F.col("bucket") + 1).alias("n_buckets"),
+        F.sum("n").over(w).alias("n"),
+        F.sum("sx").over(w).alias("sx"),
+        F.sum("sy").over(w).alias("sy"),
+        F.sum("sxx").over(w).alias("sxx"),
+        F.sum("sxy").over(w).alias("sxy"),
+        F.sum("syy").over(w).alias("syy"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    )
+    den = (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) * (
+        F.col("n").cast("double") * F.col("syy")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return c.select(
+        "n_buckets", "n", F.round(num * num / den, 6).alias("r2")
+    )

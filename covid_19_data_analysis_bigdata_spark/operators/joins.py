@@ -902,3 +902,98 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.join(best, "p_brand")
+
+
+# --------------------------------------------------------------------------
+# Grid-blocked spatial neighbor join (round 5)
+# --------------------------------------------------------------------------
+
+GRID_CELL = 16          # cell edge; must be >= NEAR_DIST for 3x3 coverage
+NEAR_DIST = 12          # Chebyshev neighborhood radius
+SPATIAL_USERS = 400     # derived-point population bound for the demo
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH pts AS (
+        SELECT DISTINCT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 256 AS x,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))
+                    AS BIGINT) % 256 AS y
+        FROM events WHERE user_id < {SPATIAL_USERS}),
+    cells AS (
+        SELECT p.user_id, p.x, p.y,
+               (p.x // {GRID_CELL}) + dx AS cx,
+               (p.y // {GRID_CELL}) + dy AS cy
+        FROM pts p,
+             (SELECT unnest([-1, 0, 1]) AS dx) a,
+             (SELECT unnest([-1, 0, 1]) AS dy) b),
+    pairs AS (
+        SELECT c.user_id AS a_id, q.user_id AS b_id,
+               greatest(abs(c.x - q.x), abs(c.y - q.y)) AS cheb
+        FROM cells c
+        JOIN pts q ON q.x // {GRID_CELL} = c.cx
+                  AND q.y // {GRID_CELL} = c.cy
+                  AND q.user_id > c.user_id)
+    SELECT DISTINCT a_id, b_id, CAST(cheb AS BIGINT) AS cheb
+    FROM pairs WHERE cheb <= {NEAR_DIST}
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial neighbor join: all point pairs within
+    Chebyshev distance {NEAR_DIST} on a derived 256×256 plane, found
+    by hashing each point into {GRID_CELL}px cells and equi-joining
+    each point's 3×3 cell neighborhood — the standard trick that turns
+    an all-pairs distance predicate into a hash join (geohash /
+    S2-cell blocking), the same candidate-then-verify shape as the
+    registry's LSH and gram-blocked fuzzy joins but on coordinates.
+
+    Cell edge ≥ radius guarantees every qualifying pair shares one of
+    the 9 probed cells (pigeonhole) — exact recall, no distance scan.
+    Coordinates derive from the portable md5 hash (this corpus has no
+    geo columns; the blocking dataflow is the point).  Candidate
+    volume is 9·|P|·density per cell, never |P|²; the verify step is
+    an exact integer Chebyshev test.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    pts = (
+        ev.filter(F.col("user_id") < SPATIAL_USERS)
+        .select(
+            "user_id",
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 256)
+            .alias("x"),
+            (F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 256)
+            .alias("y"),
+        )
+        .distinct()
+    )
+    offsets = spark.range(-1, 2).select(
+        F.col("id").alias("dx")
+    ).crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
+    cells = pts.crossJoin(F.broadcast(offsets)).select(
+        F.col("user_id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.floor(F.col("x") / GRID_CELL) + F.col("dx")).alias("cx"),
+        (F.floor(F.col("y") / GRID_CELL) + F.col("dy")).alias("cy"),
+    )
+    q = pts.select(
+        F.col("user_id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.floor(F.col("x") / GRID_CELL).alias("cx"),
+        F.floor(F.col("y") / GRID_CELL).alias("cy"),
+    )
+    cheb = F.greatest(
+        F.abs(F.col("ax") - F.col("bx")), F.abs(F.col("ay") - F.col("by"))
+    )
+    return (
+        cells.join(q, ["cx", "cy"])
+        .filter(F.col("b_id") > F.col("a_id"))
+        .select("a_id", "b_id", cheb.alias("cheb"))
+        .filter(F.col("cheb") <= NEAR_DIST)
+        .distinct()
+    )

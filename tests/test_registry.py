@@ -337,6 +337,9 @@ EXPECTED_IDS = {
     # round-5 batch 49: arg-extrema aggregates, XmR control chart,
     # Cramér's V effect size
     "agg_arg_minmax", "ts_control_chart_xmr", "ml_cramers_v",
+    # round-5 batch 50: exact frequency moments, grid-blocked spatial
+    # join, learning curve
+    "agg_frequency_moments", "join_spatial_grid", "ml_learning_curve",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
