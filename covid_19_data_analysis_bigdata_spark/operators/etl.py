@@ -1969,3 +1969,68 @@ def dq_anomalous_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dev_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-partition content checksums (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_partition_checksums",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(sum(CAST(('0x' || substr(md5(
+                    CAST(o_orderkey AS VARCHAR) || '|' ||
+                    o_orderstatus || '|' ||
+                    CAST(round(o_totalprice * 100) AS BIGINT)), 1, 10))
+                AS BIGINT)) AS BIGINT) AS content_hash
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def dq_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month content checksums of the orders table: row count,
+    money total, and an order-independent content hash (sum of
+    per-row md5 fingerprints over the business-key columns) — the
+    incremental-reconciliation primitive that lets source and replica
+    compare ONE ROW PER PARTITION instead of re-diffing the data
+    (``dq_table_checksum`` is the whole-table version; per-partition
+    is what an incremental loader actually verifies after each batch,
+    touching only the partitions it wrote).
+
+    The row fingerprint is the engine-portable md5-prefix integer
+    truncated to 40 bits so a BIGINT sum holds ~10⁶ rows per
+    partition headroom-free (15 hex digits overflowed at 60 k rows);
+    SUM makes the partition hash insensitive to row order and
+    parallelism — any engine, any partitioning, same checksum.  One
+    map-side hash + one partial/final aggregate.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    row_fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    cents.cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return od.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("sum_cents"),
+        F.sum(row_fp).alias("content_hash"),
+    )

@@ -3463,3 +3463,72 @@ def ts_control_chart_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") > mean + band) | (F.col("cents") < mean - band)
         ).alias("out_of_control"),
     )
+
+
+# --------------------------------------------------------------------------
+# Overdispersion (variance-to-mean) test of daily arrival counts (round 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_overdispersion",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)    AS n_days,
+               CAST(sum(c) AS BIGINT)      AS s1,
+               CAST(sum(c * c) AS BIGINT)  AS s2
+        FROM daily GROUP BY event_type)
+    SELECT event_type, n_days, s1 AS n_events,
+           round(CAST(s1 AS DOUBLE) / n_days, 6) AS mean_per_day,
+           round(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+                 / (CAST(n_days AS DOUBLE) * n_days), 6) AS var_per_day,
+           round(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+                 / (CAST(n_days AS DOUBLE) * s1), 6) AS dispersion_idx
+    FROM m
+    """,
+)
+def events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion test of daily arrivals per event type: the
+    variance-to-mean (Fisher dispersion) index that checks the Poisson
+    assumption behind rate alerting — index ≈ 1 means Poisson traffic
+    (``stream_error_rate_alert``'s thresholds are sound); index ≫ 1
+    means bursty arrivals and a naive rate alert will page on every
+    burst.
+
+    Day-grain counts, then integer moments per series: population
+    variance is the division-free (n·Σc² − (Σc)²)/n² form, dispersion
+    divides by Σc instead — each one double expression over exact
+    BIGINTs, identical in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    var_num = (
+        F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")
+    ).cast("double")
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("s1").alias("n_events"),
+        F.round(F.col("s1").cast("double") / F.col("n_days"), 6).alias(
+            "mean_per_day"
+        ),
+        F.round(
+            var_num / (F.col("n_days").cast("double") * F.col("n_days")), 6
+        ).alias("var_per_day"),
+        F.round(
+            var_num / (F.col("n_days").cast("double") * F.col("s1")), 6
+        ).alias("dispersion_idx"),
+    )

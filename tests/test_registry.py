@@ -340,6 +340,10 @@ EXPECTED_IDS = {
     # round-5 batch 50: exact frequency moments, grid-blocked spatial
     # join, learning curve
     "agg_frequency_moments", "join_spatial_grid", "ml_learning_curve",
+    # round-5 batch 51: template mining, overdispersion test,
+    # per-partition checksums
+    "llm_template_extraction", "events_overdispersion",
+    "dq_partition_checksums",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
