@@ -778,3 +778,118 @@ def test_seasonality_index_broadcasts_total(spark, sf_dir):
     plan = _plan(spark, sf_dir, "report_seasonality_index")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---- round-5 batches 46-51 ----
+
+
+def test_gradient_descent_folds_not_unrolled(spark, sf_dir):
+    """The GD recurrence must be a runtime fold over the 1-row moments
+    frame: no join, no Python, and no window — just aggregate +
+    project (the unrolled-expression variant took 55 s to analyze)."""
+    plan = _plan(spark, sf_dir, "ml_gradient_descent")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_heldout_ce_no_cartesian_vocab_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_heldout_cross_entropy")
+    assert "CartesianProduct" not in plan
+
+
+def test_reactivation_single_window_then_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "report_customer_reactivation")
+    assert "Join" not in plan and "Window" in plan
+
+
+def test_pandas_window_udf_is_arrow(spark, sf_dir):
+    """The window UDF must run as an Arrow-batched window-in-pandas
+    node, never row-at-a-time Python."""
+    plan = _plan(spark, sf_dir, "udf_pandas_window")
+    assert "ArrowWindowPython" in plan  # Spark 4's window-in-pandas node
+    assert "BatchEvalPython" not in plan
+
+
+def test_scorecard_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "report_supplier_scorecard")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_two_hop_broadcasts_hubs(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_two_hop_reach")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_crossover_folds_per_series(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_ewma_crossover")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_anova_broadcasts_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ml_anova_oneway")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_blur_score_arrow_batched(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_blur_score")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_arg_minmax_single_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_arg_minmax")
+    assert "Join" not in plan and "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_control_chart_broadcasts_limits(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_control_chart_xmr")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cramers_v_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ml_cramers_v")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_frequency_moments_aggregates_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_frequency_moments")
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_spatial_grid_equi_join_not_cartesian(spark, sf_dir):
+    """The distance predicate must resolve through the (cx, cy) cell
+    equi-join — a CartesianProduct or a non-broadcast nested loop
+    means the blocking failed."""
+    plan = _plan(spark, sf_dir, "join_spatial_grid")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_learning_curve_one_pass_moments(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ml_learning_curve")
+    assert "Join" not in plan
+    # one file-scan feeds all five fits (formatted plans repeat the
+    # node label, so count the per-scan Location line instead)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_template_extraction_jvm_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_template_extraction")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_overdispersion_aggregates_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_overdispersion")
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_partition_checksums_jvm_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dq_partition_checksums")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "HashAggregate" in plan
