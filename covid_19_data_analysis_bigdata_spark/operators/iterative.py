@@ -2136,6 +2136,62 @@ KNN_CLS_K = 5
 KNN_CLS_MOD = 7
 
 
+def _knn_cls_kernel(k: int):
+    """Per-(probe-block, corpus-block) exact k-NN kernel for
+    ``applyInPandas``: one float64 numpy matmul between the two blocks,
+    cosine rounded to 6dp, then a per-probe local top-``k`` under the
+    SAME (-sim, nid) lexicographic order the global merge uses — so
+    merging the per-corpus-block local winners is exact."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(key, pdf):
+        p = pdf[pdf["side"] == "p"]
+        c = pdf[pdf["side"] == "c"]
+        empty = pd.DataFrame(
+            {
+                "probe_id": np.array([], np.int64),
+                "true_label": np.array([], np.int32),
+                "nid": np.array([], np.int64),
+                "n_label": np.array([], np.int32),
+                "sim": np.array([], np.float64),
+            }
+        )
+        if len(p) == 0 or len(c) == 0:
+            return empty
+        pids = p["vec_id"].to_numpy(np.int64)
+        plab = p["label"].to_numpy(np.int32)
+        pmat = np.array(p["embedding"].tolist(), np.float64)
+        nids = c["vec_id"].to_numpy(np.int64)
+        nlab = c["label"].to_numpy(np.int32)
+        nmat = np.array(c["embedding"].tolist(), np.float64)
+        pn = np.sqrt((pmat * pmat).sum(axis=1))
+        cn = np.sqrt((nmat * nmat).sum(axis=1))
+        sims = np.round((pmat @ nmat.T) / (pn[:, None] * cn[None, :]), 6)
+        kk = min(k, sims.shape[1])
+        out = []
+        for i in range(len(pids)):
+            order = np.lexsort((nids, -sims[i]))[:kk]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "probe_id": np.repeat(pids[i], kk),
+                        "true_label": np.repeat(plab[i], kk),
+                        "nid": nids[order],
+                        "n_label": nlab[order],
+                        "sim": sims[i][order],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return fn
+
+
+KNN_CLS_PBLOCKS = 2  #: probe-side blocks (raise so a block fits an executor)
+KNN_CLS_CBLOCKS = 4  #: corpus-side blocks
+
+
 @query(
     "ml_knn_classify",
     oracle=f"""
@@ -2171,32 +2227,62 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     classified by majority label of its 5 nearest cosine neighbors in
     the remaining corpus (ties: larger vote count, then smaller label).
 
-    The probe set is a bounded fraction of the corpus and is broadcast;
-    the corpus streams through a map-side nested loop (no corpus
-    shuffle, linear scan — the same 100 TB shape as
-    ``llm_knn_per_query``; the sub-quadratic variant would swap in the
-    IVF cell-pruned candidate stage of ``llm_ann_ivf``).  Cross-engine
-    determinism: neighbor ranking and the vote tally both order on
-    round(sim, 6) with vec_id / label tie-breaks, so last-bit cosine
-    divergence cannot flip the prediction.
+    Exact block-pair matmul plan (same shape as ``llm_sim_topk``,
+    SURVEY.md §7.3.1): probes hash into PB blocks, corpus into CB
+    blocks, and the PB×CB block pairs are the tasks — each runs ONE
+    numpy matmul over the two blocks it owns and keeps a per-probe
+    local top-k under the global (-sim, nid) order, so the final merge
+    (a window over ≤ CB·k rows per probe) is exact.  Nothing is
+    broadcast or collected: per-task memory is two blocks, replication
+    is probes×CB + corpus×PB (linear, √tasks factor), and at 100 TB
+    you raise PB/CB so a block fits an executor — the plan holds
+    unchanged.  The sub-quadratic approximate path is ``llm_ann_ivf``'s
+    IVF cell pruning.  Cross-engine determinism: neighbor ranking and
+    the vote tally both order on round(sim, 6) with vec_id / label
+    tie-breaks, so last-bit cosine divergence cannot flip the
+    prediction.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") % KNN_CLS_MOD == 0).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("pe"),
-        F.col("label").alias("true_label"),
+    cbs = spark.range(KNN_CLS_CBLOCKS).select(
+        F.col("id").cast("int").alias("cb")
     )
-    corpus = e.filter(F.col("vec_id") % KNN_CLS_MOD != 0).select(
-        F.col("vec_id").alias("nid"),
-        F.col("embedding").alias("ne"),
-        F.col("label").alias("n_label"),
+    pbs = spark.range(KNN_CLS_PBLOCKS).select(
+        F.col("id").cast("int").alias("pb")
     )
-    sim = F.round(_cosine(F.col("pe"), F.col("ne")), 6)
+    pframe = (
+        e.filter(F.col("vec_id") % KNN_CLS_MOD == 0)
+        .select(
+            F.pmod("vec_id", F.lit(KNN_CLS_PBLOCKS)).cast("int").alias("pb"),
+            F.lit("p").alias("side"),
+            "vec_id",
+            "label",
+            "embedding",
+        )
+        .crossJoin(F.broadcast(cbs))
+    )
+    cframe = (
+        e.filter(F.col("vec_id") % KNN_CLS_MOD != 0)
+        .select(
+            F.pmod("vec_id", F.lit(KNN_CLS_CBLOCKS)).cast("int").alias("cb"),
+            F.lit("c").alias("side"),
+            "vec_id",
+            "label",
+            "embedding",
+        )
+        .crossJoin(F.broadcast(pbs))
+    )
+    local = (
+        pframe.unionByName(cframe)
+        .groupBy("pb", "cb")
+        .applyInPandas(
+            _knn_cls_kernel(KNN_CLS_K),
+            "probe_id bigint, true_label int, nid bigint, "
+            "n_label int, sim double",
+        )
+    )
     wk = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("nid"))
     topk = (
-        corpus.join(F.broadcast(probes))
-        .select("probe_id", "true_label", "n_label", "nid", sim.alias("sim"))
-        .withColumn("rk", F.row_number().over(wk))
+        local.withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= KNN_CLS_K)
     )
     votes = topk.groupBy("probe_id", "true_label", "n_label").agg(

@@ -831,7 +831,9 @@ FUZZY_MAXDIST = 3
                levenshtein(a.p_name, b.p_name) AS dist
         FROM part a
         JOIN part b ON b.p_brand = a.p_brand
-                   AND b.p_partkey > a.p_partkey),
+                   AND b.p_partkey > a.p_partkey
+                   AND abs(length(a.p_name) - length(b.p_name))
+                       <= {FUZZY_MAXDIST}),
     stats AS (
         SELECT p_brand,
                CAST(count(*) AS BIGINT) AS n_pairs,
@@ -850,39 +852,65 @@ FUZZY_MAXDIST = 3
     """,
 )
 def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy string-matching join: per brand, how many part-name pairs
-    sit within Levenshtein distance 3, and the closest pair — the
-    entity-resolution primitive for names that token-level dedup
-    (``llm_dedup_ngram``) misses (one-character typos inside a word).
+    """Fuzzy string-matching join: per brand, how many length-banded
+    part-name pairs sit within Levenshtein distance 3, and the closest
+    such pair — the entity-resolution primitive for names that
+    token-level dedup (``llm_dedup_ngram``) misses (one-character typos
+    inside a word).
 
-    BLOCKING is the scale story: candidates are generated by the
-    brand equi-join (never all-pairs — same discipline as the LSH
-    dedup family; at 100 TB the block key would add a name-length or
-    first-character band to cap block size), and the edit distance is
-    a JVM built-in over the blocked pairs.  Levenshtein is exact
-    integer arithmetic — identical in both engines — and every
-    ranking orders on (dist, a_key, b_key).
+    BLOCKING is the scale story: candidates come from an equi-join on
+    (brand, name-length band) with bands of width ``FUZZY_MAXDIST+1``
+    probed at offsets {-1, 0, +1} — any pair with length difference
+    ≤ ``FUZZY_MAXDIST`` (a NECESSARY condition for edit distance
+    ≤ ``FUZZY_MAXDIST``) lands in exactly one probed band combination,
+    so recall over close pairs is exact and never all-pairs.  Unlike a
+    brand-only block (constant 25 block keys → O(n²/25) candidates),
+    block count here grows with the data: block size is capped by the
+    per-(brand, 4-char length band) population, so candidate volume
+    stays near-linear at 100 TB.  The edit distance is a JVM built-in
+    over the blocked pairs; Levenshtein is exact integer arithmetic —
+    identical in both engines — and every ranking orders on
+    (dist, a_key, b_key).  The oracle expresses the identical banded
+    candidate set via the |len(a)-len(b)| ≤ {FUZZY_MAXDIST} predicate.
     """
+    band = FUZZY_MAXDIST + 1
     p = load_table(spark, sf_dir, "part")
     a = p.select(
         "p_brand",
         F.col("p_partkey").alias("a_key"),
         F.col("p_name").alias("a_name"),
-    )
+        F.floor(F.length("p_name") / band).alias("a_band"),
+    ).withColumn("probe", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+    # The part table arrives as ONE small parquet split, but the work is
+    # CPU-bound (|candidates| × levenshtein) — spread the probe side across
+    # the cluster by block key.  An explicit partition count marks the
+    # shuffle REPARTITION_BY_NUM, which AQE deliberately leaves uncoalesced.
+    a = a.repartition(32, "p_brand", "a_band", "probe")
     b = p.select(
         F.col("p_brand").alias("b_brand"),
         F.col("p_partkey").alias("b_key"),
         F.col("p_name").alias("b_name"),
+        F.floor(F.length("p_name") / band).alias("b_band"),
     )
-    pairs = a.join(
-        b,
-        (F.col("b_brand") == F.col("p_brand"))
-        & (F.col("b_key") > F.col("a_key")),
-    ).select(
-        "p_brand",
-        "a_key",
-        "b_key",
-        F.levenshtein("a_name", "b_name").alias("dist"),
+    pairs = (
+        a.join(
+            b,
+            (F.col("b_brand") == F.col("p_brand"))
+            & (F.col("b_band") == F.col("a_band") + F.col("probe")),
+        )
+        .filter(
+            (F.col("b_key") > F.col("a_key"))
+            & (
+                F.abs(F.length("a_name") - F.length("b_name"))
+                <= FUZZY_MAXDIST
+            )
+        )
+        .select(
+            "p_brand",
+            "a_key",
+            "b_key",
+            F.levenshtein("a_name", "b_name").alias("dist"),
+        )
     )
     stats = pairs.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_pairs"),

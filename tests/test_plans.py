@@ -546,13 +546,21 @@ def test_roc_auc_windows_over_score_groups(spark, sf_dir):
     )
 
 
-def test_knn_classify_broadcasts_probes(spark, sf_dir):
-    """The probe side of the k-NN classifier must broadcast; the corpus
-    streams map-side.  A SortMergeJoin here would shuffle the whole
-    corpus by nothing useful."""
+def test_knn_classify_block_matmul_no_corpus_broadcast(spark, sf_dir):
+    """Round-6 fix: the k-NN classifier must run as the block-pair
+    Arrow matmul (FlatMapGroupsInPandas over (pb, cb) groups) — never
+    a broadcast of a corpus fraction feeding a nested-loop cosine
+    (the round-5 shape: at 100 TB the n/7 probe broadcast alone dies).
+    The only joins allowed are the tiny block-id crossJoins."""
     plan = _plan(spark, sf_dir, "ml_knn_classify")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    # no vector column may ever sit under a BroadcastExchange: the only
+    # broadcasts allowed are the 2- and 4-row block-id Range frames
+    for seg in plan.split(") BroadcastExchange")[1:]:
+        input_line = seg.splitlines()[1]
+        assert input_line.startswith("Input")
+        assert "embedding" not in input_line
 
 
 def test_precision_at_k_broadcasts_probes(spark, sf_dir):
@@ -621,10 +629,17 @@ def test_holt_winters_no_join_single_fold(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_fuzzy_levenshtein_blocks_on_brand(spark, sf_dir):
+def test_fuzzy_levenshtein_blocks_on_brand_and_length_band(spark, sf_dir):
+    """Round-6 fix: candidates must come from the (brand, length-band)
+    equi-join — a brand-only block has constant cardinality (25 keys)
+    and goes O(n²/25) — and the CPU-heavy probe side must be spread by
+    an explicit REPARTITION exchange (the part table arrives as one
+    small split)."""
     plan = _plan(spark, sf_dir, "join_fuzzy_levenshtein")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "a_band" in plan and "b_band" in plan
+    assert "REPARTITION_BY_NUM" in plan
 
 
 def test_sample_neighbors_no_cartesian(spark, sf_dir):

@@ -935,3 +935,54 @@ class TestSketchSeedStability:
             "nondeterminism or a packaging change; investigate before "
             "regenerating pins"
         )
+
+
+class TestFuzzyJoinBandCoverage:
+    """Round-6 scale guard: the (brand, length-band) blocking of
+    ``join_fuzzy_levenshtein`` must have EXACT recall over its banded
+    candidate set — every same-brand pair with |len(a)-len(b)| <=
+    FUZZY_MAXDIST counted exactly once (bands of width maxdist+1 probed
+    at offsets {-1,0,+1} cover every qualifying pair, and a pair's two
+    bands differ by at most 1 so it is found exactly once)."""
+
+    def test_band_arithmetic_exhaustive(self):
+        from covid_19_data_analysis_bigdata_spark.operators.joins import (
+            FUZZY_MAXDIST,
+        )
+
+        band = FUZZY_MAXDIST + 1
+        for la in range(1, 200):
+            for lb in range(max(1, la - FUZZY_MAXDIST), la + FUZZY_MAXDIST + 1):
+                assert abs(lb // band - la // band) <= 1
+
+    def test_candidate_counts_match_plain_predicate(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+        got = {
+            r["p_brand"]: r["n_pairs"]
+            for r in _q(spark, sf_dir, "join_fuzzy_levenshtein").collect()
+        }
+        p = load_table(spark, sf_dir, "part")
+        a = p.select(
+            "p_brand",
+            F.col("p_partkey").alias("a_key"),
+            F.length("p_name").alias("a_len"),
+        )
+        b = p.select(
+            F.col("p_brand").alias("b_brand"),
+            F.col("p_partkey").alias("b_key"),
+            F.length("p_name").alias("b_len"),
+        )
+        plain = (
+            a.join(b, F.col("b_brand") == F.col("p_brand"))
+            .filter(
+                (F.col("b_key") > F.col("a_key"))
+                & (F.abs(F.col("a_len") - F.col("b_len")) <= 3)
+            )
+            .groupBy("p_brand")
+            .count()
+        )
+        want = {r["p_brand"]: r["count"] for r in plain.collect()}
+        assert got == want
