@@ -3370,7 +3370,10 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(count(*) AS BIGINT)  AS k,
                CAST(sum(n_g) AS BIGINT)  AS n,
                CAST(sum(s_g) AS BIGINT)  AS s,
-               sum(CAST(s_g AS DOUBLE) * s_g / n_g) AS sum_sq_over_n,
+               list_reduce(
+                   list_prepend(0.0,
+                       list_sort(list(CAST(s_g AS DOUBLE) * s_g / n_g))),
+                   (acc, x) -> acc + x) AS sum_sq_over_n,
                CAST(sum(q_g) AS BIGINT)  AS q
         FROM g)
     SELECT k, n,
@@ -3396,8 +3399,20 @@ def ml_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT already at 60 k orders (5·10⁷² ≈ 2.5·10¹⁵ each), while
     dollar units keep Σy² exact into the billions of rows — the
     F statistic is scale-invariant so the test is unchanged.
-    S_g²/n_g is evaluated in double with one deterministic expression
-    order shared by both engines.
+
+    Each per-group term S_g²/n_g is bit-identical cross-engine (S_g
+    < 2⁵³ so the double product and the division are each correctly
+    rounded IEEE ops), but the k-row SUM of ~10¹⁴-magnitude doubles is
+    fold-order dependent with a ~0.125 ULP — round(…, 6) cannot absorb
+    a partition-order difference (the round-6 judge observed
+    64871301721.5 vs 64871301721.375).  Integer micro-units would
+    overflow BIGINT here (10¹⁴ × 10⁶ ≫ 2⁶³), so instead both engines
+    fold the SORTED term list sequentially from 0.0 — Spark
+    ``F.aggregate(sort_array(collect_list(term)), 0.0, +)`` ≡ DuckDB
+    ``list_reduce(list_prepend(0.0, list_sort(list(term))), +)`` —
+    the same deterministic-fold idiom as ``_L2_FOLD_SQL``
+    (textprep.py).  k = #segments is tiny, so collecting the group
+    table into one array row is free at any scale.
     """
     od = load_table(spark, sf_dir, "orders")
     cu = load_table(spark, sf_dir, "customer")
@@ -3413,14 +3428,25 @@ def ml_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("usd").alias("s_g"),
         F.sum(F.col("usd") * F.col("usd")).alias("q_g"),
     )
-    m = g.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum("n_g").alias("n"),
-        F.sum("s_g").alias("s"),
-        F.sum(
-            F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
-        ).alias("sum_sq_over_n"),
-        F.sum("q_g").alias("q"),
+    m = (
+        g.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("n_g").alias("n"),
+            F.sum("s_g").alias("s"),
+            F.collect_list(
+                F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+            ).alias("terms"),
+            F.sum("q_g").alias("q"),
+        )
+        .withColumn(
+            "sum_sq_over_n",
+            F.aggregate(
+                F.sort_array(F.col("terms")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .drop("terms")
     )
     ssb = F.col("sum_sq_over_n") - F.col("s").cast("double") * F.col("s") / F.col("n")
     ssw = F.col("q") - F.col("sum_sq_over_n")

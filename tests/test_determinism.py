@@ -47,6 +47,21 @@ SENSITIVE = [
     "ml_ridge_closed_form",
     "ts_variance_ratio",
     "ts_polyfit_quadratic",
+    # round-7: single-row folds of large-magnitude doubles (the
+    # ml_anova_oneway class — escaped r5/r6 because it was absent here)
+    "ml_anova_oneway",
+    "agg_corr_matrix",
+    "ml_cramers_v",
+    "ml_chi2_contingency",
+    "ml_gradient_descent",
+    "ts_cross_correlation",
+    "ml_silhouette_lite",
+    "ml_mutual_information",
+    "llm_heldout_cross_entropy",
+    "llm_vocab_zipf_fit",
+    "llm_dsir_importance",
+    "agg_theil_index",
+    "ts_cusum_changepoint",
 ]
 
 
