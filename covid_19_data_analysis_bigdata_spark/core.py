@@ -43,74 +43,77 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-#: Front-of-registry order for round 5.  External correctness sweeps
-#: sample the first 50 registry entries in iteration order, so the 50
-#: go to queries that have NEVER been in any external window (114 of
-#: 271 after round 4).  Order within the 50: first the eight oracles
-#: whose round-4 latent HUGEINT widening was just fixed (freshest
-#: external confirmation wanted), then the graph / asof / bucketed /
-#: bloom / skew-salted / ANN / retrieval / curation families the
-#: round-4 verdict flagged as never-checked.  All 50 carry strong
-#: DuckDB oracles (the weak sketch trio is deliberately excluded).
+#: Front-of-registry order for round 7.  External correctness sweeps
+#: sample the first 50 registry entries in iteration order.  The
+#: round-5/6 front was sampled twice (r5 + r6 windows were identical),
+#: so this rotation moves in 50 ids that have NEVER appeared in any
+#: CORRECTNESS_r01–r06 window (205 of 412 were still unsampled).
+#: Order within the 50: first the three queries whose implementation
+#: changed in rounds 6-7 (anova determinism fix, knn-classify and
+#: fuzzy-levenshtein plan rewrites — freshest external confirmation
+#: wanted), then the float-fold-heavy ml_*/ts_* families the round-6
+#: verdict called out as exactly where undetected wrongness hides,
+#: then the round-5 batch 40-51 graph ops, the heavy-aggregate
+#: float-moment queries, and the four never-sampled queries whose
+#: global windows the round-7 de-globalization rewrites.  All 50
+#: carry strong DuckDB oracles.
 _WINDOW_PRIORITY: list[str] = [
-    # 8 just-cast HUGEINT oracles — need external re-confirmation
-    "llm_token_count_bpe",
-    "llm_dedup_simhash",
-    "llm_repetition_filter",
-    "llm_pack_sequences",
-    "llm_dataset_mix",
-    "llm_embedding_quantize",
-    "llm_bpe_merge_pairs",
-    "win_sessionize_batch",
-    # graph family — never externally sampled
-    "graph_pagerank",
-    "graph_triangle_count",
-    "graph_bfs_distances",
-    "graph_degree_histogram",
-    "graph_assortativity",
-    # specialized joins / skew strategies
-    "join_asof_nearest",
-    "join_asof_tolerance",
-    "join_bucketed",
-    "join_bloom_filtered",
-    "join_skew_salted",
-    "agg_skew_salted",
-    # ANN / retrieval
-    "llm_ann_ivf",
-    "llm_ann_pq",
-    "llm_ann_ivfpq",
-    "llm_bm25_rank",
-    "llm_sparse_cosine",
-    "llm_hybrid_rrf",
-    "llm_winnowing",
-    "llm_mmr_diversify",
-    "llm_rag_context_pack",
-    # dedup variants beyond the r3-confirmed MinHash path
-    "llm_dedup_ngram",
-    "llm_dedup_embedding",
-    "llm_dedup_clusters",
-    "llm_dedup_cross_corpus",
-    "llm_dedup_containment",
-    "llm_span_dedup",
-    "llm_dedup_keep_best",
-    "llm_decontaminate",
-    # curation / llmprep batch
-    "llm_chunk_documents",
-    "llm_build_vocab",
-    "llm_clean_corpus",
-    "llm_pii_scrub",
-    "llm_train_val_split",
-    "llm_gopher_rules",
-    "llm_perplexity_unigram",
-    "llm_perplexity_bigram",
-    # iterative ML
-    "ml_kmeans_lloyd",
-    "ml_pca_power",
-    "ml_ols_normal_eq",
-    # SQL-surface + heavy aggregates
-    "sql_recursive_cte",
-    "sql_lateral_topn",
-    "agg_bitmap_distinct",
+    # implementation changed in r6/r7 — freshest confirmation first
+    "ml_anova_oneway",
+    "ml_knn_classify",
+    "join_fuzzy_levenshtein",
+    # ml_* hypothesis-test / eval family — float-fold heavy
+    "ml_cramers_v",
+    "ml_chi2_contingency",
+    "ml_gradient_descent",
+    "ml_silhouette_lite",
+    "ml_mutual_information",
+    "ml_ridge_closed_form",
+    "ml_naive_bayes",
+    "ml_decision_stump",
+    "ml_eval_metrics",
+    "ml_roc_auc",
+    "ml_cumulative_gains",
+    "ml_precision_at_k",
+    "ml_pr_curve",
+    "ml_target_encoding",
+    "ml_feature_hashing",
+    "ml_calibration_bins",
+    "ml_learning_curve",
+    # ts_* float-fold / recursion family
+    "ts_theil_sen",
+    "ts_holt_winters",
+    "ts_holt_linear",
+    "ts_variance_ratio",
+    "ts_polyfit_quadratic",
+    "ts_cross_correlation",
+    "ts_cusum_changepoint",
+    "ts_mann_kendall",
+    "ts_ewma_halflife",
+    "ts_max_drawdown",
+    "ts_hampel_outliers",
+    "ts_decompose_stl_lite",
+    "ts_bollinger_bands",
+    # heavy-aggregate float-moment queries
+    "agg_corr_matrix",
+    "agg_skew_kurtosis",
+    "agg_geometric_mean",
+    "agg_theil_index",
+    "agg_weighted_median",
+    # round-5 batch 40-51 graph ops
+    "graph_clustering_local",
+    "graph_edge_support_topk",
+    "graph_kcore_peel",
+    "graph_connected_components",
+    "graph_modularity",
+    "graph_two_hop_reach",
+    "graph_sample_neighbors",
+    "graph_jaccard_neighbors",
+    # round-7 window de-globalization targets
+    "report_customer_ltv_deciles",
+    "report_lorenz_points",
+    "llm_curriculum_order",
+    "events_active_streak_users",
 ]
 
 
