@@ -2167,23 +2167,39 @@ def _knn_cls_kernel(k: int):
         nmat = np.array(c["embedding"].tolist(), np.float64)
         pn = np.sqrt((pmat * pmat).sum(axis=1))
         cn = np.sqrt((nmat * nmat).sum(axis=1))
-        sims = np.round((pmat @ nmat.T) / (pn[:, None] * cn[None, :]), 6)
-        kk = min(k, sims.shape[1])
-        out = []
-        for i in range(len(pids)):
-            order = np.lexsort((nids, -sims[i]))[:kk]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "probe_id": np.repeat(pids[i], kk),
-                        "true_label": np.repeat(plab[i], kk),
-                        "nid": nids[order],
-                        "n_label": nlab[order],
-                        "sim": sims[i][order],
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+        # Zero-norm guard: a NaN cosine would sort LAST in np.lexsort
+        # but FIRST under the merge window's F.desc and the oracle's
+        # ORDER BY sim DESC — enforce the invariant loudly instead of
+        # silently diverging cross-engine.
+        if not ((pn > 0).all() and (cn > 0).all()):
+            raise ValueError("zero-norm embedding in k-NN block")
+        raw = (pmat @ nmat.T) / (pn[:, None] * cn[None, :])
+        # Half-AWAY-from-zero at 6dp (Spark F.round / DuckDB round()
+        # convention); np.round is half-to-even and could flip a value
+        # sitting on an exact 5e-7 boundary.  `+ 0.0` folds a -0.0
+        # (tiny negative cosine rounded to zero) onto +0.0 so the
+        # rendered value matches both engines.
+        sims = (
+            np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5), raw) / 1e6 + 0.0
+        )
+        P, C = sims.shape
+        kk = min(k, C)
+        # One vectorized lexsort over the whole block-pair matrix
+        # (row-major: probe row, then -sim, then nid) instead of a
+        # per-probe python loop of sorts + DataFrame constructions.
+        flat = np.lexsort(
+            (np.tile(nids, P), -sims.ravel(), np.repeat(np.arange(P), C))
+        )
+        take = flat.reshape(P, C)[:, :kk].ravel()
+        return pd.DataFrame(
+            {
+                "probe_id": np.repeat(pids, kk),
+                "true_label": np.repeat(plab, kk),
+                "nid": nids[take % C],
+                "n_label": nlab[take % C],
+                "sim": sims.ravel()[take],
+            }
+        )
 
     return fn
 
@@ -2509,7 +2525,10 @@ def graph_clustering_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     a<b<c join, different geometry, same triangles.  The coefficient
     is one double division of exact integers, and the top-N orders on
     the ROUNDED value with the node id as tie-break so last-bit
-    division differences cannot reorder engines.
+    division differences cannot reorder engines.  The top-30 itself is
+    ``orderBy().limit`` — TakeOrderedAndProject (per-partition 30-row
+    heaps, driver merge), so the unbounded node population is never
+    ranked through a single-partition window.
     """
     deg, oriented, adj = _copurchase_oriented(spark, sf_dir)
     empty = F.array().cast("array<bigint>")
@@ -2552,11 +2571,8 @@ def graph_clustering_local(spark: SparkSession, sf_dir: str) -> DataFrame:
             cc.alias("local_cc"),
         )
     )
-    wt = Window.orderBy(F.desc("local_cc"), F.asc("node"))
-    return (
-        ranked.withColumn("rk", F.row_number().over(wt))
-        .filter(F.col("rk") <= LCC_TOPN)
-        .drop("rk")
+    return ranked.orderBy(F.desc("local_cc"), F.asc("node")).limit(
+        LCC_TOPN
     )
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.operators.distrank import global_rank
 from covid_19_data_analysis_bigdata_spark.operators.llm import _shingles, _words
 from covid_19_data_analysis_bigdata_spark.operators.textprep import (
     _MARKER_VALUES,
@@ -964,9 +965,11 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     Difficulty is mean word length in exact integer milli-units
     (``total_chars·1000 div n_words``), so the global ordering is
     integer-deterministic with a doc_id tie-break (the repo's ranking
-    convention for scores).  The global rank is one ``row_number`` over
-    an integer key — a single sort, the same cost as any global
-    ordering — and stages are equal row-count slices of that order.
+    convention for scores).  Documents are an unbounded grain, so the
+    global rank is :func:`distrank.global_rank` — the two-pass
+    distributed rank (range shuffle + partitioned local row_number +
+    broadcast offsets), never a single-partition ``Window.orderBy``
+    pass — and stages are equal row-count slices of that rank.
     """
     d = load_table(spark, sf_dir, "documents")
     # `div` (not `/`): Spark `/` is double division and CAST truncates,
@@ -985,16 +988,13 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x -> length(x) > 0)), 1)"
         ).alias("difficulty_milli"),
     )
-    wrk = Window.orderBy("difficulty_milli", "doc_id")
-    ranked = sc.select(
-        "n_words",
-        "difficulty_milli",
-        F.row_number().over(wrk).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
-    stage = (
-        (F.col("rk") - 1) * CURRICULUM_STAGES / F.col("n")
-    ).cast("long")
+    ranked = global_rank(
+        sc,
+        [F.asc("difficulty_milli"), F.asc("doc_id")],
+        rank_col="rk",
+        total_col="n",
+    ).select("n_words", "difficulty_milli", "rk", "n")
+    stage = F.expr(f"(rk - 1) * {CURRICULUM_STAGES} div n")
     return ranked.groupBy(stage.alias("stage")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("difficulty_milli").alias("min_difficulty"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.operators.distrank import global_ntile
 from covid_19_data_analysis_bigdata_spark.sources.io import load_table
 
 
@@ -1090,13 +1091,16 @@ def report_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order count), and monetary (total spend), rolled into the 4×4×4
     segment-size cube — the standard CRM targeting matrix.
 
-    Facts reduce to customer grain first; the three ntile windows run
+    Facts reduce to customer grain first; the three quartile cuts run
     over customers with unique (metric, custkey) tie-breaks so both
-    engines produce identical quartile boundaries.  The global ntile
-    windows are single-partition passes over the customer dimension —
-    bounded, and at true scale each becomes a 2-pass percentile-bucket
-    assignment; the anchor date is a pinned literal (a relative now()
-    would make the result time-dependent and uncheckable).
+    engines produce identical quartile boundaries.  The customer
+    population is UNBOUNDED, so none of the three may be a
+    single-partition ``Window.orderBy`` ntile — each is the two-pass
+    distributed rank of :mod:`distrank` (range shuffle + partitioned
+    local row_number + broadcast offsets), which reproduces
+    ``ntile(4)`` exactly while keeping every stage partitioned at any
+    customer count.  The anchor date is a pinned literal (a relative
+    now() would make the result time-dependent and uncheckable).
     """
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
@@ -1105,13 +1109,14 @@ def report_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 4).alias("monetary"),
     )
-    wr = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
-    wf = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
-    wm = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
-    scored = rfm.select(
-        F.ntile(4).over(wr).alias("r"),
-        F.ntile(4).over(wf).alias("f"),
-        F.ntile(4).over(wm).alias("m"),
+    scored = global_ntile(
+        rfm, 4, [F.desc("recency_days"), F.asc("o_custkey")], "r"
+    )
+    scored = global_ntile(
+        scored, 4, [F.asc("frequency"), F.asc("o_custkey")], "f"
+    )
+    scored = global_ntile(
+        scored, 4, [F.asc("monetary"), F.asc("o_custkey")], "m"
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers")
@@ -1404,17 +1409,21 @@ def report_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to the Gini/Pareto summaries already in the registry).
 
     One per-customer aggregate (corpus-scale shuffle on the customer
-    key), then the ntile window over the customer grain — orders of
-    magnitude smaller than the fact table — with the repo's unique
-    tie-break (cents desc, custkey).  All revenue is exact integer
-    cents; shares are one correctly-rounded division each.
+    key), then a decile cut over the customer grain with the repo's
+    unique tie-break (cents desc, custkey).  Customers are an
+    unbounded population, so the cut is :func:`distrank.global_ntile`
+    (two-pass distributed rank — range shuffle, partitioned local
+    row_number, broadcast offsets), never a single-partition
+    ``Window.orderBy`` ntile.  All revenue is exact integer cents;
+    shares are one correctly-rounded division each.
     """
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
-    ranked = rev.select("cents", F.ntile(10).over(w).alias("decile"))
+    ranked = global_ntile(
+        rev, 10, [F.desc("cents"), F.asc("o_custkey")], "decile"
+    ).select("cents", "decile")
     per = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("revenue_cents"),
@@ -2353,12 +2362,14 @@ def report_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative population share over customers ranked by spend — the
     plottable companion to the scalar ``report_gini_concentration``.
 
-    One exact-cents aggregate to customer grain, one ntile window with
-    a total order (cents, custkey), then cumulative windows over the
-    10-row decile table.  Shares are single divisions of exact
-    BIGINTs.  The ntile total order makes decile boundaries — and
-    therefore every emitted point — identical across engines and
-    partitionings.
+    One exact-cents aggregate to customer grain, one decile cut with a
+    total order (cents, custkey) — :func:`distrank.global_ntile`, the
+    two-pass distributed rank, because customers are an unbounded
+    entity grain — then cumulative windows over the 10-row decile
+    table (bounded grain: a global window there is fine).  Shares are
+    single divisions of exact BIGINTs.  The total order makes decile
+    boundaries — and therefore every emitted point — identical across
+    engines and partitionings.
     """
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
@@ -2366,25 +2377,25 @@ def report_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
-    wd = Window.orderBy("cents", "o_custkey")
-    deciled = cust.select(
-        "cents", F.ntile(10).over(wd).alias("decile")
-    )
+    deciled = global_ntile(
+        cust, 10, [F.asc("cents"), F.asc("o_custkey")], "decile"
+    ).select("cents", "decile")
     agg = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("cents"),
     )
     wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
+    tot = agg.agg(
+        F.sum("cents").alias("tot_cents"),
+        F.sum("n_customers").alias("tot_n"),
+    )
     cum = agg.select(
         "decile",
         "n_customers",
         "cents",
         F.sum("cents").over(wc).alias("cum_cents"),
-        F.sum("cents").over(wall).alias("tot_cents"),
         F.sum("n_customers").over(wc).alias("cum_n"),
-        F.sum("n_customers").over(wall).alias("tot_n"),
-    )
+    ).crossJoin(F.broadcast(tot))
     return cum.select(
         "decile",
         "n_customers",

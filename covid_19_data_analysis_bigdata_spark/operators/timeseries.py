@@ -2744,7 +2744,11 @@ def events_active_streak_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE per-user window and one aggregate — no self-join, no recursion.
     All arithmetic is exact integer epoch-day; every ranking carries a
     total order.  The corpus touches one DISTINCT; everything after
-    runs at the user-day grain.
+    runs at the user-day grain.  The final top-20 is
+    ``orderBy().limit`` — TakeOrderedAndProject keeps a 20-row heap
+    per partition and merges on the driver, so the unbounded user
+    population is never sorted in one partition (vs the
+    ``Window.orderBy`` rank this replaced).
     """
     ev = load_table(spark, sf_dir, "events")
     act = ev.select(
@@ -2771,11 +2775,8 @@ def events_active_streak_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rb") == 1)
         .select("user_id", "streak_days", "streak_start")
     )
-    wt = Window.orderBy(F.desc("streak_days"), F.asc("user_id"))
-    return (
-        best.withColumn("rk", F.row_number().over(wt))
-        .filter(F.col("rk") <= STREAK_TOPN)
-        .drop("rk")
+    return best.orderBy(F.desc("streak_days"), F.asc("user_id")).limit(
+        STREAK_TOPN
     )
 
 

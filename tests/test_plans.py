@@ -557,10 +557,19 @@ def test_knn_classify_block_matmul_no_corpus_broadcast(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     # no vector column may ever sit under a BroadcastExchange: the only
     # broadcasts allowed are the 2- and 4-row block-id Range frames
-    for seg in plan.split(") BroadcastExchange")[1:]:
-        input_line = seg.splitlines()[1]
-        assert input_line.startswith("Input")
-        assert "embedding" not in input_line
+    segs = plan.split(") BroadcastExchange")[1:]
+    # guard the guard: if the formatted-explain layout ever stops
+    # emitting per-node "(N) BroadcastExchange" detail sections, this
+    # loop would assert nothing — fail loudly on format drift instead
+    assert len(segs) >= 2, "expected both block-id BroadcastExchange nodes"
+    for seg in segs:
+        # only this node's detail block (it ends at the blank line
+        # before the next node's header)
+        detail = seg.splitlines()[1:]
+        own = detail[: detail.index("")] if "" in detail else detail
+        input_lines = [ln for ln in own if ln.startswith("Input")]
+        assert input_lines, "BroadcastExchange detail lost its Input line"
+        assert all("embedding" not in ln for ln in input_lines)
 
 
 def test_precision_at_k_broadcasts_probes(spark, sf_dir):
@@ -908,3 +917,81 @@ def test_partition_checksums_jvm_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dq_partition_checksums")
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "HashAggregate" in plan
+
+
+# --------------------------------------------------------------------------
+# Round-7: no single-partition window over an unbounded entity grain
+# --------------------------------------------------------------------------
+
+def _unpartitioned_window_sort_keys(plan: str) -> list[str]:
+    """First sort-key expression of every UNPARTITIONED window spec.
+
+    In a formatted plan, ``windowspecdefinition(p1, …, o1 ASC …, frame)``
+    lists partition columns first (no ASC/DESC suffix); an
+    unpartitioned spec starts directly with a sort expression (`…
+    ASC|DESC NULLS …`) or with the frame.  The first argument is
+    extracted paren-depth-aware so nested calls like round(x, 6) don't
+    split it.
+    """
+    keys = []
+    marker = "windowspecdefinition("
+    i = plan.find(marker)
+    while i != -1:
+        j = i + len(marker)
+        depth, arg = 0, []
+        while j < len(plan):
+            c = plan[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            arg.append(c)
+            j += 1
+        first = "".join(arg).strip()
+        if " ASC" in first or " DESC" in first or first.startswith(
+            "specifiedwindowframe"
+        ):
+            keys.append(first)
+        i = plan.find(marker, i + 1)
+    return keys
+
+
+#: (query, allowlisted bounded-grain sort-key substrings).  An
+#: unpartitioned window whose first sort key matches an allowlisted
+#: substring runs over a BOUNDED grain (10 deciles, day spine, …) —
+#: fine at any scale.  Anything else over these entity-grain queries
+#: is the single-executor-sort class the round-6 audit flagged.
+ENTITY_GRAIN_QUERIES = [
+    ("report_rfm_segmentation", []),
+    ("report_customer_ltv_deciles", []),
+    ("report_lorenz_points", ["decile"]),
+    ("llm_curriculum_order", []),
+    ("events_active_streak_users", []),
+    ("graph_clustering_local", []),
+]
+
+
+import pytest
+
+
+@pytest.mark.parametrize("name,allow", ENTITY_GRAIN_QUERIES)
+def test_no_unpartitioned_window_over_entity_grain(spark, sf_dir, name, allow):
+    plan = _plan(spark, sf_dir, name)
+    bad = [
+        k
+        for k in _unpartitioned_window_sort_keys(plan)
+        if not any(a in k for a in allow)
+    ]
+    assert not bad, f"{name}: unpartitioned entity-grain window(s): {bad}"
+
+
+def test_entity_topn_uses_take_ordered(spark, sf_dir):
+    """The two top-N entity rankings must compile to
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    for name in ("events_active_streak_users", "graph_clustering_local"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
