@@ -218,34 +218,41 @@ def _lsh_candidate_pairs(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFra
     """Bucket-cohabiting candidate pairs from an LSH band table
     ``(doc_id, band, sig)``, with a per-bucket quadratic-blowup guard.
 
-    Members of each ``(band, sig)`` bucket are ranked by ``doc_id``
-    (``row_number`` over the bucket — the window shuffle hashes on the
-    same keys the join needs, so Spark reuses one exchange for both) and
-    joined only to neighbors within ``cap`` positions.  Buckets of
-    ≤ cap+1 members emit their complete pair set — identical output to
-    an uncapped self-join, which is what the exhaustive-SQL oracles
-    verify at test scale.  Larger buckets are near-certain mass
-    duplicates; the banded join bounds them at s·cap pairs while the
-    overlapping windows keep the bucket one connected component, so
-    cluster-level dedup decisions (keep-best, cluster sizes) are
-    preserved.  See SCALE.md §LSH for the 100 TB failure mode this
-    removes.
+    Each ``(band, sig)`` bucket is collapsed to its sorted member-id
+    array by ONE hash aggregate, and the pairs are generated
+    ARRAY-SIDE — ``transform(ids, (a, i) -> transform(slice(ids, i+2,
+    cap), …))`` pairs every member with its next ``cap`` neighbors in
+    doc_id order, entirely inside whole-stage codegen.  Buckets of
+    ≤ cap+1 members emit exactly their full s·(s−1)/2 pair set —
+    identical output to an uncapped self-join, which is what the
+    exhaustive-SQL oracles verify at test scale.  Larger buckets are
+    near-certain mass duplicates; the cap bounds them at s·cap pairs
+    while the overlapping neighbor windows keep the bucket one
+    connected component, so cluster-level dedup decisions (keep-best,
+    cluster sizes) are preserved.  See SCALE.md §LSH for the 100 TB
+    failure mode the cap removes.
+
+    Scale note: this replaced a row_number window + rn-banded
+    self-join (round 7) — one aggregate instead of a window shuffle
+    plus a sort-merge self-join, with the same (band, sig) hash
+    partitioning, so bucket members still co-locate and nothing
+    corpus-sized crosses a single partition: the largest in-memory
+    object is one bucket's id array, already bounded by the bucket's
+    own row group.
     """
-    w = Window.partitionBy("band", "sig").orderBy("doc_id")
-    ranked = bands.select(
-        "doc_id", "band", "sig", F.row_number().over(w).alias("rn")
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    a = ranked.alias("a")
-    b = ranked.alias("b")
+    pair_expr = (
+        f"flatten(transform(ids, (a, i) -> "
+        f"transform(slice(ids, i + 2, {int(cap)}), "
+        f"b -> struct(a AS a_id, b AS b_id))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("b.rn") > F.col("a.rn"))
-            & (F.col("b.rn") <= F.col("a.rn") + F.lit(cap)),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )
 
@@ -304,9 +311,8 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = (
         minhash.select("doc_id", F.explode(band_structs).alias("bs"))
         .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-        # Both sides of the bucket self-join read this; persist so the
-        # minhash aggregation runs once.
-        .persist()
+        # Single consumer since the round-7 array-side pair generation
+        # (no self-join) — no persist needed.
     )
 
     cand = _lsh_candidate_pairs(bands)
