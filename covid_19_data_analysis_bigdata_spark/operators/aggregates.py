@@ -1514,3 +1514,147 @@ def agg_frequency_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7: strong-oracle error-envelope companions for the weak sketches
+# --------------------------------------------------------------------------
+# The three sketch queries (`agg_approx_distinct`, `agg_approx_percentile`,
+# `agg_sketch_rollup`) are declared weak by design — their estimates are
+# engine-specific, so no DuckDB oracle can hash-match them.  These
+# companions turn the error ENVELOPE into a strong check the external
+# sweep can hash: Spark computes both the sketch estimate and the exact
+# value, emits the exact value plus an in-band flag, and the oracle
+# asserts the exact value and a literal 1 — an out-of-envelope sketch
+# becomes a hash mismatch instead of an invisible rows-only pass.  The
+# envelopes match tests/test_properties.py (±max(3, 15%) for HLL++ at
+# rsd 0.02, ±max(2, 5%) for merged DataSketches HLL at lgK 12, and a
+# ±0.05-rank continuous-percentile bracket for GK at accuracy 1000 —
+# each orders of magnitude looser than the sketch's guarantee, so the
+# flag is deterministic at any sf while still catching a broken sketch).
+
+
+@query(
+    "agg_approx_distinct_band",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(1 AS INTEGER) AS within_band
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_approx_distinct_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ error-envelope audit: the rsd-0.02 sketch estimate must
+    sit within ±max(3, 15%·exact) of the exact distinct per group.
+
+    One aggregate computes both (the exact distinct is the expensive
+    path the sketch replaces at 100 TB — here it IS the check, which
+    is the point of an audit query: run it on a sample or one
+    partition shard in production).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("est"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+    band = F.greatest(
+        F.lit(3.0), F.col("exact_customers").cast("double") * 0.15
+    )
+    return g.select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("est") - F.col("exact_customers")).cast("double")
+            <= band
+        )
+        .cast("int")
+        .alias("within_band"),
+    )
+
+
+@query(
+    "agg_approx_percentile_band",
+    oracle="""
+    SELECT l_linestatus,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.90), 6) AS p90_exact,
+           CAST(1 AS INTEGER) AS p50_in_band,
+           CAST(1 AS INTEGER) AS p90_in_band
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_approx_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch error-envelope audit: the accuracy-1000 approximate
+    p50/p90 (rank error ≤ 0.1%) must land inside the exact continuous
+    [p±5] percentile bracket — 50× the sketch's guarantee, so the flag
+    cannot flap, while a broken sketch (wrong merge, wrong rank math)
+    lands far outside.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_linestatus").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(1000)
+        ).alias("qs"),
+        F.percentile("l_extendedprice", F.lit(0.45)).alias("p45"),
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.55)).alias("p55"),
+        F.percentile("l_extendedprice", F.lit(0.85)).alias("p85"),
+        F.percentile("l_extendedprice", F.lit(0.90)).alias("p90"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    a50 = F.element_at("qs", 1)
+    a90 = F.element_at("qs", 2)
+    return g.select(
+        "l_linestatus",
+        F.round("p50", 6).alias("p50_exact"),
+        F.round("p90", 6).alias("p90_exact"),
+        ((F.col("p45") <= a50) & (a50 <= F.col("p55")))
+        .cast("int")
+        .alias("p50_in_band"),
+        ((F.col("p85") <= a90) & (a90 <= F.col("p95")))
+        .cast("int")
+        .alias("p90_in_band"),
+    )
+
+
+@query(
+    "agg_sketch_rollup_band",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+                AS BIGINT) AS n_daily_sketches,
+           CAST(1 AS INTEGER) AS within_band
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_sketch_rollup_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-HLL error-envelope audit: daily DataSketches HLL
+    sketches unioned to event_type grain must estimate the exact
+    distinct-user count within ±max(2, 5%·exact) — the same mergeable
+    dataflow as ``agg_sketch_rollup``, with the envelope made a
+    hashable output instead of a local-only property test.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    band = F.greatest(F.lit(2.0), F.col("exact_users").cast("double") * 0.05)
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_daily_sketches",
+        (F.abs(F.col("est") - F.col("exact_users")).cast("double") <= band)
+        .cast("int")
+        .alias("within_band"),
+    )

@@ -344,6 +344,10 @@ EXPECTED_IDS = {
     # per-partition checksums
     "llm_template_extraction", "events_overdispersion",
     "dq_partition_checksums",
+    # round-7 batch 52: strong-oracle error-envelope companions for the
+    # three weak sketch queries
+    "agg_approx_distinct_band", "agg_approx_percentile_band",
+    "agg_sketch_rollup_band",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
