@@ -3334,6 +3334,10 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        # Three consumers (deg, n1, n2) — persist or the co-purchase
+        # self-join rebuilds per consumer (the plan audit caught this
+        # at 20 exchanges; the oracle's MATERIALIZED is the same call).
+        .persist()
     )
     deg = ed.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
