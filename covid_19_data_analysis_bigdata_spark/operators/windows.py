@@ -720,12 +720,15 @@ def win_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(round(l_quantity) AS BIGINT) AS qty,
                CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
                     OVER (PARTITION BY l_suppkey
-                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                   CASE WHEN l_returnflag = 'R'
+                                        THEN 1 ELSE 0 END,
+                                   CAST(round(l_quantity) AS BIGINT)
                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment_no
         FROM lineitem)
     SELECT l_suppkey, l_orderkey, l_linenumber, segment_no,
            CAST(sum(qty) OVER (PARTITION BY l_suppkey, segment_no
-                               ORDER BY l_orderkey, l_linenumber
+                               ORDER BY l_orderkey, l_linenumber, qty
                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
                AS run_qty
     FROM seg
@@ -746,23 +749,30 @@ def win_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast to BIGINT so both engines emit exact integers.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # Tie-break note (round-7 flake fix): (l_orderkey, l_linenumber) is
+    # NOT unique in the synthetic testdata, so both window orders also
+    # sort on every column the query consumes (reset marker, quantity).
+    # Remaining ties are rows identical in ALL consumed columns, whose
+    # relative order cannot change any emitted value — the output
+    # multiset is deterministic without assuming a key the data does
+    # not guarantee.
+    marker = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    qty = F.round("l_quantity").cast("long")
     w_seg = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", marker, qty)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     seg = li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round("l_quantity").cast("long").alias("qty"),
-        F.sum(
-            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-        ).over(w_seg).alias("segment_no"),
+        qty.alias("qty"),
+        F.sum(marker).over(w_seg).alias("segment_no"),
     )
     w_run = (
         Window.partitionBy("l_suppkey", "segment_no")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "qty")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return seg.select(

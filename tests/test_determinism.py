@@ -62,6 +62,10 @@ SENSITIVE = [
     "llm_dsir_importance",
     "agg_theil_index",
     "ts_cusum_changepoint",
+    # round-7: windows over raw lineitem rows, where the synthetic
+    # data does NOT make (l_orderkey, l_linenumber) unique — the order
+    # must be total over all consumed columns instead
+    "win_reset_cumsum",
 ]
 
 
