@@ -282,9 +282,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _copurchase_oriented(spark: SparkSession, sf_dir: str):
-    """Degree-oriented co-purchase graph shared by the triangle-family
-    operators: returns ``(deg, oriented, adj)``.
+def _copurchase_base(spark: SparkSession, sf_dir: str):
+    """Undirected co-purchase graph shared by every graph operator:
+    returns ``(edges, deg)``.
 
     - ``edges``: distinct part pairs co-occurring in an order (u < v),
       persisted — orders of magnitude smaller than the fact table; AQE
@@ -293,26 +293,31 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str):
       edges).
     - ``deg``: |V| rows, persisted — feeds the orientation joins and
       any final aggregate (n_edges = sum(d) div 2, so no extra pass).
-    - ``oriented``: each edge directed from its lower-(degree, id)
-      endpoint — acyclic, out-degree O(√m); the property that keeps
-      every neighbor array small on power-law graphs.
-    - ``adj``: packed sorted out-neighbor arrays, |V| rows, persisted —
-      read twice (as N⁺(u) and N⁺(v)); AQE broadcasts it when it fits
-      and falls back to a node-partitioned sort-merge join when not.
+
+    Consumers that only need the undirected edge list (k-core peeling)
+    call this directly and skip the two orientation joins of
+    :func:`_copurchase_oriented`.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
+    # Array-side pair expansion (round 7): one groupBy collapses each
+    # order to its sorted distinct part set, and u<v pairs explode from
+    # transform/slice inside codegen — replacing the distinct +
+    # sort-merge self-join build (two more shuffles and a join).  The
+    # per-order expansion is quadratic only in ORDER SIZE, which is
+    # bounded by basket size at any corpus scale (the skew knob is the
+    # order, not the catalog), and the result is the identical edge
+    # set the oracles' self-join CTE produces.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = (
+        "flatten(transform(ps, (a, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "b -> struct(a AS u, b AS v))))"
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        per_order.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .distinct()
         .persist()
     )
@@ -323,6 +328,21 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("d"))
         .persist()
     )
+    return edges, deg
+
+
+def _copurchase_oriented(spark: SparkSession, sf_dir: str):
+    """Degree-oriented co-purchase graph shared by the triangle-family
+    operators: returns ``(deg, oriented, adj)``.
+
+    - ``oriented``: each edge directed from its lower-(degree, id)
+      endpoint — acyclic, out-degree O(√m); the property that keeps
+      every neighbor array small on power-law graphs.
+    - ``adj``: packed sorted out-neighbor arrays, |V| rows, persisted —
+      read twice (as N⁺(u) and N⁺(v)); AQE broadcasts it when it fits
+      and falls back to a node-partitioned sort-merge join when not.
+    """
+    edges, deg = _copurchase_base(spark, sf_dir)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     u_first = (F.col("du") < F.col("dv")) | (
@@ -1093,11 +1113,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each round is one degree aggregate plus two semi-joins of the edge
     list against the survivor set — linear passes; rounds are unrolled
     into the plan, state between rounds is the edge list itself.
+    Peeling needs only the UNDIRECTED edge list, so this reads
+    :func:`_copurchase_base` directly — the degree-orientation joins
+    the triangle family needs would be two wasted passes here.
     """
-    deg, oriented, adj = _copurchase_oriented(spark, sf_dir)
-    edges = oriented.select(
-        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    )
+    edges, deg = _copurchase_base(spark, sf_dir)
     kv = deg.agg(
         F.expr("CAST(sum(d) div count(*) AS BIGINT)").alias("k")
     )
