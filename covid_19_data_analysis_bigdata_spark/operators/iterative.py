@@ -204,7 +204,10 @@ def _pr_iter_sql(i: int) -> str:
 @query(
     "graph_pagerank",
     oracle=f"""
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
+        -- MATERIALIZED: ~20 iteration CTEs reference this; without it
+        -- DuckDB re-evaluates the fact join per reference (the round-7
+        -- sweep measured 89-324 s oracle-side; materialized it is ~4 s)
         SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
                count(*) AS w
         FROM lineitem l
@@ -213,7 +216,7 @@ def _pr_iter_sql(i: int) -> str:
         JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE s.s_nationkey <> c.c_nationkey
         GROUP BY 1, 2),
-    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+    outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
     nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
     r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
     {",".join(_pr_iter_sql(i) for i in range(PR_ITERS))}
@@ -1068,24 +1071,24 @@ KCORE_ROUNDS = 2
     oracle=f"""
     WITH items AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e0 AS (
+    e0 AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM items a
         JOIN items b ON a.l_orderkey = b.l_orderkey
                     AND a.l_partkey < b.l_partkey),
-    d0 AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+    d0 AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS d
            FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
            GROUP BY node),
     kv AS (SELECT CAST(sum(d) // count(*) AS BIGINT) AS k FROM d0),
     keep0 AS (SELECT node FROM d0, kv WHERE d >= k),
-    e1 AS (SELECT u, v FROM e0
+    e1 AS MATERIALIZED (SELECT u, v FROM e0
            WHERE u IN (SELECT node FROM keep0)
              AND v IN (SELECT node FROM keep0)),
-    d1 AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+    d1 AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS d
            FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
            GROUP BY node),
     keep1 AS (SELECT node FROM d1, kv WHERE d >= k),
-    e2 AS (SELECT u, v FROM e1
+    e2 AS MATERIALIZED (SELECT u, v FROM e1
            WHERE u IN (SELECT node FROM keep1)
              AND v IN (SELECT node FROM keep1)),
     d2 AS (SELECT node FROM (SELECT u AS node FROM e2
