@@ -157,6 +157,7 @@ def load_all() -> None:
         timeseries,
         etl,
         iterative,
+        nonparam,
         reports,
         sqlsurface,
         scale,

@@ -62,6 +62,17 @@ SENSITIVE = [
     "llm_dsir_importance",
     "agg_theil_index",
     "ts_cusum_changepoint",
+    # round-7 nonparam batch: rank statistics via the distributed
+    # prefix-sum (_cum_below must be exact at ANY partition count) and
+    # k-term sorted folds / micro-unit integer sums
+    "ml_mannwhitney_u",
+    "ml_kruskal_wallis",
+    "ml_spearman_corr",
+    "ml_wilcoxon_signed_rank",
+    "ml_friedman_test",
+    "ml_brown_forsythe",
+    "ts_ljung_box",
+    "graph_resource_allocation",
     # round-7: windows over raw lineitem rows, where the synthetic
     # data does NOT make (l_orderkey, l_linenumber) unique — the order
     # must be total over all consumed columns instead
