@@ -3726,3 +3726,240 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "n_buckets", "n", F.round(num * num / den, 6).alias("r2")
     )
+
+
+# --------------------------------------------------------------------------
+# Graded retrieval metrics: NDCG@k and MRR@k (round 7)
+# --------------------------------------------------------------------------
+
+#: Discounted-gain weights 1/log2(rank+1) for ranks 1..10, quantized to
+#: integer micro-units so per-probe gains sum as exact BIGINTs (a float
+#: sum of libm log2 values would be both fold-order- and libm-variant-
+#: dependent across engines).  Shared literals with the DuckDB oracles.
+NDCG_W_MICRO = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+#: Prefix sums of NDCG_W_MICRO: ideal DCG for 1..10 relevant items.
+NDCG_CUM_MICRO = [
+    1000000, 1630930, 2130930, 2561607, 2948460,
+    3304667, 3638000, 3953465, 4254495, 4543560,
+]
+
+_RETR_TOPK_SQL = f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS pe, label AS true_label
+        FROM embeddings WHERE vec_id < 20),
+    cand AS (
+        SELECT p.probe_id, p.true_label,
+               n.label AS n_label, n.vec_id AS nid,
+               round(list_cosine_similarity(
+                   CAST(p.pe AS DOUBLE[]),
+                   CAST(n.embedding AS DOUBLE[])), 6) AS sim
+        FROM probes p JOIN embeddings n ON n.vec_id <> p.probe_id),
+    ranked AS (
+        SELECT probe_id, true_label,
+               CASE WHEN n_label = true_label THEN 1 ELSE 0 END AS rel,
+               CAST(row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY sim DESC, nid) AS BIGINT) AS rk
+        FROM cand
+        QUALIFY rk <= {PREC_K})
+"""
+
+
+@query(
+    "ml_ndcg_at_k",
+    oracle=_RETR_TOPK_SQL
+    + f"""
+    , gains AS (
+        SELECT probe_id, true_label,
+               CAST(sum(rel) AS BIGINT) AS hits_at_k,
+               CAST(sum(rel * ({NDCG_W_MICRO})[CAST(rk AS INTEGER)])
+                    AS BIGINT) AS dcg_micro
+        FROM ranked GROUP BY probe_id, true_label),
+    pool AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_label
+        FROM embeddings GROUP BY label)
+    SELECT g.probe_id, g.true_label, g.hits_at_k, g.dcg_micro,
+           CASE WHEN p.n_label - 1 <= 0 THEN 0.0
+                ELSE round(g.dcg_micro /
+                     CAST(({NDCG_CUM_MICRO})[CAST(
+                         least(p.n_label - 1, {PREC_K}) AS INTEGER)]
+                         AS DOUBLE), 6)
+           END AS ndcg
+    FROM gains g JOIN pool p ON p.label = g.true_label
+    """,
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{PREC_K} per probe: the discounted sibling of
+    ``ml_precision_at_k`` — hits near the top of the ranking count for
+    more (gain 1/log2(rank+1)), normalized by the best achievable DCG
+    given how many relevant items exist in the corpus at all.
+
+    The per-probe top-k is the TWO-STAGE distributed idiom: a first
+    row_number window partitioned by (scan-partition, probe) keeps
+    each partition's local top-{PREC_K} (never more than k·P·probes
+    rows survive), and only that sliver shuffles into the per-probe
+    merge window — no corpus-sized partition anywhere, unlike a naive
+    per-probe global window.  Gains are exact integer micro-units
+    (module literals shared with the oracle — no runtime log2, whose
+    libm rounding differs across engines), ideal DCG is a literal
+    prefix-sum lookup at min(#relevant, k), and the single closing
+    division is bit-identical cross-engine.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("label").alias("true_label"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ne"),
+        F.col("label").alias("n_label"),
+    )
+    sim = F.round(_cosine(F.col("pe"), F.col("ne")), 6)
+    cand = (
+        n.join(F.broadcast(probes), F.col("nid") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "true_label",
+            "nid",
+            F.when(F.col("n_label") == F.col("true_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            sim.alias("sim"),
+        )
+        .withColumn("__part", F.spark_partition_id())
+    )
+    wl = Window.partitionBy("__part", "probe_id").orderBy(
+        F.desc("sim"), F.asc("nid")
+    )
+    local = (
+        cand.withColumn("lrk", F.row_number().over(wl))
+        .filter(F.col("lrk") <= PREC_K)
+        .drop("__part", "lrk")
+    )
+    wg = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("nid"))
+    ranked = (
+        local.withColumn("rk", F.row_number().over(wg).cast("long"))
+        .filter(F.col("rk") <= PREC_K)
+    )
+    warr = F.array(*[F.lit(v) for v in NDCG_W_MICRO])
+    gains = ranked.groupBy("probe_id", "true_label").agg(
+        F.sum("rel").alias("hits_at_k"),
+        F.sum(
+            F.col("rel") * F.element_at(warr, F.col("rk").cast("int"))
+        ).alias("dcg_micro"),
+    )
+    pool = e.groupBy(F.col("label").alias("true_label")).agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    carr = F.array(*[F.lit(v) for v in NDCG_CUM_MICRO])
+    r_cap = F.least(F.col("n_label") - 1, F.lit(PREC_K)).cast("int")
+    ndcg = F.when(F.col("n_label") - 1 <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.col("dcg_micro")
+            / F.element_at(carr, r_cap).cast("double"),
+            6,
+        )
+    )
+    return gains.join(F.broadcast(pool), "true_label").select(
+        "probe_id",
+        "true_label",
+        "hits_at_k",
+        "dcg_micro",
+        ndcg.alias("ndcg"),
+    )
+
+
+@query(
+    "ml_mrr_at_k",
+    oracle=_RETR_TOPK_SQL
+    + f"""
+    , firsts AS (
+        SELECT probe_id,
+               min(CASE WHEN rel = 1 THEN rk END) AS first_hit
+        FROM ranked GROUP BY probe_id),
+    rr AS (
+        SELECT probe_id,
+               CAST(CASE WHEN first_hit IS NULL THEN 0
+                    ELSE round(1000000.0 / first_hit) END AS BIGINT)
+                   AS rr_micro
+        FROM firsts)
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN rr_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit_probes,
+           round(sum(rr_micro) / (1000000.0 * count(*)), 6) AS mrr
+    FROM rr
+    """,
+)
+def ml_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@{PREC_K}: mean reciprocal rank of the first relevant
+    neighbor across the 20 probes — the metric that rewards putting
+    ONE right answer at the very top (question-answering retrieval),
+    complementing precision@k (density) and NDCG (graded order).
+
+    Same two-stage local-then-merge top-{PREC_K} dataflow as
+    ``ml_ndcg_at_k``.  Reciprocal ranks are quantized once to integer
+    micro-units (round(10⁶/rank) — a single correctly-rounded division
+    on exact integers), so the cross-probe mean is an exact BIGINT sum
+    with one closing division; probes with no hit in the top-k
+    contribute 0 (standard MRR@k convention, pinned in both engines).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("label").alias("true_label"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ne"),
+        F.col("label").alias("n_label"),
+    )
+    sim = F.round(_cosine(F.col("pe"), F.col("ne")), 6)
+    cand = (
+        n.join(F.broadcast(probes), F.col("nid") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.when(F.col("n_label") == F.col("true_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            "nid",
+            sim.alias("sim"),
+        )
+        .withColumn("__part", F.spark_partition_id())
+    )
+    wl = Window.partitionBy("__part", "probe_id").orderBy(
+        F.desc("sim"), F.asc("nid")
+    )
+    local = (
+        cand.withColumn("lrk", F.row_number().over(wl))
+        .filter(F.col("lrk") <= PREC_K)
+        .drop("__part", "lrk")
+    )
+    wg = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("nid"))
+    ranked = (
+        local.withColumn("rk", F.row_number().over(wg).cast("long"))
+        .filter(F.col("rk") <= PREC_K)
+    )
+    firsts = ranked.groupBy("probe_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_hit")
+    )
+    rr_micro = (
+        F.when(F.col("first_hit").isNull(), F.lit(0))
+        .otherwise(F.round(F.lit(1000000.0) / F.col("first_hit")))
+        .cast("long")
+    )
+    rr = firsts.select(rr_micro.alias("rr_micro"))
+    return rr.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("rr_micro") > 0, 1).otherwise(0)).alias(
+            "n_hit_probes"
+        ),
+        F.round(
+            F.sum("rr_micro") / (F.lit(1000000.0) * F.count(F.lit(1))), 6
+        ).alias("mrr"),
+    )

@@ -40,11 +40,12 @@ _CNT = "__np_cnt"
 RA_TOPK = 30
 
 
-def _cum_below(
-    df: DataFrame, order_col: str, weight_col: str, out_col: str
+def _cum_below_multi(
+    df: DataFrame, order_col: str, cols: dict[str, str]
 ) -> DataFrame:
-    """Add the exact cumulative sum of ``weight_col`` over all rows
-    STRICTLY below ``order_col`` (rows must be unique on ``order_col``).
+    """Add, for every ``weight_col -> out_col`` in ``cols``, the exact
+    cumulative sum of the weight over all rows STRICTLY below
+    ``order_col`` (rows must be unique on ``order_col``).
 
     Distributed prefix sum, same topology as ``distrank.global_rank``:
     ``repartitionByRange`` makes partitions hold disjoint contiguous
@@ -52,33 +53,54 @@ def _cum_below(
     become prefix offsets via a triangle self-join, and the only window
     is partitioned by partition id.  Exact at any executor count
     because ``order_col`` is unique — partition boundaries cannot split
-    a tie group.
+    a tie group.  All requested weights ride ONE repartition, one
+    offsets frame, and one window spec.
     """
+    weights = list(cols)
     d = df.repartitionByRange(F.col(order_col)).withColumn(
         _PID, F.spark_partition_id()
     )
-    counts = d.groupBy(_PID).agg(F.sum(weight_col).alias(_CNT))
+    counts = d.groupBy(_PID).agg(
+        *[F.sum(wc).alias(f"{_CNT}{i}") for i, wc in enumerate(weights)]
+    )
     lower = counts.select(
-        F.col(_PID).alias("__np_pid2"), F.col(_CNT).alias("__np_cnt2")
+        F.col(_PID).alias("__np_pid2"),
+        *[
+            F.col(f"{_CNT}{i}").alias(f"__np_cnt2_{i}")
+            for i in range(len(weights))
+        ],
     )
     offsets = (
         counts.join(lower, F.col("__np_pid2") < F.col(_PID), "left")
         .groupBy(_PID)
-        .agg(F.coalesce(F.sum("__np_cnt2"), F.lit(0)).alias(_OFF))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__np_cnt2_{i}"), F.lit(0)).alias(
+                    f"{_OFF}{i}"
+                )
+                for i in range(len(weights))
+            ]
+        )
     )
     w = (
         Window.partitionBy(_PID)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        d.join(F.broadcast(offsets), _PID)
-        .withColumn(
-            out_col,
-            F.coalesce(F.sum(weight_col).over(w), F.lit(0)) + F.col(_OFF),
+    out = d.join(F.broadcast(offsets), _PID)
+    for i, wc in enumerate(weights):
+        out = out.withColumn(
+            cols[wc],
+            F.coalesce(F.sum(wc).over(w), F.lit(0)) + F.col(f"{_OFF}{i}"),
         )
-        .drop(_PID, _OFF)
-    )
+    return out.drop(_PID, *[f"{_OFF}{i}" for i in range(len(weights))])
+
+
+def _cum_below(
+    df: DataFrame, order_col: str, weight_col: str, out_col: str
+) -> DataFrame:
+    """Single-weight convenience wrapper over :func:`_cum_below_multi`."""
+    return _cum_below_multi(df, order_col, {weight_col: out_col})
 
 
 def _orders_by_segment(
@@ -1193,4 +1215,306 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("ra_micro"), "s1", "s2")
         .limit(RA_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b ordinal association (round 7)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_kendall_tau",
+    oracle="""
+    WITH xy AS (
+        SELECT CAST(round(o_totalprice) AS BIGINT) AS xv,
+               CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS p
+        FROM orders),
+    cells AS (
+        SELECT xv, p, CAST(count(*) AS BIGINT) AS n FROM xy GROUP BY 1, 2),
+    wide AS (
+        SELECT xv,
+               CAST(sum(CASE WHEN p = 1 THEN n ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN p = 2 THEN n ELSE 0 END) AS BIGINT) AS c2,
+               CAST(sum(CASE WHEN p = 3 THEN n ELSE 0 END) AS BIGINT) AS c3,
+               CAST(sum(CASE WHEN p = 4 THEN n ELSE 0 END) AS BIGINT) AS c4,
+               CAST(sum(CASE WHEN p = 5 THEN n ELSE 0 END) AS BIGINT) AS c5
+        FROM cells GROUP BY xv),
+    cum AS (
+        SELECT xv, c1, c2, c3, c4, c5,
+               CAST(coalesce(sum(c1) OVER w, 0) AS BIGINT) AS b1,
+               CAST(coalesce(sum(c2) OVER w, 0) AS BIGINT) AS b2,
+               CAST(coalesce(sum(c3) OVER w, 0) AS BIGINT) AS b3,
+               CAST(coalesce(sum(c4) OVER w, 0) AS BIGINT) AS b4
+        FROM wide
+        WINDOW w AS (ORDER BY xv
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    conc AS (
+        SELECT CAST(sum(cells.n * CASE cells.p
+                        WHEN 2 THEN cum.b1
+                        WHEN 3 THEN cum.b1 + cum.b2
+                        WHEN 4 THEN cum.b1 + cum.b2 + cum.b3
+                        WHEN 5 THEN cum.b1 + cum.b2 + cum.b3 + cum.b4
+                        ELSE 0 END) AS BIGINT) AS c_pairs
+        FROM cells JOIN cum ON cells.xv = cum.xv),
+    xt AS (
+        SELECT CAST(sum((c1 + c2 + c3 + c4 + c5)
+                        * (c1 + c2 + c3 + c4 + c5 - 1) // 2) AS BIGINT)
+                   AS n1
+        FROM wide),
+    yt AS (
+        SELECT CAST(sum(g * (g - 1) // 2) AS BIGINT) AS n2
+        FROM (SELECT p, sum(n) AS g FROM cells GROUP BY p)),
+    bt AS (
+        SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n3,
+               CAST(sum(n) AS BIGINT)                AS nn
+        FROM cells),
+    m AS (
+        SELECT conc.c_pairs,
+               bt.nn,
+               bt.nn * (bt.nn - 1) // 2 AS n0,
+               xt.n1, yt.n2, bt.n3
+        FROM conc, xt, yt, bt)
+    SELECT nn AS n,
+           c_pairs AS concordant,
+           CAST(n0 - n1 - n2 + n3 - c_pairs AS BIGINT) AS discordant,
+           round((2 * c_pairs - (n0 - n1 - n2 + n3))
+                 / sqrt(CAST(n0 - n1 AS DOUBLE) * (n0 - n2)), 6) AS tau_b
+    FROM m
+    """,
+)
+def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between order value and order priority (ordinal
+    1-URGENT … 5-LOW): do bigger orders come in more urgent?  The
+    concordance measure of choice for ordinal × continuous pairs,
+    with the tie correction that Spearman's mid-ranks only
+    approximate.
+
+    Concordant pairs never enumerate: the sample collapses to the
+    (whole-dollar value × 5-level priority) contingency grid, the
+    priority axis pivots into five count columns (the domain is fixed
+    by the data dictionary, not the data), and ONE multi-weight
+    distributed prefix sum (:func:`_cum_below_multi` — one range
+    repartition, five sums sharing the window) gives every cell its
+    strictly-lower-left mass, so C = Σ n_ij·L_ij is an exact BIGINT.
+    Discordant comes from inclusion-exclusion
+    D = n(n−1)/2 − n_xties − n_yties + n_bothties − C (every term an
+    exact integer), and tau-b closes in one shared double expression
+    (the (n0−n1)(n0−n2) product crosses to double BEFORE multiplying —
+    it overflows BIGINT at ~10⁸ rows).
+    """
+    od = load_table(spark, sf_dir, "orders")
+    xy = od.select(
+        F.round(F.col("o_totalprice")).cast("long").alias("xv"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("p"),
+    )
+    # cells feeds conc/yt/bt/wide and wide feeds cum/xt — persist both
+    # (the round-5 rule: any frame with >=2 consumers, or the scan and
+    # grid groupBys re-run once per consumer)
+    cells = (
+        xy.groupBy("xv", "p").agg(F.count(F.lit(1)).alias("n")).persist()
+    )
+    wide = cells.groupBy("xv").agg(
+        *[
+            F.sum(F.when(F.col("p") == j, F.col("n")).otherwise(0)).alias(
+                f"c{j}"
+            )
+            for j in range(1, 6)
+        ]
+    ).persist()
+    cum = _cum_below_multi(
+        wide, "xv", {f"c{j}": f"b{j}" for j in range(1, 5)}
+    )
+    below_left = (
+        F.when(F.col("p") == 2, F.col("b1"))
+        .when(F.col("p") == 3, F.col("b1") + F.col("b2"))
+        .when(F.col("p") == 4, F.col("b1") + F.col("b2") + F.col("b3"))
+        .when(
+            F.col("p") == 5,
+            F.col("b1") + F.col("b2") + F.col("b3") + F.col("b4"),
+        )
+        .otherwise(F.lit(0))
+    )
+    conc = (
+        cells.join(cum.select("xv", "b1", "b2", "b3", "b4"), "xv")
+        .agg(F.sum(F.col("n") * below_left).alias("c_pairs"))
+    )
+    # tie-pair counts: halve with shiftright (exact integer — a float
+    # /2 would sum doubles and CAST truncate-vs-round cross-engine)
+    tx = F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4") + F.col("c5")
+    xt = wide.agg(F.sum(F.shiftright(tx * (tx - 1), 1)).alias("n1"))
+    yt = (
+        cells.groupBy("p")
+        .agg(F.sum("n").alias("g"))
+        .agg(
+            F.sum(F.shiftright(F.col("g") * (F.col("g") - 1), 1)).alias(
+                "n2"
+            )
+        )
+    )
+    bt = cells.agg(
+        F.sum(F.shiftright(F.col("n") * (F.col("n") - 1), 1)).alias("n3"),
+        F.sum("n").alias("nn"),
+    )
+    m = (
+        conc.crossJoin(F.broadcast(xt))
+        .crossJoin(F.broadcast(yt))
+        .crossJoin(F.broadcast(bt))
+    )
+    n0 = F.shiftright(F.col("nn") * (F.col("nn") - 1), 1)
+    cd_total = n0 - F.col("n1") - F.col("n2") + F.col("n3")
+    return m.select(
+        F.col("nn").alias("n"),
+        F.col("c_pairs").alias("concordant"),
+        (cd_total - F.col("c_pairs")).cast("long").alias("discordant"),
+        F.round(
+            (2 * F.col("c_pairs") - cd_total)
+            / F.sqrt(
+                (n0 - F.col("n1")).cast("double") * (n0 - F.col("n2"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# McNemar paired-classifier test (round 7)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_mcnemar_test",
+    oracle="""
+    WITH c AS (
+        SELECT CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END  AS ra,
+               CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS rb
+        FROM lineitem),
+    m AS (
+        SELECT CAST(sum(ra * (1 - rb)) AS BIGINT) AS b,
+               CAST(sum((1 - ra) * rb) AS BIGINT) AS c
+        FROM c)
+    SELECT b, c,
+           round((b - c) * CAST(b - c AS DOUBLE) / (b + c), 6)
+               AS chi2_mcnemar,
+           round((abs(b - c) - 1) * (CAST(abs(b - c) AS DOUBLE) - 1)
+                 / (b + c), 6) AS chi2_cc
+    FROM m
+    """,
+)
+def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on the same two binary "raters" as
+    ``ml_cohens_kappa`` (high-quantity vs high-discount rules): do the
+    two rules disagree SYMMETRICALLY?  Kappa says how much they agree;
+    McNemar says whether the disagreements are biased one way — the
+    paired test for comparing two classifiers on one labeled set
+    (where an unpaired chi-square would throw away the pairing).
+
+    Only the two discordant cells matter: one map-side aggregation
+    pass produces b and c as exact BIGINTs; the plain and
+    continuity-corrected chi-square statistics are single shared
+    double expressions over them.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ra = F.when(F.col("l_quantity") >= 25, 1).otherwise(0)
+    rb = F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)
+    m = li.select(ra.alias("ra"), rb.alias("rb")).agg(
+        F.sum(F.col("ra") * (1 - F.col("rb"))).alias("b"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).alias("c"),
+    )
+    d = F.col("b") - F.col("c")
+    return m.select(
+        "b",
+        "c",
+        F.round(d * d.cast("double") / (F.col("b") + F.col("c")), 6).alias(
+            "chi2_mcnemar"
+        ),
+        F.round(
+            (F.abs(d) - 1)
+            * (F.abs(d).cast("double") - 1)
+            / (F.col("b") + F.col("c")),
+            6,
+        ).alias("chi2_cc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cochran's Q test over k binary treatments (round 7)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_cochrans_q",
+    oracle="""
+    WITH blk AS (
+        SELECT l_orderkey,
+               CAST(max(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS t1,
+               CAST(max(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS t2,
+               CAST(max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS t3
+        FROM lineitem GROUP BY l_orderkey),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT)  AS nb,
+               CAST(sum(t1) AS BIGINT)   AS g1,
+               CAST(sum(t2) AS BIGINT)   AS g2,
+               CAST(sum(t3) AS BIGINT)   AS g3,
+               CAST(sum(t1 + t2 + t3) AS BIGINT)  AS sl,
+               CAST(sum((t1 + t2 + t3) * (t1 + t2 + t3)) AS BIGINT) AS sl2
+        FROM blk)
+    SELECT nb AS n_blocks, g1, g2, g3,
+           round(2.0 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)
+                        - (g1 + g2 + g3) * (g1 + g2 + g3))
+                 / (3.0 * sl - sl2), 6) AS q_stat
+    FROM m
+    """,
+)
+def ml_cochrans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across k=3 binary per-order flags — contains a
+    high-quantity item / a discounted item / a returned item: do the
+    three conditions hit the same share of orders?  The k-treatment
+    generalization of McNemar over matched blocks (each order is its
+    own block), i.e. the binary-response sibling of
+    ``ml_friedman_test``.
+
+    One pass flattens line items to per-order flags (max per order),
+    a second tiny aggregate forms the column totals G_j and row-total
+    moments ΣL, ΣL² — all exact BIGINTs — and Q closes in the
+    denominator-cleared form (k−1)(kΣG² − (ΣG)²) / (kΣL − ΣL²), one
+    shared double division.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    blk = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.when(F.col("l_quantity") >= 25, 1).otherwise(0)
+        ).alias("t1"),
+        F.max(
+            F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)
+        ).alias("t2"),
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("t3"),
+    )
+    ls = F.col("t1") + F.col("t2") + F.col("t3")
+    m = blk.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("t1").alias("g1"),
+        F.sum("t2").alias("g2"),
+        F.sum("t3").alias("g3"),
+        F.sum(ls).alias("sl"),
+        F.sum(ls * ls).alias("sl2"),
+    )
+    g1, g2, g3 = F.col("g1"), F.col("g2"), F.col("g3")
+    gsum = g1 + g2 + g3
+    q = (
+        F.lit(2.0)
+        * (3 * (g1 * g1 + g2 * g2 + g3 * g3) - gsum * gsum)
+        / (F.lit(3.0) * F.col("sl") - F.col("sl2"))
+    )
+    return m.select(
+        F.col("nb").alias("n_blocks"),
+        "g1",
+        "g2",
+        "g3",
+        F.round(q, 6).alias("q_stat"),
     )

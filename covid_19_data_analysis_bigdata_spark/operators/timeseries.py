@@ -3533,3 +3533,101 @@ def events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             var_num / (F.col("n_days").cast("double") * F.col("s1")), 6
         ).alias("dispersion_idx"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dickey-Fuller-style AR(1) unit-root diagnostic (round 7)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_ar1_unit_root",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT)            AS v
+        FROM events GROUP BY 1, 2),
+    lagged AS (
+        SELECT event_type,
+               v - lag(v) OVER w AS dy,
+               lag(v) OVER w     AS x
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    mom AS (
+        SELECT event_type,
+               CAST(count(x) AS BIGINT)      AS m,
+               CAST(sum(x) AS BIGINT)        AS sx,
+               CAST(sum(dy) AS BIGINT)       AS sy,
+               CAST(sum(x * x) AS BIGINT)    AS sxx,
+               CAST(sum(x * dy) AS BIGINT)   AS sxy,
+               CAST(sum(dy * dy) AS BIGINT)  AS syy
+        FROM lagged WHERE x IS NOT NULL
+        GROUP BY event_type),
+    st AS (
+        SELECT event_type, m,
+               CAST(m * sxx - sx * sx AS DOUBLE) AS sxx_c,
+               CAST(m * sxy - sx * sy AS DOUBLE) AS sxy_c,
+               CAST(m * syy - sy * sy AS DOUBLE) AS syy_c
+        FROM mom)
+    SELECT event_type, m AS n_diffs,
+           round(sxy_c / sxx_c, 6) AS gamma,
+           round((sxy_c / sxx_c)
+                 / sqrt(((syy_c - sxy_c * sxy_c / sxx_c) / (m * (m - 2)))
+                        * (m / sxx_c)), 6) AS t_df,
+           ((sxy_c / sxx_c)
+            / sqrt(((syy_c - sxy_c * sxy_c / sxx_c) / (m * (m - 2)))
+                   * (m / sxx_c))) < -2.89 AS rejects_unit_root
+    FROM st
+    """,
+)
+def ts_ar1_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller-style unit-root diagnostic per event type: regress
+    the daily-volume DIFFERENCE on the lagged level (Δv_t = α + γ·v_{t−1})
+    and test γ < 0 — a series that mean-reverts (stationary) pulls its
+    next change against its level; a random walk doesn't.  The
+    stationarity gate run before trusting ``ts_autocorr_lag`` /
+    ``ts_trend_forecast`` readouts; −2.89 is the 5% DF critical value
+    (drift case, literal pinned in both engines).
+
+    Daily volumes are exact BIGINT counts, so every regression moment
+    (Σx, Σy, Σxy, Σx², Σy² over the m = n−1 lag pairs) is an exact
+    integer; γ̂, its standard error (via the SSE identity
+    SSE·m = Syy − Sxy²/Sxx on the centered moments) and the t ratio
+    are one shared double expression over those integers — bit-identical
+    cross-engine, so even the boolean threshold flag cannot flap.  One
+    bounded day-grain window per type, one tiny aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        (F.col("v") - F.lag("v").over(w)).alias("dy"),
+        F.lag("v").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    mom = lagged.groupBy("event_type").agg(
+        F.count("x").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    m = F.col("m")
+    sxx_c = (m * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    sxy_c = (m * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    syy_c = (m * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    gamma = sxy_c / sxx_c
+    t_df = gamma / F.sqrt(
+        ((syy_c - sxy_c * sxy_c / sxx_c) / (m * (m - 2))) * (m / sxx_c)
+    )
+    return mom.select(
+        "event_type",
+        m.alias("n_diffs"),
+        F.round(gamma, 6).alias("gamma"),
+        F.round(t_df, 6).alias("t_df"),
+        (t_df < -2.89).alias("rejects_unit_root"),
+    )

@@ -27,7 +27,25 @@ ALLOWED_CARTESIAN = {"join_cross"}
 EXCHANGE_BUDGET = 6
 #: Iterative algorithms pay per-iteration shuffles by nature (argmin +
 #: centroid recompute per Lloyd step); they get a wider budget.
-EXCHANGE_OVERRIDES = {"ml_kmeans_lloyd": 16}
+EXCHANGE_OVERRIDES = {
+    "ml_kmeans_lloyd": 16,
+    # Static-explain counts for plans whose shared frames are persisted:
+    # before materialization, formatted explain re-prints the cached
+    # subtree under EVERY consumer, so its exchanges are counted once
+    # per consumer.  At runtime each cached frame shuffles once.
+    # graph_clustering_local: persisted oriented+adj feed 4 consumers
+    # (tri via src, tri via dst, tcount union, deg join), so their
+    # build-side exchanges print up to 4 times.
+    "graph_clustering_local": 26,
+    # graph_two_hop_reach: persisted edge list feeds 3 consumers
+    # (SCALE.md round-7 plan-audit note).
+    "graph_two_hop_reach": 20,
+    # report_rfm_segmentation: 3 chained distrank.global_ntile passes
+    # over the CUSTOMER-grain table (3 range + 3 count-agg + 3 hash
+    # shuffles replacing three single-executor global sorts — the
+    # documented round-7 de-globalization trade, SCALE.md).
+    "report_rfm_segmentation": 9,
+}
 
 
 def main() -> int:
