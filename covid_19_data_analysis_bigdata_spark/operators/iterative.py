@@ -3963,3 +3963,174 @@ def ml_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rr_micro") / (F.lit(1000000.0) * F.count(F.lit(1))), 6
         ).alias("mrr"),
     )
+
+
+def _retr_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-probe top-``PREC_K`` ranking for the graded retrieval
+    metrics (the ``_RETR_TOPK_SQL`` dataflow): 20 pinned probes
+    broadcast against the corpus, cosine at 6dp, then the two-stage
+    local-then-merge row_number — each scan partition keeps only its
+    own top-k per probe before anything shuffles, so no per-probe
+    window ever sees a corpus-sized partition."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("label").alias("true_label"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ne"),
+        F.col("label").alias("n_label"),
+    )
+    sim = F.round(_cosine(F.col("pe"), F.col("ne")), 6)
+    cand = (
+        n.join(F.broadcast(probes), F.col("nid") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "true_label",
+            "nid",
+            F.when(F.col("n_label") == F.col("true_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            sim.alias("sim"),
+        )
+        .withColumn("__part", F.spark_partition_id())
+    )
+    wl = Window.partitionBy("__part", "probe_id").orderBy(
+        F.desc("sim"), F.asc("nid")
+    )
+    local = (
+        cand.withColumn("lrk", F.row_number().over(wl))
+        .filter(F.col("lrk") <= PREC_K)
+        .drop("__part", "lrk")
+    )
+    wg = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("nid"))
+    return local.withColumn(
+        "rk", F.row_number().over(wg).cast("long")
+    ).filter(F.col("rk") <= PREC_K)
+
+
+@query(
+    "ml_map_at_k",
+    oracle=_RETR_TOPK_SQL
+    + f"""
+    , cum AS (
+        SELECT probe_id, true_label, rel, rk,
+               CAST(sum(rel) OVER (
+                   PARTITION BY probe_id ORDER BY rk) AS BIGINT) AS cum_rel
+        FROM ranked),
+    ap AS (
+        SELECT probe_id, true_label,
+               CAST(sum(rel) AS BIGINT) AS hits_at_k,
+               CAST(sum(CASE WHEN rel = 1
+                             THEN CAST(round(1000000.0 * cum_rel / rk)
+                                       AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS ap_micro
+        FROM cum GROUP BY 1, 2),
+    pool AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_label
+        FROM embeddings GROUP BY label)
+    SELECT a.probe_id, a.true_label, a.hits_at_k, a.ap_micro,
+           CASE WHEN least(p.n_label - 1, {PREC_K}) <= 0 THEN 0.0
+                ELSE round(a.ap_micro
+                           / (1000000.0 * least(p.n_label - 1, {PREC_K})), 6)
+           END AS ap_at_k
+    FROM ap a JOIN pool p ON p.label = a.true_label
+    """,
+)
+def ml_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @{PREC_K} per probe (the per-query term of
+    MAP): Σ over relevant ranks of precision@that-rank, normalized by
+    the best achievable hit count min(R, k).  Order-sensitive like
+    NDCG but with a flat gain — the standard companion when relevance
+    is binary.
+
+    Built on the same two-stage local-then-merge top-{PREC_K} ranking
+    (``_retr_ranked``).  Each precision@i term 10⁶·cum_rel/rk is one
+    correctly-rounded division of small exact integers, summed as
+    BIGINT per probe — the fractional precisions never meet a float
+    accumulator, so fold order cannot flap the 6dp readout.
+    """
+    ranked = _retr_ranked(spark, sf_dir)
+    wc = Window.partitionBy("probe_id").orderBy("rk")
+    cum = ranked.withColumn("cum_rel", F.sum("rel").over(wc))
+    ap = cum.groupBy("probe_id", "true_label").agg(
+        F.sum("rel").alias("hits_at_k"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.round(
+                    F.lit(1000000.0) * F.col("cum_rel") / F.col("rk")
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("ap_micro"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    pool = e.groupBy(F.col("label").alias("true_label")).agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    denom = F.least(F.col("n_label") - 1, F.lit(PREC_K))
+    ap_at_k = F.when(denom <= 0, F.lit(0.0)).otherwise(
+        F.round(F.col("ap_micro") / (F.lit(1000000.0) * denom), 6)
+    )
+    return ap.join(F.broadcast(pool), "true_label").select(
+        "probe_id",
+        "true_label",
+        "hits_at_k",
+        "ap_micro",
+        ap_at_k.alias("ap_at_k"),
+    )
+
+
+@query(
+    "ml_recall_at_k",
+    oracle=_RETR_TOPK_SQL
+    + f"""
+    , hits AS (
+        SELECT probe_id, true_label,
+               CAST(sum(rel) AS BIGINT) AS hits_at_k
+        FROM ranked GROUP BY 1, 2),
+    pool AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_label
+        FROM embeddings GROUP BY label)
+    SELECT h.probe_id, h.true_label, h.hits_at_k,
+           p.n_label - 1 AS n_relevant,
+           CASE WHEN p.n_label - 1 <= 0 THEN 0.0
+                ELSE round(CAST(h.hits_at_k AS DOUBLE)
+                           / (p.n_label - 1), 6) END AS recall_at_k,
+           h.hits_at_k > 0 AS hit
+    FROM hits h JOIN pool p ON p.label = h.true_label
+    """,
+)
+def ml_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall @{PREC_K} per probe — what fraction of ALL same-label
+    corpus items made the top-{PREC_K} — plus the hit-rate flag
+    (any hit at all, the coverage metric batch-ANN papers report).
+    Completes the retrieval-metric quartet: precision (density), NDCG
+    (graded order), MRR (first hit), recall (coverage).
+
+    Same two-stage ranking; the readout is an exact integer count over
+    the per-label pool size (one broadcast join), with a single
+    closing division — nothing to quantize.
+    """
+    ranked = _retr_ranked(spark, sf_dir)
+    hits = ranked.groupBy("probe_id", "true_label").agg(
+        F.sum("rel").alias("hits_at_k")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    pool = e.groupBy(F.col("label").alias("true_label")).agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    n_rel = F.col("n_label") - 1
+    recall = F.when(n_rel <= 0, F.lit(0.0)).otherwise(
+        F.round(F.col("hits_at_k").cast("double") / n_rel, 6)
+    )
+    return hits.join(F.broadcast(pool), "true_label").select(
+        "probe_id",
+        "true_label",
+        "hits_at_k",
+        n_rel.alias("n_relevant"),
+        recall.alias("recall_at_k"),
+        (F.col("hits_at_k") > 0).alias("hit"),
+    )

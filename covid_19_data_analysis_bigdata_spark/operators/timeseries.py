@@ -3631,3 +3631,187 @@ def ts_ar1_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t_df, 6).alias("t_df"),
         (t_df < -2.89).alias("rejects_unit_root"),
     )
+
+
+# --------------------------------------------------------------------------
+# Correlogram / changepoint / seasonality diagnostics (round 7)
+# --------------------------------------------------------------------------
+
+_TYPE_DAILY_SQL = """
+    daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT)            AS v
+        FROM events GROUP BY 1, 2)
+"""
+
+
+@query(
+    "ts_acf_lags",
+    oracle=f"""
+    WITH {_TYPE_DAILY_SQL},
+    lags AS (SELECT CAST(range AS INTEGER) AS lag FROM range(1, 8)),
+    pairs AS (
+        SELECT a.event_type, l.lag, a.v AS x, b.v AS y
+        FROM daily a
+        CROSS JOIN lags l
+        JOIN daily b
+          ON b.event_type = a.event_type AND b.day = a.day - l.lag),
+    mom AS (
+        SELECT event_type, lag,
+               CAST(count(*) AS BIGINT)     AS m,
+               CAST(sum(x) AS BIGINT)       AS sx,
+               CAST(sum(y) AS BIGINT)       AS sy,
+               CAST(sum(x * x) AS BIGINT)   AS sxx,
+               CAST(sum(y * y) AS BIGINT)   AS syy,
+               CAST(sum(x * y) AS BIGINT)   AS sxy
+        FROM pairs GROUP BY 1, 2)
+    SELECT event_type, lag, m AS n_pairs,
+           round(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                        * CAST(m * syy - sy * sy AS DOUBLE)), 6) AS acf
+    FROM mom
+    """,
+)
+def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlogram: autocorrelation of the per-type daily volume at lags
+    1..7 — the diagnostic read before picking an AR order or a seasonal
+    window (a lag-7 spike says weekly cycle; a slow decay says trend,
+    go difference first — the ``ts_ar1_unit_root`` companion).
+
+    Alignment is by CALENDAR ARITHMETIC, not row adjacency: the lagged
+    pair joins on ``day − lag`` so a missing day drops its pairs in
+    both engines rather than silently sliding to the previous present
+    row (what a ``lag()`` window would do).  The 7 lag offsets are a
+    broadcast literal dimension crossed onto the day-grain aggregate —
+    the expensive raw-events pass reduces to day grain ONCE, and the
+    7-way self-join runs on the tiny (type, day) frame, shuffling on
+    its join key.  All six moments per (type, lag) are exact BIGINTs;
+    the Pearson ratio is one shared double expression.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        "event_type", "day", "lag", F.col("v").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("day").alias("bday"),
+        F.col("v").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bt") == F.col("event_type"))
+        & (F.col("bday") == F.date_sub(F.col("day"), F.col("lag"))),
+    )
+    mom = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    m = F.col("m")
+    num = (m * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (m * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (m * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return mom.select(
+        "event_type",
+        "lag",
+        m.alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    )
+
+
+@query(
+    "ts_dow_seasonal_strength",
+    oracle=f"""
+    WITH {_TYPE_DAILY_SQL},
+    bygrp AS (
+        SELECT event_type, isodow(day) AS dow,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(v) AS BIGINT)   AS s_g
+        FROM daily GROUP BY 1, 2),
+    terms AS (
+        SELECT event_type,
+               CAST(sum(CAST(round(1000000.0 * s_g * s_g / n_g)
+                             AS BIGINT)) AS BIGINT) AS grp_micro
+        FROM bygrp GROUP BY 1),
+    tot AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)   AS n,
+               CAST(sum(v) AS BIGINT)     AS t,
+               CAST(sum(v * v) AS BIGINT) AS sq
+        FROM daily GROUP BY 1),
+    st AS (
+        SELECT g.event_type, t.n,
+               g.grp_micro
+                 - CAST(round(1000000.0 * t.t * t.t / t.n) AS BIGINT)
+                   AS ssb_micro,
+               1000000 * t.sq
+                 - CAST(round(1000000.0 * t.t * t.t / t.n) AS BIGINT)
+                   AS sst_micro
+        FROM terms g JOIN tot t ON t.event_type = g.event_type)
+    SELECT event_type, n AS n_days, ssb_micro, sst_micro,
+           round(CAST(ssb_micro AS DOUBLE) / sst_micro, 6) AS eta2
+    FROM st
+    """,
+)
+def ts_dow_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength per event type: η² — the share
+    of daily-volume variance explained by which weekday it is
+    (between-group SSB over total SST).  η²→1 says the series is
+    dominated by a weekly cycle (forecast per-dow); η²→0 says don't
+    bother — the quantitative gate for ``ts_acf_lags``'s lag-7 read.
+
+    Both sums of squares live in integer MICRO-UNITS (the
+    ``ml_cramers_v`` idiom): each per-dow term 10⁶·s_g²/n_g and the
+    grand term 10⁶·T²/n are single correctly-rounded divisions of
+    exact BIGINTs (every intermediate < 2⁵³, so the doubles are exact;
+    DECIMAL(38,0) is the swap-in at SF ≥ 100), and the 7-term sum is
+    BIGINT — no float fold order anywhere before the one closing
+    division.  Dataflow: one day-grain reduce, two tiny aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    bygrp = daily.groupBy(
+        "event_type", (F.weekday("day") + 1).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n_g"), F.sum("v").alias("s_g"))
+    terms = bygrp.groupBy("event_type").agg(
+        F.sum(
+            F.round(
+                F.lit(1000000.0) * F.col("s_g") * F.col("s_g") / F.col("n_g")
+            ).cast("long")
+        ).alias("grp_micro")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("t"),
+        F.sum(F.col("v") * F.col("v")).alias("sq"),
+    )
+    grand = F.round(
+        F.lit(1000000.0) * F.col("t") * F.col("t") / F.col("n")
+    ).cast("long")
+    st = terms.join(tot, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        (F.col("grp_micro") - grand).alias("ssb_micro"),
+        (F.lit(1000000) * F.col("sq") - grand).alias("sst_micro"),
+    )
+    return st.select(
+        "event_type",
+        "n_days",
+        "ssb_micro",
+        "sst_micro",
+        F.round(
+            F.col("ssb_micro").cast("double") / F.col("sst_micro"), 6
+        ).alias("eta2"),
+    )

@@ -348,6 +348,20 @@ EXPECTED_IDS = {
     # three weak sketch queries
     "agg_approx_distinct_band", "agg_approx_percentile_band",
     "agg_sketch_rollup_band",
+    # round-7 batch 53: nonparametric rank statistics on the shared
+    # distributed prefix-sum rank dataflow
+    "ml_mannwhitney_u", "ml_kruskal_wallis", "ml_spearman_corr",
+    "ml_wilcoxon_signed_rank", "ml_friedman_test", "ml_brown_forsythe",
+    "ml_cohens_kappa", "ts_ljung_box", "ts_runs_test",
+    "ts_turning_points", "graph_resource_allocation",
+    # round-7 batch 54: graded retrieval metrics + categorical paired
+    # tests + unit-root gate
+    "ml_ndcg_at_k", "ml_mrr_at_k", "ml_kendall_tau", "ml_mcnemar_test",
+    "ml_cochrans_q", "ts_ar1_unit_root",
+    # round-7 batch 55: correlogram + dow seasonality strength +
+    # MAP/recall retrieval companions
+    "ts_acf_lags", "ts_dow_seasonal_strength", "ml_map_at_k",
+    "ml_recall_at_k",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
