@@ -1518,3 +1518,429 @@ def ml_cochrans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g3",
         F.round(q, 6).alias("q_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival estimator (round 7)
+# --------------------------------------------------------------------------
+
+@query(
+    "ml_kaplan_meier",
+    oracle="""
+    WITH pu AS MATERIALIZED (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+               max(ts) AS t_last
+        FROM events GROUP BY user_id),
+    fe AS (
+        SELECT e.user_id, min(e.ts) AS t_err
+        FROM events e JOIN pu ON e.user_id = pu.user_id
+        WHERE e.event_type = 'error' AND e.ts > pu.t0
+        GROUP BY e.user_id),
+    subj AS MATERIALIZED (
+        SELECT (epoch_ms(coalesce(fe.t_err, pu.t_last)) - epoch_ms(pu.t0))
+                   // 86400000 AS dur_day,
+               CASE WHEN fe.t_err IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM pu LEFT JOIN fe ON pu.user_id = fe.user_id
+        WHERE pu.t0 IS NOT NULL),
+    byd AS (
+        SELECT dur_day,
+               CAST(sum(observed) AS BIGINT) AS n_event,
+               CAST(count(*) AS BIGINT)      AS n_all
+        FROM subj GROUP BY dur_day),
+    km AS (
+        SELECT dur_day, n_event,
+               CAST((SELECT count(*) FROM subj) AS BIGINT)
+                 - CAST(coalesce(sum(n_all) OVER (ORDER BY dur_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS n_risk
+        FROM byd),
+    evr AS (
+        SELECT dur_day, n_risk, n_event,
+               1.0 - CAST(n_event AS DOUBLE) / n_risk AS term
+        FROM km WHERE n_event > 0)
+    SELECT dur_day, n_risk, n_event,
+           round(list_reduce(
+               list_prepend(1.0,
+                   list(term) OVER (ORDER BY dur_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               (a, x) -> a * x), 6) AS survival
+    FROM evr
+    """,
+)
+def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve: time from a user's first ``signup``
+    to their first subsequent ``error``, right-censored at the user's
+    last observed event.  THE nonparametric survival estimator — the
+    duration analysis a reference engine ships next to its rank tests
+    (churn-time, time-to-failure, time-to-convert curves all reduce to
+    it).
+
+    Scale design: subjects collapse to one (duration, observed) row per
+    user in a single user-grain aggregate pass; the KM table itself is
+    DAY-grain (bounded by the observation horizon), so the risk-set
+    window and the running survival product both run over a bounded
+    spine — never over the unbounded user population.  n_risk is exact
+    integer arithmetic (total minus the strictly-below prefix).
+
+    Determinism: each hazard factor ``1 - d/n`` is one correctly
+    rounded IEEE division on exact BIGINTs, and the running product
+    folds the factors in ascending-duration order on BOTH engines
+    (Spark ``F.aggregate`` over an ordered window ``collect_list`` ≡
+    DuckDB ``list_reduce`` over a framed window ``list()``) — the
+    ``ml_anova_oneway`` sequential-fold idiom, applied to products.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("t0"),
+        F.max("ts").alias("t_last"),
+    ).filter(F.col("t0").isNotNull())
+    fe = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", F.col("ts").alias("te"))
+        .join(pu.select("user_id", "t0"), "user_id")
+        .filter(F.col("te") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("te").alias("t_err"))
+    )
+    subj = pu.join(fe, "user_id", "left").select(
+        F.expr(
+            "(unix_millis(coalesce(t_err, t_last)) - unix_millis(t0))"
+            " div 86400000"
+        ).alias("dur_day"),
+        F.when(F.col("t_err").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    byd = subj.groupBy("dur_day").agg(
+        F.sum("observed").alias("n_event"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    tot = subj.agg(F.count(F.lit(1)).alias("n_total"))
+    km = (
+        _cum_below(byd, "dur_day", "n_all", "n_below")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_risk", F.col("n_total") - F.col("n_below"))
+    )
+    evr = km.filter(F.col("n_event") > 0).select(
+        "dur_day",
+        "n_risk",
+        "n_event",
+        (
+            F.lit(1.0)
+            - F.col("n_event").cast("double") / F.col("n_risk")
+        ).alias("term"),
+    )
+    # Day-grain spine: bounded by the horizon, so the unpartitioned
+    # running-product window is safe at any scale.
+    w_run = Window.orderBy("dur_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return evr.withColumn(
+        "terms", F.collect_list("term").over(w_run)
+    ).select(
+        "dur_day",
+        "n_risk",
+        "n_event",
+        F.round(
+            F.aggregate("terms", F.lit(1.0), lambda a, x: a * x), 6
+        ).alias("survival"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hash-deterministic permutation test (round 7)
+# --------------------------------------------------------------------------
+
+#: Number of label permutations drawn by the permutation test.
+PERM_R = 200
+
+
+@query(
+    "ml_permutation_test",
+    oracle=f"""
+    WITH x AS MATERIALIZED (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(floor(value * 1000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY user_id),
+    base AS MATERIALIZED (
+        SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN x END)
+                    AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(x) AS BIGINT)  AS s_tot,
+               CAST(count(*) AS BIGINT) AS n_tot
+        FROM x),
+    ranked AS (
+        SELECT r, x.x,
+               row_number() OVER (
+                   PARTITION BY r
+                   ORDER BY CAST('0x' || substr(md5(
+                       CAST(user_id AS VARCHAR) || ':'
+                       || CAST(r AS VARCHAR)), 1, 8) AS BIGINT),
+                       user_id) AS rn
+        FROM x CROSS JOIN generate_series(1, {PERM_R}) AS g(r)),
+    per AS (
+        SELECT r,
+               CAST(sum(CASE WHEN rn <= base.n_a THEN x ELSE 0 END)
+                    AS BIGINT) AS sar,
+               any_value(base.n_a)   AS n_a,
+               any_value(base.n_tot) AS n_tot,
+               any_value(base.s_tot) AS s_tot,
+               any_value(base.sa)    AS sa
+        FROM ranked CROSS JOIN base
+        GROUP BY r),
+    stat AS (
+        SELECT n_a, n_tot, s_tot, sa,
+               CAST(sa AS DOUBLE) / n_a
+                 - CAST(s_tot - sa AS DOUBLE) / (n_tot - n_a) AS t_obs,
+               CAST(sum(CASE WHEN abs(CAST(sar AS DOUBLE) / n_a
+                       - CAST(s_tot - sar AS DOUBLE) / (n_tot - n_a))
+                     >= abs(CAST(sa AS DOUBLE) / n_a
+                       - CAST(s_tot - sa AS DOUBLE) / (n_tot - n_a))
+                   THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+        FROM per GROUP BY n_a, n_tot, s_tot, sa)
+    SELECT n_a, n_tot - n_a AS n_b,
+           round(t_obs, 6) AS t_obs,
+           round((1 + cnt) / (1.0 + {PERM_R}), 6) AS p_value,
+           CAST({PERM_R} AS BIGINT) AS n_perm
+    FROM stat
+    """,
+)
+def ml_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample permutation test on per-user purchase spend (in
+    exact milli-units), comparing even- vs odd-id users (a synthetic
+    A/B split).  The exact-inference companion to the parametric tests:
+    instead of a normal approximation, the null distribution is built
+    by re-drawing the group assignment PERM_R times and recomputing the
+    mean difference.
+
+    Permutations are HASH-DETERMINISTIC: permutation ``r`` ranks users
+    by the engine-portable md5-prefix integer of ``user_id:r`` (the
+    ``ml_feature_hashing`` trick) and assigns the first ``n_a`` ranks
+    to group A — preserving the observed group sizes exactly, with no
+    RNG state anywhere.  Each replicate is an independent partition of
+    the (r, user) grid, so the R rank windows are partitioned BY r and
+    parallelize across replicates; nothing is collected.
+
+    Determinism: the response is Σ floor(value·1000) — ``floor`` of a
+    correctly rounded product is bit-identical cross-engine (no
+    round-half ties possible) — so every group sum is an exact BIGINT
+    and each statistic is two IEEE divisions plus one subtraction,
+    bit-identical on both engines; the ≥ comparison and the p-value
+    count are therefore exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1000),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("x")
+    )
+    base = x.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, F.col("x"))).alias("sa"),
+        F.sum(
+            F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+        ).cast("long").alias("n_a"),
+        F.sum("x").alias("s_tot"),
+        F.count(F.lit(1)).alias("n_tot"),
+    )
+    reps = spark.range(1, PERM_R + 1).select(F.col("id").alias("r"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("user_id"), F.col("r"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w_r = Window.partitionBy("r").orderBy("h", "user_id")
+    ranked = (
+        x.crossJoin(F.broadcast(reps))
+        .withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w_r))
+    )
+    per = (
+        ranked.crossJoin(F.broadcast(base))
+        .groupBy("r", "n_a", "n_tot", "s_tot", "sa")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") <= F.col("n_a"), F.col("x")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("sar")
+        )
+    )
+    t_of = lambda s: (  # noqa: E731 — shared statistic expression
+        s.cast("double") / F.col("n_a")
+        - (F.col("s_tot") - s).cast("double")
+        / (F.col("n_tot") - F.col("n_a"))
+    )
+    out = per.groupBy("n_a", "n_tot", "s_tot", "sa").agg(
+        F.sum(
+            F.when(
+                F.abs(t_of(F.col("sar"))) >= F.abs(t_of(F.col("sa"))), 1
+            ).otherwise(0)
+        ).alias("cnt")
+    )
+    return out.select(
+        "n_a",
+        (F.col("n_tot") - F.col("n_a")).alias("n_b"),
+        F.round(t_of(F.col("sa")), 6).alias("t_obs"),
+        F.round(
+            (1 + F.col("cnt")) / F.lit(1.0 + PERM_R), 6
+        ).alias("p_value"),
+        F.lit(PERM_R).cast("long").alias("n_perm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval (round 7)
+# --------------------------------------------------------------------------
+
+#: Bootstrap replicates drawn by the Poisson bootstrap.
+BOOT_R = 200
+
+#: Poisson(1) CDF thresholds P(X <= k), k = 0..5 (weights cap at 6).
+#: Literal doubles; the DuckDB oracle uses e0-suffixed literals because
+#: a bare 17-digit decimal parses as DECIMAL there and the
+#: DECIMAL->DOUBLE conversion is one ULP off the correctly rounded
+#: string->double parse.
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+
+_U_DEN = float(2**52)  # 13 hex digits span exactly [0, 2^52)
+
+
+def _pois_case_sql(u: str) -> str:
+    """DuckDB CASE expression mapping uniform ``u`` to a Poisson(1) draw."""
+    arms = " ".join(
+        f"WHEN {u} < {t!r}e0 THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {arms} ELSE 6 END"
+
+
+@query(
+    "ml_bootstrap_ci",
+    oracle=f"""
+    WITH days AS MATERIALIZED (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderdate),
+    base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(cents) AS BIGINT) AS s_tot
+        FROM days),
+    drawn AS (
+        SELECT r, cents,
+               {_pois_case_sql(
+                   "CAST('0x' || substr(md5(CAST(day AS VARCHAR) || ':' "
+                   "|| CAST(r AS VARCHAR)), 1, 13) AS BIGINT)"
+                   " / 4503599627370496e0")} AS w
+        FROM days CROSS JOIN generate_series(1, {BOOT_R}) AS g(r)),
+    reps AS (
+        SELECT r,
+               CAST(sum(w * cents) AS BIGINT)
+                   / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS m
+        FROM drawn GROUP BY r),
+    ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m, r) AS rn FROM reps),
+    ci AS (
+        SELECT max(CASE WHEN rn = {BOOT_R // 40} THEN m END) AS ci_lo,
+               max(CASE WHEN rn = {BOOT_R - BOOT_R // 40} THEN m END)
+                   AS ci_hi
+        FROM ranked)
+    SELECT base.n_days,
+           CAST({BOOT_R} AS BIGINT) AS n_boot,
+           round(CAST(base.s_tot AS DOUBLE) / base.n_days, 4) AS est_mean,
+           round(ci.ci_lo, 4) AS ci_lo,
+           round(ci.ci_hi, 4) AS ci_hi
+    FROM ci CROSS JOIN base
+    """,
+)
+def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for mean daily revenue
+    (cents).  The distributed bootstrap: instead of materializing R
+    resamples, each (unit, replicate) pair draws an independent
+    Poisson(1) multiplicity weight — the single-pass, shuffle-friendly
+    bootstrap used at terabyte scale, where exact multinomial
+    resampling would need a global draw.
+
+    Weights are HASH-DETERMINISTIC: the uniform is the first 13 hex
+    digits of md5(day:r) over 2^52 (an exact power-of-two division, so
+    the uniform is bit-identical cross-engine), pushed through the
+    Poisson(1) inverse CDF with shared literal thresholds.  Replicate
+    means are ratios of exact BIGINT sums (one IEEE division each), and
+    the percentile CI uses the repo's explicit order-statistic rule
+    (row ceil(p*R) under the (m, r) total order).
+
+    Scale design: units are DAY-grain (bounded spine), so the
+    (day x replicate) grid is bounded x R; the per-replicate sums are
+    one partial+final aggregate keyed by r, and the only unpartitioned
+    window ranks the R replicate means — R rows by construction.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    days = od.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    base = days.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("s_tot")
+    )
+    reps = spark.range(1, BOOT_R + 1).select(F.col("id").alias("r"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("day").cast("string"), F.col("r")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(_U_DEN)
+    )
+    w = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), k).otherwise(w)
+    drawn = days.crossJoin(F.broadcast(reps)).select(
+        "r", "cents", w.alias("w")
+    )
+    rep_means = drawn.groupBy("r").agg(
+        (
+            F.sum(F.col("w") * F.col("cents"))
+            / F.sum("w").cast("double")
+        ).alias("m")
+    )
+    # R rows by construction — the unpartitioned rank window is bounded.
+    w_rn = Window.orderBy("m", "r")
+    ranked = rep_means.withColumn("rn", F.row_number().over(w_rn))
+    lo_rn, hi_rn = BOOT_R // 40, BOOT_R - BOOT_R // 40
+    ci = ranked.agg(
+        F.max(F.when(F.col("rn") == lo_rn, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("m"))).alias("ci_hi"),
+    )
+    return ci.crossJoin(F.broadcast(base)).select(
+        "n_days",
+        F.lit(BOOT_R).cast("long").alias("n_boot"),
+        F.round(
+            F.col("s_tot").cast("double") / F.col("n_days"), 4
+        ).alias("est_mean"),
+        F.round("ci_lo", 4).alias("ci_lo"),
+        F.round("ci_hi", 4).alias("ci_hi"),
+    )

@@ -3815,3 +3815,123 @@ def ts_dow_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ssb_micro").cast("double") / F.col("sst_micro"), 6
         ).alias("eta2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sweep-line peak session concurrency (round 7)
+# --------------------------------------------------------------------------
+
+from covid_19_data_analysis_bigdata_spark.operators.nonparam import (  # noqa: E402
+    _cum_below_multi,
+)
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS t_ms,
+               CASE WHEN epoch_ms(ts)
+                         - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                         > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id, t_ms,
+               sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY t_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+        FROM marked),
+    iv AS MATERIALIZED (
+        SELECT min(t_ms) AS s, max(t_ms) AS e
+        FROM sessions GROUP BY user_id, session_no),
+    pts AS (
+        SELECT s AS t, 1 AS st, 0 AS en FROM iv
+        UNION ALL
+        SELECT e AS t, 0 AS st, 1 AS en FROM iv),
+    ag AS (
+        SELECT t, CAST(sum(st) AS BIGINT) AS starts,
+                  CAST(sum(en) AS BIGINT) AS ends
+        FROM pts GROUP BY t),
+    c AS (
+        SELECT t,
+               CAST(sum(starts) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT)
+               - CAST(coalesce(sum(ends) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS conc
+        FROM ag)
+    SELECT DATE '1970-01-01' + CAST(t // 86400000 AS INTEGER) AS day,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency,
+           CAST(count(*) AS BIGINT)  AS n_points
+    FROM c GROUP BY day
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day, by sweep line: sessionize
+    (the ``win_sessionize_batch`` 30-minute-gap rule), turn every
+    session into a closed interval [start, end], and sweep the +1/-1
+    boundary deltas in time order — concurrency at instant t counts
+    sessions with start <= t and end >= t (a session ending exactly at
+    t still counts).  The capacity-planning staple (max simultaneous
+    users) that naive ``GROUP BY time-bucket`` counting gets wrong
+    whenever sessions span buckets.
+
+    Scale design: the running boundary sums come from the distributed
+    prefix-sum (:func:`nonparam._cum_below_multi` — range repartition,
+    partition-local windows, triangle-join offsets), NOT a global
+    window, so the sweep parallelizes over disjoint time ranges at any
+    data size; deltas are pre-aggregated per distinct millisecond so
+    the order column is unique.  All counting is exact BIGINT.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t_ms = F.unix_millis("ts")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        t_ms.alias("t_ms"),
+        F.when(t_ms - F.lag(t_ms).over(w_order) > 30 * 60 * 1000, 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    iv = (
+        marked.withColumn("session_no", F.sum("new_session").over(w_run))
+        .groupBy("user_id", "session_no")
+        .agg(F.min("t_ms").alias("s"), F.max("t_ms").alias("e"))
+    )
+    pts = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("st"), F.lit(0).alias("en")
+    ).unionAll(
+        iv.select(
+            F.col("e").alias("t"),
+            F.lit(0).alias("st"),
+            F.lit(1).alias("en"),
+        )
+    )
+    ag = pts.groupBy("t").agg(
+        F.sum("st").alias("starts"), F.sum("en").alias("ends")
+    )
+    swept = _cum_below_multi(
+        ag, "t", {"starts": "cs_below", "ends": "ce_below"}
+    ).withColumn(
+        "conc",
+        F.col("cs_below") + F.col("starts") - F.col("ce_below"),
+    )
+    return swept.groupBy(
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.expr("t div 86400000").cast("int"),
+        ).alias("day")
+    ).agg(
+        F.max("conc").alias("peak_concurrency"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

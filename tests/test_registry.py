@@ -362,6 +362,10 @@ EXPECTED_IDS = {
     # MAP/recall retrieval companions
     "ts_acf_lags", "ts_dow_seasonal_strength", "ml_map_at_k",
     "ml_recall_at_k",
+    # round-7 batch 56: survival + hash-deterministic resampling
+    # inference + sweep-line concurrency
+    "ml_kaplan_meier", "ml_permutation_test", "ml_bootstrap_ci",
+    "events_peak_concurrency",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
