@@ -1944,3 +1944,626 @@ def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ci_lo", 4).alias("ci_lo"),
         F.round("ci_hi", 4).alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (round 7)
+# --------------------------------------------------------------------------
+
+#: Shared signup -> first-error survival construction (KM family).
+_SURV_SUBJ_SQL = """
+    pu AS MATERIALIZED (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+               max(ts) AS t_last
+        FROM events GROUP BY user_id),
+    fe AS (
+        SELECT e.user_id, min(e.ts) AS t_err
+        FROM events e JOIN pu ON e.user_id = pu.user_id
+        WHERE e.event_type = 'error' AND e.ts > pu.t0
+        GROUP BY e.user_id),
+    subj AS MATERIALIZED (
+        SELECT pu.user_id,
+               (epoch_ms(coalesce(fe.t_err, pu.t_last)) - epoch_ms(pu.t0))
+                   // 86400000 AS dur_day,
+               CASE WHEN fe.t_err IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM pu LEFT JOIN fe ON pu.user_id = fe.user_id
+        WHERE pu.t0 IS NOT NULL)
+"""
+
+
+def _surv_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, dur_day, observed): days from a user's first ``signup``
+    to their first subsequent ``error``, right-censored at the user's
+    last event — the shared subject table of the survival family
+    (``ml_kaplan_meier`` inlines the same construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("t0"),
+        F.max("ts").alias("t_last"),
+    ).filter(F.col("t0").isNotNull())
+    fe = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", F.col("ts").alias("te"))
+        .join(pu.select("user_id", "t0"), "user_id")
+        .filter(F.col("te") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("te").alias("t_err"))
+    )
+    return pu.join(fe, "user_id", "left").select(
+        "user_id",
+        F.expr(
+            "(unix_millis(coalesce(t_err, t_last)) - unix_millis(t0))"
+            " div 86400000"
+        ).alias("dur_day"),
+        F.when(F.col("t_err").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+
+
+def _risk_table(subj: DataFrame) -> DataFrame:
+    """Day-grain risk table (dur_day, n_event, n_all, n_risk) from a
+    (dur_day, observed) subject frame — exact integer prefix
+    arithmetic over the distributed prefix sum."""
+    byd = subj.groupBy("dur_day").agg(
+        F.sum("observed").alias("n_event"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    tot = subj.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        _cum_below(byd, "dur_day", "n_all", "n_below")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_risk", F.col("n_total") - F.col("n_below"))
+    )
+
+
+@query(
+    "ml_nelson_aalen",
+    oracle=f"""
+    WITH {_SURV_SUBJ_SQL},
+    byd AS (
+        SELECT dur_day,
+               CAST(sum(observed) AS BIGINT) AS n_event,
+               CAST(count(*) AS BIGINT)      AS n_all
+        FROM subj GROUP BY dur_day),
+    km AS (
+        SELECT dur_day, n_event,
+               CAST((SELECT count(*) FROM subj) AS BIGINT)
+                 - CAST(coalesce(sum(n_all) OVER (ORDER BY dur_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS n_risk
+        FROM byd),
+    evr AS (
+        SELECT dur_day, n_risk, n_event,
+               CAST(n_event AS DOUBLE) / n_risk            AS h_term,
+               CAST(n_event AS DOUBLE) / (n_risk * n_risk) AS v_term
+        FROM km WHERE n_event > 0)
+    SELECT dur_day, n_risk, n_event,
+           round(list_reduce(list_prepend(0.0,
+               list(h_term) OVER (ORDER BY dur_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               (a, x) -> a + x), 6) AS cum_hazard,
+           round(list_reduce(list_prepend(0.0,
+               list(v_term) OVER (ORDER BY dur_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               (a, x) -> a + x), 10) AS hazard_var
+    FROM evr
+    """,
+)
+def ml_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ d_i/n_i with its
+    (Klein) variance Σ d_i/n_i² — the hazard-scale companion to
+    ``ml_kaplan_meier`` on the same signup→first-error durations;
+    preferred over -log(KM) for small risk sets and the standard input
+    to hazard-ratio eyeballing.
+
+    Same scale shape as KM: one user-grain pass to (duration,
+    observed), exact integer risk sets from the distributed prefix sum
+    (:func:`_risk_table`), and day-grain running sums via the
+    ascending-order sequential fold, so each per-time term (one IEEE
+    division of exact BIGINTs) and both cumulative curves are
+    bit-identical cross-engine.
+    """
+    km = _risk_table(_surv_subjects(spark, sf_dir))
+    evr = km.filter(F.col("n_event") > 0).select(
+        "dur_day",
+        "n_risk",
+        "n_event",
+        (F.col("n_event").cast("double") / F.col("n_risk")).alias("h_term"),
+        (
+            F.col("n_event").cast("double")
+            / (F.col("n_risk") * F.col("n_risk"))
+        ).alias("v_term"),
+    )
+    w_run = Window.orderBy("dur_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        evr.withColumn("hs", F.collect_list("h_term").over(w_run))
+        .withColumn("vs", F.collect_list("v_term").over(w_run))
+        .select(
+            "dur_day",
+            "n_risk",
+            "n_event",
+            F.round(
+                F.aggregate("hs", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("cum_hazard"),
+            F.round(
+                F.aggregate("vs", F.lit(0.0), lambda a, x: a + x), 10
+            ).alias("hazard_var"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Log-rank test (round 7)
+# --------------------------------------------------------------------------
+
+@query(
+    "ml_logrank_test",
+    oracle=f"""
+    WITH {_SURV_SUBJ_SQL},
+    sg AS MATERIALIZED (
+        SELECT dur_day, observed,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+        FROM subj),
+    byd AS (
+        SELECT dur_day,
+               CAST(sum(observed) AS BIGINT)          AS d,
+               CAST(sum(observed * in_a) AS BIGINT)   AS d_a,
+               CAST(count(*) AS BIGINT)               AS n_all,
+               CAST(sum(in_a) AS BIGINT)              AS a_all
+        FROM sg GROUP BY dur_day),
+    km AS (
+        SELECT dur_day, d, d_a,
+               CAST((SELECT count(*) FROM sg) AS BIGINT)
+                 - CAST(coalesce(sum(n_all) OVER (ORDER BY dur_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS n,
+               CAST((SELECT sum(in_a) FROM sg) AS BIGINT)
+                 - CAST(coalesce(sum(a_all) OVER (ORDER BY dur_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS n_a
+        FROM byd),
+    evr AS (
+        SELECT dur_day, d, d_a,
+               CAST(d * n_a AS DOUBLE) / n AS e_term,
+               CAST(d * n_a * (n - n_a) * (n - d) AS DOUBLE)
+                   / (n * n * (n - 1)) AS v_term
+        FROM km WHERE d > 0 AND n > 1),
+    m AS (
+        SELECT CAST(sum(d_a) AS BIGINT) AS o_a,
+               CAST(sum(d) AS BIGINT)   AS d_tot,
+               list_reduce(list_prepend(0.0, list_sort(list(e_term))),
+                   (a, x) -> a + x) AS e_a,
+               list_reduce(list_prepend(0.0, list_sort(list(v_term))),
+                   (a, x) -> a + x) AS v
+        FROM evr)
+    SELECT o_a, d_tot, round(e_a, 6) AS e_a,
+           round((o_a - e_a) * (o_a - e_a) / v, 6) AS chi2_logrank
+    FROM m
+    """,
+)
+def ml_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do even- and odd-id users share the same
+    signup→first-error survival curve?  The standard two-group
+    censored-data comparison (and the score test of the Cox model):
+    at every event time, group A's observed events are compared with
+    the hypergeometric expectation d·n_A/n, and the statistic is
+    (O_A − E_A)² / ΣV_i ~ χ²(1).
+
+    Both risk sets (overall and group-A) ride ONE distributed prefix
+    sum (:func:`_cum_below_multi` with two weights); every per-time
+    expectation and variance term is a single IEEE division of exact
+    BIGINT products (d·n_A·(n−n_A)·(n−d) < 2⁵³ through 10⁵-subject
+    cohorts — beyond that the term would switch to staged division),
+    and the closing sums fold the sorted term lists sequentially — the
+    ``ml_anova_oneway`` idiom — so the χ² is bit-identical
+    cross-engine.  Event times with n ≤ 1 carry no information
+    (variance 0/0) and are excluded by convention.
+    """
+    sg = _surv_subjects(spark, sf_dir).select(
+        "dur_day",
+        "observed",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+    )
+    byd = sg.groupBy("dur_day").agg(
+        F.sum("observed").alias("d"),
+        F.sum(F.col("observed") * F.col("in_a")).alias("d_a"),
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("in_a").alias("a_all"),
+    )
+    tot = sg.agg(
+        F.count(F.lit(1)).alias("n_tot"), F.sum("in_a").alias("na_tot")
+    )
+    km = (
+        _cum_below_multi(
+            byd, "dur_day", {"n_all": "cb_all", "a_all": "cb_a"}
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dur_day",
+            "d",
+            "d_a",
+            (F.col("n_tot") - F.col("cb_all")).alias("n"),
+            (F.col("na_tot") - F.col("cb_a")).alias("n_a"),
+        )
+    )
+    n, n_a, d = F.col("n"), F.col("n_a"), F.col("d")
+    evr = km.filter((d > 0) & (n > 1)).select(
+        "d",
+        "d_a",
+        ((d * n_a).cast("double") / n).alias("e_term"),
+        (
+            (d * n_a * (n - n_a) * (n - d)).cast("double")
+            / (n * n * (n - 1))
+        ).alias("v_term"),
+    )
+    m = evr.agg(
+        F.sum("d_a").alias("o_a"),
+        F.sum("d").alias("d_tot"),
+        F.aggregate(
+            F.sort_array(F.collect_list("e_term")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("e_a"),
+        F.aggregate(
+            F.sort_array(F.collect_list("v_term")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("v"),
+    )
+    diff = F.col("o_a") - F.col("e_a")
+    return m.select(
+        "o_a",
+        "d_tot",
+        F.round("e_a", 6).alias("e_a"),
+        F.round(diff * diff / F.col("v"), 6).alias("chi2_logrank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Restricted mean survival time (round 7)
+# --------------------------------------------------------------------------
+
+#: RMST truncation horizon (days).  Inside the observed duration range
+#: at every test SF (max durations 7 / 8 / 14 at sf0.001/0.01/0.1).
+RMST_TAU = 6
+
+
+@query(
+    "ml_rmst",
+    oracle=f"""
+    WITH {_SURV_SUBJ_SQL},
+    byd AS (
+        SELECT dur_day,
+               CAST(sum(observed) AS BIGINT) AS n_event,
+               CAST(count(*) AS BIGINT)      AS n_all
+        FROM subj GROUP BY dur_day),
+    km AS (
+        SELECT dur_day, n_event,
+               CAST((SELECT count(*) FROM subj) AS BIGINT)
+                 - CAST(coalesce(sum(n_all) OVER (ORDER BY dur_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS n_risk
+        FROM byd),
+    sv AS (
+        SELECT dur_day,
+               list_reduce(list_prepend(1.0,
+                   list(1.0 - CAST(n_event AS DOUBLE) / n_risk)
+                       OVER (ORDER BY dur_day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+                   (a, x) -> a * x) AS s,
+               lead(dur_day) OVER (ORDER BY dur_day) AS nxt
+        FROM km WHERE n_event > 0),
+    seg AS (
+        SELECT s * (least(coalesce(nxt, {RMST_TAU}), {RMST_TAU})
+                    - least(dur_day, {RMST_TAU})) AS term
+        FROM sv),
+    m AS (
+        SELECT (SELECT CAST(min(dur_day) AS BIGINT) FROM sv) AS t1,
+               CAST(count(*) AS BIGINT) AS n_times,
+               list_reduce(list_prepend(0.0, list_sort(list(term))),
+                   (a, x) -> a + x) AS area
+        FROM seg)
+    SELECT CAST({RMST_TAU} AS BIGINT) AS tau,
+           n_times,
+           round(least(t1, {RMST_TAU}) + area, 6) AS rmst
+    FROM m
+    """,
+)
+def ml_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time: the area under the Kaplan-Meier
+    curve up to τ = RMST_TAU days — "expected error-free days in the
+    first week" — the modern replacement for median survival when
+    curves don't reach 0.5 and the standard effect size when hazards
+    aren't proportional.
+
+    Reuses the KM machinery end-to-end: exact integer risk sets
+    (:func:`_risk_table`), the ascending sequential product fold for
+    S(t), then one step-function integral Σ S(t_i)·(t_{i+1}∧τ − t_i∧τ)
+    plus the leading S=1 segment min(t₁, τ).  Interval widths are
+    exact BIGINTs, each segment is one product with a bit-identical
+    S(t_i), and the closing sum folds the sorted segment list — every
+    float op shared, so the RMST matches to the last bit before the
+    final 6dp round.
+    """
+    km = _risk_table(_surv_subjects(spark, sf_dir))
+    w_run = Window.orderBy("dur_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_lead = Window.orderBy("dur_day")
+    sv = (
+        km.filter(F.col("n_event") > 0)
+        .withColumn(
+            "terms",
+            F.collect_list(
+                F.lit(1.0)
+                - F.col("n_event").cast("double") / F.col("n_risk")
+            ).over(w_run),
+        )
+        .select(
+            "dur_day",
+            F.aggregate("terms", F.lit(1.0), lambda a, x: a * x).alias(
+                "s"
+            ),
+            F.lead("dur_day").over(w_lead).alias("nxt"),
+        )
+    )
+    tau = F.lit(RMST_TAU)
+    seg = sv.select(
+        (
+            F.col("s")
+            * (
+                F.least(F.coalesce(F.col("nxt"), tau), tau)
+                - F.least(F.col("dur_day"), tau)
+            )
+        ).alias("term"),
+        "dur_day",
+    )
+    m = seg.agg(
+        F.min("dur_day").alias("t1"),
+        F.count(F.lit(1)).alias("n_times"),
+        F.aggregate(
+            F.sort_array(F.collect_list("term")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("area"),
+    )
+    return m.select(
+        F.lit(RMST_TAU).cast("long").alias("tau"),
+        "n_times",
+        F.round(F.least(F.col("t1"), tau) + F.col("area"), 6).alias(
+            "rmst"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Competing-risks cumulative incidence (Aalen-Johansen) (round 7)
+# --------------------------------------------------------------------------
+
+#: Administrative censoring horizon (days) for the competing-risks
+#: analysis: subjects whose first terminal event lands after day
+#: CR_TAU are censored at CR_TAU.
+CR_TAU = 7
+
+
+@query(
+    "ml_competing_risks",
+    oracle=f"""
+    WITH pu AS MATERIALIZED (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+               max(ts) AS t_last
+        FROM events GROUP BY user_id),
+    fe AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'error' THEN e.ts END)
+                   AS terr,
+               min(CASE WHEN e.event_type = 'purchase' THEN e.ts END)
+                   AS tpur
+        FROM events e JOIN pu ON e.user_id = pu.user_id
+        WHERE e.ts > pu.t0 AND e.event_type IN ('error', 'purchase')
+        GROUP BY e.user_id),
+    raw AS (
+        SELECT (epoch_ms(coalesce(
+                   CASE WHEN terr IS NULL THEN tpur
+                        WHEN tpur IS NULL THEN terr
+                        WHEN tpur < terr THEN tpur ELSE terr END,
+                   pu.t_last)) - epoch_ms(pu.t0)) // 86400000 AS raw_dur,
+               CASE WHEN terr IS NULL AND tpur IS NULL THEN 'censor'
+                    WHEN terr IS NULL THEN 'purchase'
+                    WHEN tpur IS NULL THEN 'error'
+                    WHEN tpur < terr THEN 'purchase' ELSE 'error'
+               END AS raw_cause
+        FROM pu LEFT JOIN fe ON pu.user_id = fe.user_id
+        WHERE pu.t0 IS NOT NULL),
+    subj AS MATERIALIZED (
+        SELECT CASE WHEN raw_dur > {CR_TAU} THEN {CR_TAU}
+                    ELSE raw_dur END AS dur_day,
+               CASE WHEN raw_dur > {CR_TAU} THEN 'censor'
+                    ELSE raw_cause END AS cause
+        FROM raw),
+    byd AS (
+        SELECT dur_day,
+               CAST(sum(CASE WHEN cause = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d_err,
+               CAST(sum(CASE WHEN cause = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d_pur,
+               CAST(count(*) AS BIGINT) AS n_all
+        FROM subj GROUP BY dur_day),
+    km AS (
+        SELECT dur_day, d_err, d_pur, d_err + d_pur AS d_tot,
+               CAST((SELECT count(*) FROM subj) AS BIGINT)
+                 - CAST(coalesce(sum(n_all) OVER (ORDER BY dur_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS n_risk
+        FROM byd),
+    sv AS (
+        SELECT dur_day, d_err, d_pur, d_tot, n_risk,
+               list_reduce(list_prepend(1.0,
+                   coalesce(list(1.0 - CAST(d_tot AS DOUBLE) / n_risk)
+                       OVER (ORDER BY dur_day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING),
+                       CAST([] AS DOUBLE[]))),
+                   (a, x) -> a * x) AS s_prev
+        FROM km),
+    inc AS (
+        SELECT dur_day, n_risk, d_err, d_pur,
+               s_prev * (CAST(d_err AS DOUBLE) / n_risk) AS i_err,
+               s_prev * (CAST(d_pur AS DOUBLE) / n_risk) AS i_pur,
+               d_tot
+        FROM sv)
+    SELECT dur_day, n_risk, d_err, d_pur,
+           round(list_reduce(list_prepend(0.0,
+               list(i_err) OVER (ORDER BY dur_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               (a, x) -> a + x), 6) AS cif_error,
+           round(list_reduce(list_prepend(0.0,
+               list(i_pur) OVER (ORDER BY dur_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               (a, x) -> a + x), 6) AS cif_purchase
+    FROM inc
+    QUALIFY d_tot > 0
+    """,
+)
+def ml_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence: after signup, does a user
+    hit ``error`` or ``purchase`` first?  With competing terminal
+    events, 1−KM per cause OVERSTATES incidence (it treats the rival
+    event as censoring); the correct estimator accumulates
+    CIF_c(t) = Σ Ŝ(t_{i−1})·d_{c,i}/n_i with Ŝ the all-cause KM.
+    Subjects are administratively censored at day CR_TAU so the
+    censoring path is exercised even though every user errors
+    eventually.
+
+    One user-grain pass yields (duration, cause); risk sets are exact
+    integer prefixes; Ŝ(t−) is the ascending product fold over the
+    STRICTLY-BELOW frame (empty frame → 1.0 on both engines via an
+    explicit empty-list coalesce in the oracle), and each CIF is the
+    ascending sum fold of s_prev·(d_c/n) — every factor shared and
+    parenthesized identically, so both curves match bitwise.  All
+    windows run on the bounded day-grain spine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("t0"),
+        F.max("ts").alias("t_last"),
+    ).filter(F.col("t0").isNotNull())
+    fe = (
+        ev.filter(F.col("event_type").isin("error", "purchase"))
+        .join(pu.select("user_id", "t0"), "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "error", F.col("ts"))
+            ).alias("terr"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("tpur"),
+        )
+    )
+    t_evt = (
+        F.when(F.col("terr").isNull(), F.col("tpur"))
+        .when(F.col("tpur").isNull(), F.col("terr"))
+        .when(F.col("tpur") < F.col("terr"), F.col("tpur"))
+        .otherwise(F.col("terr"))
+    )
+    raw_cause = (
+        F.when(
+            F.col("terr").isNull() & F.col("tpur").isNull(), "censor"
+        )
+        .when(F.col("terr").isNull(), "purchase")
+        .when(F.col("tpur").isNull(), "error")
+        .when(F.col("tpur") < F.col("terr"), "purchase")
+        .otherwise("error")
+    )
+    raw = pu.join(fe, "user_id", "left").select(
+        (
+            F.unix_millis(F.coalesce(t_evt, F.col("t_last")))
+            - F.unix_millis("t0")
+        ).alias("ms_dur"),
+        raw_cause.alias("raw_cause"),
+    ).select(
+        F.expr("ms_dur div 86400000").alias("raw_dur"), "raw_cause"
+    )
+    subj = raw.select(
+        F.when(F.col("raw_dur") > CR_TAU, CR_TAU)
+        .otherwise(F.col("raw_dur"))
+        .alias("dur_day"),
+        F.when(F.col("raw_dur") > CR_TAU, "censor")
+        .otherwise(F.col("raw_cause"))
+        .alias("cause"),
+    )
+    byd = subj.groupBy("dur_day").agg(
+        F.sum(F.when(F.col("cause") == "error", 1).otherwise(0)).alias(
+            "d_err"
+        ),
+        F.sum(
+            F.when(F.col("cause") == "purchase", 1).otherwise(0)
+        ).alias("d_pur"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    tot = subj.agg(F.count(F.lit(1)).alias("n_total"))
+    km = (
+        _cum_below(byd, "dur_day", "n_all", "n_below")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_risk", F.col("n_total") - F.col("n_below"))
+        .withColumn("d_tot", F.col("d_err") + F.col("d_pur"))
+    )
+    w_prev = Window.orderBy("dur_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.orderBy("dur_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sv = km.withColumn(
+        "s_prev",
+        F.aggregate(
+            F.collect_list(
+                F.lit(1.0)
+                - F.col("d_tot").cast("double") / F.col("n_risk")
+            ).over(w_prev),
+            F.lit(1.0),
+            lambda a, x: a * x,
+        ),
+    )
+    inc = sv.select(
+        "dur_day",
+        "n_risk",
+        "d_err",
+        "d_pur",
+        "d_tot",
+        (
+            F.col("s_prev")
+            * (F.col("d_err").cast("double") / F.col("n_risk"))
+        ).alias("i_err"),
+        (
+            F.col("s_prev")
+            * (F.col("d_pur").cast("double") / F.col("n_risk"))
+        ).alias("i_pur"),
+    )
+    return (
+        inc.withColumn("es", F.collect_list("i_err").over(w_run))
+        .withColumn("ps", F.collect_list("i_pur").over(w_run))
+        .filter(F.col("d_tot") > 0)
+        .select(
+            "dur_day",
+            "n_risk",
+            "d_err",
+            "d_pur",
+            F.round(
+                F.aggregate("es", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("cif_error"),
+            F.round(
+                F.aggregate("ps", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("cif_purchase"),
+        )
+    )

@@ -366,6 +366,9 @@ EXPECTED_IDS = {
     # inference + sweep-line concurrency
     "ml_kaplan_meier", "ml_permutation_test", "ml_bootstrap_ci",
     "events_peak_concurrency",
+    # round-7 batch 57: survival-analysis suite completion
+    "ml_nelson_aalen", "ml_logrank_test", "ml_rmst",
+    "ml_competing_risks",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
