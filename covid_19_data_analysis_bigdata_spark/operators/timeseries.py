@@ -3935,3 +3935,338 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("conc").alias("peak_concurrency"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+# --------------------------------------------------------------------------
+# Financial series on the order book (round 7): NPV, Sharpe, beta,
+# drawdown duration
+# --------------------------------------------------------------------------
+
+#: Daily discount rate for the NPV query (0.1%/day).
+NPV_DAILY_RATE = 1.001
+
+#: Shared day-grain revenue series: whole-dollar order totals by day.
+_REV_DAILY_SQL = """
+    rev AS MATERIALIZED (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS usd
+        FROM orders GROUP BY o_orderdate)
+"""
+
+
+def _rev_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, usd): whole-dollar order revenue per order date."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("usd")
+    )
+
+
+@query(
+    "ts_npv_discounted",
+    oracle=f"""
+    WITH {_REV_DAILY_SQL},
+    t0 AS (SELECT min(day) AS d0 FROM rev),
+    terms AS (
+        SELECT usd * list_reduce(
+                   list_prepend(1.0e0, list_transform(
+                       range(CAST(datediff('day', t0.d0, rev.day)
+                                  AS BIGINT)),
+                       x -> 0.0e0)),
+                   (a, x) -> a / {NPV_DAILY_RATE}e0) AS term
+        FROM rev CROSS JOIN t0)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           {NPV_DAILY_RATE}e0 - 1 AS daily_rate,
+           round(list_reduce(list_prepend(0.0e0, list_sort(list(term))),
+               (a, x) -> a + x), 4) AS npv_usd
+    FROM terms
+    """,
+)
+def ts_npv_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net present value of the daily order-revenue stream at a fixed
+    0.1%/day discount rate, anchored on the first order date — the
+    time-value-of-money fold every finance-flavored reference engine
+    ships (cash-flow NPV, LTV discounting).
+
+    Portability is the interesting part: ``pow(q, t)`` is a libm call
+    with engine-specific rounding, so the discount factor is instead
+    built by REPEATED DIVISION — t sequential ``/ 1.001`` steps per
+    day (Spark ``F.aggregate`` over ``sequence``, DuckDB
+    ``list_reduce`` over ``range``), every step a correctly rounded
+    IEEE op in the same order, so each factor is bit-identical.  The
+    closing sum folds the sorted term list (the ``ml_anova_oneway``
+    idiom).  The spine is day-grain (bounded: ≈2,400 days at any SF),
+    so the O(t) fold per day is O(spine²/2) total — constant in the
+    row count; daily revenue itself is one partial+final integer
+    aggregate over the fact table.
+    """
+    rev = _rev_daily(spark, sf_dir)
+    t0 = rev.agg(F.min("day").alias("d0"))
+    t = F.datediff(F.col("day"), F.col("d0"))
+    df = F.aggregate(
+        F.when(t > 0, F.sequence(F.lit(1), t))
+        .otherwise(F.array().cast("array<int>")),
+        F.lit(1.0),
+        lambda a, x: a / F.lit(NPV_DAILY_RATE),
+    )
+    terms = rev.crossJoin(F.broadcast(t0)).select(
+        (F.col("usd") * df).alias("term")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.lit(NPV_DAILY_RATE) - F.lit(1)).alias("daily_rate"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list("term")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("npv_usd"),
+    )
+
+
+@query(
+    "ts_sharpe_ratio",
+    oracle=f"""
+    WITH {_REV_DAILY_SQL},
+    r AS (
+        SELECT CAST(usd - lag(usd) OVER (ORDER BY day) AS DOUBLE)
+                   / lag(usd) OVER (ORDER BY day) AS ret
+        FROM rev),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_ret,
+               list_reduce(list_prepend(0.0e0, list_sort(list(ret))),
+                   (a, x) -> a + x) AS s1,
+               list_reduce(list_prepend(0.0e0,
+                   list_sort(list(ret * ret))),
+                   (a, x) -> a + x) AS s2
+        FROM r WHERE ret IS NOT NULL)
+    SELECT n_ret,
+           round(s1 / n_ret, 6) AS mean_ret,
+           round(sqrt((s2 - s1 * s1 / n_ret) / (n_ret - 1)), 6) AS vol,
+           round((s1 / n_ret)
+                 / sqrt((s2 - s1 * s1 / n_ret) / (n_ret - 1)), 6)
+               AS sharpe
+    FROM m
+    """,
+)
+def ts_sharpe_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharpe ratio (zero risk-free rate) of day-over-day simple
+    returns on daily order revenue: mean return over sample standard
+    deviation — the risk-adjusted-performance summary that belongs
+    next to ``ts_max_drawdown`` and ``ts_rsi`` in any financial
+    series toolkit.
+
+    Each return is one exact BIGINT difference divided by an exact
+    BIGINT (bit-identical cross-engine); Σr and Σr² fold the SORTED
+    return lists sequentially (the ``ml_anova_oneway`` idiom — a
+    plain SUM of ~2,400 doubles is partition-order dependent), and
+    mean/vol/Sharpe are one shared closing expression.  The lag runs
+    on the bounded day-grain spine; the fact table is reduced by one
+    integer aggregate first.
+    """
+    rev = _rev_daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    r = rev.select(
+        (
+            (F.col("usd") - F.lag("usd").over(w)).cast("double")
+            / F.lag("usd").over(w)
+        ).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    m = r.agg(
+        F.count(F.lit(1)).alias("n_ret"),
+        F.aggregate(
+            F.sort_array(F.collect_list("ret")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("s1"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.col("ret") * F.col("ret"))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("s2"),
+    )
+    s1, s2, n = F.col("s1"), F.col("s2"), F.col("n_ret")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return m.select(
+        "n_ret",
+        F.round(s1 / n, 6).alias("mean_ret"),
+        F.round(F.sqrt(var), 6).alias("vol"),
+        F.round((s1 / n) / F.sqrt(var), 6).alias("sharpe"),
+    )
+
+
+@query(
+    "ts_beta_to_market",
+    oracle="""
+    WITH mkt AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM orders GROUP BY o_orderdate),
+    seg AS (
+        SELECT o.o_orderdate AS day,
+               CAST(sum(CAST(round(o.o_totalprice) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderdate),
+    xy AS (
+        SELECT mkt.x, coalesce(seg.y, 0) AS y
+        FROM mkt LEFT JOIN seg ON mkt.day = seg.day),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT)     AS sx,
+               CAST(sum(y) AS BIGINT)     AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM xy)
+    SELECT n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 6) AS beta,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(n AS DOUBLE) * sxx
+                       - CAST(sx AS DOUBLE) * sx) * sx) / n, 4)
+               AS alpha_usd,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS corr
+    FROM m
+    """,
+)
+def ts_beta_to_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta (and alpha, and correlation) of the BUILDING segment's
+    daily revenue against total market daily revenue — the CAPM-style
+    sensitivity regression y = α + β·x run as a single-pass moment
+    computation, the "how much does this segment amplify market
+    swings" report.
+
+    The ``agg_corr_exact`` determinism recipe: all five moments are
+    exact BIGINT sums in whole dollars (Σx² ≈ 2.4·10¹⁷ at sf0.1 —
+    overflow-safe well past sf10; beyond that the units coarsen), and
+    β/α/ρ are shared closing double expressions over identical
+    integers, so both engines agree bitwise before rounding.  Days
+    where the segment booked nothing coalesce to y = 0 via a LEFT
+    join on the bounded day spine; moments combine associatively, so
+    the whole thing is partial-aggregatable map-side at any scale.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    usd = F.round(F.col("o_totalprice")).cast("long")
+    mkt = od.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(usd).alias("x")
+    )
+    seg = (
+        od.join(
+            F.broadcast(
+                cu.filter(F.col("c_mktsegment") == "BUILDING").select(
+                    "c_custkey"
+                )
+            ),
+            od.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(usd).alias("y"))
+    )
+    xy = mkt.join(seg, "day", "left").select(
+        "x", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    x, y = F.col("x"), F.col("y")
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy") - sxd * F.col("sy")
+    varx_n = nd * F.col("sxx") - sxd * F.col("sx")
+    vary_n = nd * F.col("syy") - syd * F.col("sy")
+    beta = cov_n / varx_n
+    return m.select(
+        "n",
+        F.round(beta, 6).alias("beta"),
+        F.round((syd - beta * F.col("sx")) / F.col("n"), 4).alias(
+            "alpha_usd"
+        ),
+        F.round(cov_n / F.sqrt(varx_n * vary_n), 6).alias("corr"),
+    )
+
+
+#: Underwater streaks reported by ts_drawdown_duration.
+DD_TOPK = 5
+
+
+@query(
+    "ts_drawdown_duration",
+    oracle=f"""
+    WITH {_REV_DAILY_SQL},
+    dd AS (
+        SELECT day,
+               row_number() OVER (ORDER BY day) AS pos,
+               CASE WHEN usd < max(usd) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+                    THEN 1 ELSE 0 END AS under
+        FROM rev),
+    uw AS (
+        SELECT day, pos, row_number() OVER (ORDER BY day) AS rn
+        FROM dd WHERE under = 1),
+    runs AS (
+        SELECT min(day) AS start_day, max(day) AS end_day,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM uw
+        GROUP BY pos - rn)
+    SELECT start_day, end_day, n_days
+    FROM runs
+    ORDER BY n_days DESC, start_day
+    LIMIT {DD_TOPK}
+    """,
+)
+def ts_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {DD_TOPK} longest underwater periods of daily order
+    revenue: maximal runs of consecutive trading days where revenue
+    sits strictly below its running peak — the DURATION face of
+    drawdown risk (``ts_max_drawdown`` measures magnitude; recovery
+    time is what capacity and cash planning actually ask for).
+
+    Pure integer machinery end to end: the running peak is a
+    cumulative MAX of exact BIGINTs over the bounded day spine,
+    "underwater" is one integer comparison, and maximal runs are the
+    gaps-and-islands identity (calendar-day index minus row number is
+    constant exactly on runs of consecutive present days).  Top-{DD_TOPK}
+    compiles to TakeOrderedAndProject — no global sort.
+    """
+    rev = _rev_daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dd = rev.select(
+        "day",
+        F.row_number().over(w).alias("pos"),
+        F.when(F.col("usd") < F.max("usd").over(w_run), 1)
+        .otherwise(0)
+        .alias("under"),
+    )
+    uw = dd.filter(F.col("under") == 1).withColumn(
+        "rn", F.row_number().over(Window.orderBy("day"))
+    )
+    runs = (
+        uw.groupBy((F.col("pos") - F.col("rn")).alias("island"))
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("island")
+    )
+    return runs.orderBy(F.desc("n_days"), "start_day").limit(DD_TOPK)

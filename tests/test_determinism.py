@@ -77,6 +77,20 @@ SENSITIVE = [
     # data does NOT make (l_orderkey, l_linenumber) unique — the order
     # must be total over all consumed columns instead
     "win_reset_cumsum",
+    # round-7 batches 56-58: survival folds, hash-deterministic
+    # resampling, and financial-series folds — all single-row or
+    # curve-valued double folds that MUST ride the sorted/ordered
+    # sequential-fold idiom to stay partition-invariant
+    "ml_kaplan_meier",
+    "ml_nelson_aalen",
+    "ml_logrank_test",
+    "ml_rmst",
+    "ml_competing_risks",
+    "ml_permutation_test",
+    "ml_bootstrap_ci",
+    "ts_npv_discounted",
+    "ts_sharpe_ratio",
+    "ts_beta_to_market",
 ]
 
 

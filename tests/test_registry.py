@@ -369,6 +369,9 @@ EXPECTED_IDS = {
     # round-7 batch 57: survival-analysis suite completion
     "ml_nelson_aalen", "ml_logrank_test", "ml_rmst",
     "ml_competing_risks",
+    # round-7 batch 58: financial series on the order book
+    "ts_npv_discounted", "ts_sharpe_ratio", "ts_beta_to_market",
+    "ts_drawdown_duration",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
