@@ -2567,3 +2567,279 @@ def ml_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cif_purchase"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Experimentation-platform batch (round 7): DiD, CUPED, power/MDE
+# --------------------------------------------------------------------------
+
+#: Pre/post cut date for the quasi-experimental designs — mid-range
+#: of the order-date span (1995-01-01 .. 2001-08-01 at every SF), so
+#: all four DiD cells and both CUPED periods are populated.
+DID_CUT = "1998-01-01"
+
+
+@query(
+    "ml_diff_in_diff",
+    oracle=f"""
+    WITH y AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS treated,
+               CASE WHEN o.o_orderdate >= DATE '{DID_CUT}' THEN 1
+                    ELSE 0 END AS post,
+               CAST(round(o.o_totalprice) AS BIGINT) AS usd
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    cells AS (
+        SELECT
+            CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN usd END)
+                 AS BIGINT) AS s_t0,
+            CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_t0,
+            CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN usd END)
+                 AS BIGINT) AS s_t1,
+            CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_t1,
+            CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN usd END)
+                 AS BIGINT) AS s_c0,
+            CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_c0,
+            CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN usd END)
+                 AS BIGINT) AS s_c1,
+            CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_c1
+        FROM y)
+    SELECT n_t0, n_t1, n_c0, n_c1,
+           round(CAST(s_t0 AS DOUBLE) / n_t0, 4) AS mean_treat_pre,
+           round(CAST(s_t1 AS DOUBLE) / n_t1, 4) AS mean_treat_post,
+           round(CAST(s_c0 AS DOUBLE) / n_c0, 4) AS mean_ctrl_pre,
+           round(CAST(s_c1 AS DOUBLE) / n_c1, 4) AS mean_ctrl_post,
+           round((CAST(s_t1 AS DOUBLE) / n_t1
+                  - CAST(s_t0 AS DOUBLE) / n_t0)
+                 - (CAST(s_c1 AS DOUBLE) / n_c1
+                    - CAST(s_c0 AS DOUBLE) / n_c0), 4) AS did_usd
+    FROM cells
+    """,
+)
+def ml_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: did BUILDING customers' mean order
+    value move differently from MACHINERY's across the 1998-01-01
+    boundary?  The workhorse quasi-experimental estimator — treatment
+    effect = (treated post − pre) − (control post − pre), which
+    differences away both the group level and the common time shock.
+
+    One pass over the joined fact table produces the four cell sums
+    and counts as exact BIGINTs (whole-dollar outcome, the
+    ``ml_anova_oneway`` unit choice); the estimate is four IEEE
+    divisions and three subtractions, shared verbatim by both engines.
+    Associative moments → map-side partials → scales to any row count.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    y = od.join(
+        F.broadcast(
+            cu.filter(
+                F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            ).select("c_custkey", "c_mktsegment")
+        ),
+        od.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("treated"),
+        F.when(
+            F.col("o_orderdate") >= F.lit(DID_CUT).cast("date"), 1
+        ).otherwise(0).alias("post"),
+        F.round(F.col("o_totalprice")).cast("long").alias("usd"),
+    )
+    def cell(t: int, p: int):
+        cond = (F.col("treated") == t) & (F.col("post") == p)
+        return (
+            F.sum(F.when(cond, F.col("usd"))),
+            F.sum(F.when(cond, 1).otherwise(0)),
+        )
+    s_t0, n_t0 = cell(1, 0)
+    s_t1, n_t1 = cell(1, 1)
+    s_c0, n_c0 = cell(0, 0)
+    s_c1, n_c1 = cell(0, 1)
+    cells = y.agg(
+        s_t0.alias("s_t0"), n_t0.alias("n_t0"),
+        s_t1.alias("s_t1"), n_t1.alias("n_t1"),
+        s_c0.alias("s_c0"), n_c0.alias("n_c0"),
+        s_c1.alias("s_c1"), n_c1.alias("n_c1"),
+    )
+    def mean(s: str, n: str) -> Column:
+        return F.col(s).cast("double") / F.col(n)
+    did = (mean("s_t1", "n_t1") - mean("s_t0", "n_t0")) - (
+        mean("s_c1", "n_c1") - mean("s_c0", "n_c0")
+    )
+    return cells.select(
+        "n_t0", "n_t1", "n_c0", "n_c1",
+        F.round(mean("s_t0", "n_t0"), 4).alias("mean_treat_pre"),
+        F.round(mean("s_t1", "n_t1"), 4).alias("mean_treat_post"),
+        F.round(mean("s_c0", "n_c0"), 4).alias("mean_ctrl_pre"),
+        F.round(mean("s_c1", "n_c1"), 4).alias("mean_ctrl_post"),
+        F.round(did, 4).alias("did_usd"),
+    )
+
+
+@query(
+    "ml_cuped_adjustment",
+    oracle=f"""
+    WITH xy AS (
+        SELECT o_custkey,
+               CAST(sum(CASE WHEN o_orderdate < DATE '{DID_CUT}'
+                   THEN CAST(round(o_totalprice) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS x,
+               CAST(sum(CASE WHEN o_orderdate >= DATE '{DID_CUT}'
+                   THEN CAST(round(o_totalprice) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT)     AS sx,
+               CAST(sum(y) AS BIGINT)     AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM xy)
+    SELECT n,
+           round(CAST(sy AS DOUBLE) / n, 4) AS mean_post,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 6) AS theta,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)), 6)
+               AS var_reduction
+    FROM m
+    """,
+)
+def ml_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data): the
+    variance-reduction workhorse of every experimentation platform.
+    Per-customer post-period spend y is adjusted by pre-period spend x
+    via θ = cov(x,y)/var(x); the metric's variance shrinks by exactly
+    ρ² — reported here as ``var_reduction`` — which directly divides
+    the sample size an A/B test needs.
+
+    One pass over orders buckets each customer's whole-dollar spend
+    into pre/post sums; the five cross-moments are exact BIGINT sums
+    (customer-level spend² ≈ 10¹² — overflow-safe past sf10), and
+    θ/ρ² are shared closing double expressions over identical
+    integers — the ``agg_corr_exact`` recipe.  Associative moments →
+    map-side partials at any scale.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    usd = F.round(F.col("o_totalprice")).cast("long")
+    cut = F.lit(DID_CUT).cast("date")
+    xy = od.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < cut, usd).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= cut, usd).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy") - sxd * F.col("sy")
+    varx_n = nd * F.col("sxx") - sxd * F.col("sx")
+    vary_n = nd * F.col("syy") - syd * F.col("sy")
+    return m.select(
+        "n",
+        F.round(syd / F.col("n"), 4).alias("mean_post"),
+        F.round(cov_n / varx_n, 6).alias("theta"),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias(
+            "var_reduction"
+        ),
+    )
+
+
+#: Two-sided alpha=0.05 and power=0.80 normal quantiles (literal
+#: doubles shared by both engines; e0-suffixed in SQL so DuckDB parses
+#: them as DOUBLE, not DECIMAL).
+Z_ALPHA_2 = 1.959963984540054
+Z_POWER = 0.8416212335729143
+
+
+@query(
+    "ml_power_mde",
+    oracle=f"""
+    WITH y AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(round(o.o_totalprice) AS BIGINT) AS usd
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    m AS (
+        SELECT segment,
+               CAST(count(*) AS BIGINT)       AS n,
+               CAST(sum(usd) AS BIGINT)       AS s,
+               CAST(sum(usd * usd) AS BIGINT) AS q
+        FROM y GROUP BY segment)
+    SELECT segment, n,
+           round(CAST(s AS DOUBLE) / n, 4) AS mean_usd,
+           round(sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1)), 4)
+               AS sd_usd,
+           round(({Z_ALPHA_2}e0 + {Z_POWER}e0)
+                 * sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1))
+                 * sqrt(2.0 / n), 4) AS mde_usd,
+           round(({Z_ALPHA_2}e0 + {Z_POWER}e0)
+                 * sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1))
+                 * sqrt(2.0 / n) / (CAST(s AS DOUBLE) / n), 6)
+               AS mde_rel
+    FROM m
+    """,
+)
+def ml_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect per market segment: the smallest
+    mean-order-value shift a two-arm test with this segment's current
+    volume could detect at α = 0.05 (two-sided) and 80% power —
+    MDE = (z_{{α/2}} + z_β)·σ·√(2/n).  The "is this experiment even
+    worth running" sizing table every experimentation platform
+    precomputes.
+
+    Per-segment (n, Σy, Σy²) are exact BIGINT whole-dollar moments
+    (one partial+final aggregate over the fact join); σ and the MDE
+    are shared closing expressions over identical integers with the
+    normal quantiles as shared double literals, so both engines agree
+    bitwise.  Unlike a t-test readout, nothing here needs the raw
+    rows twice — sizing scales as one aggregate pass.
+    """
+    y = _orders_by_segment(spark, sf_dir).withColumnRenamed(
+        "seg", "segment"
+    )
+    m = y.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("usd").alias("s"),
+        F.sum(F.col("usd") * F.col("usd")).alias("q"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    sd = F.sqrt((q - s.cast("double") * s / n) / (n - 1))
+    mde = (
+        (F.lit(Z_ALPHA_2) + F.lit(Z_POWER))
+        * sd
+        * F.sqrt(F.lit(2.0) / n)
+    )
+    return m.select(
+        "segment",
+        "n",
+        F.round(s.cast("double") / n, 4).alias("mean_usd"),
+        F.round(sd, 4).alias("sd_usd"),
+        F.round(mde, 4).alias("mde_usd"),
+        F.round(mde / (s.cast("double") / n), 6).alias("mde_rel"),
+    )

@@ -2798,3 +2798,70 @@ def report_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rev_cents").desc(), "l_suppkey")
         .limit(SCORECARD_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch guardrail (round 7)
+# --------------------------------------------------------------------------
+
+#: chi-square(1) 95% critical value (shared double literal).
+CHI2_1_95 = 3.841458820694124
+
+
+@query(
+    "report_ab_srm_check",
+    oracle=f"""
+    WITH assign AS (
+        SELECT CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                   1, 8) AS BIGINT) % 2 AS BIGINT) AS arm
+        FROM customer),
+    m AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM assign)
+    SELECT n_a, n_b,
+           round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                 / (n_a + n_b), 6) AS chi2_srm,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+               > {CHI2_1_95}e0 AS srm_detected
+    FROM m
+    """,
+)
+def report_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: does a 50/50 hash split of the
+    customer population actually produce 50/50 arms?  SRM is the #1
+    silent invalidator of A/B results (broken assignment, bot
+    filtering, logging loss); every experimentation platform runs this
+    chi-square before showing a readout.  For two cells with equal
+    expectation the statistic collapses to (n_A − n_B)²/n — exact
+    integer arithmetic plus one division.
+
+    Assignment is the engine-portable md5-prefix hash of the customer
+    key (the ``ml_feature_hashing`` trick), so both engines draw the
+    SAME split — the check validates the hash-assignment machinery
+    end to end.  One aggregate pass; associative counts; the critical
+    value is a shared double literal.
+    """
+    cu = load_table(spark, sf_dir, "customer")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    m = cu.select(arm.alias("arm")).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    chi2 = (d * d).cast("double") / (F.col("n_a") + F.col("n_b"))
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2_srm"),
+        (chi2 > F.lit(CHI2_1_95)).alias("srm_detected"),
+    )

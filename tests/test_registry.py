@@ -372,6 +372,9 @@ EXPECTED_IDS = {
     # round-7 batch 58: financial series on the order book
     "ts_npv_discounted", "ts_sharpe_ratio", "ts_beta_to_market",
     "ts_drawdown_duration",
+    # round-7 batch 59: experimentation platform
+    "ml_diff_in_diff", "ml_cuped_adjustment", "ml_power_mde",
+    "report_ab_srm_check",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
