@@ -4134,3 +4134,426 @@ def ml_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall.alias("recall_at_k"),
         (F.col("hits_at_k") > 0).alias("hit"),
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs/authorities on the nation trade graph (round 7)
+# --------------------------------------------------------------------------
+
+HITS_ITERS = 4
+HITS_SCALE = 1_000_000
+
+#: Directed nation-level trade edges (supplier nation -> customer
+#: nation, weight = line count) — the ``graph_pagerank`` base.
+_TRADE_EDGES_SQL = """
+    edges AS MATERIALIZED (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               count(*) AS w
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2)
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed weighted nation trade graph (persisted; ≤600 rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+
+
+def _hits_iter_sql(i: int) -> str:
+    """One unrolled integer-exact HITS step (authority then hub, each
+    max-rescaled to HITS_SCALE via a window max — a scalar subquery
+    would reference the previous CTE twice and re-evaluate the whole
+    chain exponentially on the oracle side)."""
+    return f"""
+    ar{i + 1} AS (
+        SELECT n.node,
+               coalesce(sum(e.w * h.h), 0) AS araw
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN h{i} h  ON h.node = e.src
+        GROUP BY n.node),
+    a{i + 1} AS (
+        SELECT node,
+               CAST((araw * {HITS_SCALE}) // max(araw) OVER ()
+                    AS BIGINT) AS a
+        FROM ar{i + 1}),
+    hr{i + 1} AS (
+        SELECT n.node,
+               coalesce(sum(e.w * a.a), 0) AS hraw
+        FROM nodes n
+        LEFT JOIN edges e ON e.src = n.node
+        LEFT JOIN a{i + 1} a ON a.node = e.dst
+        GROUP BY n.node),
+    h{i + 1} AS (
+        SELECT node,
+               CAST((hraw * {HITS_SCALE}) // max(hraw) OVER ()
+                    AS BIGINT) AS h
+        FROM hr{i + 1})
+    """
+
+
+@query(
+    "graph_hits_scores",
+    oracle=f"""
+    WITH {_TRADE_EDGES_SQL},
+    nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
+    h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS h FROM nodes),
+    {",".join(_hits_iter_sql(i) for i in range(HITS_ITERS))}
+    SELECT n.node AS n_nationkey, n.n_name,
+           h.h AS hub_score, a.a AS authority_score
+    FROM nodes n
+    JOIN h{HITS_ITERS} h ON h.node = n.node
+    JOIN a{HITS_ITERS} a ON a.node = n.node
+    """,
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities on the nation trade graph: a nation
+    is a strong HUB when it supplies nations that are strong buyers,
+    and a strong AUTHORITY when it buys from strong suppliers — the
+    directional complement to ``graph_pagerank`` on the same edges
+    (PageRank mixes both roles into one score).
+
+    Same scale architecture as PageRank: ONE fact-table aggregation
+    collapses the corpus to a ≤25×24 weighted digraph, then
+    HITS_ITERS unrolled mutual-reinforcement rounds run over bounded
+    tables only.  Determinism: scores are BIGINT fixed-point
+    (HITS_SCALE = 1.0); each half-round is an exact integer
+    sum-product followed by one max-rescale in integer division —
+    both engines walk the identical lattice, no float normalization
+    (the usual L2 norm is a libm sqrt whose accumulation order isn't
+    portable).  araw·SCALE stays under 2⁶³ through ~sf1; beyond that
+    the scale constant coarsens.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    n = load_table(spark, sf_dir, "nation")
+    nodes = n.select(F.col("n_nationkey").alias("node"), "n_name")
+    h = nodes.select(
+        "node", F.lit(HITS_SCALE).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(HITS_ITERS):
+        araw = (
+            nodes.join(edges, edges.dst == nodes.node, "left")
+            .join(h.select(F.col("node").alias("hn"), "h"),
+                  F.col("src") == F.col("hn"), "left")
+            .groupBy("node")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("w") * F.col("h")), F.lit(0)
+                ).alias("araw")
+            )
+        )
+        # Window max, not a crossJoin with an aggregate of the same
+        # frame: a second reference would recompute the lineage every
+        # iteration and the unrolled plan grows exponentially.  The
+        # window is |V| rows (bounded nation grain).
+        a = araw.select(
+            "node",
+            F.expr(
+                f"(araw * {HITS_SCALE}) div (max(araw) OVER ())"
+            ).alias("a"),
+        )
+        hraw = (
+            nodes.join(edges, edges.src == nodes.node, "left")
+            .join(a.select(F.col("node").alias("an"), "a"),
+                  F.col("dst") == F.col("an"), "left")
+            .groupBy("node")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("w") * F.col("a")), F.lit(0)
+                ).alias("hraw")
+            )
+        )
+        h = hraw.select(
+            "node",
+            F.expr(
+                f"(hraw * {HITS_SCALE}) div (max(hraw) OVER ())"
+            ).alias("h"),
+        )
+    return (
+        nodes.join(h, "node")
+        .join(a.withColumnRenamed("a", "a_fin"), "node")
+        .select(
+            F.col("node").alias("n_nationkey"),
+            "n_name",
+            F.col("h").alias("hub_score"),
+            F.col("a_fin").alias("authority_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hop-bounded closeness centrality on the nation trade graph (round 7)
+# --------------------------------------------------------------------------
+
+#: BFS rounds for the all-pairs distance closure.  The undirected
+#: nation trade graph is dense (diameter ≤ 2 at every test SF); 3
+#: rounds bound the closure for safety, and the query's semantics are
+#: explicitly "closeness within ≤ CLOSE_HOPS hops" (k-bounded
+#: closeness), so the result is well-defined on any graph.
+CLOSE_HOPS = 3
+
+
+def _close_iter_sql(i: int) -> str:
+    """One unrolled min-plus round.  MATERIALIZED is load-bearing:
+    d{i} is referenced twice (carry + expand) and an inlined CTE would
+    re-evaluate the whole chain exponentially."""
+    return f"""
+    d{i + 1} AS MATERIALIZED (
+        SELECT src, dst, min(d) AS d FROM (
+            SELECT src, dst, d FROM d{i}
+            UNION ALL
+            SELECT d{i}.src, e2.v AS dst, d{i}.d + 1 AS d
+            FROM d{i} JOIN e2 ON d{i}.dst = e2.u
+        ) GROUP BY src, dst)
+    """
+
+
+@query(
+    "graph_closeness_centrality",
+    oracle=f"""
+    WITH {_TRADE_EDGES_SQL},
+    e2 AS MATERIALIZED (
+        SELECT src AS u, dst AS v FROM edges
+        UNION
+        SELECT dst AS u, src AS v FROM edges),
+    nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
+    d0 AS MATERIALIZED (
+        SELECT node AS src, node AS dst, 0 AS d FROM nodes
+        UNION
+        SELECT u AS src, v AS dst, 1 AS d FROM e2),
+    {",".join(_close_iter_sql(i) for i in range(CLOSE_HOPS - 1))},
+    m AS (
+        SELECT src,
+               CAST(count(*) AS BIGINT)  AS n_reachable,
+               CAST(sum(d) AS BIGINT)    AS total_dist,
+               CAST(max(d) AS BIGINT)    AS eccentricity
+        FROM d{CLOSE_HOPS - 1} GROUP BY src)
+    SELECT n.node AS n_nationkey, n.n_name,
+           m.n_reachable, m.total_dist, m.eccentricity,
+           CASE WHEN m.total_dist > 0
+                THEN round(CAST(m.n_reachable - 1 AS DOUBLE)
+                           / m.total_dist, 6)
+                ELSE 0.0 END AS closeness
+    FROM nodes n JOIN m ON m.src = n.node
+    """,
+)
+def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded closeness centrality (plus eccentricity) of every
+    nation in the undirected trade graph: (reachable−1)/Σdistance
+    over the ≤{CLOSE_HOPS}-hop ball — "which nations sit closest to
+    the whole trade network".  All-pairs BFS by unrolled min-plus
+    closure, the same aggregate-first architecture as
+    ``graph_pagerank``: one fact pass collapses the corpus to ≤25
+    nodes, then every round joins bounded tables.
+
+    Each round's frontier table is persisted on the Spark side and
+    MATERIALIZED on the oracle side — the round input is referenced
+    twice (carry ∪ expand), and without the barrier both engines
+    would re-evaluate the lineage exponentially (the
+    ``graph_pagerank`` oracle lesson).  Distances are exact small
+    integers; the one division in closeness is shared.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    n = load_table(spark, sf_dir, "nation")
+    nodes = n.select(F.col("n_nationkey").alias("node"), "n_name")
+    e2 = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    d = (
+        nodes.select(
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(0).alias("d"),
+        )
+        .union(e2.select("u", "v", F.lit(1)))
+        .groupBy("src", "dst")
+        .agg(F.min("d").alias("d"))
+        .persist()
+    )
+    for _ in range(CLOSE_HOPS - 1):
+        ext = d.join(e2, d.dst == e2.u).select(
+            "src", F.col("v").alias("dst"), (F.col("d") + 1).alias("d")
+        )
+        d = (
+            d.select("src", "dst", "d")
+            .union(ext)
+            .groupBy("src", "dst")
+            .agg(F.min("d").alias("d"))
+            .persist()
+        )
+    m = d.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_reachable"),
+        F.sum("d").alias("total_dist"),
+        F.max("d").cast("long").alias("eccentricity"),
+    )
+    return nodes.join(m, nodes.node == m.src).select(
+        F.col("node").alias("n_nationkey"),
+        "n_name",
+        "n_reachable",
+        "total_dist",
+        "eccentricity",
+        F.when(
+            F.col("total_dist") > 0,
+            F.round(
+                (F.col("n_reachable") - 1).cast("double")
+                / F.col("total_dist"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("closeness"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Trade-graph reciprocity (round 7)
+# --------------------------------------------------------------------------
+
+@query(
+    "graph_reciprocity",
+    oracle=f"""
+    WITH {_TRADE_EDGES_SQL},
+    r AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_recip
+        FROM edges a
+        LEFT JOIN edges b ON b.src = a.dst AND b.dst = a.src)
+    SELECT n_edges, n_recip,
+           round(CAST(n_recip AS DOUBLE) / n_edges, 6) AS reciprocity
+    FROM r
+    """,
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed nation trade graph: the share
+    of supplier→customer nation edges whose reverse edge also exists —
+    the standard directed-graph symmetry diagnostic (1.0 = every trade
+    relation is two-way).
+
+    The corpus collapses to the ≤25×24 aggregated digraph first (one
+    fact pass), so the reverse-edge self-join touches ≤600 rows; at
+    unbounded node grain the same join keys on (dst, src) and
+    shuffles both sides identically — still one co-partitioned join.
+    Pure integer counting plus one shared division.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    rev = edges.select(
+        F.col("src").alias("b_src"), F.col("dst").alias("b_dst")
+    )
+    j = edges.join(
+        rev,
+        (F.col("b_src") == F.col("dst")) & (F.col("b_dst") == F.col("src")),
+        "left",
+    )
+    r = j.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(
+            F.when(F.col("b_src").isNotNull(), 1).otherwise(0)
+        ).alias("n_recip"),
+    )
+    return r.select(
+        "n_edges",
+        "n_recip",
+        F.round(
+            F.col("n_recip").cast("double") / F.col("n_edges"), 6
+        ).alias("reciprocity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Preferential-attachment link prediction (round 7)
+# --------------------------------------------------------------------------
+
+#: Candidate pool (highest-degree parts) and reported pair count.
+PA_POOL = 50
+PA_TOPK = 10
+
+
+@query(
+    "graph_pref_attachment",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey),
+    deg AS MATERIALIZED (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL
+              SELECT v AS node FROM edges)
+        GROUP BY node),
+    pool AS MATERIALIZED (
+        SELECT node, d FROM deg
+        ORDER BY d DESC, node LIMIT {PA_POOL}),
+    cand AS (
+        SELECT a.node AS u, b.node AS v, a.d * b.d AS pa_score,
+               a.d AS deg_u, b.d AS deg_v
+        FROM pool a JOIN pool b ON a.node < b.node
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e
+            WHERE e.u = a.node AND e.v = b.node))
+    SELECT u, v, deg_u, deg_v, CAST(pa_score AS BIGINT) AS pa_score
+    FROM cand
+    ORDER BY pa_score DESC, u, v
+    LIMIT {PA_TOPK}
+    """,
+)
+def graph_pref_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preferential-attachment link prediction: among the {PA_POOL}
+    highest-degree parts, the {PA_TOPK} NOT-yet-co-purchased pairs
+    with the largest degree product deg(u)·deg(v) — "which popular
+    parts will show up in a basket together next".  Completes the
+    link-prediction family (``graph_jaccard_neighbors`` and
+    ``graph_resource_allocation`` score OBSERVED pairs; this scores
+    absent ones, which is the actual prediction task).
+
+    Scoring absent pairs naively is O(|V|²); the semantics are
+    therefore DEFINED on the top-{PA_POOL}-degree candidate pool —
+    the standard blocking for degree-monotone scores, and exactly the
+    piece that keeps the operator scale-free: the pool comes from a
+    TakeOrderedAndProject over the degree table, candidate pairs are
+    pool², and the existing-edge exclusion is one left-anti join.
+    Degrees and scores are exact BIGINTs; the ordering is total.
+    """
+    edges, deg = _copurchase_base(spark, sf_dir)
+    pool = deg.orderBy(F.desc("d"), "node").limit(PA_POOL)
+    a = pool.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    b = pool.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
+    cand = (
+        a.join(b, F.col("u") < F.col("v"))
+        .join(edges, ["u", "v"], "left_anti")
+        .select(
+            "u",
+            "v",
+            "deg_u",
+            "deg_v",
+            (F.col("deg_u") * F.col("deg_v")).alias("pa_score"),
+        )
+    )
+    return cand.orderBy(F.desc("pa_score"), "u", "v").limit(PA_TOPK)

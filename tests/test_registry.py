@@ -375,6 +375,9 @@ EXPECTED_IDS = {
     # round-7 batch 59: experimentation platform
     "ml_diff_in_diff", "ml_cuped_adjustment", "ml_power_mde",
     "report_ab_srm_check",
+    # round-7 batch 60: graph analytics completion
+    "graph_hits_scores", "graph_closeness_centrality",
+    "graph_reciprocity", "graph_pref_attachment",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
