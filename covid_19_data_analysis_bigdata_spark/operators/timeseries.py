@@ -4270,3 +4270,278 @@ def ts_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("island")
     )
     return runs.orderBy(F.desc("n_days"), "start_day").limit(DD_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Epidemic-curve analytics (round 7): the reference repo's COVID
+# derived-metric family (SURVEY.md §1: daily new cases, growth rate,
+# active = confirmed - resolved, doubling time) on the testdata facts.
+# --------------------------------------------------------------------------
+
+#: Daily order counts with an integer day index — the "case curve".
+_CURVE_SQL = f"""
+    curve AS MATERIALIZED (
+        SELECT datediff('day', DATE '{EPOCH}', o_orderdate) AS d,
+               CAST(count(*) AS BIGINT) AS new_cases
+        FROM orders GROUP BY 1)
+"""
+
+
+def _order_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, new_cases): order counts per integer day index."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(EPOCH).cast("date")).alias(
+            "d"
+        )
+    ).agg(F.count(F.lit(1)).alias("new_cases"))
+
+
+@query(
+    "ts_doubling_time",
+    oracle=f"""
+    WITH {_CURVE_SQL},
+    cum AS MATERIALIZED (
+        SELECT d, new_cases,
+               CAST(sum(new_cases) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c
+        FROM curve),
+    dt AS (
+        SELECT t.d, t.c, CAST(max(s.d) AS BIGINT) AS half_day
+        FROM cum t JOIN cum s
+          ON s.d <= t.d AND 2 * s.c <= t.c
+        GROUP BY t.d, t.c)
+    SELECT d AS day_idx, c AS cum_cases,
+           CAST(d - half_day AS BIGINT) AS doubling_days
+    FROM dt
+    """,
+)
+def ts_doubling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubling time of the cumulative order curve: for each day t,
+    how many days since the cumulative count was at most half of
+    today's — the headline epidemic-speed metric (reference analog:
+    COVID case-count doubling time), in PURE INTEGER form: the
+    half-point is the last day s with 2·C(s) ≤ C(t), so no division
+    ever happens and both engines agree exactly.
+
+    The corpus collapses to the bounded day spine first (one integer
+    aggregate); the cumulative curve is one ordered prefix sum, and
+    the half-point lookup is a range self-join + max over
+    O(spine²) ≈ 2400² bounded pairs — constant in the fact-table row
+    count, the ``ts_npv_discounted`` cost model.  Days that haven't
+    yet doubled from day one drop out of the inner join (undefined
+    doubling time).
+    """
+    curve = _order_curve(spark, sf_dir)
+    w_run = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = curve.withColumn(
+        "c", F.sum("new_cases").over(w_run)
+    ).persist()
+    s = cum.select(F.col("d").alias("sd"), F.col("c").alias("sc"))
+    dt = (
+        cum.join(
+            s, (F.col("sd") <= F.col("d")) & (2 * F.col("sc") <= F.col("c"))
+        )
+        .groupBy("d", "c")
+        .agg(F.max("sd").alias("half_day"))
+    )
+    return dt.select(
+        F.col("d").alias("day_idx"),
+        F.col("c").alias("cum_cases"),
+        (F.col("d") - F.col("half_day")).cast("long").alias(
+            "doubling_days"
+        ),
+    )
+
+
+@query(
+    "ts_growth_ratio_rt",
+    oracle=f"""
+    WITH {_CURVE_SQL},
+    win AS (
+        SELECT d,
+               CAST(sum(new_cases) OVER (ORDER BY d
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_recent,
+               CAST(coalesce(sum(new_cases) OVER (ORDER BY d
+                   RANGE BETWEEN 13 PRECEDING AND 7 PRECEDING), 0)
+                   AS BIGINT) AS n_prior
+        FROM curve)
+    SELECT d AS day_idx, n_recent, n_prior,
+           round(CAST(n_recent AS DOUBLE) / n_prior, 6) AS growth_ratio
+    FROM win
+    WHERE n_prior > 0
+    """,
+)
+def ts_growth_ratio_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth ratio of the daily order curve — the
+    Rt-style reproduction proxy every epidemic dashboard carries
+    (reference analog: COVID growth rate): last-7-days volume over the
+    preceding-7-days volume, per day.  RANGE frames over the integer
+    day index make the windows CALENDAR-correct across missing days
+    (a ROWS frame would silently stretch over gaps).
+
+    The fact table collapses to the bounded day spine first; both
+    window sums are exact BIGINTs over that spine, and the single
+    division is shared — bit-identical cross-engine.  Days with an
+    empty prior week are undefined and dropped.
+    """
+    curve = _order_curve(spark, sf_dir)
+    w_recent = Window.orderBy("d").rangeBetween(-6, 0)
+    w_prior = Window.orderBy("d").rangeBetween(-13, -7)
+    win = curve.select(
+        "d",
+        F.sum("new_cases").over(w_recent).alias("n_recent"),
+        F.coalesce(
+            F.sum("new_cases").over(w_prior), F.lit(0).cast("long")
+        ).alias("n_prior"),
+    )
+    return win.filter(F.col("n_prior") > 0).select(
+        F.col("d").alias("day_idx"),
+        "n_recent",
+        "n_prior",
+        F.round(
+            F.col("n_recent").cast("double") / F.col("n_prior"), 6
+        ).alias("growth_ratio"),
+    )
+
+
+#: Resolution lag (days) for the lagged outcome ratio.
+CFR_LAG = 14
+
+#: Daily event-type counts on the events day spine.
+_EVENT_CURVE_SQL = f"""
+    ecurve AS MATERIALIZED (
+        SELECT datediff('day', DATE '{EPOCH}',
+                        CAST(date_trunc('day', ts) AS DATE)) AS d,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_bad,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_done
+        FROM events GROUP BY 1)
+"""
+
+
+def _event_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, n_open, n_bad, n_done): signup/error/purchase counts per
+    integer day index on the events spine."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit(EPOCH).cast("date")).alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("n_open"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_bad"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_done"),
+    )
+
+
+@query(
+    "ts_lagged_outcome_ratio",
+    oracle=f"""
+    WITH {_EVENT_CURVE_SQL},
+    cum AS (
+        SELECT d,
+               CAST(sum(n_open) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c_open,
+               CAST(sum(n_bad) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c_bad
+        FROM ecurve)
+    SELECT t.d AS day_idx, t.c_bad, s.c_open AS c_open_lagged,
+           round(CAST(t.c_bad AS DOUBLE) / s.c_open, 6) AS outcome_ratio
+    FROM cum t JOIN cum s ON s.d = t.d - {CFR_LAG}
+    WHERE s.c_open > 0
+    """,
+)
+def ts_lagged_outcome_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-adjusted outcome ratio: cumulative errors today over
+    cumulative signups {CFR_LAG} days earlier — the case-fatality-rate
+    construction (reference analog: COVID CFR = deaths / confirmed
+    lagged by the resolution delay), which corrects the naive ratio's
+    downward bias while outcomes are still in flight.
+
+    Both cumulative curves are exact integer prefix sums over the
+    bounded day spine; the lag alignment is one equi-join on the
+    integer day index (d = t − {CFR_LAG}), and the single division is
+    shared — bit-identical cross-engine.
+    """
+    curve = _event_curve(spark, sf_dir)
+    w_run = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = curve.select(
+        "d",
+        F.sum("n_open").over(w_run).alias("c_open"),
+        F.sum("n_bad").over(w_run).alias("c_bad"),
+    ).persist()
+    s = cum.select(
+        F.col("d").alias("sd"), F.col("c_open").alias("c_open_lagged")
+    )
+    return (
+        cum.join(s, F.col("sd") == F.col("d") - CFR_LAG)
+        .filter(F.col("c_open_lagged") > 0)
+        .select(
+            F.col("d").alias("day_idx"),
+            "c_bad",
+            "c_open_lagged",
+            F.round(
+                F.col("c_bad").cast("double") / F.col("c_open_lagged"),
+                6,
+            ).alias("outcome_ratio"),
+        )
+    )
+
+
+@query(
+    "ts_active_outstanding",
+    oracle=f"""
+    WITH {_EVENT_CURVE_SQL}
+    SELECT d AS day_idx,
+           CAST(sum(n_open) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_opened,
+           CAST(sum(n_bad + n_done) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_resolved,
+           CAST(sum(n_open - n_bad - n_done) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS active
+    FROM ecurve
+    """,
+)
+def ts_active_outstanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-outstanding balance per day: cumulative signups minus
+    cumulative resolutions (errors + purchases) — the reference
+    repo's headline derived metric, ``active = confirmed − deaths −
+    recovered`` (SURVEY.md §1), transplanted onto the events stream.
+
+    One integer aggregate collapses the corpus to the day spine;
+    three prefix sums over that bounded spine produce the opened /
+    resolved / active curves — all exact BIGINTs, no floats anywhere.
+    """
+    curve = _event_curve(spark, sf_dir)
+    w_run = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return curve.select(
+        F.col("d").alias("day_idx"),
+        F.sum("n_open").over(w_run).alias("cum_opened"),
+        F.sum(F.col("n_bad") + F.col("n_done")).over(w_run).alias(
+            "cum_resolved"
+        ),
+        F.sum(
+            F.col("n_open") - F.col("n_bad") - F.col("n_done")
+        ).over(w_run).alias("active"),
+    )

@@ -378,6 +378,10 @@ EXPECTED_IDS = {
     # round-7 batch 60: graph analytics completion
     "graph_hits_scores", "graph_closeness_centrality",
     "graph_reciprocity", "graph_pref_attachment",
+    # round-7 batch 61: epidemic-curve analytics (the reference's
+    # COVID derived-metric family)
+    "ts_doubling_time", "ts_growth_ratio_rt",
+    "ts_lagged_outcome_ratio", "ts_active_outstanding",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):

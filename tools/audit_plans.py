@@ -40,6 +40,12 @@ EXCHANGE_OVERRIDES = {
     # graph_two_hop_reach: persisted edge list feeds 3 consumers
     # (SCALE.md round-7 plan-audit note).
     "graph_two_hop_reach": 20,
+    # graph_hits_scores: HITS_ITERS=4 unrolled iterations consume the
+    # persisted ≤600-row trade-edge frame twice per round (authority
+    # join + hub join), so its build-side exchanges print 8×; every
+    # per-round table is nation-grain (≤25 rows).  At runtime the
+    # fact-table aggregation shuffles once.
+    "graph_hits_scores": 22,
     # report_rfm_segmentation: 3 chained distrank.global_ntile passes
     # over the CUSTOMER-grain table (3 range + 3 count-agg + 3 hash
     # shuffles replacing three single-executor global sorts — the
