@@ -2843,3 +2843,267 @@ def ml_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 4).alias("mde_usd"),
         F.round(mde / (s.cast("double") / n), 6).alias("mde_rel"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wilson score interval (round 7)
+# --------------------------------------------------------------------------
+
+@query(
+    "ml_wilson_ci",
+    oracle=f"""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END) AS BIGINT) AS converted
+        FROM events GROUP BY user_id),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(converted) AS BIGINT) AS k
+        FROM pu)
+    SELECT n, k,
+           round(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+           round((CAST(k AS DOUBLE) / n
+                  + {Z_ALPHA_2}e0 * {Z_ALPHA_2}e0 / (2.0 * n)
+                  - {Z_ALPHA_2}e0
+                    * sqrt((CAST(k AS DOUBLE) / n)
+                           * (1 - CAST(k AS DOUBLE) / n) / n
+                           + {Z_ALPHA_2}e0 * {Z_ALPHA_2}e0
+                             / (4.0 * n * n)))
+                 / (1 + {Z_ALPHA_2}e0 * {Z_ALPHA_2}e0 / n), 6)
+               AS wilson_lo,
+           round((CAST(k AS DOUBLE) / n
+                  + {Z_ALPHA_2}e0 * {Z_ALPHA_2}e0 / (2.0 * n)
+                  + {Z_ALPHA_2}e0
+                    * sqrt((CAST(k AS DOUBLE) / n)
+                           * (1 - CAST(k AS DOUBLE) / n) / n
+                           + {Z_ALPHA_2}e0 * {Z_ALPHA_2}e0
+                             / (4.0 * n * n)))
+                 / (1 + {Z_ALPHA_2}e0 * {Z_ALPHA_2}e0 / n), 6)
+               AS wilson_hi
+    FROM m
+    """,
+)
+def ml_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% interval for the user conversion rate (share
+    of users with ≥1 purchase) — the binomial CI every experimentation
+    readout should use instead of the Wald interval, which collapses
+    to zero width at p̂ ∈ {{0, 1}} and undercovers at small n.
+
+    n and k are exact integer counts from one user-grain aggregate;
+    the Wilson bounds are a single shared closing expression (IEEE
+    divisions, one correctly rounded sqrt, the z quantile as a shared
+    double literal), so both engines agree bitwise before the 6dp
+    round.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("converted")
+    )
+    m = pu.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("k")
+    )
+    n, k = F.col("n"), F.col("k")
+    z = F.lit(Z_ALPHA_2)
+    p = k.cast("double") / n
+    center = p + z * z / (F.lit(2.0) * n)
+    half = z * F.sqrt(
+        p * (1 - p) / n + z * z / (F.lit(4.0) * n * n)
+    )
+    denom = 1 + z * z / n
+    return m.select(
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequential probability ratio test monitor (round 7)
+# --------------------------------------------------------------------------
+
+#: SPRT log-likelihood increments for H1: p=0.22 vs H0: p=0.18 and the
+#: symmetric alpha=beta=0.05 decision boundaries: ln(p1/p0),
+#: ln((1-p1)/(1-p0)), ln((1-beta)/alpha).  Precomputed in Python so
+#: BOTH engines consume identical double literals — ln() at query time
+#: is a libm call with engine-specific rounding.
+SPRT_L1 = 0.20067069546215124
+SPRT_L0 = -0.05001042057466142
+SPRT_BOUND = 2.9444389791664403
+
+
+@query(
+    "ml_sprt_monitor",
+    oracle=f"""
+    WITH daily AS (
+        SELECT datediff('day', DATE '2000-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS d,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END) AS BIGINT) AS k_day,
+               CAST(count(*) AS BIGINT) AS n_day
+        FROM events GROUP BY 1),
+    cum AS (
+        SELECT d,
+               CAST(sum(k_day) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS k,
+               CAST(sum(n_day) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n
+        FROM daily)
+    SELECT d AS day_idx, k, n,
+           round(k * {SPRT_L1}e0 + (n - k) * {SPRT_L0}e0, 6) AS llr,
+           CASE
+               WHEN k * {SPRT_L1}e0 + (n - k) * {SPRT_L0}e0
+                    > {SPRT_BOUND}e0 THEN 'accept_h1'
+               WHEN k * {SPRT_L1}e0 + (n - k) * {SPRT_L0}e0
+                    < -{SPRT_BOUND}e0 THEN 'accept_h0'
+               ELSE 'continue'
+           END AS decision
+    FROM cum
+    """,
+)
+def ml_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test, monitored daily: is
+    the purchase share of the event stream 0.22 (H1) or 0.18 (H0)?
+    The always-valid sequential monitor that lets an experiment stop
+    the day the evidence crosses a boundary instead of waiting for a
+    fixed horizon — with α = β = 0.05 boundaries ±ln(19).
+
+    The log-likelihood increments are PRECOMPUTED double literals
+    (``ln`` at query time is a libm call engines round differently),
+    so each day's LLR is two exact-BIGINT × literal products plus one
+    add — bit-identical cross-engine, as are the boundary
+    comparisons.  The stream collapses to the bounded day spine
+    first; cumulative counts are integer prefix sums.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("2000-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k_day"),
+        F.count(F.lit(1)).alias("n_day"),
+    )
+    w_run = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "d",
+        F.sum("k_day").over(w_run).alias("k"),
+        F.sum("n_day").over(w_run).alias("n"),
+    )
+    llr = F.col("k") * F.lit(SPRT_L1) + (
+        F.col("n") - F.col("k")
+    ) * F.lit(SPRT_L0)
+    return cum.select(
+        F.col("d").alias("day_idx"),
+        "k",
+        "n",
+        F.round(llr, 6).alias("llr"),
+        F.when(llr > F.lit(SPRT_BOUND), "accept_h1")
+        .when(llr < F.lit(-SPRT_BOUND), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Delta-method CI for a ratio metric (round 7)
+# --------------------------------------------------------------------------
+
+@query(
+    "ml_ratio_metric_ci",
+    oracle=f"""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY user_id),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT)     AS n,
+               CAST(sum(x) AS BIGINT)       AS sx,
+               CAST(sum(y) AS BIGINT)       AS sy,
+               CAST(sum(x * x) AS BIGINT)   AS sxx,
+               CAST(sum(y * y) AS BIGINT)   AS syy,
+               CAST(sum(x * y) AS BIGINT)   AS sxy
+        FROM pu),
+    f AS (
+        SELECT n, sx, sy,
+               CAST(sx AS DOUBLE) / sy AS r,
+               (sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vx,
+               (syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vy,
+               (sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cxy,
+               CAST(sy AS DOUBLE) / n AS yb
+        FROM m)
+    SELECT n,
+           round(r, 6) AS ratio_cents_per_event,
+           round(sqrt((vx - 2 * r * cxy + r * r * vy)
+                      / (n * yb * yb)), 8) AS se,
+           round(r - {Z_ALPHA_2}e0
+                 * sqrt((vx - 2 * r * cxy + r * r * vy)
+                        / (n * yb * yb)), 6) AS ci_lo,
+           round(r + {Z_ALPHA_2}e0
+                 * sqrt((vx - 2 * r * cxy + r * r * vy)
+                        / (n * yb * yb)), 6) AS ci_hi
+    FROM f
+    """,
+)
+def ml_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method 95% CI for a RATIO metric — purchase cents per
+    event, Σx/Σy over user-level pairs.  Ratio metrics (revenue per
+    session, CTR per user) violate the iid assumption of a naive
+    per-row variance because the denominator varies per unit; the
+    delta method is how every experimentation platform gets their
+    standard errors right: var(R) ≈ (s_x² − 2R·s_xy + R²·s_y²)/(n·ȳ²).
+
+    One user-grain pass yields exact BIGINT (x, y); the five
+    cross-moments are exact integer sums (the ``agg_corr_exact``
+    recipe), and R / variance / bounds are one shared closing
+    expression with the z quantile as a shared literal — bit-identical
+    before rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = sxd / F.col("sy")
+    vx = (F.col("sxx") - sxd * F.col("sx") / n) / (n - 1)
+    vy = (F.col("syy") - syd * F.col("sy") / n) / (n - 1)
+    cxy = (F.col("sxy") - sxd * F.col("sy") / n) / (n - 1)
+    yb = syd / n
+    se = F.sqrt((vx - 2 * r * cxy + r * r * vy) / (n * yb * yb))
+    z = F.lit(Z_ALPHA_2)
+    return m.select(
+        "n",
+        F.round(r, 6).alias("ratio_cents_per_event"),
+        F.round(se, 8).alias("se"),
+        F.round(r - z * se, 6).alias("ci_lo"),
+        F.round(r + z * se, 6).alias("ci_hi"),
+    )

@@ -782,3 +782,107 @@ def win_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment_no",
         F.sum("qty").over(w_run).alias("run_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval merging / union length (round 7)
+# --------------------------------------------------------------------------
+
+@query(
+    "win_merge_intervals",
+    oracle="""
+    WITH iv AS (
+        SELECT l.l_suppkey AS supp,
+               CAST(o.o_orderdate AS DATE)  AS s,
+               CAST(l.l_shipdate AS DATE)   AS e
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)),
+    marked AS (
+        SELECT supp, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (PARTITION BY supp
+                        ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), DATE '1900-01-01')
+                    THEN 1 ELSE 0 END AS new_grp
+        FROM iv),
+    grp AS (
+        SELECT supp, s, e,
+               CAST(sum(new_grp) OVER (PARTITION BY supp ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS g
+        FROM marked),
+    merged AS (
+        SELECT supp, g, min(s) AS ms, max(e) AS me,
+               CAST(count(*) AS BIGINT) AS n_iv
+        FROM grp GROUP BY supp, g)
+    SELECT supp AS l_suppkey,
+           CAST(sum(n_iv) AS BIGINT)   AS n_intervals,
+           CAST(count(*) AS BIGINT)    AS n_busy_periods,
+           CAST(sum(datediff('day', ms, me) + 1) AS BIGINT)
+               AS covered_days
+    FROM merged GROUP BY supp
+    """,
+)
+def win_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals — the classic union-length problem:
+    each lineitem is a fulfillment window [order date, ship date] for
+    its supplier; overlapping windows coalesce into maximal busy
+    periods, and the union length (covered days) is what a naive
+    Σ(end−start) double-counts.  The canonical gaps-and-islands
+    solution: an interval starts a new busy period exactly when its
+    start exceeds the running max of all previous ends.
+
+    Everything is partitioned BY SUPPLIER — the running-max window,
+    the island numbering, and both aggregates — so per-key state is
+    bounded by that supplier's interval count and the plan scales
+    with more keys, never a global sort.  All arithmetic is exact
+    date/integer math; the (s, e) sort order is total per supplier
+    for the running max (equal pairs are interchangeable).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    iv = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("supp"),
+            F.col("o_orderdate").cast("date").alias("s"),
+            F.col("l_shipdate").cast("date").alias("e"),
+        )
+        .filter(F.col("e") >= F.col("s"))
+    )
+    w_prev = (
+        Window.partitionBy("supp")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_grp",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w_prev), F.lit("1900-01-01").cast("date")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("supp")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        marked.withColumn("g", F.sum("new_grp").over(w_run))
+        .groupBy("supp", "g")
+        .agg(
+            F.min("s").alias("ms"),
+            F.max("e").alias("me"),
+            F.count(F.lit(1)).alias("n_iv"),
+        )
+    )
+    return merged.groupBy(F.col("supp").alias("l_suppkey")).agg(
+        F.sum("n_iv").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_busy_periods"),
+        F.sum(F.datediff("me", "ms") + 1).cast("long").alias(
+            "covered_days"
+        ),
+    )

@@ -91,6 +91,12 @@ SENSITIVE = [
     "ts_npv_discounted",
     "ts_sharpe_ratio",
     "ts_beta_to_market",
+    # round-7 batches 59-62: moment-based closing expressions and
+    # literal-constant LLR/CI math over exact integer aggregates
+    "ml_cuped_adjustment",
+    "ml_power_mde",
+    "ml_ratio_metric_ci",
+    "ml_wilson_ci",
 ]
 
 

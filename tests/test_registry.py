@@ -382,6 +382,9 @@ EXPECTED_IDS = {
     # COVID derived-metric family)
     "ts_doubling_time", "ts_growth_ratio_rt",
     "ts_lagged_outcome_ratio", "ts_active_outstanding",
+    # round-7 batch 62: interval union + sequential/ratio inference
+    "win_merge_intervals", "ml_wilson_ci", "ml_sprt_monitor",
+    "ml_ratio_metric_ci",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
