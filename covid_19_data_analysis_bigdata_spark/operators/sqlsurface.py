@@ -656,3 +656,156 @@ def sql_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(v).alias("norm_json"),
         F.schema_of_variant(v).startswith("OBJECT").alias("is_obj"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H classic shapes (round 7): Q13 / Q15 / Q21 / Q22 adapted to the
+# testdata schema (no comment/phone/receiptdate columns), shared as
+# IDENTICAL SQL strings on both engines.
+# --------------------------------------------------------------------------
+
+_Q13_SQL = """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey) AS t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("sql_tpch_q13_custdist", oracle=_Q13_SQL)
+def sql_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed
+    exactly k orders, including k = 0 — the double-aggregation shape
+    (LEFT JOIN → per-key count → count-of-counts) that exercises
+    null-preserving outer-join counting (``count(o_orderkey)`` must
+    not count the null row).
+
+    The first aggregate shuffles on c_custkey (the join key — one
+    co-partitioned pass), the second on the tiny k-domain; both are
+    exact integer counts, and the output grain is bounded by the max
+    orders-per-customer, not the row count.
+    """
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q13_SQL)
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 10000) AS BIGINT)) AS BIGINT)
+                   AS total_rev_dmil
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev_dmil
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev_dmil = (SELECT max(total_rev_dmil) FROM revenue)
+    ORDER BY s.s_suppkey
+"""
+
+
+@query("sql_tpch_q15_top_supplier", oracle=_Q15_SQL)
+def sql_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose Q1-1996 shipped
+    revenue equals the global maximum — the derived-view + scalar-max
+    + equality-join shape (the original's CREATE VIEW is a CTE here).
+
+    Revenue is summed in exact integer DECIMILS: price and discount
+    are 2dp-grained, so price·(1−discount)·10⁴ is integer-valued and
+    the per-row round only removes float fuzz ~10⁻⁹ — never a tie —
+    making the max-equality membership deterministic (a 4dp-rounded
+    DOUBLE sum here could flip a supplier in or out at a rounding
+    boundary).  Catalyst evaluates the scalar subquery once and
+    broadcasts it.
+    """
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(_Q15_SQL)
+
+
+_Q21_SQL = """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate
+                                            + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+"""
+
+
+@query("sql_tpch_q21_waiting_suppliers", oracle=_Q21_SQL)
+def sql_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: in
+    finalized multi-supplier orders, suppliers who shipped > 60 days
+    after the order date while EVERY other supplier shipped on time
+    (lateness is shipdate−orderdate here; the original's
+    receiptdate/commitdate columns are not in the testdata).  The
+    hardest decorrelation shape in the suite — one EXISTS plus one
+    NOT EXISTS, both correlated to the same fact row.
+
+    Catalyst turns the pair into a left-semi and a left-anti join on
+    l_orderkey — three passes over lineitem co-partitioned on the
+    order key, no nested-loop re-scan per row; the 60-day predicate
+    is evaluated inside each scan.  Counting and the top-20 are
+    exact integers with a total order.
+    """
+    _views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_Q21_SQL)
+
+
+_Q22_SQL = """
+    WITH pos AS (
+        SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS s_cents,
+               CAST(count(*) AS BIGINT) AS n_pos
+        FROM customer WHERE c_acctbal > 0.0)
+    SELECT n.n_name AS cntry,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                AS BIGINT) AS totacctbal_cents
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    CROSS JOIN pos
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n_pos
+              > pos.s_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+"""
+
+
+@query("sql_tpch_q22_prospects", oracle=_Q22_SQL)
+def sql_tpch_q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: per country,
+    the never-ordered customers whose account balance beats the
+    positive-balance average — the scalar-aggregate-threshold +
+    anti-join shape (country comes from the nation dim; the
+    original's phone-prefix column is not in the testdata).
+
+    The average-balance threshold is compared in CROSS-MULTIPLIED
+    integer cents (bal·n > Σ) — an avg() of doubles would make row
+    MEMBERSHIP depend on float summation order, the one thing a
+    threshold query can't tolerate.  The NOT EXISTS decorrelates to
+    a left-anti join on o_custkey; the 1-row threshold frame
+    broadcasts.
+    """
+    _views(spark, sf_dir, "customer", "nation", "orders")
+    return spark.sql(_Q22_SQL)

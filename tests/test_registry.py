@@ -385,6 +385,9 @@ EXPECTED_IDS = {
     # round-7 batch 62: interval union + sequential/ratio inference
     "win_merge_intervals", "ml_wilson_ci", "ml_sprt_monitor",
     "ml_ratio_metric_ci",
+    # round-7 batch 63: TPC-H classic shapes (adapted Q13/Q15/Q21/Q22)
+    "sql_tpch_q13_custdist", "sql_tpch_q15_top_supplier",
+    "sql_tpch_q21_waiting_suppliers", "sql_tpch_q22_prospects",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
