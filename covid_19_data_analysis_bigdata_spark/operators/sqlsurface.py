@@ -786,7 +786,8 @@ _Q22_SQL = """
     WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n_pos
               > pos.s_cents
       AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey)
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
     GROUP BY n.n_name
     ORDER BY n.n_name
 """
@@ -795,10 +796,13 @@ _Q22_SQL = """
 @query("sql_tpch_q22_prospects", oracle=_Q22_SQL)
 def sql_tpch_q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity), adapted: per country,
-    the never-ordered customers whose account balance beats the
-    positive-balance average — the scalar-aggregate-threshold +
-    anti-join shape (country comes from the nation dim; the
-    original's phone-prefix column is not in the testdata).
+    the LAPSED customers — no order since 1999 — whose account
+    balance beats the positive-balance average; the
+    scalar-aggregate-threshold + anti-join shape (country comes from
+    the nation dim, and "lapsed" replaces the original's
+    "never ordered", which is empty in this synthetic data where
+    nearly every customer has orders; the phone-prefix column is not
+    in the testdata).
 
     The average-balance threshold is compared in CROSS-MULTIPLIED
     integer cents (bal·n > Σ) — an avg() of doubles would make row
