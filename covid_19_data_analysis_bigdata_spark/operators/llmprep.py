@@ -1276,3 +1276,218 @@ def llm_heldout_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cnt") * F.col("oov")).alias("n_oov"),
         F.sum(F.col("cnt") * F.col("lam")).alias("nll_unats"),
     )
+
+
+# --------------------------------------------------------------------------
+# Span-corruption planning (round 7)
+# --------------------------------------------------------------------------
+
+#: T5-style span corruption: target corrupt rate (percent) and mean
+#: span length (tokens).
+CORRUPT_PCT = 15
+SPAN_LEN = 3
+
+#: Minimum tokens for a document to receive any corruption span.
+CORRUPT_MIN_TOK = 8
+
+
+@query(
+    "llm_span_corruption_plan",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                   AS n_tok
+        FROM documents),
+    pl AS (
+        SELECT doc_id, source, n_tok,
+               greatest(CAST(1 AS BIGINT),
+                        (n_tok * {CORRUPT_PCT} // 100) // {SPAN_LEN})
+                   AS n_spans
+        FROM w WHERE n_tok >= {CORRUPT_MIN_TOK}),
+    ex AS (
+        SELECT doc_id, source, n_spans, n_tok,
+               unnest(range(1, n_spans + 1)) AS j
+        FROM pl),
+    sp AS (
+        SELECT source, n_spans, n_tok, j,
+               1 + CAST('0x' || substr(md5(
+                       CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
+                   % (n_tok - {SPAN_LEN}) AS start
+        FROM ex)
+    SELECT source,
+           CAST(count(DISTINCT n_tok * 1000000 + start) AS BIGINT)
+               AS n_distinct_slots,
+           CAST(count(*) AS BIGINT)          AS n_spans,
+           CAST(sum(start) AS BIGINT)        AS span_start_checksum,
+           round(CAST(count(*) * {SPAN_LEN} AS DOUBLE)
+                 / sum(CASE WHEN j = 1 THEN n_tok ELSE 0 END), 6)
+               AS corrupt_rate
+    FROM sp GROUP BY source
+    """,
+)
+def llm_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLAN: for every document long enough,
+    decide how many {SPAN_LEN}-token spans to mask (≈{CORRUPT_PCT}% of
+    tokens) and WHERE — span starts drawn by the engine-portable
+    md5-prefix hash of (doc_id, span#), so the masking layout is
+    reproducible across engines, runs, and cluster sizes with no RNG
+    state.  The planning stage every masked-LM data pipeline runs
+    ahead of tokenization; reported per source as span counts plus an
+    exact integer start-position checksum (the cross-engine witness
+    that BOTH engines drew identical spans).
+
+    Spans explode from a bounded ``sequence(1, n_spans)`` per doc —
+    n_spans ≈ tokens/20, so the expansion is linear in corpus tokens
+    and embarrassingly parallel; everything is exact integer
+    arithmetic (``div``/``%`` lattice, no floats until the final
+    shared ratio).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.col("text")), " ")).cast("long")
+    pl = (
+        d.select("doc_id", "source", n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") >= CORRUPT_MIN_TOK)
+        .withColumn(
+            "n_spans",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(
+                    f"(n_tok * {CORRUPT_PCT} div 100) div {SPAN_LEN}"
+                ),
+            ),
+        )
+    )
+    sp = pl.select(
+        "doc_id",
+        "source",
+        "n_spans",
+        "n_tok",
+        F.explode(F.sequence(F.lit(1), F.col("n_spans"))).alias("j"),
+    ).withColumn(
+        "start",
+        1
+        + F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("j"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (F.col("n_tok") - SPAN_LEN),
+    )
+    return sp.groupBy("source").agg(
+        F.countDistinct(
+            F.col("n_tok") * 1000000 + F.col("start")
+        ).alias("n_distinct_slots"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("start").alias("span_start_checksum"),
+        F.round(
+            (F.count(F.lit(1)) * SPAN_LEN).cast("double")
+            / F.sum(
+                F.when(F.col("j") == 1, F.col("n_tok")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ),
+            6,
+        ).alias("corrupt_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-filter funnel (round 7)
+# --------------------------------------------------------------------------
+
+@query(
+    "llm_filter_funnel",
+    oracle="""
+    WITH f AS (
+        SELECT CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS f1,
+               CASE WHEN lang IN ('en', 'de', 'fr', 'es') THEN 1
+                    ELSE 0 END AS f2,
+               CASE WHEN len(string_split(lower(text), ' ')) >= 20
+                    THEN 1 ELSE 0 END AS f3,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY
+                        md5(text)) THEN 1 ELSE 0 END AS f4
+        FROM documents),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS c0,
+               CAST(sum(f1) AS BIGINT) AS c1,
+               CAST(sum(f1 * f2) AS BIGINT) AS c2,
+               CAST(sum(f1 * f2 * f3) AS BIGINT) AS c3,
+               CAST(sum(f1 * f2 * f3 * f4) AS BIGINT) AS c4
+        FROM f)
+    SELECT 1 AS stage, 'length_min_100' AS filter_name,
+           c0 AS n_in, c1 AS n_out,
+           round(CAST(c1 AS DOUBLE) / c0, 6) AS pass_rate FROM c
+    UNION ALL
+    SELECT 2, 'lang_allowlist', c1, c2,
+           round(CAST(c2 AS DOUBLE) / c1, 6) FROM c
+    UNION ALL
+    SELECT 3, 'min_20_words', c2, c3,
+           round(CAST(c3 AS DOUBLE) / c2, 6) FROM c
+    UNION ALL
+    SELECT 4, 'exact_dedup_keep', c3, c4,
+           round(CAST(c4 AS DOUBLE) / c3, 6) FROM c
+    """,
+)
+def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter FUNNEL: how many documents survive each stage of
+    the standard curation cascade (length floor → language allowlist →
+    minimum word count → exact-dup keeper) — the drop-off report every
+    training-data pipeline publishes next to its dataset card, and the
+    first place a mis-tuned filter shows up as a cliff.
+
+    All four flags are computed in ONE pass (the dedup keeper flag via
+    a min-over-content-hash window, partitioned by md5 so state per
+    key is the duplicate-group size); cumulative survivor counts are
+    exact integer sums of flag PRODUCTS (stage k counts docs passing
+    stages 1..k), and the 4-row funnel is a constant-width unpivot of
+    a single aggregate row.  Pass rates are one shared division per
+    stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w_dup = Window.partitionBy(F.md5("text"))
+    f = d.select(
+        F.when(F.col("n_chars") >= 100, 1).otherwise(0).alias("f1"),
+        F.when(
+            F.col("lang").isin("en", "de", "fr", "es"), 1
+        ).otherwise(0).alias("f2"),
+        F.when(
+            F.size(F.split(F.lower(F.col("text")), " ")) >= 20, 1
+        ).otherwise(0).alias("f3"),
+        F.when(
+            F.col("doc_id") == F.min("doc_id").over(w_dup), 1
+        ).otherwise(0).alias("f4"),
+    )
+    c = f.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum("f1").alias("c1"),
+        F.sum(F.col("f1") * F.col("f2")).alias("c2"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3")).alias("c3"),
+        F.sum(
+            F.col("f1") * F.col("f2") * F.col("f3") * F.col("f4")
+        ).alias("c4"),
+    )
+    stages = [
+        (1, "length_min_100", "c0", "c1"),
+        (2, "lang_allowlist", "c1", "c2"),
+        (3, "min_20_words", "c2", "c3"),
+        (4, "exact_dedup_keep", "c3", "c4"),
+    ]
+    out = None
+    for no, name, cin, cout in stages:
+        row = c.select(
+            F.lit(no).alias("stage"),
+            F.lit(name).alias("filter_name"),
+            F.col(cin).alias("n_in"),
+            F.col(cout).alias("n_out"),
+            F.round(
+                F.col(cout).cast("double") / F.col(cin), 6
+            ).alias("pass_rate"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -728,3 +728,99 @@ def multimodal_blur_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sharpness",
         (F.col("sharpness") < BLUR_THRESHOLD).alias("is_blurry"),
     )
+
+
+# --------------------------------------------------------------------------
+# Aspect-ratio bucketing (round 7)
+# --------------------------------------------------------------------------
+
+#: Canonical aspect buckets (w, h); ties resolve to the EARLIEST
+#: bucket in this list.
+ASPECT_BUCKETS = [(1, 1), (4, 3), (3, 4), (16, 9), (9, 16)]
+
+
+@query(
+    "multimodal_aspect_bucket",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               octet_length(CAST(text AS BLOB)) % 640 + 64       AS w,
+               (octet_length(CAST(text AS BLOB)) * 7) % 480 + 64 AS h
+        FROM documents),
+    e AS (
+        SELECT doc_id, w, h,
+               unnest([{", ".join(str(i) for i in range(len(ASPECT_BUCKETS)))}]) AS bi,
+               unnest([{", ".join(str(bw) for bw, _ in ASPECT_BUCKETS)}]) AS bw,
+               unnest([{", ".join(str(bh) for _, bh in ASPECT_BUCKETS)}]) AS bh
+        FROM m),
+    best AS (
+        SELECT doc_id, bw, bh,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY abs(w * bh - h * bw), bi) AS rn
+        FROM e),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m)
+    SELECT best.bw AS bucket_w, best.bh AS bucket_h,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(count(*) AS DOUBLE) / tot.n, 6) AS share
+    FROM best CROSS JOIN tot
+    WHERE rn = 1
+    GROUP BY best.bw, best.bh, tot.n
+    """,
+)
+def multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing: assign every media payload to the
+    closest canonical aspect bucket — the batch-packing stage of any
+    image-training pipeline (mixed aspect ratios cannot share a dense
+    batch; buckets trade a small crop for rectangular tensors).
+
+    Closeness is judged in exact CROSS-MULTIPLIED integers
+    (|w·bh − h·bw|, ties to the earliest bucket) — a float
+    w/h-vs-bw/bh comparison could flip assignment at a rounding
+    boundary; the integer form cannot.  The decode (payload → w, h)
+    is the house stub; the assignment itself is an argmin over a
+    5-literal bucket list, evaluated JVM-side per row (no Python), so
+    the stage is one narrow map plus a bucket-grain aggregate —
+    embarrassingly parallel at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length(F.col("text").cast("binary")).alias("n")
+    )
+    m = d.select(
+        "doc_id",
+        (F.col("n") % 640 + 64).alias("w"),
+        ((F.col("n") * 7) % 480 + 64).alias("h"),
+    )
+    # JVM-side argmin over the literal bucket list: fold the (diff,
+    # index) pairs with least-by-struct semantics.
+    best_bi = F.lit(0)
+    best_d = F.abs(
+        F.col("w") * ASPECT_BUCKETS[0][1]
+        - F.col("h") * ASPECT_BUCKETS[0][0]
+    )
+    for i, (bw, bh) in enumerate(ASPECT_BUCKETS[1:], start=1):
+        di = F.abs(F.col("w") * bh - F.col("h") * bw)
+        best_bi = F.when(di < best_d, F.lit(i)).otherwise(best_bi)
+        best_d = F.when(di < best_d, di).otherwise(best_d)
+    assigned = m.select(best_bi.alias("bi"))
+    # map bucket index -> (bw, bh) via chained CASE (5 literals)
+    bw_c, bh_c = F.lit(None), F.lit(None)
+    for i, (bw, bh) in enumerate(ASPECT_BUCKETS):
+        bw_c = F.when(F.col("bi") == i, bw).otherwise(bw_c)
+        bh_c = F.when(F.col("bi") == i, bh).otherwise(bh_c)
+    tot = m.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        assigned.select(
+            bw_c.alias("bucket_w"), bh_c.alias("bucket_h")
+        )
+        .groupBy("bucket_w", "bucket_h")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_w",
+            "bucket_h",
+            "n_items",
+            F.round(
+                F.col("n_items").cast("double") / F.col("n"), 6
+            ).alias("share"),
+        )
+    )

@@ -388,6 +388,9 @@ EXPECTED_IDS = {
     # round-7 batch 63: TPC-H classic shapes (adapted Q13/Q15/Q21/Q22)
     "sql_tpch_q13_custdist", "sql_tpch_q15_top_supplier",
     "sql_tpch_q21_waiting_suppliers", "sql_tpch_q22_prospects",
+    # round-7 batch 64: training-data plumbing
+    "llm_span_corruption_plan", "llm_filter_funnel",
+    "multimodal_aspect_bucket",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
