@@ -31,6 +31,16 @@ RUNTIME_CONFS: dict[str, str] = {
     # Adaptive execution: runtime re-planning at shuffle boundaries.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Let AQE coalesce below defaultParallelism (the Spark docs'
+    # recommended cluster setting).  The default (true) pins every
+    # post-shuffle stage at >= 32 partitions, so doc-grain /
+    # bucket-grain stages (LSH buckets, band tables, candidate pairs)
+    # pay ~30 empty-task schedules per shuffle — measured round 7:
+    # an 8-query mixed bench fell 10.1 s -> 9.0 s with ZERO per-query
+    # regressions (llm_dedup_fuzzy 1.79->1.43, ml_knn_classify
+    # 1.05->0.79).  Advisory partition size still governs real
+    # volumes, so genuinely large shuffles keep their parallelism.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     # Runtime-settable, so externally-built sessions (the driver's plain
     # session defaults to 200) also get a parallelism-matched value; AQE
     # coalesces further downward per-stage.  Overridable for bench A/B
