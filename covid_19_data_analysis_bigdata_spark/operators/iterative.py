@@ -1048,13 +1048,21 @@ def graph_edge_support_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
+    # One pass, not three: a 3-way unionAll of projections of ``tris``
+    # re-executes the adjacency-intersect pipeline per branch (the
+    # round-7 profile showed exactly 3x the stage cost).  Emitting the
+    # three canonical edges as an array and exploding keeps a single
+    # upstream execution inside whole-stage codegen.
     def canon(p, q):
-        return [F.least(p, q).alias("u"), F.greatest(p, q).alias("v")]
-    attributed = (
-        tris.select(*canon(F.col("x"), F.col("y")))
-        .unionAll(tris.select(*canon(F.col("x"), F.col("w"))))
-        .unionAll(tris.select(*canon(F.col("y"), F.col("w"))))
-    )
+        return F.struct(
+            F.least(p, q).alias("u"), F.greatest(p, q).alias("v")
+        )
+    x, y, w = F.col("x"), F.col("y"), F.col("w")
+    attributed = tris.select(
+        F.explode(
+            F.array(canon(x, y), canon(x, w), canon(y, w))
+        ).alias("e")
+    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
     support = attributed.groupBy("u", "v").agg(
         F.count(F.lit(1)).alias("support")
     )
