@@ -4545,3 +4545,270 @@ def ts_active_outstanding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_open") - F.col("n_bad") - F.col("n_done")
         ).over(w_run).alias("active"),
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast-evaluation suite (round 7): pinball, MASE, coverage, Theil U2
+# --------------------------------------------------------------------------
+
+#: Pinball-loss quantile (tenths, so the loss stays exact-integer).
+PINBALL_TAU_TENTHS = 9
+
+
+@query(
+    "ts_pinball_loss",
+    oracle=f"""
+    WITH {_REV_DAILY_SQL},
+    fc AS (
+        SELECT day, usd,
+               lag(usd, 7) OVER (ORDER BY day) AS yhat
+        FROM rev),
+    l AS (
+        SELECT usd, yhat, usd - yhat AS d FROM fc
+        WHERE yhat IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(greatest({PINBALL_TAU_TENTHS} * d,
+                             ({PINBALL_TAU_TENTHS} - 10) * d))
+                AS BIGINT) AS pinball_tenths,
+           round(CAST(sum(greatest({PINBALL_TAU_TENTHS} * d,
+                                   ({PINBALL_TAU_TENTHS} - 10) * d))
+                      AS DOUBLE) / (10.0 * count(*)), 4)
+               AS mean_pinball_usd
+    FROM l
+    """,
+)
+def ts_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss at τ = 0.9 of the seasonal-naive
+    forecast (same weekday last week) on daily order revenue — the
+    scoring rule for quantile forecasts: under-predictions of a P90
+    cost 9× what over-predictions do.  The metric every probabilistic
+    forecasting backtest reports per quantile.
+
+    Exactness trick: with τ in tenths, 10·pinball =
+    Σ max(9·d, −d) over integer errors d — the whole loss is exact
+    BIGINT arithmetic and only the final per-day mean divides.  The
+    lag runs on the bounded day spine; the fact table is reduced by
+    one integer aggregate first.
+    """
+    rev = _rev_daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    fc = rev.select(
+        "usd", F.lag("usd", 7).over(w).alias("yhat")
+    ).filter(F.col("yhat").isNotNull())
+    d = F.col("usd") - F.col("yhat")
+    t = PINBALL_TAU_TENTHS
+    loss = F.sum(F.greatest(t * d, (t - 10) * d))
+    return fc.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        loss.alias("pinball_tenths"),
+        F.round(
+            loss.cast("double") / (F.lit(10.0) * F.count(F.lit(1))), 4
+        ).alias("mean_pinball_usd"),
+    )
+
+
+@query(
+    "ts_mase_backtest",
+    oracle=f"""
+    WITH {_REV_DAILY_SQL},
+    fc AS (
+        SELECT usd,
+               (lag(usd, 1) OVER (ORDER BY day)
+                + lag(usd, 2) OVER (ORDER BY day)
+                + lag(usd, 3) OVER (ORDER BY day)
+                + lag(usd, 4) OVER (ORDER BY day)
+                + lag(usd, 5) OVER (ORDER BY day)
+                + lag(usd, 6) OVER (ORDER BY day)
+                + lag(usd, 7) OVER (ORDER BY day)) // 7 AS yhat,
+               lag(usd, 1) OVER (ORDER BY day) AS ynaive
+        FROM rev),
+    l AS (SELECT * FROM fc WHERE yhat IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(usd - yhat)) AS BIGINT)   AS mae_model_usd,
+           CAST(sum(abs(usd - ynaive)) AS BIGINT) AS mae_naive_usd,
+           round(CAST(sum(abs(usd - yhat)) AS DOUBLE)
+                 / sum(abs(usd - ynaive)), 6) AS mase
+    FROM l
+    """,
+)
+def ts_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE backtest: mean absolute error of a trailing-7-day-mean
+    forecast, SCALED by the naive (lag-1) forecast's error — the
+    scale-free forecast-accuracy metric (MASE < 1 = beats naive) that
+    makes models comparable across series of different magnitude.
+
+    The trailing mean uses integer division (``//``/``div`` — both
+    engines truncate identically on positive sums), so model forecast,
+    naive forecast, and both absolute-error sums are exact BIGINTs;
+    the MASE ratio is the single shared division.  Scored days are
+    those with a full 7-day history (yhat defined ⇒ ynaive defined).
+    """
+    rev = _rev_daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    lag_sum = sum(
+        (F.lag("usd", i).over(w) for i in range(2, 8)),
+        F.lag("usd", 1).over(w),
+    )
+    fc = rev.select(
+        "usd",
+        lag_sum.alias("lag_total"),
+        F.lag("usd", 1).over(w).alias("ynaive"),
+    ).select(
+        "usd",
+        F.expr("lag_total div 7").alias("yhat"),
+        "ynaive",
+    ).filter(F.col("yhat").isNotNull())
+    mae_m = F.sum(F.abs(F.col("usd") - F.col("yhat")))
+    mae_n = F.sum(F.abs(F.col("usd") - F.col("ynaive")))
+    return fc.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        mae_m.alias("mae_model_usd"),
+        mae_n.alias("mae_naive_usd"),
+        F.round(mae_m.cast("double") / mae_n, 6).alias("mase"),
+    )
+
+
+#: Interval-forecast half-width multiplier (tenths of trailing MAD).
+COVER_K_TENTHS = 25
+
+
+@query(
+    "ts_interval_coverage",
+    oracle=f"""
+    WITH {_REV_DAILY_SQL},
+    fc AS (
+        SELECT usd,
+               lag(usd, 7) OVER (ORDER BY day) AS center,
+               (abs(lag(usd, 1) OVER (ORDER BY day)
+                    - lag(usd, 2) OVER (ORDER BY day))
+                + abs(lag(usd, 2) OVER (ORDER BY day)
+                      - lag(usd, 3) OVER (ORDER BY day))
+                + abs(lag(usd, 3) OVER (ORDER BY day)
+                      - lag(usd, 4) OVER (ORDER BY day))
+                + abs(lag(usd, 4) OVER (ORDER BY day)
+                      - lag(usd, 5) OVER (ORDER BY day))
+                + abs(lag(usd, 5) OVER (ORDER BY day)
+                      - lag(usd, 6) OVER (ORDER BY day))
+                + abs(lag(usd, 6) OVER (ORDER BY day)
+                      - lag(usd, 7) OVER (ORDER BY day))) // 6
+                   AS scale
+        FROM rev),
+    l AS (
+        SELECT usd, center, scale,
+               CASE WHEN 10 * abs(usd - center)
+                         <= {COVER_K_TENTHS} * scale
+                    THEN 1 ELSE 0 END AS covered
+        FROM fc WHERE center IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT)      AS n_days,
+           CAST(sum(covered) AS BIGINT)  AS n_covered,
+           round(CAST(sum(covered) AS DOUBLE) / count(*), 6)
+               AS coverage
+    FROM l
+    """,
+)
+def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical coverage of a naive interval forecast: the seasonal-
+    naive center (same weekday last week) ± 2.5× the trailing mean
+    absolute day-over-day change — did the realized value land inside?
+    The calibration check every interval forecast needs (a 90%
+    interval that covers 60% of days is lying).
+
+    Fully integer: the trailing scale is an integer-division mean of
+    absolute differences, and the coverage test cross-multiplies by
+    10 (|err|·10 ≤ 25·scale) instead of forming 2.5·scale in floats —
+    so membership is exact on both engines and only the final
+    coverage rate divides.
+    """
+    rev = _rev_daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    lag = lambda i: F.lag("usd", i).over(w)  # noqa: E731
+    scale_sum = sum(
+        (F.abs(lag(i) - lag(i + 1)) for i in range(2, 7)),
+        F.abs(lag(1) - lag(2)),
+    )
+    fc = rev.select(
+        "usd",
+        lag(7).alias("center"),
+        scale_sum.alias("scale_sum"),
+    ).select(
+        "usd",
+        "center",
+        F.expr("scale_sum div 6").alias("scale"),
+    ).filter(F.col("center").isNotNull())
+    covered = F.when(
+        10 * F.abs(F.col("usd") - F.col("center"))
+        <= COVER_K_TENTHS * F.col("scale"),
+        1,
+    ).otherwise(0)
+    l = fc.select(covered.alias("covered"))
+    return l.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("covered").alias("n_covered"),
+        F.round(
+            F.sum("covered").cast("double") / F.count(F.lit(1)), 6
+        ).alias("coverage"),
+    )
+
+
+@query(
+    "ts_theil_u2",
+    oracle=f"""
+    WITH {_REV_DAILY_SQL},
+    fc AS (
+        SELECT usd,
+               (lag(usd, 1) OVER (ORDER BY day)
+                + lag(usd, 2) OVER (ORDER BY day)
+                + lag(usd, 3) OVER (ORDER BY day)) // 3 AS yhat,
+               lag(usd, 1) OVER (ORDER BY day) AS ynaive
+        FROM rev),
+    l AS (SELECT * FROM fc WHERE yhat IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum((usd - yhat) * (usd - yhat)) AS BIGINT)
+               AS sse_model,
+           CAST(sum((usd - ynaive) * (usd - ynaive)) AS BIGINT)
+               AS sse_naive,
+           round(sqrt(CAST(sum((usd - yhat) * (usd - yhat)) AS DOUBLE)
+                      / sum((usd - ynaive) * (usd - ynaive))), 6)
+               AS theil_u2
+    FROM l
+    """,
+)
+def ts_theil_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2 forecast-quality statistic: RMSE of a trailing-3-day
+    -mean forecast relative to the no-change forecast — U2 < 1 means
+    the model adds information over persistence, the classic go/no-go
+    for shipping a forecasting model.
+
+    Squared errors of integer forecasts are exact BIGINT sums
+    (day-revenue² ≈ 10¹⁴ × 2,400 days — comfortably inside 2⁶³ past
+    sf10); the ratio-then-sqrt is one shared closing expression, so
+    both engines agree bitwise before the 6dp round.
+    """
+    rev = _rev_daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    lag_sum = (
+        F.lag("usd", 1).over(w)
+        + F.lag("usd", 2).over(w)
+        + F.lag("usd", 3).over(w)
+    )
+    fc = rev.select(
+        "usd",
+        lag_sum.alias("lag_total"),
+        F.lag("usd", 1).over(w).alias("ynaive"),
+    ).select(
+        "usd",
+        F.expr("lag_total div 3").alias("yhat"),
+        "ynaive",
+    ).filter(F.col("yhat").isNotNull())
+    em = F.col("usd") - F.col("yhat")
+    en = F.col("usd") - F.col("ynaive")
+    sse_m = F.sum(em * em)
+    sse_n = F.sum(en * en)
+    return fc.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        sse_m.alias("sse_model"),
+        sse_n.alias("sse_naive"),
+        F.round(
+            F.sqrt(sse_m.cast("double") / sse_n), 6
+        ).alias("theil_u2"),
+    )

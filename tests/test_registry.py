@@ -391,6 +391,9 @@ EXPECTED_IDS = {
     # round-7 batch 64: training-data plumbing
     "llm_span_corruption_plan", "llm_filter_funnel",
     "multimodal_aspect_bucket",
+    # round-7 batch 65: forecast-evaluation suite
+    "ts_pinball_loss", "ts_mase_backtest", "ts_interval_coverage",
+    "ts_theil_u2",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
