@@ -1025,3 +1025,116 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cheb") <= NEAR_DIST)
         .distinct()
     )
+
+
+#: Neighbors reported per point by the grid kNN join.
+KNN_GRID_K = 3
+
+
+@query(
+    "join_knn_grid",
+    oracle=f"""
+    WITH pts AS (
+        SELECT DISTINCT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 256 AS x,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))
+                    AS BIGINT) % 256 AS y
+        FROM events WHERE user_id < {SPATIAL_USERS}),
+    cells AS (
+        SELECT p.user_id, p.x, p.y,
+               (p.x // {GRID_CELL}) + dx AS cx,
+               (p.y // {GRID_CELL}) + dy AS cy
+        FROM pts p,
+             (SELECT unnest([-1, 0, 1]) AS dx) a,
+             (SELECT unnest([-1, 0, 1]) AS dy) b),
+    pairs AS (
+        SELECT DISTINCT c.user_id, q.user_id AS neighbor_id,
+               greatest(abs(c.x - q.x), abs(c.y - q.y)) AS cheb
+        FROM cells c
+        JOIN pts q ON q.x // {GRID_CELL} = c.cx
+                  AND q.y // {GRID_CELL} = c.cy
+                  AND q.user_id <> c.user_id),
+    ranked AS (
+        SELECT user_id, neighbor_id, CAST(cheb AS BIGINT) AS cheb,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY cheb, neighbor_id) AS rk
+        FROM pairs WHERE cheb <= {GRID_CELL})
+    SELECT user_id, neighbor_id, cheb, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {KNN_GRID_K}
+    """,
+)
+def join_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius k-nearest-neighbor join on the derived point
+    plane: each point's {KNN_GRID_K} nearest neighbors within
+    Chebyshev radius {GRID_CELL}, found through the same 3×3-cell
+    blocking as ``join_spatial_grid`` — the kNN-join shape (geo
+    nearest-store, sensor nearest-station) expressed as candidate
+    generation + per-point heap instead of an all-pairs distance sort.
+
+    Bounding the radius at one cell edge is what makes blocked kNN
+    EXACT (pigeonhole: any pair within the radius shares a probed
+    cell) and is the standard production contract — unbounded kNN
+    needs ring expansion whose cost is unbounded on sparse regions.
+    Candidates are ranked by a window PARTITIONED BY the probe point
+    (per-key state = that point's candidate count), with the total
+    (cheb, neighbor_id) order making the cut deterministic; all
+    distances are exact integers on the hash-derived plane.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    pts = (
+        ev.filter(F.col("user_id") < SPATIAL_USERS)
+        .select(
+            "user_id",
+            (
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 256
+            ).alias("x"),
+            (
+                F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 256
+            ).alias("y"),
+        )
+        .distinct()
+        .persist()
+    )
+    deltas = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dy"))
+    )
+    cells = pts.crossJoin(F.broadcast(deltas)).select(
+        "user_id",
+        "x",
+        "y",
+        (F.expr(f"x div {GRID_CELL}") + F.col("dx")).alias("cx"),
+        (F.expr(f"y div {GRID_CELL}") + F.col("dy")).alias("cy"),
+    )
+    q = pts.select(
+        F.col("user_id").alias("neighbor_id"),
+        F.expr(f"x div {GRID_CELL}").alias("qcx"),
+        F.expr(f"y div {GRID_CELL}").alias("qcy"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+    )
+    pairs = (
+        cells.join(
+            q,
+            (F.col("qcx") == F.col("cx"))
+            & (F.col("qcy") == F.col("cy"))
+            & (F.col("neighbor_id") != F.col("user_id")),
+        )
+        .select(
+            "user_id",
+            "neighbor_id",
+            F.greatest(
+                F.abs(F.col("x") - F.col("qx")),
+                F.abs(F.col("y") - F.col("qy")),
+            ).alias("cheb"),
+        )
+        .distinct()
+        .filter(F.col("cheb") <= GRID_CELL)
+    )
+    w = Window.partitionBy("user_id").orderBy("cheb", "neighbor_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= KNN_GRID_K)
+        .select("user_id", "neighbor_id", "cheb", "rk")
+    )

@@ -970,3 +970,91 @@ def llm_dedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("b_id").alias("n_droppable"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation diagnostics (round 7)
+# --------------------------------------------------------------------------
+
+#: Prefix-dimension truncation levels evaluated (full dim is 64).
+MRL_LEVELS = [8, 16, 32]
+
+_SUMSQ_FOLD_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform({v}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)"
+)
+
+
+@query(
+    "llm_matryoshka_eval",
+    oracle=f"""
+    WITH lv AS (SELECT unnest([{", ".join(map(str, MRL_LEVELS))}]) AS k),
+    r AS (
+        SELECT lv.k,
+               sqrt({_SUMSQ_FOLD_SQL.format(v="e.embedding[1:lv.k]")}
+                    / {_SUMSQ_FOLD_SQL.format(v="e.embedding")})
+                   AS retained
+        FROM embeddings e CROSS JOIN lv
+        WHERE {_SUMSQ_FOLD_SQL.format(v="e.embedding")} > 0)
+    SELECT CAST(k AS INTEGER) AS k,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(list_reduce(list_prepend(0.0,
+                     list_sort(list(retained))), (a, b) -> a + b)
+                 / count(*), 6) AS mean_retained,
+           round(min(retained), 6) AS min_retained
+    FROM r GROUP BY k
+    """,
+)
+def llm_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation diagnostics: how much of each embedding's
+    L2 energy survives keeping only the first k of 64 dimensions, for
+    k ∈ {MRL_LEVELS} — the evaluation behind Matryoshka representation
+    learning's core promise (serve a prefix of the vector at a
+    fraction of the cost).  For a vector and its own prefix, cosine
+    similarity equals exactly the retained-norm ratio ‖x₁..k‖/‖x‖, so
+    this IS the truncation-fidelity curve.
+
+    Per-vector sums of squares fold sequentially (the ``_L2_FOLD_SQL``
+    idiom — Spark ``F.aggregate`` ≡ DuckDB ``list_reduce``) with every
+    FLOAT component cast to DOUBLE first (the float4-promotion ULP
+    trap), so each retained ratio is bit-identical cross-engine; the
+    per-level mean folds the SORTED ratio list.  One narrow pass over
+    the corpus × 3 levels, embarrassingly parallel.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def sumsq(col):
+        return F.aggregate(
+            F.transform(
+                col, lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    lv = spark.range(0, len(MRL_LEVELS)).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in MRL_LEVELS]),
+            F.col("id").cast("int") + 1,
+        ).alias("k")
+    )
+    full = sumsq(F.col("embedding"))
+    pref = sumsq(F.expr("slice(embedding, 1, k)"))
+    r = (
+        e.crossJoin(F.broadcast(lv))
+        .filter(full > 0)
+        .select("k", F.sqrt(pref / full).alias("retained"))
+    )
+    return r.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list("retained")),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_retained"),
+        F.round(F.min("retained"), 6).alias("min_retained"),
+    )

@@ -2865,3 +2865,63 @@ def report_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2_srm"),
         (chi2 > F.lit(CHI2_1_95)).alias("srm_detected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Catalog adoption curve (round 7)
+# --------------------------------------------------------------------------
+
+@query(
+    "report_catalog_adoption",
+    oracle="""
+    WITH first_sold AS (
+        SELECT l.l_partkey,
+               min(CAST(date_trunc('month', o.o_orderdate) AS DATE))
+                   AS m
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_partkey),
+    monthly AS (
+        SELECT m, CAST(count(*) AS BIGINT) AS new_parts
+        FROM first_sold GROUP BY m)
+    SELECT m AS month,
+           new_parts,
+           CAST(sum(new_parts) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS catalog_parts
+    FROM monthly
+    """,
+)
+def report_catalog_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog adoption curve: parts sold for the FIRST time each
+    month, and the cumulative count of parts ever sold — the
+    assortment-growth report (product analog of new-vs-returning
+    users), and the denominator behind any "percent of catalog
+    moving" KPI.
+
+    One co-partitioned join + a part-grain min() finds each part's
+    first-sale month (associative — map-side partials), the monthly
+    rollup is bounded by the calendar, and the running total is an
+    exact integer prefix sum over that bounded month spine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    first_sold = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.date_trunc("month", F.col("o_orderdate")).cast("date")
+            ).alias("m")
+        )
+    )
+    monthly = first_sold.groupBy("m").agg(
+        F.count(F.lit(1)).alias("new_parts")
+    )
+    w = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return monthly.select(
+        F.col("m").alias("month"),
+        "new_parts",
+        F.sum("new_parts").over(w).alias("catalog_parts"),
+    )

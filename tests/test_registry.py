@@ -394,6 +394,8 @@ EXPECTED_IDS = {
     # round-7 batch 65: forecast-evaluation suite
     "ts_pinball_loss", "ts_mase_backtest", "ts_interval_coverage",
     "ts_theil_u2",
+    # round-7 batch 66: grid kNN join, Matryoshka eval, catalog curve
+    "join_knn_grid", "llm_matryoshka_eval", "report_catalog_adoption",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
