@@ -3107,3 +3107,100 @@ def ml_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r - z * se, 6).alias("ci_lo"),
         F.round(r + z * se, 6).alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Brier score / skill of a probabilistic forecast (round 7)
+# --------------------------------------------------------------------------
+
+@query(
+    "ml_brier_score",
+    oracle="""
+    WITH daily AS (
+        SELECT datediff('day', DATE '2000-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS d,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END) AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+    fc AS (
+        SELECT d, k, n,
+               CAST(sum(k) OVER (ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                   AS DOUBLE)
+               / sum(n) OVER (ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS p,
+               CASE WHEN 10 * k > 2 * n THEN 1 ELSE 0 END AS y
+        FROM daily),
+    t AS (
+        SELECT p, y, (p - y) * (p - y) AS sq FROM fc
+        WHERE p IS NOT NULL),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(y) AS BIGINT)   AS n_pos,
+               list_reduce(list_prepend(0.0, list_sort(list(sq))),
+                   (a, b) -> a + b) AS sse
+        FROM t)
+    SELECT n_days, n_pos,
+           round(sse / n_days, 6) AS brier,
+           round(1 - (sse / n_days)
+                 / ((CAST(n_pos AS DOUBLE) / n_days)
+                    * (1 - CAST(n_pos AS DOUBLE) / n_days)), 6)
+               AS brier_skill
+    FROM m
+    """,
+)
+def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (and skill) of a trailing-week probability
+    forecast: each day, the previous 7 days' purchase share predicts
+    the probability that today is a high-purchase day (share > 0.2) —
+    the proper scoring rule for probability forecasts, with skill
+    measured against the climatological constant forecast whose Brier
+    is exactly r(1−r).
+
+    Forecast probabilities are single divisions of exact integer
+    window sums (bit-identical), the outcome test cross-multiplies
+    integers (10·k > 2·n — no float threshold), each squared error is
+    a shared two-op expression, and the error sum folds the SORTED
+    term list.  The day spine is bounded; one pass over the stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("2000-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    fc = daily.select(
+        (
+            F.sum("k").over(w).cast("double") / F.sum("n").over(w)
+        ).alias("p"),
+        F.when(10 * F.col("k") > 2 * F.col("n"), 1).otherwise(0).alias(
+            "y"
+        ),
+    ).filter(F.col("p").isNotNull())
+    t = fc.select(
+        "y", ((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias("sq")
+    )
+    m = t.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("y").alias("n_pos"),
+        F.aggregate(
+            F.sort_array(F.collect_list("sq")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("sse"),
+    )
+    r = F.col("n_pos").cast("double") / F.col("n_days")
+    brier = F.col("sse") / F.col("n_days")
+    return m.select(
+        "n_days",
+        "n_pos",
+        F.round(brier, 6).alias("brier"),
+        F.round(1 - brier / (r * (1 - r)), 6).alias("brier_skill"),
+    )

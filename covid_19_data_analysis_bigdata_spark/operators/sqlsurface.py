@@ -813,3 +813,70 @@ def sql_tpch_q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "customer", "nation", "orders")
     return spark.sql(_Q22_SQL)
+
+
+_Q4_SQL = """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate
+                                       + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+
+@query("sql_tpch_q4_order_priority", oracle=_Q4_SQL)
+def sql_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted: Q1-1996 orders
+    with at least one lineitem shipped > 30 days after ordering
+    (lateness is shipdate−orderdate; the original's
+    commitdate/receiptdate are not in the testdata), counted by
+    priority — the EXISTS-with-outer-correlation shape plus a
+    partition-prunable date window.
+
+    Catalyst decorrelates the EXISTS into a left-semi join on
+    l_orderkey AFTER pushing the date filter into the orders scan, so
+    at 100 TB the semi-join's build side is one quarter's orders, not
+    the table; counting is exact integers.
+    """
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q4_SQL)
+
+
+_Q16_SQL = """
+    SELECT p.p_brand,
+           CAST(floor(p.p_size / 10.0) AS BIGINT) AS size_band,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size >= 10
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, CAST(floor(p.p_size / 10.0) AS BIGINT)
+    ORDER BY supplier_cnt DESC, p.p_brand, size_band
+    LIMIT 25
+"""
+
+
+@query("sql_tpch_q16_supplier_cnt", oracle=_Q16_SQL)
+def sql_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: how many
+    distinct suppliers ship each (brand, size-band) segment, excluding
+    blacklisted suppliers — a NOT IN subquery over a dimension
+    (negative-balance suppliers stand in for the original's
+    complaints LIKE filter; the partsupp table is not in the
+    testdata, so supply links come from shipped lineitems).
+
+    The NOT IN decorrelates to a null-aware anti join against the tiny
+    supplier dim (broadcast); count(DISTINCT) shuffles once on the
+    (brand, band) grain.  The size band is ``floor(p_size / 10.0)`` —
+    exact for these small integers in double, so both engines band
+    identically (``div``/``//`` spellings aren't shared SQL).
+    """
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(_Q16_SQL)

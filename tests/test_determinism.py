@@ -97,6 +97,9 @@ SENSITIVE = [
     "ml_power_mde",
     "ml_ratio_metric_ci",
     "ml_wilson_ci",
+    # round-7 batches 65-67: sorted-fold forecast metrics
+    "ml_brier_score",
+    "llm_matryoshka_eval",
 ]
 
 

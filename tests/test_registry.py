@@ -396,6 +396,9 @@ EXPECTED_IDS = {
     "ts_theil_u2",
     # round-7 batch 66: grid kNN join, Matryoshka eval, catalog curve
     "join_knn_grid", "llm_matryoshka_eval", "report_catalog_adoption",
+    # round-7 batch 67: TPC-H Q4/Q16 shapes + Brier score
+    "sql_tpch_q4_order_priority", "sql_tpch_q16_supplier_cnt",
+    "ml_brier_score",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
