@@ -995,3 +995,98 @@ def test_entity_topn_uses_take_ordered(spark, sf_dir):
     for name in ("events_active_streak_users", "graph_clustering_local"):
         plan = _plan(spark, sf_dir, name)
         assert "TakeOrderedAndProject" in plan, name
+
+
+# --------------------------------------------------------------------------
+# Round-7 batches 56-67: physical-plan pins
+# --------------------------------------------------------------------------
+
+def test_survival_family_no_cartesian_no_python(spark, sf_dir):
+    """The survival suite is pure JVM relational algebra: user-grain
+    aggregates + prefix sums + bounded-spine folds; any Python eval or
+    cartesian in these plans is a regression."""
+    for name in (
+        "ml_kaplan_meier",
+        "ml_nelson_aalen",
+        "ml_logrank_test",
+        "ml_rmst",
+        "ml_competing_risks",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_permutation_rank_windows_partitioned_by_replicate(spark, sf_dir):
+    """The R permutation rank windows must be PARTITIONED BY the
+    replicate id — a global rank over the (r x user) grid would funnel
+    R*N rows through one task."""
+    plan = _plan(spark, sf_dir, "ml_permutation_test")
+    keys = _unpartitioned_window_sort_keys(plan)
+    assert not keys, f"unpartitioned window(s) in permutation test: {keys}"
+
+
+def test_peak_concurrency_uses_distributed_prefix_sum(spark, sf_dir):
+    """The sweep must ride the range-repartitioned prefix sum (the
+    _cum_below topology), never a single-partition global window over
+    the boundary instants."""
+    plan = _plan(spark, sf_dir, "events_peak_concurrency")
+    keys = _unpartitioned_window_sort_keys(plan)
+    assert not keys, f"global window(s) in sweep line: {keys}"
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_merge_intervals_windows_partitioned_by_supplier(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "win_merge_intervals")
+    keys = _unpartitioned_window_sort_keys(plan)
+    assert not keys, f"unpartitioned window(s): {keys}"
+
+
+def test_drawdown_and_pref_attachment_take_ordered(spark, sf_dir):
+    """Top-N outputs compile to TakeOrderedAndProject heaps."""
+    for name in ("ts_drawdown_duration", "graph_pref_attachment"):
+        assert "TakeOrderedAndProject" in _plan(spark, sf_dir, name), name
+
+
+def test_experiment_suite_single_aggregate_shape(spark, sf_dir):
+    """Moment-based experimentation queries stay JVM-only and
+    cartesian-free (the 1-row threshold/base frames broadcast)."""
+    for name in (
+        "ml_diff_in_diff",
+        "ml_cuped_adjustment",
+        "ml_power_mde",
+        "ml_wilson_ci",
+        "ml_ratio_metric_ci",
+        "ml_brier_score",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_tpch_shapes_decorrelate_to_joins(spark, sf_dir):
+    """EXISTS / NOT EXISTS / NOT IN in the TPC-H classics must reach
+    the physical plan as semi/anti joins — a correlated re-scan per
+    row would show up as a nested subquery or cartesian."""
+    q21 = _plan(spark, sf_dir, "sql_tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "CartesianProduct" not in q21
+    q4 = _plan(spark, sf_dir, "sql_tpch_q4_order_priority")
+    assert "LeftSemi" in q4
+    q22 = _plan(spark, sf_dir, "sql_tpch_q22_prospects")
+    assert "LeftAnti" in q22
+
+
+def test_knn_grid_equi_join_not_cartesian(spark, sf_dir):
+    """Grid blocking must reach the plan as an equi join on cell ids
+    plus a per-point partitioned rank window."""
+    plan = _plan(spark, sf_dir, "join_knn_grid")
+    assert "CartesianProduct" not in plan
+    keys = _unpartitioned_window_sort_keys(plan)
+    assert not keys, f"global window(s) in kNN grid: {keys}"
+
+
+def test_hits_no_python_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_hits_scores")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
