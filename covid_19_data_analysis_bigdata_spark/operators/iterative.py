@@ -4565,3 +4565,220 @@ def graph_pref_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cand.orderBy(F.desc("pa_score"), "u", "v").limit(PA_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Katz centrality (round 7)
+# --------------------------------------------------------------------------
+
+KATZ_ITERS = 3
+KATZ_SCALE = 1_000_000
+
+
+def _katz_iter_sql(i: int) -> str:
+    """One unrolled Katz step: s <- SCALE + (A^T s) div 2 (attenuation
+    1/2 by exact integer halving)."""
+    return f"""
+    kz{i + 1} AS (
+        SELECT n.node,
+               CAST({KATZ_SCALE} + coalesce(sum(k.s), 0) // 2
+                    AS BIGINT) AS s
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN kz{i} k ON k.node = e.src
+        GROUP BY n.node)
+    """
+
+
+@query(
+    "graph_katz_centrality",
+    oracle=f"""
+    WITH {_TRADE_EDGES_SQL},
+    nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
+    kz0 AS (SELECT node, CAST({KATZ_SCALE} AS BIGINT) AS s FROM nodes),
+    {",".join(_katz_iter_sql(i) for i in range(KATZ_ITERS))}
+    SELECT n.node AS n_nationkey, n.n_name, k.s AS katz_score
+    FROM nodes n JOIN kz{KATZ_ITERS} k ON k.node = n.node
+    """,
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality on the (unweighted) nation trade digraph:
+    influence = Σ_k α^k · (walks of length k into the node), with
+    attenuation α = 1/2 — the centrality that, unlike PageRank, does
+    not dilute by out-degree, and unlike HITS, scores walk mass rather
+    than mutual reinforcement.  Completes the centrality family
+    (degree / PageRank / HITS / closeness / Katz).
+
+    Same architecture as ``graph_pagerank``: one fact aggregation to
+    the ≤25-node graph, then {KATZ_ITERS} unrolled iterations over
+    bounded tables.  α = 1/2 is deliberate: each step is
+    ``SCALE + (Σ in-neighbor scores) div 2`` — EXACT integer halving,
+    so both engines walk an identical lattice with no float geometric
+    series anywhere; the truncation after {KATZ_ITERS} hops is the
+    query's documented contract (α^4 terms < 7% of the base here).
+    """
+    edges = _trade_edges(spark, sf_dir).select("src", "dst")
+    n = load_table(spark, sf_dir, "nation")
+    nodes = n.select(F.col("n_nationkey").alias("node"), "n_name")
+    s = nodes.select(
+        "node", F.lit(KATZ_SCALE).cast("long").alias("s")
+    )
+    for _ in range(KATZ_ITERS):
+        s = (
+            nodes.join(edges, edges.dst == nodes.node, "left")
+            .join(
+                s.select(F.col("node").alias("sn"), "s"),
+                F.col("src") == F.col("sn"),
+                "left",
+            )
+            .groupBy("node")
+            .agg(
+                (
+                    F.lit(KATZ_SCALE)
+                    + F.expr("coalesce(sum(s), 0) div 2")
+                ).cast("long").alias("s")
+            )
+        )
+    return nodes.join(s, "node").select(
+        F.col("node").alias("n_nationkey"),
+        "n_name",
+        F.col("s").alias("katz_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap between two revenue rankings (round 7)
+# --------------------------------------------------------------------------
+
+#: RBO evaluation depth and persistence parameter p = 1/2 (chosen so
+#: every weight p^(d-1) is an exact power of two).
+RBO_DEPTH = 20
+
+
+def _rbo_year_sql(year: int, alias: str) -> str:
+    return f"""
+    {alias} AS (
+        SELECT l_partkey, row_number() OVER (
+                   ORDER BY sum(CAST(round(l_extendedprice
+                       * (1 - l_discount) * 10000) AS BIGINT)) DESC,
+                   l_partkey) AS rk
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{year}-01-01'
+          AND l_shipdate <  TIMESTAMP '{year + 1}-01-01'
+        GROUP BY l_partkey
+        ORDER BY sum(CAST(round(l_extendedprice
+                       * (1 - l_discount) * 10000) AS BIGINT)) DESC,
+                 l_partkey
+        LIMIT {RBO_DEPTH})
+    """
+
+
+@query(
+    "ml_rank_biased_overlap",
+    oracle=f"""
+    WITH {_rbo_year_sql(1996, "ra")},
+    {_rbo_year_sql(1997, "rb")},
+    j AS (
+        SELECT greatest(ra.rk, rb.rk) AS dmax
+        FROM ra JOIN rb ON ra.l_partkey = rb.l_partkey),
+    spine AS (SELECT unnest(range(1, {RBO_DEPTH} + 1)) AS d),
+    inter AS (
+        SELECT s.d,
+               CAST((SELECT count(*) FROM j WHERE j.dmax <= s.d)
+                    AS BIGINT) AS inter_d
+        FROM spine s),
+    terms AS (
+        SELECT inter_d,
+               CAST(inter_d AS DOUBLE)
+                   / (d * CAST(2 AS BIGINT) ** (d - 1)) AS term,
+               d
+        FROM inter)
+    SELECT CAST({RBO_DEPTH} AS BIGINT) AS depth,
+           CAST(max(CASE WHEN d = {RBO_DEPTH} THEN inter_d END)
+                AS BIGINT) AS n_common,
+           round(0.5 * list_reduce(list_prepend(0.0,
+                     list_sort(list(term))), (a, b) -> a + b), 6)
+               AS rbo
+    FROM terms
+    """,
+)
+def ml_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p = 1/2) between the top-{RBO_DEPTH}
+    revenue part rankings of 1996 and 1997 — the top-weighted
+    rank-similarity measure built for INDEFINITE rankings (Kendall τ
+    needs identical item sets; RBO gracefully weights agreement at the
+    top, which is what "did our bestsellers change?" actually asks).
+
+    p = 1/2 is deliberate: every weight p^(d-1) is an exact power of
+    two, so each term inter_d / (d·2^(d-1)) is ONE division of exact
+    integers (revenues ranked in exact decimils; prefix-intersection
+    sizes are integer counts of joined ranks with max(r_a, r_b) ≤ d),
+    and the depth-{RBO_DEPTH} sum folds the sorted term list.  Both
+    top lists compile to TakeOrderedAndProject; the d-spine is a
+    {RBO_DEPTH}-row constant.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def year_top(year: int, rk_name: str) -> DataFrame:
+        rev = F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long")
+        ).alias("rev")
+        top = (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy("l_partkey")
+            .agg(rev)
+            .orderBy(F.desc("rev"), "l_partkey")
+            .limit(RBO_DEPTH)
+        )
+        w = Window.orderBy(F.desc("rev"), "l_partkey")
+        return top.select(
+            "l_partkey", F.row_number().over(w).alias(rk_name)
+        )
+    ra = year_top(1996, "ra")
+    rb = year_top(1997, "rb")
+    j = ra.join(rb, "l_partkey").select(
+        F.greatest(F.col("ra"), F.col("rb")).alias("dmax")
+    )
+    by_d = j.groupBy("dmax").agg(F.count(F.lit(1)).alias("c"))
+    spine = spark.range(1, RBO_DEPTH + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    w_run = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    inter = (
+        spine.join(by_d, spine.d == by_d.dmax, "left")
+        .select("d", F.coalesce("c", F.lit(0)).alias("c"))
+        .withColumn("inter_d", F.sum("c").over(w_run))
+    )
+    terms = inter.select(
+        "d",
+        "inter_d",
+        (
+            F.col("inter_d").cast("double")
+            / (
+                F.col("d").cast("long")
+                * F.expr("shiftleft(CAST(1 AS BIGINT), d - 1)")
+            )
+        ).alias("term"),
+    )
+    return terms.agg(
+        F.lit(RBO_DEPTH).cast("long").alias("depth"),
+        F.max(
+            F.when(F.col("d") == RBO_DEPTH, F.col("inter_d"))
+        ).alias("n_common"),
+        F.round(
+            0.5
+            * F.aggregate(
+                F.sort_array(F.collect_list("term")),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+            6,
+        ).alias("rbo"),
+    )

@@ -880,3 +880,40 @@ def sql_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "lineitem", "part", "supplier")
     return spark.sql(_Q16_SQL)
+
+
+_Q18_SQL = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+               AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+             CAST(o.o_orderdate AS DATE)
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 100
+"""
+
+
+@query("sql_tpch_q18_large_volume", oracle=_Q18_SQL)
+def sql_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose total lineitem
+    quantity exceeds 150, with their customers, ranked by volume —
+    the IN-over-grouped-HAVING shape: the subquery is itself an
+    aggregate, so the semi-join's build side is a REDUCED relation,
+    not a table scan.
+
+    Catalyst evaluates the HAVING aggregate once (one shuffle on
+    l_orderkey), semi-joins the qualifying keys, and the top-100
+    compiles to TakeOrderedAndProject under the total
+    (total_qty DESC, o_orderkey) order.  Quantities are integral
+    doubles cast to BIGINT, so every sum and the threshold are exact.
+    """
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q18_SQL)

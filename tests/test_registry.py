@@ -399,6 +399,9 @@ EXPECTED_IDS = {
     # round-7 batch 67: TPC-H Q4/Q16 shapes + Brier score
     "sql_tpch_q4_order_priority", "sql_tpch_q16_supplier_cnt",
     "ml_brier_score",
+    # round-7 batch 68: Katz centrality, TPC-H Q18, rank-biased overlap
+    "graph_katz_centrality", "sql_tpch_q18_large_volume",
+    "ml_rank_biased_overlap",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
