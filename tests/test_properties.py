@@ -986,3 +986,191 @@ class TestFuzzyJoinBandCoverage:
         )
         want = {r["p_brand"]: r["count"] for r in plain.collect()}
         assert got == want
+
+
+# --------------------------------------------------------------------------
+# Round-7 batches 56-68: algebraic invariants
+# --------------------------------------------------------------------------
+
+def test_kaplan_meier_curve_invariants(spark, sf_dir):
+    """S(t) must be non-increasing in (0, 1]; risk sets must be
+    positive, non-increasing, and never smaller than that time's
+    events."""
+    rows = sorted(
+        _q(spark, sf_dir, "ml_kaplan_meier").collect(),
+        key=lambda r: r["dur_day"],
+    )
+    assert rows, "empty KM curve"
+    prev_s, prev_risk = 1.0 + 1e-9, None
+    for r in rows:
+        # S hits exactly 0 when the last at-risk subject events (this
+        # corpus has no censoring on the error endpoint).
+        assert 0.0 <= r["survival"] <= prev_s
+        assert r["n_event"] >= 1 and r["n_risk"] >= r["n_event"]
+        if prev_risk is not None:
+            assert r["n_risk"] < prev_risk
+        prev_s, prev_risk = r["survival"], r["n_risk"]
+
+
+def test_nelson_aalen_vs_km_consistency(spark, sf_dir):
+    """Cumulative hazard must be non-decreasing, and at every event
+    time H(t) >= -ln(S(t)) (the classical inequality: sums dominate
+    the log-product when hazards are positive... the weaker direction
+    that is numerically robust is H >= 1 - S)."""
+    na = {
+        r["dur_day"]: r["cum_hazard"]
+        for r in _q(spark, sf_dir, "ml_nelson_aalen").collect()
+    }
+    km = {
+        r["dur_day"]: r["survival"]
+        for r in _q(spark, sf_dir, "ml_kaplan_meier").collect()
+    }
+    assert set(na) == set(km)
+    prev = 0.0
+    for d in sorted(na):
+        assert na[d] >= prev
+        prev = na[d]
+        assert na[d] >= (1.0 - km[d]) - 1e-9
+
+
+def test_competing_risks_cifs_bounded_by_total(spark, sf_dir):
+    """Each CIF is non-decreasing and the two CIFs together never
+    exceed 1 (they partition the event space with survival)."""
+    rows = sorted(
+        _q(spark, sf_dir, "ml_competing_risks").collect(),
+        key=lambda r: r["dur_day"],
+    )
+    pe = pp = 0.0
+    for r in rows:
+        assert r["cif_error"] >= pe - 1e-9
+        assert r["cif_purchase"] >= pp - 1e-9
+        pe, pp = r["cif_error"], r["cif_purchase"]
+        assert pe + pp <= 1.0 + 1e-9
+
+
+def test_rmst_bounded_by_tau(spark, sf_dir):
+    row = _q(spark, sf_dir, "ml_rmst").collect()[0]
+    assert 0.0 < row["rmst"] <= row["tau"] + 1e-9
+
+
+def test_logrank_groups_partition_events(spark, sf_dir):
+    row = _q(spark, sf_dir, "ml_logrank_test").collect()[0]
+    assert 0 <= row["o_a"] <= row["d_tot"]
+    assert row["chi2_logrank"] >= 0.0
+
+
+def test_permutation_p_value_range(spark, sf_dir):
+    row = _q(spark, sf_dir, "ml_permutation_test").collect()[0]
+    lo = 1.0 / (1.0 + 200)
+    assert lo - 1e-12 <= row["p_value"] <= 1.0
+    assert row["n_a"] + row["n_b"] == 150 or row["n_a"] + row["n_b"] > 0
+
+
+def test_bootstrap_ci_brackets_estimate_order(spark, sf_dir):
+    row = _q(spark, sf_dir, "ml_bootstrap_ci").collect()[0]
+    assert row["ci_lo"] <= row["ci_hi"]
+    assert row["n_boot"] == 200
+
+
+def test_peak_concurrency_bounds(spark, sf_dir):
+    """Each day's peak is at least 1 and never exceeds the total
+    session count."""
+    rows = _q(spark, sf_dir, "events_peak_concurrency").collect()
+    assert rows
+    sessions = _q(spark, sf_dir, "win_sessionize_batch").count()
+    for r in rows:
+        assert 1 <= r["peak_concurrency"] <= sessions
+
+
+def test_merge_intervals_union_not_longer_than_sum(spark, sf_dir):
+    """Merged covered days never exceed the sum of raw interval
+    lengths, and busy periods never exceed interval count."""
+    for r in _q(spark, sf_dir, "win_merge_intervals").collect():
+        assert r["n_busy_periods"] <= r["n_intervals"]
+        assert r["covered_days"] >= 1
+
+
+def test_wilson_interval_brackets_p_hat(spark, sf_dir):
+    row = _q(spark, sf_dir, "ml_wilson_ci").collect()[0]
+    assert 0.0 <= row["wilson_lo"] <= row["p_hat"] <= row["wilson_hi"] <= 1.0
+
+
+def test_ratio_ci_brackets_ratio(spark, sf_dir):
+    row = _q(spark, sf_dir, "ml_ratio_metric_ci").collect()[0]
+    assert row["ci_lo"] <= row["ratio_cents_per_event"] <= row["ci_hi"]
+    assert row["se"] > 0.0
+
+
+def test_brier_skill_consistency(spark, sf_dir):
+    row = _q(spark, sf_dir, "ml_brier_score").collect()[0]
+    assert 0.0 <= row["brier"] <= 1.0
+    assert row["brier_skill"] <= 1.0
+
+
+def test_did_equals_cell_means(spark, sf_dir):
+    row = _q(spark, sf_dir, "ml_diff_in_diff").collect()[0]
+    did = (row["mean_treat_post"] - row["mean_treat_pre"]) - (
+        row["mean_ctrl_post"] - row["mean_ctrl_pre"]
+    )
+    assert abs(did - row["did_usd"]) < 0.01
+
+
+def test_hits_scores_max_normalized(spark, sf_dir):
+    rows = _q(spark, sf_dir, "graph_hits_scores").collect()
+    assert max(r["hub_score"] for r in rows) == 1_000_000
+    assert max(r["authority_score"] for r in rows) == 1_000_000
+    assert all(
+        0 <= r["hub_score"] <= 1_000_000
+        and 0 <= r["authority_score"] <= 1_000_000
+        for r in rows
+    )
+
+
+def test_closeness_within_bounds(spark, sf_dir):
+    rows = _q(spark, sf_dir, "graph_closeness_centrality").collect()
+    n = len(rows)
+    for r in rows:
+        assert 1 <= r["n_reachable"] <= n
+        assert 0.0 <= r["closeness"] <= 1.0 + 1e-9
+        assert r["eccentricity"] <= 3  # hop bound
+
+
+def test_rbo_in_unit_interval(spark, sf_dir):
+    row = _q(spark, sf_dir, "ml_rank_biased_overlap").collect()[0]
+    assert 0.0 <= row["rbo"] <= 1.0
+    assert 0 <= row["n_common"] <= row["depth"]
+
+
+def test_katz_floor_is_scale(spark, sf_dir):
+    rows = _q(spark, sf_dir, "graph_katz_centrality").collect()
+    assert all(r["katz_score"] >= 1_000_000 for r in rows)
+
+
+def test_filter_funnel_monotone(spark, sf_dir):
+    rows = sorted(
+        _q(spark, sf_dir, "llm_filter_funnel").collect(),
+        key=lambda r: r["stage"],
+    )
+    prev_out = None
+    for r in rows:
+        assert r["n_out"] <= r["n_in"]
+        if prev_out is not None:
+            assert r["n_in"] == prev_out
+        prev_out = r["n_out"]
+
+
+def test_matryoshka_retained_monotone_in_k(spark, sf_dir):
+    rows = {
+        r["k"]: r["mean_retained"]
+        for r in _q(spark, sf_dir, "llm_matryoshka_eval").collect()
+    }
+    assert rows[8] <= rows[16] <= rows[32] <= 1.0
+
+
+def test_knn_grid_at_most_k_per_point(spark, sf_dir):
+    from collections import Counter
+
+    rows = _q(spark, sf_dir, "join_knn_grid").collect()
+    per = Counter(r["user_id"] for r in rows)
+    assert per and max(per.values()) <= 3
+    assert all(r["cheb"] <= 32 for r in rows)
