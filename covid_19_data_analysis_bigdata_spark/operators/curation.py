@@ -129,7 +129,13 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("words") - (SPAN_W - 1)),
         lambda i: F.md5(F.concat_ws(" ", F.slice("words", i, SPAN_W))),
     )
-    sp = d.select("doc_id", F.explode(spans).alias("h"))
+    # Persisted: the span explode (an md5 per sliding window — the
+    # query's dominant cost) feeds BOTH the dup-set aggregate and the
+    # per-doc join; without the barrier it executes twice (the
+    # round-7 edge-support lesson).  At cluster scale this is a
+    # MEMORY_AND_DISK frame of 32-byte keys — still far cheaper than
+    # re-hashing the corpus.
+    sp = d.select("doc_id", F.explode(spans).alias("h")).persist()
     dup = (
         sp.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -898,10 +898,23 @@ def llm_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d.select(
         F.explode(F.concat(skip(1), skip(2))).alias("pair")
     )
-    pc = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("c_uv"))
-    uni = d.select(F.explode(words).alias("tok"))
-    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    tot = uni.agg(F.count(F.lit(1)).alias("t")).crossJoin(
+    # Persisted: pc (the skip-gram explode + count — the dominant
+    # stage) and uc each feed two consumers (their scalar totals and
+    # the scoring join); unpersisted, the pair explosion executed
+    # twice (the round-7 edge-support lesson).  T = Σ uc.c replaces a
+    # second full corpus explode for the token total.
+    pc = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c_uv"))
+        .persist()
+    )
+    uc = (
+        d.select(F.explode(words).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    tot = uc.agg(F.sum("c").alias("t")).crossJoin(
         pc.agg(F.sum("c_uv").alias("p"))
     )
     split = F.split(F.col("pair"), " ")

@@ -303,7 +303,14 @@ def llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("grams") > 0)
         .select("doc_id", F.explode("grams").alias("t"))
     )
-    tf = g.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    # Persisted: tf (the tokenize + trigram count — the expensive
+    # upstream) feeds BOTH the df-filter derivation and the filtered
+    # join; unpersisted it re-tokenizes the corpus twice.
+    tf = (
+        g.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     keep = (
         tf.groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))
