@@ -1174,3 +1174,126 @@ def test_knn_grid_at_most_k_per_point(spark, sf_dir):
     per = Counter(r["user_id"] for r in rows)
     assert per and max(per.values()) <= 3
     assert all(r["cheb"] <= 32 for r in rows)
+
+
+def test_npv_below_undiscounted_total(spark, sf_dir):
+    """Discounting at a positive rate must yield less than the raw
+    revenue total, and more than zero."""
+    row = _q(spark, sf_dir, "ts_npv_discounted").collect()[0]
+    od = load_table(spark, sf_dir, "orders")
+    total = od.select(
+        F.sum(F.round("o_totalprice").cast("long")).alias("t")
+    ).collect()[0]["t"]
+    assert 0.0 < row["npv_usd"] < float(total)
+
+
+def test_sharpe_consistent_with_parts(spark, sf_dir):
+    row = _q(spark, sf_dir, "ts_sharpe_ratio").collect()[0]
+    assert row["vol"] > 0.0
+    assert abs(row["sharpe"] - row["mean_ret"] / row["vol"]) < 1e-4
+
+
+def test_beta_corr_sign_agreement(spark, sf_dir):
+    """Beta and correlation share the covariance numerator, so their
+    signs must agree; |corr| <= 1."""
+    row = _q(spark, sf_dir, "ts_beta_to_market").collect()[0]
+    assert abs(row["corr"]) <= 1.0 + 1e-9
+    assert (row["beta"] >= 0) == (row["corr"] >= 0)
+
+
+def test_doubling_time_positive_and_cum_monotone(spark, sf_dir):
+    rows = sorted(
+        _q(spark, sf_dir, "ts_doubling_time").collect(),
+        key=lambda r: r["day_idx"],
+    )
+    assert rows
+    prev_c = 0
+    for r in rows:
+        assert r["doubling_days"] >= 1
+        assert r["cum_cases"] >= prev_c
+        prev_c = r["cum_cases"]
+
+
+def test_active_outstanding_identity(spark, sf_dir):
+    for r in _q(spark, sf_dir, "ts_active_outstanding").collect():
+        assert r["active"] == r["cum_opened"] - r["cum_resolved"]
+
+
+def test_growth_ratio_parts_positive(spark, sf_dir):
+    for r in _q(spark, sf_dir, "ts_growth_ratio_rt").collect():
+        assert r["n_recent"] >= 0 and r["n_prior"] > 0
+        assert r["growth_ratio"] >= 0.0
+
+
+def test_mase_is_ratio_of_maes(spark, sf_dir):
+    row = _q(spark, sf_dir, "ts_mase_backtest").collect()[0]
+    assert row["mae_naive_usd"] > 0
+    assert (
+        abs(
+            row["mase"]
+            - row["mae_model_usd"] / row["mae_naive_usd"]
+        )
+        < 1e-4
+    )
+
+
+def test_interval_coverage_in_unit_range(spark, sf_dir):
+    row = _q(spark, sf_dir, "ts_interval_coverage").collect()[0]
+    assert 0 <= row["n_covered"] <= row["n_days"]
+    assert abs(row["coverage"] - row["n_covered"] / row["n_days"]) < 1e-4
+
+
+def test_theil_u2_is_rmse_ratio(spark, sf_dir):
+    import math
+
+    row = _q(spark, sf_dir, "ts_theil_u2").collect()[0]
+    assert row["sse_naive"] > 0
+    assert (
+        abs(
+            row["theil_u2"]
+            - math.sqrt(row["sse_model"] / row["sse_naive"])
+        )
+        < 1e-4
+    )
+
+
+def test_pinball_loss_nonnegative(spark, sf_dir):
+    row = _q(spark, sf_dir, "ts_pinball_loss").collect()[0]
+    assert row["pinball_tenths"] >= 0
+    assert row["mean_pinball_usd"] >= 0.0
+
+
+def test_srm_counts_cover_population(spark, sf_dir):
+    row = _q(spark, sf_dir, "report_ab_srm_check").collect()[0]
+    cu = load_table(spark, sf_dir, "customer").count()
+    assert row["n_a"] + row["n_b"] == cu
+    assert row["chi2_srm"] >= 0.0
+
+
+def test_sprt_llr_matches_counts(spark, sf_dir):
+    """Spot-check the LLR identity on the final day."""
+    rows = sorted(
+        _q(spark, sf_dir, "ml_sprt_monitor").collect(),
+        key=lambda r: r["day_idx"],
+    )
+    last = rows[-1]
+    expect = last["k"] * 0.20067069546215124 + (
+        last["n"] - last["k"]
+    ) * -0.05001042057466142
+    assert abs(last["llr"] - expect) < 1e-4
+    assert last["decision"] in {"accept_h1", "accept_h0", "continue"}
+
+
+def test_span_corruption_rate_near_target(spark, sf_dir):
+    """Planned corrupt rate should sit near (and never wildly above)
+    the 15% target; checksum must be positive."""
+    for r in _q(spark, sf_dir, "llm_span_corruption_plan").collect():
+        assert 0.0 < r["corrupt_rate"] < 0.30
+        assert r["span_start_checksum"] > 0
+
+
+def test_aspect_buckets_partition_corpus(spark, sf_dir):
+    rows = _q(spark, sf_dir, "multimodal_aspect_bucket").collect()
+    d = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_items"] for r in rows) == d
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
