@@ -3204,3 +3204,137 @@ def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(brier, 6).alias("brier"),
         F.round(1 - brier / (r * (1 - r)), 6).alias("brier_skill"),
     )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction interval (round 7)
+# --------------------------------------------------------------------------
+
+#: Conformal miscoverage level (alpha = 0.1 -> 90% intervals).
+CONF_ALPHA_TENTHS = 1
+
+
+@query(
+    "ml_conformal_interval",
+    oracle="""
+    WITH rev AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS usd
+        FROM orders GROUP BY o_orderdate),
+    fc AS (
+        SELECT day, usd,
+               lag(usd, 7) OVER (ORDER BY day) AS yhat
+        FROM rev),
+    scored AS (
+        SELECT day, abs(usd - yhat) AS score,
+               CAST(('0x' || substr(md5(CAST(day AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS grp
+        FROM fc WHERE yhat IS NOT NULL),
+    cal AS MATERIALIZED (
+        SELECT score, row_number() OVER (ORDER BY score, day) AS rn
+        FROM scored WHERE grp = 0),
+    q AS (
+        SELECT CAST(max(CASE WHEN rn =
+                   (9 * ((SELECT count(*) FROM cal) + 1) + 9) // 10
+               THEN score END) AS BIGINT) AS q_hat,
+               CAST(count(*) AS BIGINT) AS n_cal
+        FROM cal),
+    ev AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN s.score <= q.q_hat THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_covered
+        FROM scored s CROSS JOIN q
+        WHERE s.grp = 1)
+    SELECT q.n_cal, ev.n_test, q.q_hat AS q_hat_usd,
+           round(CAST(ev.n_covered AS DOUBLE) / ev.n_test, 6)
+               AS coverage,
+           0.9e0 AS target
+    FROM q CROSS JOIN ev
+    """,
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the seasonal-naive
+    daily-revenue forecast: calibrate the 90% absolute-error quantile
+    on a hash-split half of the days, then measure empirical coverage
+    on the held-out half — the distribution-free interval construction
+    (finite-sample guarantee ≥ 1−α regardless of the forecaster) that
+    modern forecasting stacks wrap around ANY point model.
+
+    Everything is exact: scores are integer dollars, the calibration
+    split is the engine-portable md5 parity of the day (no RNG), the
+    conformal quantile is the explicit ⌈(n+1)(1−α)⌉-th order statistic
+    under the (score, day) total order (ceil computed as
+    (9(n+1)+9) div 10 — identical truncation both engines), and
+    coverage is an integer comparison count.  The day spine is
+    bounded, so the one rank window is bounded too.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    rev = od.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("usd")
+    )
+    w = Window.orderBy("day")
+    scored = (
+        rev.select(
+            "day",
+            "usd",
+            F.lag("usd", 7).over(w).alias("yhat"),
+        )
+        .filter(F.col("yhat").isNotNull())
+        .select(
+            "day",
+            F.abs(F.col("usd") - F.col("yhat")).alias("score"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("day").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("grp"),
+        )
+        .persist()
+    )
+    w_rank = Window.orderBy("score", "day")
+    cal = (
+        scored.filter(F.col("grp") == 0)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .persist()
+    )
+    n_cal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    q = (
+        cal.crossJoin(F.broadcast(n_cal))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.expr("(9 * (n_cal + 1) + 9) div 10"),
+                    F.col("score"),
+                )
+            ).alias("q_hat"),
+            F.max("n_cal").alias("n_cal"),
+        )
+    )
+    ev = (
+        scored.filter(F.col("grp") == 1)
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("score") <= F.col("q_hat"), 1).otherwise(0)
+            ).alias("n_covered"),
+            F.max("q_hat").alias("q_hat_usd"),
+            F.max("n_cal").alias("n_cal"),
+        )
+    )
+    return ev.select(
+        "n_cal",
+        "n_test",
+        "q_hat_usd",
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_test"), 6
+        ).alias("coverage"),
+        F.lit(0.9).alias("target"),
+    )

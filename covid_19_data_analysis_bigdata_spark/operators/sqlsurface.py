@@ -917,3 +917,45 @@ def sql_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(_Q18_SQL)
+
+
+_Q20_SQL = """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'PROMO'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey
+        HAVING sum(CAST(l.l_quantity AS BIGINT)) * 100 > (
+            SELECT sum(CAST(l2.l_quantity AS BIGINT))
+            FROM lineitem l2
+            JOIN part p2 ON p2.p_partkey = l2.l_partkey
+            WHERE p2.p_type = 'PROMO'
+              AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l2.l_shipdate <  TIMESTAMP '1997-01-01'))
+    ORDER BY s.s_suppkey
+"""
+
+
+@query("sql_tpch_q20_promo_suppliers", oracle=_Q20_SQL)
+def sql_tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: suppliers who
+    shipped MORE than the average supplier's share of 1996 PROMO
+    volume — the NESTED subquery shape (IN over a grouped HAVING whose
+    threshold is itself a scalar subquery); the original's
+    partsupp-availability comparison has no partsupp table here, so
+    the volume-share threshold stands in with the same plan skeleton.
+
+    Catalyst evaluates the scalar total once (broadcast), the HAVING
+    aggregate shuffles on l_suppkey, and the outer IN becomes a
+    left-semi join against that reduced relation.  The threshold
+    compares in CROSS-MULTIPLIED exact integers (qty·100 > total ⟺
+    share > 1/100 = the mean share across the 100 suppliers), so
+    membership is deterministic — no float division anywhere.
+    """
+    _views(spark, sf_dir, "supplier", "lineitem", "part")
+    return spark.sql(_Q20_SQL)

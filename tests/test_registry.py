@@ -402,6 +402,8 @@ EXPECTED_IDS = {
     # round-7 batch 68: Katz centrality, TPC-H Q18, rank-biased overlap
     "graph_katz_centrality", "sql_tpch_q18_large_volume",
     "ml_rank_biased_overlap",
+    # round-7 batch 69: split-conformal interval + TPC-H Q20 shape
+    "ml_conformal_interval", "sql_tpch_q20_promo_suppliers",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
