@@ -342,8 +342,13 @@ def llm_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip a document sitting on the boundary).
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(_words()).alias("tok"))
-    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # Persisted: the token explode feeds the unigram counts AND the
+    # scoring join; uni feeds its own total and the join (round-7
+    # twice-consumed-frame sweep).
+    tok = d.select("doc_id", F.explode(_words()).alias("tok")).persist()
+    uni = (
+        tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
     tot = uni.agg(F.sum("c").alias("t"))
     scored = (
         tok.join(F.broadcast(uni), "tok")
@@ -929,15 +934,19 @@ def llm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             a.alias("w1"), F.concat_ws(" ", a, b).alias("b")
         ),
     )
+    # Persisted: the bigram explode feeds BOTH the count aggregate and
+    # the scoring join; c1 feeds the vocab scalar and the join (the
+    # round-7 twice-consumed-frame sweep).
     st = (
         d.select("doc_id", ws.alias("w"))
         .filter(F.size("w") >= 2)
         .select("doc_id", F.explode(pairs).alias("s"))
         .select("doc_id", F.col("s.w1").alias("w1"), F.col("s.b").alias("b"))
+        .persist()
     )
     c2 = st.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
     tok = d.select(F.explode(ws).alias("t"))
-    c1 = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c1")).persist()
     vocab = c1.agg(F.count(F.lit(1)).alias("v"))
     nll = -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
     return (

@@ -863,25 +863,9 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact powers of two, where ln is exact anyway).  Output is
     O(log max-degree) rows.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    # Shared persisted co-purchase base (round-7 migration from a
+    # local self-join edge build consumed twice).
+    edges, deg = _copurchase_base(spark, sf_dir)
     bucket = F.floor(F.log(F.col("d").cast("double")) / F.log(F.lit(2.0)))
     return deg.groupBy(bucket.cast("int").alias("bucket")).agg(
         F.pow(F.lit(2.0), F.min(bucket)).cast("long").alias("bucket_lo"),
@@ -941,38 +925,30 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression for r — order-independent and bit-identical across
     engines.  Output is one row.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    # Shared persisted co-purchase base (round-7 migration: the local
+    # self-join edge build here was consumed three times unpersisted).
+    edges, deg = _copurchase_base(spark, sf_dir)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("xd"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("yd"))
     joined = edges.join(du, "u").join(dv, "v")
-    pairs = joined.select(
-        F.col("xd").alias("x"), F.col("yd").alias("y")
-    ).unionAll(joined.select(F.col("yd").alias("x"), F.col("xd").alias("y")))
-    m = pairs.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    # The symmetrized (x,y) ∪ (y,x) moments collapse to ONE pass over
+    # the joined edges: n = 2m, sx = sy = Σ(xd+yd), sxy = 2Σ xd·yd,
+    # sxx = syy = Σ(xd²+yd²) — exact integer sums, identical doubles.
+    base = joined.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("xd") + F.col("yd")).alias("s"),
+        F.sum(F.col("xd") * F.col("yd")).alias("p"),
+        F.sum(
+            F.col("xd") * F.col("xd") + F.col("yd") * F.col("yd")
+        ).alias("q"),
+    )
+    m = base.select(
+        (2 * F.col("c")).cast("double").alias("n"),
+        F.col("s").cast("double").alias("sx"),
+        F.col("s").cast("double").alias("sy"),
+        (2 * F.col("p")).cast("double").alias("sxy"),
+        F.col("q").cast("double").alias("sxx"),
+        F.col("q").cast("double").alias("syy"),
     )
     r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
@@ -1981,28 +1957,10 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-dependent) by algebra: Q = (4m·Σe_c − Σd_c²)/(4m²), an
     exact integer expression under two window sums, divided once.
     """
-    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .persist()
-    )
+    # Shared persisted co-purchase base (round-7 migration).
+    edges, deg = _copurchase_base(spark, sf_dir)
     m = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
     brand = part.select("p_partkey", "p_brand")
     dc = (
         deg.join(F.broadcast(brand), deg.node == brand.p_partkey)
@@ -2579,10 +2537,15 @@ def graph_clustering_local(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
+    # One pass, not three: the 3-way unionAll of `tri` projections
+    # re-ran the adjacency-intersect pipeline per branch (the
+    # edge-support lesson) — explode the three corners array-side.
     tcount = (
-        tri.select(F.col("src").alias("node"))
-        .unionAll(tri.select(F.col("dst").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
+        tri.select(
+            F.explode(
+                F.array(F.col("src"), F.col("dst"), F.col("w"))
+            ).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("t"))
     )

@@ -911,6 +911,10 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_key",
             F.levenshtein("a_name", "b_name").alias("dist"),
         )
+        # Persisted: the per-brand stats aggregate AND the best-pair
+        # window both consume the scored candidates — unpersisted, the
+        # levenshtein pass (the dominant cost) executed twice.
+        .persist()
     )
     stats = pairs.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_pairs"),

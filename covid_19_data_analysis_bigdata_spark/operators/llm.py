@@ -625,7 +625,11 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines and the exact form is the same number of shuffles.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(_words()).alias("term"))
+    # Persisted: the token explode feeds BOTH the tf and df aggregates
+    # (round-7 twice-consumed-frame sweep).
+    tok = d.select(
+        "doc_id", F.explode(_words()).alias("term")
+    ).persist()
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))

@@ -1237,13 +1237,17 @@ def llm_heldout_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     is.
     """
     d = load_table(spark, sf_dir, "documents")
+    # Persisted: the token explode feeds the train and held-out
+    # branches; tr feeds its scalar totals and the scoring join
+    # (round-7 twice-consumed-frame sweep).
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
-    )
+    ).persist()
     tr = (
         tok.filter(F.col("doc_id") % 5 < 4)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     tot = tr.agg(
         F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")

@@ -99,14 +99,17 @@ def llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniformly by doc_id.  Nothing quadratic, nothing driver-side.
     """
     d = load_table(spark, sf_dir, "documents")
+    # Persisted: the token explode feeds the doc-length aggregate AND
+    # the term-frequency aggregate (round-7 twice-consumed sweep).
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
-    )
+    ).persist()
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tf = (
         tok.filter(F.col("t").isin(*BM25_TERMS))
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     gl = d.agg(F.count(F.lit(1)).alias("n")).crossJoin(

@@ -507,9 +507,11 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = bg.select("doc_id", F.explode("grams").alias("g"))
     df = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # Persisted: the filtered posting list is self-joined (two alias
+    # sides re-execute the explode+filter lineage unpersisted).
     rare = tok.join(
         F.broadcast(df.filter(F.col("df") <= NGRAM_DF_MAX)), "g"
-    )
+    ).persist()
     a, b = rare.alias("a"), rare.alias("b")
     cand = (
         a.join(
@@ -1145,9 +1147,10 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = bg.select("doc_id", F.explode("grams").alias("g"))
     df_t = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # Persisted: two alias sides of the candidate self-join.
     rare = tok.join(
         F.broadcast(df_t.filter(F.col("df") <= NGRAM_DF_MAX)), "g"
-    )
+    ).persist()
     a = rare.select(F.col("doc_id").alias("a_id"), "g")
     b = rare.select(F.col("doc_id").alias("b_id"), "g")
     cand = (
@@ -2537,9 +2540,12 @@ def llm_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", F.explode(F.split(F.lower("text"), " ")).alias("tok")
         )
     )
+    # Persisted: lab feeds four consumers (label totals, token totals,
+    # the grand total, and the scoring join) — unpersisted, the corpus
+    # tokenize ran four times (round-7 twice-consumed-frame sweep).
     lab = toks.groupBy("label", "tok").agg(
         F.count(F.lit(1)).alias("c_lt")
-    )
+    ).persist()
     lt = lab.groupBy("label").agg(F.sum("c_lt").alias("n_l"))
     gt = lab.groupBy("tok").agg(F.sum("c_lt").alias("c_t"))
     g = lab.agg(F.sum("c_lt").alias("n_all"))
