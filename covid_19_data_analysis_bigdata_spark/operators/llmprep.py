@@ -1142,6 +1142,9 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % DSIR_DIM
             ).alias("bucket"),
         )
+        # Persisted: the hashed-bigram stream feeds BOTH the per-doc
+        # vectors and the corpus bucket totals (round-7 sweep).
+        .persist()
     )
     # lang is functionally dependent on doc_id, so carrying it as a
     # group key is free and avoids re-joining the (at scale,
