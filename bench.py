@@ -101,18 +101,34 @@ def main() -> int:
     # single-shot timings on a shared box drift ±15% run-to-run, which
     # round 2's drift diagnosis showed is enough to mask real
     # regressions (and to fake them).
+    from covid_19_data_analysis_bigdata_spark.cache import clear_cache
+
+    from pyspark.sql import functions as F
+
+    def canary() -> float:
+        """Fixed reference job (SF-independent: 5·10⁷-row modular sum
+        over 32 partitions).  Measured periodically so a reader of the
+        JSON can tell ambient-load noise from real regression — the
+        round-7 bench's +30% 'regression' was exactly such noise
+        (SCALE.md documents 42–59 s totals with no code change)."""
+        t0 = time.time()
+        spark.range(0, 50_000_000, 1, 32).select(
+            F.sum(F.col("id") % 7)
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    canaries = [canary()]
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
         fn = qs[name]
-        # Round-5 harness fix: queries that cache intermediates (graph
-        # adjacency, dedup cluster frontiers) leave blocks in storage
-        # memory; with 33 headline queries those blocks accumulate and
-        # later queries pay eviction churn ("Asked to cache already
-        # cached data" in the r4 bench tail — graph_triangle_count read
-        # 1.48× slower with an unchanged plan).  Clearing between
-        # queries makes each measurement independent and round-over-
-        # round comparable; within a query's 3 samples the cache stays
-        # warm, preserving the warm-timing contract.
+        # Round-5 harness fix (round-8 form): queries cache shared
+        # intermediates through the cache.py registry; clearing BOTH
+        # the registry and Spark's CacheManager between queries makes
+        # each measurement independent and round-over-round comparable
+        # (the registry clear keeps its handles coherent with the
+        # CacheManager state).  Within a query's samples the cache
+        # stays warm, preserving the warm-timing contract.
+        clear_cache()
         spark.catalog.clearCache()
         fn(spark, sf_dir).toPandas()  # warm
         samples = []
@@ -120,7 +136,20 @@ def main() -> int:
             t0 = time.time()
             fn(spark, sf_dir).toPandas()
             samples.append(time.time() - t0)
-        times[name] = round(sorted(samples)[1], 3)
+        # Round-8 harness fix: the heavy tail (≥ 1.5 s) dominates the
+        # total and is exactly where bursty ambient load lands — two
+        # more samples there makes the median robust to one slow AND
+        # one fast outlier (median-of-5), at ~10% extra wall time.
+        if sorted(samples)[1] >= 1.5:
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).toPandas()
+                samples.append(time.time() - t0)
+        med = sorted(samples)[len(samples) // 2]
+        times[name] = round(med, 3)
+        if (qi + 1) % 10 == 0:
+            canaries.append(canary())
+    canaries.append(canary())
 
     total = round(sum(times.values()), 3)
     print(
@@ -131,6 +160,12 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                # ambient-load canary: fixed job, measured at start /
+                # every 10 queries / end.  spread >> 1.0 means the box
+                # was bursty and the totals are not comparable across
+                # rounds without re-measurement.
+                "canary_sec": canaries,
+                "canary_spread": round(max(canaries) / max(min(canaries), 1e-9), 3),
             }
         )
     )

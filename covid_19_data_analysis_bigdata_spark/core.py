@@ -43,77 +43,72 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-#: Front-of-registry order for round 7.  External correctness sweeps
-#: sample the first 50 registry entries in iteration order.  The
-#: round-5/6 front was sampled twice (r5 + r6 windows were identical),
-#: so this rotation moves in 50 ids that have NEVER appeared in any
-#: CORRECTNESS_r01–r06 window (205 of 412 were still unsampled).
-#: Order within the 50: first the three queries whose implementation
-#: changed in rounds 6-7 (anova determinism fix, knn-classify and
-#: fuzzy-levenshtein plan rewrites — freshest external confirmation
-#: wanted), then the float-fold-heavy ml_*/ts_* families the round-6
-#: verdict called out as exactly where undetected wrongness hides,
-#: then the round-5 batch 40-51 graph ops, the heavy-aggregate
-#: float-moment queries, and the four never-sampled queries whose
-#: global windows the round-7 de-globalization rewrites.  All 50
-#: carry strong DuckDB oracles.
+#: Front-of-registry order for round 8.  External correctness sweeps
+#: sample the first 50 registry entries in iteration order; every id
+#: below is NEVER-sampled in any CORRECTNESS_r01-r07 window (verified
+#: by ``tools/evidence.py``), so CORRECTNESS_r08 ∩ (r01-r07) = ∅ by
+#: construction.  Selection follows the round-7 verdict: the thinnest
+#: external-evidence pools first — multimodal_* (1/11 sampled through
+#: r7), events_* (1/13), dq_* (5/19), the two singleton families
+#: (csv_funcs, gen_funcs, 0/1 each), then the earliest-registered
+#: never-sampled ts_* float-fold queries.  All 50 carry strong DuckDB
+#: oracles.
 _WINDOW_PRIORITY: list[str] = [
-    # implementation changed in r6/r7 — freshest confirmation first
-    "ml_anova_oneway",
-    "ml_knn_classify",
-    "join_fuzzy_levenshtein",
-    # ml_* hypothesis-test / eval family — float-fold heavy
-    "ml_cramers_v",
-    "ml_chi2_contingency",
-    "ml_gradient_descent",
-    "ml_silhouette_lite",
-    "ml_mutual_information",
-    "ml_ridge_closed_form",
-    "ml_naive_bayes",
-    "ml_decision_stump",
-    "ml_eval_metrics",
-    "ml_roc_auc",
-    "ml_cumulative_gains",
-    "ml_precision_at_k",
-    "ml_pr_curve",
-    "ml_target_encoding",
-    "ml_feature_hashing",
-    "ml_calibration_bins",
-    "ml_learning_curve",
-    # ts_* float-fold / recursion family
-    "ts_theil_sen",
-    "ts_holt_winters",
-    "ts_holt_linear",
-    "ts_variance_ratio",
-    "ts_polyfit_quadratic",
-    "ts_cross_correlation",
-    "ts_cusum_changepoint",
-    "ts_mann_kendall",
-    "ts_ewma_halflife",
-    "ts_max_drawdown",
-    "ts_hampel_outliers",
-    "ts_decompose_stl_lite",
-    "ts_bollinger_bands",
-    # heavy-aggregate float-moment queries
-    "agg_corr_matrix",
-    "agg_skew_kurtosis",
-    "agg_geometric_mean",
-    "agg_theil_index",
-    "agg_weighted_median",
-    # round-5 batch 40-51 graph ops
-    "graph_clustering_local",
-    "graph_edge_support_topk",
-    "graph_kcore_peel",
-    "graph_connected_components",
-    "graph_modularity",
-    "graph_two_hop_reach",
-    "graph_sample_neighbors",
-    "graph_jaccard_neighbors",
-    # round-7 window de-globalization targets
-    "report_customer_ltv_deciles",
-    "report_lorenz_points",
-    "llm_curriculum_order",
-    "events_active_streak_users",
+    # multimodal_* — 10 never-sampled of 11 (Pandas-UDF plumbing family)
+    "multimodal_resize_stub",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
+    "multimodal_caption_align",
+    "multimodal_byte_histogram",
+    "multimodal_audio_rms",
+    "multimodal_shot_boundaries",
+    "multimodal_phash_dedup",
+    "multimodal_blur_score",
+    "multimodal_aspect_bucket",
+    # events_* — 12 never-sampled of 13 (sessionization / funnel family)
+    "events_funnel_conversion",
+    "events_sequence_match",
+    "events_user_paths",
+    "events_time_to_convert",
+    "events_cooccurrence",
+    "events_inter_arrival",
+    "events_funnel_steps",
+    "events_bounce_rate",
+    "events_markov_second_order",
+    "events_rolling_retention",
+    "events_overdispersion",
+    "events_peak_concurrency",
+    # dq_* — all 14 never-sampled (data-quality / reconciliation family)
+    "dq_referential_orphans",
+    "dq_uniqueness_keys",
+    "dq_outlier_iqr",
+    "dq_psi_drift",
+    "dq_freshness_lag",
+    "dq_duplicate_rate",
+    "dq_reconcile_aggregates",
+    "dq_fk_containment",
+    "dq_id_gaps",
+    "dq_ks_two_sample",
+    "dq_monotonic_violations",
+    "dq_string_pattern_conformance",
+    "dq_anomalous_partitions",
+    "dq_partition_checksums",
+    # singleton families with zero external rows
+    "csv_funcs",
+    "gen_funcs",
+    # ts_* float-fold — earliest-registered never-sampled 12 of 31
+    "ts_seasonal_naive",
+    "ts_streak_longest",
+    "ts_interpolate_linear",
+    "ts_anomaly_zscore",
+    "ts_level_shift",
+    "ts_autocorr_lag",
+    "ts_ohlc_bars",
+    "ts_calendar_gaps",
+    "ts_peak_detection",
+    "ts_stochastic_oscillator",
+    "ts_rsi",
+    "ts_ewma_crossover",
 ]
 
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.operators.llm import FUZZY_PAIRS_CTES
 from covid_19_data_analysis_bigdata_spark.operators.textprep import (
@@ -135,7 +136,7 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-7 edge-support lesson).  At cluster scale this is a
     # MEMORY_AND_DISK frame of 32-byte keys — still far cheaper than
     # re-hashing the corpus.
-    sp = d.select("doc_id", F.explode(spans).alias("h")).persist()
+    sp = d.select("doc_id", F.explode(spans).alias("h")).transform(cached)
     dup = (
         sp.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -345,9 +346,9 @@ def llm_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: the token explode feeds the unigram counts AND the
     # scoring join; uni feeds its own total and the join (round-7
     # twice-consumed-frame sweep).
-    tok = d.select("doc_id", F.explode(_words()).alias("tok")).persist()
+    tok = d.select("doc_id", F.explode(_words()).alias("tok")).transform(cached)
     uni = (
-        tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+        tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).transform(cached)
     )
     tot = uni.agg(F.sum("c").alias("t"))
     scored = (
@@ -942,11 +943,11 @@ def llm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("w") >= 2)
         .select("doc_id", F.explode(pairs).alias("s"))
         .select("doc_id", F.col("s.w1").alias("w1"), F.col("s.b").alias("b"))
-        .persist()
+        .transform(cached)
     )
     c2 = st.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
     tok = d.select(F.explode(ws).alias("t"))
-    c1 = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c1")).persist()
+    c1 = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c1")).transform(cached)
     vocab = c1.agg(F.count(F.lit(1)).alias("v"))
     nll = -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
     return (

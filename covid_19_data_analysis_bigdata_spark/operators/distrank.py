@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from covid_19_data_analysis_bigdata_spark.cache import cached
+
 __all__ = ["global_rank", "global_ntile"]
 
 _PID = "__dr_pid"
@@ -57,8 +59,18 @@ def global_rank(
     When ``total_col`` is given, the overall row count is attached as
     a constant column too (needed by ntile / equal-slice consumers).
     """
-    d = df.repartitionByRange(*order_cols).withColumn(
-        _PID, F.spark_partition_id()
+    # Persisted (round-8 advice): the pid-stamped frame feeds BOTH the
+    # counts/offsets aggregate and the partitioned-window join below,
+    # keyed by spark_partition_id().  Correctness requires both
+    # consumers to observe the SAME range boundaries and the same
+    # AQE shuffle-read spec; without a persist barrier that holds only
+    # via exchange reuse (defeated by spark.sql.exchange.reuse=false or
+    # divergent AQEShuffleRead specs).  The frame is already shuffled,
+    # so persisting adds one in-memory write, no extra exchange.
+    d = (
+        df.repartitionByRange(*order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .transform(cached)
     )
     counts = d.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
     lower = counts.select(

@@ -20,6 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.operators.llm import _cosine, _d
 from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir, load_table
@@ -256,7 +257,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("dst"),
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .persist()  # ≤600 rows; reused every iteration — never rescan facts
+        .transform(cached)  # ≤600 rows; reused every iteration — never rescan facts
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     nodes = n.select(F.col("n_nationkey").alias("node"), "n_name")
@@ -322,14 +323,14 @@ def _copurchase_base(spark: SparkSession, sf_dir: str):
         per_order.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .distinct()
-        .persist()
+        .transform(cached)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .persist()
+        .transform(cached)
     )
     return edges, deg
 
@@ -358,12 +359,12 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str):
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
-        .persist()
+        .transform(cached)
     )
     adj = (
         oriented.groupBy("src")
         .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        .persist()
+        .transform(cached)
     )
     return deg, oriented, adj
 
@@ -557,7 +558,7 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             lambda c: F.round(c.cast("double") * PCA_XS).cast("long"),
         ).alias("xi")
-    ).persist()
+    ).transform(cached)
     n = e.agg(F.count(F.lit(1)).alias("n"))
     v = spark.range(1).select(
         F.array_repeat(F.lit(PCA_VS).cast("long"), PCA_DIM).alias("v")
@@ -793,7 +794,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
-        .persist()
+        .transform(cached)
     )
     dist = items.agg(F.min("l_partkey").alias("node")).select(
         "node", F.lit(0).alias("d")
@@ -1142,7 +1143,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             e_cur.join(
                 keep.withColumnRenamed("node", "u"), "u", "left_semi"
             ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-        ).persist()
+        ).transform(cached)
         d_cur = degrees(e_cur)
     out = rows[0]
     for r in rows[1:]:
@@ -1346,7 +1347,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
         .repartition("u")  # one-time shuffle; every round's join reuses it
-        .persist()
+        .transform(cached)
     )
     lab = (
         items.select(F.col("l_partkey").alias("node"))
@@ -1440,7 +1441,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .persist()
+        .transform(cached)
     )
     deg = rel.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     a = rel.alias("a")
@@ -1573,7 +1574,7 @@ def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.filter(F.col("doc_id") % 2 == 1)
         .groupBy("doc_id", F.col("lang").alias("lang_actual"), "token")
         .agg(F.count(F.lit(1)).alias("n_t"))
-        .persist()
+        .transform(cached)
     )
     tlen = ttok.groupBy("doc_id", "lang_actual").agg(F.sum("n_t").alias("t_d"))
     cls = (
@@ -3331,7 +3332,7 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Three consumers (deg, n1, n2) — persist or the co-purchase
         # self-join rebuilds per consumer (the plan audit caught this
         # at 20 exchanges; the oracle's MATERIALIZED is the same call).
-        .persist()
+        .transform(cached)
     )
     deg = ed.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
@@ -4145,7 +4146,7 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("dst"),
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .persist()
+        .transform(cached)
     )
 
 
@@ -4353,7 +4354,7 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
         )
         .distinct()
-        .persist()
+        .transform(cached)
     )
     d = (
         nodes.select(
@@ -4364,7 +4365,7 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(e2.select("u", "v", F.lit(1)))
         .groupBy("src", "dst")
         .agg(F.min("d").alias("d"))
-        .persist()
+        .transform(cached)
     )
     for _ in range(CLOSE_HOPS - 1):
         ext = d.join(e2, d.dst == e2.u).select(
@@ -4375,7 +4376,7 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .union(ext)
             .groupBy("src", "dst")
             .agg(F.min("d").alias("d"))
-            .persist()
+            .transform(cached)
         )
     m = d.groupBy("src").agg(
         F.count(F.lit(1)).alias("n_reachable"),

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.sources.io import load_table
 
@@ -914,7 +915,7 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Persisted: the per-brand stats aggregate AND the best-pair
         # window both consume the scored candidates — unpersisted, the
         # levenshtein pass (the dominant cost) executed twice.
-        .persist()
+        .transform(cached)
     )
     stats = pairs.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_pairs"),
@@ -1099,7 +1100,7 @@ def join_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y"),
         )
         .distinct()
-        .persist()
+        .transform(cached)
     )
     deltas = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
         spark.range(-1, 2).select(F.col("id").alias("dy"))

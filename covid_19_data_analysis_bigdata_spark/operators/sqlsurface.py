@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.sources.io import load_table
 
@@ -159,7 +160,7 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(
         spark, sf_dir, "lineitem", "supplier", "orders", "customer", "nation"
     )
-    edges = spark.sql(_EDGES_SQL).persist()
+    edges = spark.sql(_EDGES_SQL).transform(cached)
     edges.createOrReplaceTempView("trade_edges")
     return spark.sql(_REACH_OVER_EDGES_SQL)
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.operators.llm import (
     FUZZY_PAIRS_CTES,
@@ -423,7 +424,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # |docs| rows; consumed by both sides of the band self-join and
         # the output projection — unpersisted, each consumer re-runs
         # the whole hash+fold pipeline (3× ≈ 15 s at sf0.1).
-    ).persist()
+    ).transform(cached)
     bands = fp.select(
         "doc_id",
         F.explode(
@@ -503,7 +504,7 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = (
         d.select("doc_id", _bigrams(_words()).alias("grams"))
         .filter(F.size("grams") > 0)
-        .persist()  # feeds the index and both verify sides
+        .transform(cached)  # feeds the index and both verify sides
     )
     tok = bg.select("doc_id", F.explode("grams").alias("g"))
     df = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -511,7 +512,7 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides re-execute the explode+filter lineage unpersisted).
     rare = tok.join(
         F.broadcast(df.filter(F.col("df") <= NGRAM_DF_MAX)), "g"
-    ).persist()
+    ).transform(cached)
     a, b = rare.alias("a"), rare.alias("b")
     cand = (
         a.join(
@@ -674,7 +675,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dists = (
         e.crossJoin(F.broadcast(cent))
         .select("vec_id", "cell", dist2.alias("dist2"))
-        .persist()  # feeds both the assignment and the probe-cell ranks
+        .transform(cached)  # feeds both the assignment and the probe-cell ranks
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell"))
     assigned = (
@@ -778,7 +779,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         llm_dedup_fuzzy,
     )
 
-    pairs = llm_dedup_fuzzy(spark, sf_dir).select("a_id", "b_id").persist()
+    pairs = llm_dedup_fuzzy(spark, sf_dir).select("a_id", "b_id").transform(cached)
     edges = pairs.union(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).toDF("u", "v")
@@ -1009,7 +1010,7 @@ def llm_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         d.select("doc_id", _shingles(_words()).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .persist()
+        .transform(cached)
     )
     tok = sh.select("doc_id", F.explode("shingles").alias("tok"))
     minhash = tok.groupBy("doc_id").agg(
@@ -1037,7 +1038,7 @@ def llm_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash.select("doc_id", F.explode(band_structs).alias("bs"))
         .select("doc_id", F.col("bs.band").alias("band"),
                 F.col("bs.sig").alias("sig"))
-        .persist()
+        .transform(cached)
     )
     inc_b = bands.filter(is_inc).select(
         F.col("doc_id").alias("ii"), "band", "sig"
@@ -1143,14 +1144,14 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = (
         d.select("doc_id", _bigrams(_words()).alias("grams"))
         .filter(F.size("grams") > 0)
-        .persist()
+        .transform(cached)
     )
     tok = bg.select("doc_id", F.explode("grams").alias("g"))
     df_t = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     # Persisted: two alias sides of the candidate self-join.
     rare = tok.join(
         F.broadcast(df_t.filter(F.col("df") <= NGRAM_DF_MAX)), "g"
-    ).persist()
+    ).transform(cached)
     a = rare.select(F.col("doc_id").alias("a_id"), "g")
     b = rare.select(F.col("doc_id").alias("b_id"), "g")
     cand = (
@@ -1328,7 +1329,7 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = (
         e.select("vec_id", F.explode(sub_structs).alias("s"))
         .select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
-        .persist()
+        .transform(cached)
     )
 
     # Deterministic init: the PQ_K lowest vec_ids seed every subspace.
@@ -1384,9 +1385,9 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             # downstream (next assign + the ADC LUT); a lazy persist
             # dedups the re-evaluation without the extra eager job a
             # localCheckpoint would serialize into the loop
-            .persist()
+            .transform(cached)
         )
-    codes = assign(cent).persist()
+    codes = assign(cent).transform(cached)
 
     # Per-probe ADC lookup table: ||q_m − c_{m,cid}||² partials.
     probes = subs.filter(F.col("vec_id") < 10).select(
@@ -1681,7 +1682,7 @@ def llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.transform("embedding", scale_int).alias("v"),
-    ).persist()
+    ).transform(cached)
     d2 = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast("long"),
@@ -1729,7 +1730,7 @@ def llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = (
         e.select("vec_id", F.explode(sub_structs).alias("s"))
         .select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
-        .persist()
+        .transform(cached)
     )
     pqcent = subs.filter(F.col("vec_id") < PQ_K).select(
         "m", F.col("vec_id").cast("int").alias("cid"), F.col("sub").alias("center")
@@ -1922,7 +1923,7 @@ def llm_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdist.withColumn("rk", F.row_number().over(w_assign))
         .filter(F.col("rk") == 1)
         .select("vec_id", "embedding", "cell", "cd")
-        .persist()  # feeds cell radii AND the candidate scan
+        .transform(cached)  # feeds cell radii AND the candidate scan
     )
     radii = assigned.groupBy("cell").agg(F.max("cd").alias("r_cell"))
     probes = assigned.filter(F.col("vec_id") < RANGE_PROBES).select(
@@ -2194,7 +2195,7 @@ def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # all 16 permutation consumers (16 polyhash passes ≈ 26 s at
         # sf0.1), and the frame feeds both sides of the pair join —
         # materializing it computes the signatures exactly once.
-    ).persist()
+    ).transform(cached)
     a = mh.select(
         F.col("doc_id").alias("a_id"),
         F.col("shingles").alias("sa"),
@@ -2545,7 +2546,7 @@ def llm_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize ran four times (round-7 twice-consumed-frame sweep).
     lab = toks.groupBy("label", "tok").agg(
         F.count(F.lit(1)).alias("c_lt")
-    ).persist()
+    ).transform(cached)
     lt = lab.groupBy("label").agg(F.sum("c_lt").alias("n_l"))
     gt = lab.groupBy("tok").agg(F.sum("c_lt").alias("c_t"))
     g = lab.agg(F.sum("c_lt").alias("n_all"))

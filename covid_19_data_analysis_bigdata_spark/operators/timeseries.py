@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.sources.io import load_table
 
@@ -4339,7 +4340,7 @@ def ts_doubling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = curve.withColumn(
         "c", F.sum("new_cases").over(w_run)
-    ).persist()
+    ).transform(cached)
     s = cum.select(F.col("d").alias("sd"), F.col("c").alias("sc"))
     dt = (
         cum.join(
@@ -4485,7 +4486,7 @@ def ts_lagged_outcome_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.sum("n_open").over(w_run).alias("c_open"),
         F.sum("n_bad").over(w_run).alias("c_bad"),
-    ).persist()
+    ).transform(cached)
     s = cum.select(
         F.col("d").alias("sd"), F.col("c_open").alias("c_open_lagged")
     )

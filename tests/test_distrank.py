@@ -88,3 +88,38 @@ def test_global_rank_invariant_under_shuffle_partitions(spark, skewed_df):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base)
     assert a == b
+
+
+def test_global_rank_pid_frame_is_persisted(spark, skewed_df):
+    """Round-8 advice pin: the spark_partition_id()-stamped frame must
+    be a persist barrier feeding BOTH the offsets aggregate and the
+    window join — without it, correctness depends on exchange reuse
+    (defeated by spark.sql.exchange.reuse=false or divergent AQE
+    coalesced reads), and ranks silently shift."""
+    df = global_rank(skewed_df, [F.asc("v"), F.desc("id")], "rk")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_global_rank_correct_without_exchange_reuse(spark, skewed_df):
+    """The scenario the round-8 advice describes: exchange reuse OFF.
+    The persisted pid frame must keep ranks exact anyway."""
+    order = [F.asc("v"), F.desc("id")]
+    base = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        got = sorted(
+            (r["id"], r["rk"])
+            for r in global_rank(skewed_df, order, "rk").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", base)
+    exp = sorted(
+        (r["id"], r["rn"])
+        for r in skewed_df.select(
+            "id", F.row_number().over(Window.orderBy(*order)).alias("rn")
+        ).collect()
+    )
+    assert got == exp

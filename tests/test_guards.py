@@ -307,3 +307,54 @@ class TestOracleTypeLattice:
                 if classify(typ):
                     unsafe.append(f"{name}.{col}:{typ}")
         assert unsafe == [], unsafe
+
+
+class TestLshBucketBound:
+    """Round-8 advice: a mass-duplicate LSH bucket must not materialize
+    an unbounded flattened pair array in one task.  Pairing is windowed
+    over the first LSH_BUCKET_MAXB members; overflow members each emit
+    one star pair to the bucket minimum, preserving connectivity."""
+
+    def _pairs(self, spark, n, cap, maxb, monkeypatch):
+        from covid_19_data_analysis_bigdata_spark.operators import llm
+
+        monkeypatch.setattr(llm, "LSH_BUCKET_MAXB", maxb)
+        bands = spark.createDataFrame(
+            [(i, 1, "x") for i in range(n)], "doc_id long, band int, sig string"
+        )
+        return sorted(
+            (r.a_id, r.b_id)
+            for r in llm._lsh_candidate_pairs(bands, cap=cap).collect()
+        )
+
+    def test_small_bucket_emits_full_pair_set(self, spark, monkeypatch):
+        got = self._pairs(spark, n=6, cap=64, maxb=4096, monkeypatch=monkeypatch)
+        assert got == [(a, b) for a in range(6) for b in range(a + 1, 6)]
+
+    def test_overflow_members_star_connected(self, spark, monkeypatch):
+        got = self._pairs(spark, n=12, cap=3, maxb=8, monkeypatch=monkeypatch)
+        # windowed pairs only among/from the first 8 members …
+        windowed = {
+            (a, b) for a in range(8) for b in range(a + 1, min(a + 4, 12))
+        }
+        # … plus one star pair per overflow member to the bucket min
+        star = {(0, b) for b in range(8, 12)}
+        assert set(got) == windowed | star
+        # every member is connected: union-find over the pairs
+        parent = list(range(12))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in got:
+            parent[find(a)] = find(b)
+        assert len({find(i) for i in range(12)}) == 1
+
+    def test_pair_array_is_bounded(self, spark, monkeypatch):
+        # 50-member bucket, maxb=8, cap=3: ≤ 8·3 windowed + 42 star
+        got = self._pairs(spark, n=50, cap=3, maxb=8, monkeypatch=monkeypatch)
+        assert len(got) <= 8 * 3 + 42
+        assert all(b > a for a, b in got)

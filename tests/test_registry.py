@@ -428,3 +428,24 @@ def test_oracles_cover_strong_queries():
     assert set(orc) <= set(qs)
     weak = set(qs) - set(orc)
     assert weak == WEAK_IDS, f"unexpected weak-oracle set: {sorted(weak)}"
+
+
+def test_window_rotation_is_never_sampled():
+    """Round-8 contract: the external driver samples the FIRST 50
+    registry ids in iteration order; the rotation must consist only of
+    ids with no committed external evidence yet (CORRECTNESS_r08 ∩
+    r01-r07 = ∅ by construction), all with strong oracles."""
+    import glob
+    import json
+    import os
+
+    qs, orc = E.queries(), E.oracle_sql()
+    front = list(qs)[:50]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen = set()
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-7].json")):
+        seen |= set(json.load(open(p)))
+    assert seen, "committed correctness artifacts missing"
+    overlap = [n for n in front if n in seen]
+    assert not overlap, f"window ids already sampled before: {overlap}"
+    assert all(n in orc for n in front)
