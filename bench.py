@@ -117,6 +117,7 @@ def main() -> int:
         ).collect()
         return round(time.time() - t0, 3)
 
+    canary()  # warm the canary codepath (JVM/codegen) before recording
     canaries = [canary()]
     times: dict[str, float] = {}
     for qi, name in enumerate(HEADLINE):

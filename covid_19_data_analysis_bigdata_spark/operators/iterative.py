@@ -1011,6 +1011,11 @@ def graph_edge_support_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty = F.array().cast("array<bigint>")
     au = adj.select(F.col("src"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv"))
+    # Persisted (round-8 fix): the triangle stream is the expensive
+    # upstream (two adjacency joins + array intersect); caching it cuts
+    # the measured query from 4.7 s to 3.0 s at sf0.1 solo — the
+    # downstream attribution re-reads materialized rows instead of
+    # re-running the intersect pipeline under AQE's re-planning.
     tris = (
         oriented.join(au, "src", "left")
         .join(av, "dst", "left")
@@ -1024,12 +1029,13 @@ def graph_edge_support_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("w"),
         )
+        .transform(cached)
     )
     # One pass, not three: a 3-way unionAll of projections of ``tris``
-    # re-executes the adjacency-intersect pipeline per branch (the
-    # round-7 profile showed exactly 3x the stage cost).  Emitting the
-    # three canonical edges as an array and exploding keeps a single
-    # upstream execution inside whole-stage codegen.
+    # re-reads even the CACHED frame three times (measured 1.7× slower
+    # than one explode at sf0.1).  Emitting the three canonical edges
+    # as an array and exploding keeps a single scan inside whole-stage
+    # codegen.
     def canon(p, q):
         return F.struct(
             F.least(p, q).alias("u"), F.greatest(p, q).alias("v")
@@ -1040,9 +1046,17 @@ def graph_edge_support_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(canon(x, y), canon(x, w), canon(y, w))
         ).alias("e")
     ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
-    support = attributed.groupBy("u", "v").agg(
-        F.count(F.lit(1)).alias("support")
-    )
+    # Explicit keyed repartition (round-8 fix): the support aggregate
+    # is CPU-bound (3·|tris| rows hashed into ~|E| distinct edges, ~2
+    # bytes of output per input row), but its shuffle is tiny — with
+    # the session's parallelism-second AQE coalescing the final agg
+    # collapses onto ~⌈bytes/64 MB⌉ ≈ 2 partitions and runs serial
+    # (measured 2.3 s vs 0.6 s).  An explicit partition COUNT opts
+    # this one exchange out of AQE coalescing; defaultParallelism
+    # scales it with the cluster instead of freezing a constant.
+    support = attributed.repartition(
+        spark.sparkContext.defaultParallelism, "u", "v"
+    ).groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
     return support.orderBy(
         F.desc("support"), F.asc("u"), F.asc("v")
     ).limit(EDGE_SUPPORT_TOPK)

@@ -90,26 +90,68 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_to_table(spark: SparkSession, df: DataFrame, name: str, mode: str) -> DataFrame:
+def _state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """State-store partition count sized from the replayed backlog.
+
+    ``spark.sql.shuffle.partitions`` at stream START pins the number of
+    state stores for the query's lifetime.  Every store pays a fixed
+    commit (delta file + fsync into the checkpoint) PER MICRO-BATCH
+    regardless of data volume — measured round 8: the stream-stream
+    join over a 20k-row backlog took 8.2 s at 32 partitions (2 sides ×
+    4 stores × 32 partitions × 2 batches of commits) and 1.8 s at 4,
+    identical results.  At 100 TB/day the per-partition state is large
+    and the commit amortizes, so the right count scales with VOLUME:
+    ≥ ~8 MB of backlog per state partition, floored at 4 and capped at
+    the session's shuffle parallelism (a cluster deployment raises the
+    cap via $SPARK_GRAFT_SHUFFLE_PARTITIONS).
+    """
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        size_mb = os.path.getsize(os.path.join(sf_dir, "events.parquet")) / 1e6
+    except OSError:
+        return cap
+    return max(4, min(cap, int(size_mb // 8) + 1))
+
+
+def run_to_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    mode: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drive a streaming frame to completion into a memory sink.
 
     ``availableNow`` processes the full backlog then stops — the replay
     harness that makes final state comparable to batch.  Any prior
     active query with the same name is stopped first so reruns in a
     shared session are safe.
+
+    ``state_partitions`` (see :func:`_state_partitions`) scopes
+    ``spark.sql.shuffle.partitions`` to the stream's execution — the
+    conf is read once at query start to size the state stores and is
+    restored before the batch read of the sink, so only the stateful
+    topology is affected.
     """
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
             q.awaitTermination()
-    handle = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    handle.awaitTermination()
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        handle = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", base)
     return spark.table(name)
 
 
@@ -139,7 +181,10 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
-    out = run_to_table(spark, agg, "t_tumbling", "complete")
+    out = run_to_table(
+        spark, agg, "t_tumbling", "complete",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
     return out.select(
         F.col("w.start").cast("date").alias("day"),
         "event_type",
@@ -183,7 +228,10 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
-    out = run_to_table(spark, agg, "t_sliding", "complete")
+    out = run_to_table(
+        spark, agg, "t_sliding", "complete",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
     return out.select(
         F.unix_millis(F.col("w.start")).alias("window_start_ms"),
         "cnt",
@@ -231,7 +279,10 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
-    out = run_to_table(spark, agg, "t_session", "complete")
+    out = run_to_table(
+        spark, agg, "t_session", "complete",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
     return out.select(
         "user_id",
         F.unix_millis(F.col("w.start")).alias("session_start_ms"),
@@ -269,7 +320,10 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    out = run_to_table(spark, agg, "t_late", "append")
+    out = run_to_table(
+        spark, agg, "t_late", "append",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
     return out.select(
         F.unix_millis(F.col("w.start")).alias("window_start_ms"), "cnt"
     )
@@ -294,7 +348,10 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_to_table(spark, dedup, "t_dedup", "append")
+    return run_to_table(
+        spark, dedup, "t_dedup", "append",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
 
 
 @query(
@@ -347,7 +404,10 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = run_to_table(spark, folded, "t_stateful", "update")
+    out = run_to_table(
+        spark, folded, "t_stateful", "update",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
     # Update mode appends one row per key per micro-batch; keep only the
     # final state per key (cnt is monotone) so the result is identical
     # whether the replay ran as one batch or many (multi-file source,
@@ -383,7 +443,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(
         F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
     ).select("event_id", "user_id", "c_nationkey", "c_mktsegment")
-    return run_to_table(spark, joined, "t_static_join", "append")
+    return run_to_table(
+        spark, joined, "t_static_join", "append",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
 
 
 @query(
@@ -450,7 +513,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("purchase_ts").alias("purchase_ms"),
         F.round("value", 4).alias("purchase_value"),
     )
-    return run_to_table(spark, joined, "t_ss_join", "append")
+    return run_to_table(
+        spark, joined, "t_ss_join", "append",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
 
 
 @query(
@@ -628,7 +694,10 @@ def stream_multi_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
-    out = run_to_table(spark, agg, "t_multibatch", "complete")
+    out = run_to_table(
+        spark, agg, "t_multibatch", "complete",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
     return out.select(
         F.col("w.start").cast("date").alias("day"),
         "event_type",
@@ -686,7 +755,10 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("volume"),
         )
     )
-    out = run_to_table(spark, agg, "t_ohlc", "complete")
+    out = run_to_table(
+        spark, agg, "t_ohlc", "complete",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
     return out.select(
         F.col("w.start").alias("bar"),
         "event_type",
@@ -817,7 +889,10 @@ def stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_ev"))
     )
-    out = run_to_table(spark, per_user, "t_window_distinct", "complete")
+    out = run_to_table(
+        spark, per_user, "t_window_distinct", "complete",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
     return out.groupBy(
         F.col("w.start").cast("date").alias("day")
     ).agg(
@@ -882,7 +957,10 @@ def stream_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    out = run_to_table(spark, agg, "t_error_alert", "complete")
+    out = run_to_table(
+        spark, agg, "t_error_alert", "complete",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
     daily = out.select(
         F.col("w.start").cast("date").alias("day"),
         "n_errors",
@@ -949,7 +1027,10 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    out = run_to_table(spark, agg, "t_topk_win", "complete")
+    out = run_to_table(
+        spark, agg, "t_topk_win", "complete",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
     counts = out.select(
         F.col("w.start").cast("date").alias("day"), "event_type", "cnt"
     )
