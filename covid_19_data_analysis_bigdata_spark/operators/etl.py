@@ -2034,3 +2034,64 @@ def dq_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).alias("sum_cents"),
         F.sum(row_fp).alias("content_hash"),
     )
+
+
+#: Declared functional dependencies to audit: (name, table, lhs, rhs).
+#: A violation is an lhs value observed with more than one distinct rhs.
+_FD_CHECKS = [
+    ("p_name->p_brand", "part", "p_name", "p_brand"),
+    ("p_name->p_type", "part", "p_name", "p_type"),
+    ("p_brand->p_type", "part", "p_brand", "p_type"),
+    ("c_custkey->c_mktsegment", "customer", "c_custkey", "c_mktsegment"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for name, table, lhs, rhs in _FD_CHECKS:
+        parts.append(f"""
+    SELECT '{name}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(count(*) FILTER (n_rhs > 1) AS BIGINT) AS n_violating,
+           CAST(max(n_rhs) AS BIGINT) AS max_rhs_per_lhs
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs
+          FROM {table} GROUP BY {lhs})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("dq_functional_dependency", oracle=_fd_oracle())
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each declared FD ``lhs → rhs``,
+    how many lhs values exist, how many are VIOLATING (carry > 1
+    distinct rhs), and the worst multiplicity — the data-profiling
+    primitive behind key discovery, denormalization checks, and
+    "should this column be derivable" pipeline contracts.
+
+    One hash aggregate per FD on the lhs grain (exact
+    ``count(DISTINCT rhs)`` per lhs — dependency violations cannot be
+    sketched), then a 1-row reduction each; at 100 TB each FD is an
+    independent embarrassingly-parallel aggregate over its own table
+    scan, and FDs over the same table share the scan via Spark's
+    common-subexpression reuse of the cached source.  All outputs are
+    exact integers.
+    """
+    out = None
+    for name, table, lhs, rhs in _FD_CHECKS:
+        t = load_table(spark, sf_dir, table)
+        per_lhs = t.groupBy(lhs).agg(
+            F.count_distinct(F.col(rhs)).alias("n_rhs")
+        )
+        row = per_lhs.agg(
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).alias(
+                "n_violating"
+            ),
+            F.max("n_rhs").alias("max_rhs_per_lhs"),
+        ).select(
+            F.lit(name).alias("fd"),
+            F.col("n_lhs").cast("long"),
+            F.col("n_violating").cast("long"),
+            F.col("max_rhs_per_lhs").cast("long"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -4760,3 +4760,115 @@ def ml_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rbo"),
     )
+
+
+PERCEPTRON_ITERS = 3
+
+
+def _perceptron_oracle() -> str:
+    """Unrolled batch-perceptron CTE chain (one level per iteration).
+
+    Each level cross-joins the previous 1-row weight vector onto the
+    feature relation, sums y·x over margin-violating rows, and emits
+    the updated weights — a LINEAR chain (each CTE referenced once by
+    the next level plus once by the output union; MATERIALIZED stops
+    DuckDB's inliner from re-evaluating the chain per reference).
+    """
+    feats = """
+    feats AS MATERIALIZED (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(floor(l_extendedprice / 1000) AS BIGINT) AS x2,
+               CASE WHEN l_discount >= 0.05 THEN 1 ELSE -1 END AS y
+        FROM lineitem)"""
+    ctes = [feats, "w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2)"]
+    outs = []
+    for t in range(1, PERCEPTRON_ITERS + 1):
+        ctes.append(f"""
+    w{t} AS MATERIALIZED (
+        SELECT CAST(w{t-1}.b + sum(CASE WHEN y * (w{t-1}.b + w{t-1}.w1 * x1 + w{t-1}.w2 * x2) <= 0
+                           THEN y ELSE 0 END) AS BIGINT) AS b,
+               CAST(w{t-1}.w1 + sum(CASE WHEN y * (w{t-1}.b + w{t-1}.w1 * x1 + w{t-1}.w2 * x2) <= 0
+                            THEN y * x1 ELSE 0 END) AS BIGINT) AS w1,
+               CAST(w{t-1}.w2 + sum(CASE WHEN y * (w{t-1}.b + w{t-1}.w1 * x1 + w{t-1}.w2 * x2) <= 0
+                            THEN y * x2 ELSE 0 END) AS BIGINT) AS w2,
+               CAST(sum(CASE WHEN y * (w{t-1}.b + w{t-1}.w1 * x1 + w{t-1}.w2 * x2) <= 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_mis
+        FROM feats, w{t-1}
+        GROUP BY w{t-1}.b, w{t-1}.w1, w{t-1}.w2)""")
+        outs.append(
+            f"SELECT CAST({t} AS BIGINT) AS iter, n_mis, b, w1, w2 FROM w{t}"
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(outs) + "\nORDER BY iter"
+
+
+@query("ml_batch_perceptron", oracle=_perceptron_oracle())
+def ml_batch_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch perceptron, {PERCEPTRON_ITERS} full-gradient epochs: the
+    linear classifier trained by summing y·x over ALL margin-violating
+    rows per epoch (the batch form of Rosenblatt's update — identical
+    information to one distributed gradient step on the perceptron
+    loss), predicting whether a line carries a meaningful discount
+    from (quantity, price-band) features.
+
+    Iterative-ML-on-Spark shape: the weight vector is a 1-ROW frame
+    cross-joined (broadcast) onto the feature relation; each epoch is
+    ONE scan + ONE global aggregate, and nothing ever leaves the JVM —
+    no driver-side collect inside the loop, so the same code runs with
+    a 100 TB feature table (epochs = linear passes).  Exactness: every
+    feature, label, margin, and update is BIGINT (the price band is
+    ``floor(price/1000)`` — one IEEE division then floor, identical in
+    both engines), so the trajectory is bit-reproducible and the
+    oracle's unrolled CTE chain lands on identical weights.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("x2"),
+        F.when(F.col("l_discount") >= 0.05, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    ).transform(cached)
+    w = None  # 1-row frame (b, w1, w2)
+    out = None
+    for t in range(1, PERCEPTRON_ITERS + 1):
+        if w is None:
+            joined = feats.select(
+                "x1", "x2", "y",
+                F.lit(0).cast("long").alias("b"),
+                F.lit(0).cast("long").alias("w1"),
+                F.lit(0).cast("long").alias("w2"),
+            )
+        else:
+            joined = feats.crossJoin(F.broadcast(w))
+        margin_bad = (
+            F.col("y")
+            * (
+                F.col("b")
+                + F.col("w1") * F.col("x1")
+                + F.col("w2") * F.col("x2")
+            )
+            <= 0
+        )
+        upd = joined.groupBy("b", "w1", "w2").agg(
+            F.sum(F.when(margin_bad, F.col("y")).otherwise(0)).alias("db"),
+            F.sum(
+                F.when(margin_bad, F.col("y") * F.col("x1")).otherwise(0)
+            ).alias("dw1"),
+            F.sum(
+                F.when(margin_bad, F.col("y") * F.col("x2")).otherwise(0)
+            ).alias("dw2"),
+            F.sum(F.when(margin_bad, 1).otherwise(0)).alias("n_mis"),
+        )
+        w_next = upd.select(
+            (F.col("b") + F.col("db")).cast("long").alias("b"),
+            (F.col("w1") + F.col("dw1")).cast("long").alias("w1"),
+            (F.col("w2") + F.col("dw2")).cast("long").alias("w2"),
+            F.col("n_mis").cast("long").alias("n_mis"),
+        ).transform(cached)
+        row = w_next.select(
+            F.lit(t).cast("long").alias("iter"), "n_mis", "b", "w1", "w2"
+        )
+        out = row if out is None else out.unionAll(row)
+        w = w_next.select("b", "w1", "w2")
+    return out.orderBy("iter")

@@ -21,6 +21,7 @@ from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.operators.distrank import global_rank
 from covid_19_data_analysis_bigdata_spark.operators.llm import _shingles, _words
+from covid_19_data_analysis_bigdata_spark.operators.retrieval import _tri_grams
 from covid_19_data_analysis_bigdata_spark.operators.textprep import (
     _MARKER_VALUES,
     _POLY_SQL,
@@ -1499,3 +1500,122 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# Lexical-richness statistics over word trigrams (round-8 batch 70)
+# --------------------------------------------------------------------------
+
+#: DuckDB word-trigram comprehension shared by the two richness oracles
+#: (same spelling as retrieval._ORACLE_GRAMS; non-distinct).
+_RICH_GRAMS_CTES = """
+    w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+          FROM documents),
+    g AS (SELECT doc_id,
+                 unnest([array_to_string(ws[i:i+2], ' ')
+                         for i in generate_series(1, len(ws) - 2)]) AS t
+          FROM w WHERE len(ws) >= 3)
+"""
+
+
+@query(
+    "llm_type_token_ratio",
+    oracle=f"""
+    WITH {_RICH_GRAMS_CTES}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)           AS n_grams,
+           CAST(count(DISTINCT t) AS BIGINT)  AS n_types,
+           round(count(DISTINCT t) * 1.0 / count(*), 6) AS ttr
+    FROM g GROUP BY doc_id
+    """,
+)
+def llm_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document type-token ratio over word TRIGRAMS — the lexical
+    diversity score used to down-weight boilerplate/templated pages in
+    pretraining mixes (unigram TTR is degenerate on this corpus's
+    31-word vocabulary; the trigram space is ~vocab³).
+
+    Computed entirely ARRAY-SIDE: ``size(grams)`` and
+    ``size(array_distinct(grams))`` per row — zero explode, zero
+    shuffle; the whole query is a projection over the document scan,
+    which is the shape that matters at 100 TB (one pass, no
+    aggregation state).  TTR is one integer division, round(,6) —
+    bit-identical across engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = _tri_grams(_words())
+    return (
+        d.select("doc_id", grams.alias("gs"))
+        .filter(F.size("gs") > 0)
+        .select(
+            "doc_id",
+            F.size("gs").cast("long").alias("n_grams"),
+            F.size(F.array_distinct("gs")).cast("long").alias("n_types"),
+            F.round(
+                F.size(F.array_distinct("gs"))
+                * F.lit(1.0)
+                / F.size("gs"),
+                6,
+            ).alias("ttr"),
+        )
+    )
+
+
+@query(
+    "llm_hapax_ratio",
+    oracle=f"""
+    WITH {_RICH_GRAMS_CTES},
+    cnt AS (SELECT t, count(*) AS c FROM g GROUP BY t),
+    hap AS (SELECT t FROM cnt WHERE c = 1),
+    per_doc AS (
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(hap.t) AS BIGINT) AS n_hapax
+        FROM g LEFT JOIN hap ON g.t = hap.t
+        GROUP BY g.doc_id)
+    SELECT doc_id, n_grams, n_hapax,
+           round(n_hapax * 1.0 / n_grams, 6) AS hapax_ratio
+    FROM per_doc
+    """,
+)
+def llm_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document share of corpus-hapax trigrams (trigrams occurring
+    exactly ONCE in the whole corpus) — high hapax share marks novel /
+    long-tail text worth up-sampling, near-zero marks boilerplate.
+
+    Corpus-global term counts are one hash aggregate over the exploded
+    gram stream; the hapax set joins back to the same stream (the
+    stream is persisted — it feeds both the counting and the join).
+    At 100 TB the hapax set is the vocabulary tail: it shuffle-joins
+    on the gram hash, never broadcast (it can be corpus-sized).  The
+    ratio is one integer division, round(,6).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select("doc_id", _tri_grams(_words()).alias("gs"))
+        .filter(F.size("gs") > 0)
+        .select("doc_id", F.explode("gs").alias("t"))
+        .transform(cached)
+    )
+    hap = (
+        g.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 1)
+        .select("t", F.lit(1).alias("is_hap"))
+    )
+    per_doc = (
+        g.join(hap, "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("is_hap").alias("n_hapax"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hapax").cast("long").alias("n_hapax"),
+        F.round(F.col("n_hapax") * F.lit(1.0) / F.col("n_grams"), 6).alias(
+            "hapax_ratio"
+        ),
+    )

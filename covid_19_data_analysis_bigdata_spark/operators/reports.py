@@ -2925,3 +2925,85 @@ def report_catalog_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_parts",
         F.sum("new_parts").over(w).alias("catalog_parts"),
     )
+
+
+@query(
+    "report_supplier_herfindahl",
+    oracle="""
+    WITH sup AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey),
+    hh AS (
+        SELECT s_nationkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(c) AS BIGINT)   AS total_cents,
+               sum(CAST(c AS DECIMAL(19, 0)) * CAST(c AS DECIMAL(19, 0)))
+                   AS sum_sq
+        FROM sup GROUP BY s_nationkey)
+    SELECT n.n_name, hh.n_suppliers, hh.total_cents,
+           round(CAST(hh.sum_sq AS DOUBLE)
+                 / (CAST(hh.total_cents AS DOUBLE)
+                    * CAST(hh.total_cents AS DOUBLE)), 6) AS hhi
+    FROM hh JOIN nation n ON n.n_nationkey = hh.s_nationkey
+    ORDER BY n.n_name
+    """,
+)
+def report_supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation:
+    HHI = Σᵢ shareᵢ² over each nation's suppliers' revenue shares — the
+    antitrust-style concentration readout (1/n for perfectly even
+    supply, →1 for a monopoly).
+
+    Exactness: per-supplier revenue sums in integer cents; the HHI
+    numerator Σ c² accumulates in DECIMAL(19,0)×DECIMAL(19,0) products
+    (19, not 18: DuckDB stores ≤18-precision decimals in int64 and its
+    int64 multiply overflows at c ≳ 3·10⁹; precision 19 forces the
+    int128 path)
+    (c² reaches ~10¹⁸ — past safe BIGINT headroom once summed, and
+    DuckDB would widen to HUGEINT anyway), so both engines carry the
+    identical exact integer until ONE final double division — the
+    agg_corr_matrix discipline.  Two shuffles total (supplier grain,
+    then nation grain, both key-partitioned) and a broadcast nation
+    join; the identity HHI = Σc²/(Σc)² means shares are never
+    materialized per-row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_sup = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(cents).alias("c"))
+    )
+    cd = F.col("c").cast("decimal(19,0)")
+    hh = per_sup.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("c").alias("total_cents"),
+        F.sum(cd * cd).alias("sum_sq"),
+    )
+    return (
+        hh.join(F.broadcast(nat), hh.s_nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            F.col("total_cents").cast("long").alias("total_cents"),
+            F.round(
+                F.col("sum_sq").cast("double")
+                / (
+                    F.col("total_cents").cast("double")
+                    * F.col("total_cents").cast("double")
+                ),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy("n_name")
+    )

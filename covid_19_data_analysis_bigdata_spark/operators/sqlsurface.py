@@ -960,3 +960,214 @@ def sql_tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "supplier", "lineitem", "part")
     return spark.sql(_Q20_SQL)
+
+
+_Q2_SQL = """
+    WITH supply_cost AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS cost_cents
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey),
+    eu AS (
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE')
+    SELECT p.p_partkey, p.p_name, eu.s_name, eu.n_name,
+           sc.cost_cents AS min_cost_cents
+    FROM part p
+    JOIN supply_cost sc ON sc.pk = p.p_partkey
+    JOIN eu ON eu.s_suppkey = sc.sk
+    WHERE p.p_size >= 30
+      AND sc.cost_cents = (
+          SELECT min(sc2.cost_cents)
+          FROM supply_cost sc2
+          JOIN eu eu2 ON eu2.s_suppkey = sc2.sk
+          WHERE sc2.pk = p.p_partkey)
+    ORDER BY min_cost_cents, p.p_partkey, eu.s_name
+    LIMIT 50
+"""
+
+
+@query("sql_tpch_q2_min_cost_supplier", oracle=_Q2_SQL)
+def sql_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier), adapted: for each large part,
+    the European supplier(s) achieving the minimum observed line cost —
+    the CORRELATED SCALAR SUBQUERY WITH AGGREGATE shape (the per-part
+    minimum re-filtered against the same derived table).
+
+    Catalyst decorrelates the scalar subquery into an aggregate + join
+    on p_partkey (one pass over supply_cost, never a per-row re-scan);
+    the region filter reduces the supplier dim BEFORE both uses.  Cost
+    compares as exact integer cents (l_extendedprice is 2-decimal
+    exact, so round()·100 is integer-valued per row — the true-grain
+    rule), and the sort key set is unique, so the LIMIT is
+    deterministic.  The original's partsupp.ps_supplycost has no
+    testdata table; min line price stands in with the same plan
+    skeleton.
+    """
+    _views(spark, sf_dir, "part", "supplier", "nation", "region", "lineitem")
+    return spark.sql(_Q2_SQL)
+
+
+_Q11_SQL = """
+    WITH supply AS (
+        SELECT s.s_nationkey, l.l_partkey,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                   AS value_cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey, l.l_partkey)
+    SELECT n.n_name, supply.l_partkey AS p_partkey,
+           CAST(supply.value_cents AS BIGINT) AS value_cents
+    FROM supply
+    JOIN nation n ON n.n_nationkey = supply.s_nationkey
+    WHERE supply.value_cents * (SELECT CAST(count(*) AS BIGINT) FROM supply)
+          > 3 * (SELECT CAST(sum(value_cents) AS BIGINT) FROM supply)
+    ORDER BY value_cents DESC, n.n_name, p_partkey
+    LIMIT 1000
+"""
+
+
+@query("sql_tpch_q11_important_stock", oracle=_Q11_SQL)
+def sql_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: the
+    (nation, part) supply positions worth more than 3× the MEAN
+    position value — the HAVING-against-global-scalar shape (a grouped
+    aggregate filtered by scalar subqueries over the same aggregate).
+
+    The global total and group count evaluate once each and broadcast;
+    the grouped aggregate shuffles once on (nationkey, partkey).  The
+    threshold is DATA-DERIVED (the original's fixed share fraction
+    degenerates to zero rows as the group count grows with SF — the
+    repo's probe-at-every-SF rule) and compares CROSS-MULTIPLIED exact
+    integer cents (value·n > 3·total ⟺ value > 3·mean) — no float
+    division, so membership can't flap at the boundary.  DuckDB's BIGINT sum
+    widens to HUGEINT, hence the explicit CAST on the scalar.  The
+    original's partsupp value (cost·availqty) has no testdata table;
+    shipped line value stands in with the same plan skeleton.
+    """
+    _views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(_Q11_SQL)
+
+
+_Q14_SQL = """
+    SELECT
+        CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(round(l.l_extendedprice
+                                      * (1 - l.l_discount) * 10000)
+                           AS BIGINT)
+                      ELSE 0 END) AS BIGINT)      AS promo_revenue_e4,
+        CAST(sum(CAST(round(l.l_extendedprice
+                            * (1 - l.l_discount) * 10000)
+                 AS BIGINT)) AS BIGINT)           AS total_revenue_e4,
+        round(100e0 * sum(CASE WHEN p.p_type = 'PROMO'
+                               THEN CAST(round(l.l_extendedprice
+                                               * (1 - l.l_discount) * 10000)
+                                    AS BIGINT)
+                               ELSE 0 END)
+              / sum(CAST(round(l.l_extendedprice
+                               * (1 - l.l_discount) * 10000)
+                    AS BIGINT)), 6)               AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
+@query("sql_tpch_q14_promo_revenue", oracle=_Q14_SQL)
+def sql_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of one month's revenue
+    earned by PROMO-type parts — the conditional-aggregation-ratio
+    shape over a date-pruned fact scan.
+
+    The date filter pushes into the parquet scan (one month of the
+    fact table is all that's read); the part join broadcasts.  Revenue
+    sums in exact integer ten-thousandths (price·(1−disc)·10⁴ is
+    integer-valued because price is 2-decimal and discount 2-decimal —
+    the true-grain rule), so both engines' sums agree bit-for-bit and
+    the single final division is one IEEE op.
+    """
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q14_SQL)
+
+
+_Q17_SQL = """
+    WITH pq AS (
+        SELECT l_partkey AS pk,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem
+        GROUP BY l_partkey)
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_small_lines,
+           CAST(sum(CAST(round(l.l_extendedprice
+                               * (1 - l.l_discount) * 10000)
+                    AS BIGINT)) AS BIGINT) AS revenue_e4
+    FROM lineitem l
+    JOIN pq ON pq.pk = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * pq.cnt * 5 < pq.sq
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+"""
+
+
+@query("sql_tpch_q17_small_quantity_revenue", oracle=_Q17_SQL)
+def sql_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted: revenue from
+    lines whose quantity is below 20% of their part's average order
+    quantity, by brand — the CORRELATED-AVERAGE filter shape,
+    decorrelated into a per-part aggregate self-joined back to the
+    fact table.
+
+    The per-part aggregate and the fact re-scan shuffle on the same
+    key (l_partkey), so AQE plans one co-partitioned join; the 20%-of-
+    average test is CROSS-MULTIPLIED into exact integers
+    (qty·cnt·5 < Σqty ⟺ qty < 0.2·avg) — quantities are
+    integer-valued doubles, so no float comparison anywhere.
+    """
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q17_SQL)
+
+
+_Q19_SQL = """
+    SELECT
+        CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(sum(CAST(round(l.l_extendedprice
+                            * (1 - l.l_discount) * 10000)
+                 AS BIGINT)) AS BIGINT) AS revenue_e4
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12'
+           AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#23'
+           AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#34'
+           AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+@query("sql_tpch_q19_disjunctive_revenue", oracle=_Q19_SQL)
+def sql_tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), adapted: revenue matching any of
+    three (brand, size-range, quantity-range) baskets — the
+    DISJUNCTIVE multi-predicate join shape that exercises predicate
+    normalization.
+
+    Catalyst extracts the common conjuncts: the part-side disjuncts
+    (brand, size) can be evaluated against the dimension BEFORE the
+    join, and the quantity bounds (1..40 overall) push to the fact
+    scan as a range filter, so the join sees a pre-filtered fraction
+    of both inputs rather than evaluating the full disjunction
+    row-by-row after a blind join.  Quantities are integer-valued and
+    revenue sums in exact ten-thousandths.
+    """
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q19_SQL)

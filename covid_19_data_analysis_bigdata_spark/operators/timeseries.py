@@ -4813,3 +4813,102 @@ def ts_theil_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(sse_m.cast("double") / sse_n), 6
         ).alias("theil_u2"),
     )
+
+
+@query(
+    "events_session_percentiles",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS t_ms,
+               CASE WHEN epoch_ms(ts)
+                         - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                         > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id, t_ms,
+               sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY t_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+        FROM marked),
+    iv AS (
+        SELECT user_id, session_no,
+               min(t_ms) AS s, max(t_ms) - min(t_ms) AS dur
+        FROM sessions GROUP BY user_id, session_no),
+    dows AS (
+        SELECT ((s // 86400000) + 3) % 7 AS dow,
+               list_sort(list(dur)) AS ds
+        FROM iv GROUP BY 1)
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(len(ds) AS BIGINT) AS n_sessions,
+           CAST(ds[CAST((len(ds) + 1) // 2 AS INTEGER)] AS BIGINT)
+               AS median_ms,
+           CAST(ds[CAST((9 * len(ds) + 9) // 10 AS INTEGER)] AS BIGINT)
+               AS p90_ms
+    FROM dows
+    ORDER BY dow
+    """,
+)
+def events_session_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration median and p90 per day-of-week of session
+    start — the latency-distribution readout of sessionized traffic
+    (are weekend sessions longer?), using the repo's 30-minute-gap
+    sessionization rule.
+
+    Determinism discipline: the day-of-week comes from PURE integer
+    arithmetic on epoch-ms (``(days_since_epoch + 3) mod 7``, Monday=0
+    — engine dayofweek() numberings disagree), and the percentiles are
+    integer ORDER-STATISTIC SELECTION over the per-group sorted
+    duration list at positions ⌈n/2⌉ and ⌈9n/10⌉ computed with integer
+    division (never ``0.9·n`` — the float product can land either side
+    of an integer).  The 7 day-of-week groups are a bounded grain, so
+    the per-group collect is a few-KB array regardless of corpus size;
+    at 100 TB the exact-percentile alternative is the distributed
+    rank (distrank) per group, but a 7-group selection never needs it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t_ms = F.unix_millis("ts")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        t_ms.alias("t_ms"),
+        F.when(t_ms - F.lag(t_ms).over(w_order) > 1800000, 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    iv = (
+        marked.withColumn("session_no", F.sum("new_session").over(w_run))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("t_ms").alias("s"),
+            (F.max("t_ms") - F.min("t_ms")).alias("dur"),
+        )
+    )
+    dows = (
+        iv.select(
+            F.expr("((s div 86400000) + 3) % 7").alias("dow"), "dur"
+        )
+        .groupBy("dow")
+        .agg(F.sort_array(F.collect_list("dur")).alias("ds"))
+    )
+    n = F.size("ds").cast("long")
+    return dows.select(
+        F.col("dow").cast("long").alias("dow"),
+        n.alias("n_sessions"),
+        F.element_at("ds", F.expr("CAST((size(ds) + 1) div 2 AS INT)"))
+        .cast("long")
+        .alias("median_ms"),
+        F.element_at(
+            "ds", F.expr("CAST((9 * size(ds) + 9) div 10 AS INT)")
+        )
+        .cast("long")
+        .alias("p90_ms"),
+    ).orderBy("dow")

@@ -58,9 +58,16 @@ def events_ts_physical_type(sf_dir: str) -> str:
     """Metadata-only footer probe of the on-disk ``events.ts`` encoding.
 
     Returns the pyarrow type string (``timestamp[ns]``, ``timestamp[us]``,
-    ``timestamp[us, tz=UTC]``, ``int64``, …).  Reads one parquet footer —
-    no data pages — so it is safe to call per-query even at 100 TB (the
-    footer of a single file decides the whole dataset's declared schema).
+    ``timestamp[us, tz=UTC]``, ``int64``, …), or ``"int96"`` for the
+    legacy INT96 encoding (Spark's own default parquet timestamp
+    output).  INT96 must be detected from the PHYSICAL type in the
+    parquet metadata — arrow's logical schema reports it as
+    ``timestamp[ns]``, indistinguishable from true int64 nanos, but
+    Spark reads INT96 as TIMESTAMP regardless of ``nanosAsLong``
+    (found round 8 when a Spark-written 4× replica broke the declared
+    stream schema).  Reads one parquet footer — no data pages — so it
+    is safe to call per-query even at 100 TB (the footer of a single
+    file decides the whole dataset's declared schema).
     """
     import pyarrow.parquet as pq
 
@@ -69,6 +76,10 @@ def events_ts_physical_type(sf_dir: str) -> str:
         inner = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if inner:
             path = inner[0]
+    meta = pq.read_metadata(path)
+    idx = meta.schema.to_arrow_schema().get_field_index("ts")
+    if meta.row_group(0).column(idx).physical_type == "INT96":
+        return "int96"
     return str(pq.read_schema(path).field("ts").type)
 
 

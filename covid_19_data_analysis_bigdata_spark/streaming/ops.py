@@ -69,7 +69,10 @@ def _events_schema(sf_dir: str) -> StructType:
     phys = events_ts_physical_type(sf_dir)
     if phys.startswith("timestamp[ns") or phys == "int64":
         ts_type = LongType()
-    elif "tz=" in phys:
+    elif "tz=" in phys or phys == "int96":
+        # UTC-adjusted µs — and legacy INT96, which Spark always reads
+        # as TIMESTAMP (``nanosAsLong`` does not apply to INT96; the
+        # physical-type probe distinguishes it from true int64 nanos).
         ts_type = TimestampType()
     else:
         ts_type = TimestampNTZType()

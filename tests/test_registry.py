@@ -404,6 +404,17 @@ EXPECTED_IDS = {
     "ml_rank_biased_overlap",
     # round-7 batch 69: split-conformal interval + TPC-H Q20 shape
     "ml_conformal_interval", "sql_tpch_q20_promo_suppliers",
+    # round-8 batch 70: five TPC-H shapes (correlated-scalar Q2,
+    # data-derived-threshold Q11, conditional-ratio Q14,
+    # correlated-average Q17, disjunctive Q19), trigram lexical
+    # richness, FD audit, session percentiles, batch perceptron,
+    # supplier HHI
+    "sql_tpch_q2_min_cost_supplier", "sql_tpch_q11_important_stock",
+    "sql_tpch_q14_promo_revenue", "sql_tpch_q17_small_quantity_revenue",
+    "sql_tpch_q19_disjunctive_revenue", "llm_type_token_ratio",
+    "llm_hapax_ratio", "dq_functional_dependency",
+    "events_session_percentiles", "ml_batch_perceptron",
+    "report_supplier_herfindahl",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
