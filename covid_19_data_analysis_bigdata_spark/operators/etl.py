@@ -2095,3 +2095,64 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+#: Columns profiled by dq_schema_profile (orders table).
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@query(
+    "dq_schema_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col,
+           CAST(count(*) AS BIGINT)            AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def dq_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile of ``orders``: row count, null count,
+    and exact distinct cardinality per column — the first thing any
+    data-quality / catalog system computes on a new dataset.
+
+    All six columns profile in ONE aggregate pass (Spark expands the
+    multi-count-distinct into a single Expand + aggregate rather than
+    six scans), then the 1-row wide result unpivots to the per-column
+    grain driver-side-free via stack().  Exact distincts are the point
+    (the sketch variant is ``agg_approx_distinct``); at 100 TB each
+    count-distinct shuffles its own column only — column pruning keeps
+    the scan at the profiled columns.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__nd" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) "
+            "AS (col, n_rows, n_nulls, n_distinct)"
+        )
+    ).select(
+        "col",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )

