@@ -3348,3 +3348,102 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("coverage"),
         F.lit(0.9).alias("target"),
     )
+
+
+@query(
+    "ml_average_precision",
+    oracle="""
+    WITH ranked AS (
+        SELECT n.n_name,
+               CAST(o.o_orderpriority = '1-URGENT' AS INTEGER) AS pos,
+               row_number() OVER (
+                   PARTITION BY n.n_name
+                   ORDER BY CAST(round(o.o_totalprice * 100) AS BIGINT)
+                                DESC,
+                            o.o_orderkey) AS rnk
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey),
+    hits AS (
+        SELECT n_name, rnk,
+               row_number() OVER (PARTITION BY n_name ORDER BY rnk) AS i
+        FROM ranked WHERE pos = 1),
+    folded AS (
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_pos,
+               list_reduce(
+                   list_prepend(0.0e0,
+                       list(i * 1.0e0 / rnk ORDER BY rnk)),
+                   (a, b) -> a + b) AS s
+        FROM hits GROUP BY n_name)
+    SELECT n_name, n_pos, round(s / n_pos, 6) AS avg_precision
+    FROM folded ORDER BY n_name
+    """,
+)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve by the
+    step rule) of a price-ranked order list against urgent-priority
+    labels, per nation: AP = (Σ_k precision@rank-of-k-th-positive)/P —
+    the ranking-eval metric that, unlike ROC-AUC, weights the TOP of
+    the list where retrieval/curation decisions actually happen.
+
+    Determinism: ranking is by exact integer cents with key tie-break;
+    each AP term i/rank_i is one correctly-rounded IEEE division of two
+    exact integers; and the per-group sum runs as a SEQUENTIAL FOLD in
+    rank order on BOTH engines (Spark ``aggregate(array_sort(...))`` ≡
+    DuckDB ``list_reduce(list(... ORDER BY rnk))`` — the
+    ml_anova_oneway rule: never trust partial-aggregation order on
+    float sums the rounding can't absorb).  Grain note: windows
+    partition by nation (25 bounded groups); a finer or global grain
+    would route through distrank.global_rank instead.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w_rank = Window.partitionBy("n_name").orderBy(
+        F.desc("cents"), F.asc("o_orderkey")
+    )
+    ranked = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            cents.alias("cents"),
+            "o_orderkey",
+            (F.col("o_orderpriority") == "1-URGENT")
+            .cast("int")
+            .alias("pos"),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank))
+    )
+    w_hit = Window.partitionBy("n_name").orderBy(F.asc("rnk"))
+    hits = (
+        ranked.filter(F.col("pos") == 1)
+        .withColumn("i", F.row_number().over(w_hit))
+        .select(
+            "n_name",
+            "rnk",
+            (F.col("i") * F.lit(1.0) / F.col("rnk")).alias("term"),
+        )
+    )
+    folded = hits.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "term"))),
+                lambda s: s.getField("term"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    return folded.select(
+        "n_name",
+        "n_pos",
+        F.round(F.col("s") / F.col("n_pos"), 6).alias("avg_precision"),
+    ).orderBy("n_name")

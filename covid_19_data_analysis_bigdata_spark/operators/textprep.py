@@ -2704,3 +2704,125 @@ def llm_template_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("example_doc"),
     )
     return g.filter(F.col("n_docs") >= TEMPLATE_MIN_DOCS)
+
+
+@query(
+    "llm_semdedup",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label, ord, CAST(embedding[ord] AS DOUBLE) AS val
+        FROM embeddings, generate_series(1, 64) AS t(ord)),
+    cent0 AS (
+        SELECT label AS cluster, ord, avg(val) AS c
+        FROM ex GROUP BY label, ord),
+    dist0 AS (
+        SELECT e.vec_id, c.cluster,
+               sum((e.val - c.c) * (e.val - c.c)) AS d2
+        FROM ex e JOIN cent0 c ON e.ord = c.ord
+        GROUP BY e.vec_id, c.cluster),
+    asg AS MATERIALIZED (
+        SELECT vec_id, cluster
+        FROM dist0
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cluster) = 1),
+    vecs AS MATERIALIZED (
+        SELECT a.cluster, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM embeddings e JOIN asg a USING (vec_id)),
+    dups AS (
+        SELECT DISTINCT b.cluster, b.vec_id
+        FROM vecs a JOIN vecs b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {EMB_TAU})
+    SELECT v.cluster,
+           CAST(count(*) AS BIGINT)        AS n_vecs,
+           CAST(count(d.vec_id) AS BIGINT) AS n_dups,
+           CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+    FROM vecs v
+    LEFT JOIN dups d ON d.cluster = v.cluster AND d.vec_id = v.vec_id
+    GROUP BY v.cluster
+    ORDER BY v.cluster
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication scoped to
+    embedding-space clusters — assign every vector to its nearest
+    centroid (one Lloyd assignment from the deterministic per-label
+    means, the ``ml_kmeans_lloyd`` init), then WITHIN each cluster drop
+    every vector that has a lower-id neighbor with cosine ≥ {EMB_TAU}
+    (greedy keep-first, total-ordered by vec_id).  Emits per-cluster
+    corpus/dup/kept counts — the dedup-rate readout that decides the
+    pruning budget.
+
+    Why cluster-scoped: the all-pairs cosine space is quadratic in the
+    corpus; clustering first makes the pairwise stage quadratic only in
+    CLUSTER size (embarrassingly parallel across clusters, each
+    pairwise join co-partitioned on cluster id) — the paper's trick
+    that makes semantic dedup tractable at LAION/100 TB scale, and the
+    dense-vector sibling of the LSH-bucket trick in
+    ``llm_dedup_fuzzy``.  Cosines round to 6dp before the τ gate (same
+    discipline as ``llm_dedup_embedding``).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "label", "pos", _d(F.col("val")).alias("val"))
+    cent = (
+        ex.groupBy(F.col("label").alias("cluster"), "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("centroid")
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda x, c: (_d(x) - c) * (_d(x) - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster"))
+    vecs = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cluster", dist2.alias("d2"), "embedding")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cluster", "vec_id", "embedding")
+        .transform(cached)  # feeds both pairwise sides and the rollup
+    )
+    a = vecs.select(
+        F.col("cluster").alias("ca"),
+        F.col("vec_id").alias("ai"),
+        F.col("embedding").alias("ea"),
+    )
+    b = vecs.select(
+        F.col("cluster").alias("cb"),
+        F.col("vec_id").alias("bi"),
+        F.col("embedding").alias("eb"),
+    )
+    dups = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ai") < F.col("bi")))
+        .filter(
+            F.round(_cosine(F.col("ea"), F.col("eb")), 6) >= EMB_TAU
+        )
+        .select(F.col("cb").alias("cluster"), F.col("bi").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        vecs.join(dups, ["cluster", "vec_id"], "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.count("is_dup").cast("long").alias("n_dups"),
+            (F.count(F.lit(1)) - F.count("is_dup"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )

@@ -419,6 +419,9 @@ EXPECTED_IDS = {
     # reset-accumulator (Spark 4 WITH RECURSIVE), column profiling
     "report_basket_affinity_lift", "sql_recursive_reset_accumulator",
     "dq_schema_profile",
+    # round-8 batch 72: SemDeDup cluster-scoped embedding dedup,
+    # per-group average precision (sequential-fold exact)
+    "llm_semdedup", "ml_average_precision",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
