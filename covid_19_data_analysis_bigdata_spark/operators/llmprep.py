@@ -1620,3 +1620,97 @@ def llm_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+
+
+KN_DISCOUNT = "0.75e0"  # absolute discount (shared literal spelling)
+KN_TOPK = 30
+
+
+@query(
+    "llm_kneser_ney_lite",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+    bg AS (SELECT unnest([{{'w1': ws[i], 'w2': ws[i + 1]}}
+                          for i in generate_series(1, len(ws) - 1)]) AS p
+           FROM w WHERE len(ws) >= 2),
+    c2 AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS c
+           FROM bg GROUP BY p.w1, p.w2),
+    c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+                  CAST(count(*) AS BIGINT) AS n1p_fw
+           FROM c2 GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bw
+             FROM c2 GROUP BY w2),
+    types AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c2)
+    SELECT c2.w1, c2.w2, c2.c,
+           round(
+               (CASE WHEN c2.c - {KN_DISCOUNT} > 0e0
+                     THEN c2.c - {KN_DISCOUNT} ELSE 0e0 END) / c1.cw1
+               + ({KN_DISCOUNT} * c1.n1p_fw / c1.cw1)
+                 * (cont.n1p_bw * 1e0 / types.n_types),
+               6) AS p_kn
+    FROM c2
+    JOIN c1 ON c1.w1 = c2.w1
+    JOIN cont ON cont.w2 = c2.w2
+    CROSS JOIN types
+    ORDER BY c2.c DESC, c2.w1, c2.w2
+    LIMIT {KN_TOPK}
+    """,
+)
+def llm_kneser_ney_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (absolute discount
+    0.75, continuation-count backoff) for the corpus's top-{KN_TOPK}
+    bigrams — the classic n-gram LM smoothing whose perplexity is the
+    cheap quality filter / decontamination scorer for pretraining
+    corpora (the unigram sibling is ``llm_perplexity_unigram``).
+
+    All counts (bigram, left-context, forward/backward continuation
+    type counts) are exact integers from three hash aggregates over
+    one exploded bigram stream; p_KN combines them in a FIXED
+    expression tree of IEEE ops (max-discount, two divisions, one
+    multiply-add) — identical per row in both engines, round(,6).
+    Scale: the bigram stream shuffles once on (w1, w2); the
+    context/continuation tables join back on their own keys (never
+    broadcast — vocabulary scales with the corpus); top-k is
+    TakeOrderedAndProject with full tie-break.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    n = F.greatest(F.size(ws) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ws, 1, n),
+        F.slice(ws, 2, n),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        d.select(F.explode(bigrams).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .transform(cached)  # feeds c1, cont, types AND the output join
+    )
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("cw1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fw"),
+    )
+    cont = c2.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_bw")
+    )
+    types = c2.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    disc = F.lit(0.75)
+    p_kn = F.round(
+        F.greatest(F.col("c") - disc, F.lit(0.0)) / F.col("cw1")
+        + (disc * F.col("n1p_fw") / F.col("cw1"))
+        * (F.col("n1p_bw") * F.lit(1.0) / F.col("n_types")),
+        6,
+    )
+    return (
+        c2.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select("w1", "w2", "c", p_kn.alias("p_kn"))
+        .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+        .limit(KN_TOPK)
+    )

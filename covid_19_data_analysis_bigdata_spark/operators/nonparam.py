@@ -3447,3 +3447,56 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         F.round(F.col("s") / F.col("n_pos"), 6).alias("avg_precision"),
     ).orderBy("n_name")
+
+
+@query(
+    "ml_confusion_matrix",
+    oracle="""
+    WITH scored AS (
+        SELECT o_orderpriority AS actual,
+               CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         >= 25000000 THEN '1-URGENT'
+                    WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         >= 18000000 THEN '2-HIGH'
+                    WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         >= 12000000 THEN '3-MEDIUM'
+                    WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         >= 6000000  THEN '4-NOT SPECIFIED'
+                    ELSE '5-LOW' END AS predicted
+        FROM orders)
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM scored
+    GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """,
+)
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass confusion matrix: a price-threshold classifier's
+    predicted priority class against the actual order priority — the
+    5×5 contingency every classifier evaluation starts from (the
+    binary eval metrics live in ``ml_eval_metrics``; this is the
+    multiclass grain they collapse).
+
+    One hash aggregate on the (actual, predicted) grain — the matrix
+    is k² rows no matter the corpus size, a pure map-side-combine
+    shape at 100 TB.  The classifier thresholds compare exact integer
+    cents, so cell membership is deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    predicted = (
+        F.when(cents >= 25000000, "1-URGENT")
+        .when(cents >= 18000000, "2-HIGH")
+        .when(cents >= 12000000, "3-MEDIUM")
+        .when(cents >= 6000000, "4-NOT SPECIFIED")
+        .otherwise("5-LOW")
+    )
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("actual"),
+            predicted.alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("actual", "predicted")
+    )

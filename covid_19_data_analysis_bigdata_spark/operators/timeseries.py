@@ -4912,3 +4912,67 @@ def events_session_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_ms"),
     ).orderBy("dow")
+
+
+@query(
+    "win_percent_change_yoy",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(year(l_shipdate) AS BIGINT)  AS y,
+               CAST(month(l_shipdate) AS BIGINT) AS m,
+               CAST(sum(CAST(round(l_extendedprice
+                                   * (1 - l_discount) * 10000) AS BIGINT))
+                    AS BIGINT) AS rev_e4
+        FROM lineitem GROUP BY 1, 2),
+    l AS (
+        SELECT y, m, rev_e4,
+               lag(rev_e4) OVER (PARTITION BY m ORDER BY y) AS prev_e4
+        FROM monthly)
+    SELECT y, m, rev_e4, prev_e4,
+           round(100e0 * (rev_e4 - prev_e4) / prev_e4, 6) AS yoy_pct
+    FROM l
+    WHERE prev_e4 IS NOT NULL
+    ORDER BY y, m
+    """,
+)
+def win_percent_change_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per calendar month — the
+    seasonality-adjusted growth readout every business dashboard leads
+    with (compares each month to the SAME month last year, so seasonal
+    shape cancels).
+
+    The lag partitions by MONTH-OF-YEAR and orders by year — 12
+    bounded partitions of ≤ #years rows each, never a single global
+    series (the de-globalized form of the naive ``lag(12)`` over one
+    ordered partition).  Revenue sums in exact integer
+    ten-thousandths; the growth ratio is one subtraction and one
+    division of exact integers, round(,6).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    monthly = (
+        li.select(
+            F.year("l_shipdate").cast("long").alias("y"),
+            F.month("l_shipdate").cast("long").alias("m"),
+            rev.alias("r"),
+        )
+        .groupBy("y", "m")
+        .agg(F.sum("r").cast("long").alias("rev_e4"))
+    )
+    w = Window.partitionBy("m").orderBy("y")
+    return (
+        monthly.withColumn("prev_e4", F.lag("rev_e4").over(w))
+        .filter(F.col("prev_e4").isNotNull())
+        .select(
+            "y", "m", "rev_e4", "prev_e4",
+            F.round(
+                F.lit(100.0)
+                * (F.col("rev_e4") - F.col("prev_e4"))
+                / F.col("prev_e4"),
+                6,
+            ).alias("yoy_pct"),
+        )
+        .orderBy("y", "m")
+    )

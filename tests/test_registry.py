@@ -422,6 +422,10 @@ EXPECTED_IDS = {
     # round-8 batch 72: SemDeDup cluster-scoped embedding dedup,
     # per-group average precision (sequential-fold exact)
     "llm_semdedup", "ml_average_precision",
+    # round-8 batch 73: multiclass confusion matrix, YoY growth (month
+    # partitioned lag), interpolated Kneser-Ney bigram smoothing
+    "ml_confusion_matrix", "win_percent_change_yoy",
+    "llm_kneser_ney_lite",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
