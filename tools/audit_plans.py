@@ -29,6 +29,10 @@ EXCHANGE_BUDGET = 6
 #: centroid recompute per Lloyd step); they get a wider budget.
 EXCHANGE_OVERRIDES = {
     "ml_kmeans_lloyd": 16,
+    # llm_semdedup composes the kmeans assignment (centroid aggregate +
+    # argmin window) with a cluster-partitioned pairwise join and a
+    # rollup — 7 exchanges, each on a different key by necessity.
+    "llm_semdedup": 8,
     # Static-explain counts for plans whose shared frames are persisted:
     # before materialization, formatted explain re-prints the cached
     # subtree under EVERY consumer, so its exchanges are counted once
