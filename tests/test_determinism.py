@@ -100,6 +100,17 @@ SENSITIVE = [
     # round-7 batches 65-67: sorted-fold forecast metrics
     "ml_brier_score",
     "llm_matryoshka_eval",
+    # round-8: explicit-repartition aggregates (must stay exact at any
+    # partition count), float-fold AP, kmeans-assignment dedup, KN
+    # smoothing, and the recursive reset-accumulator
+    "graph_edge_support_topk",
+    "report_basket_affinity_lift",
+    "ml_average_precision",
+    "llm_semdedup",
+    "llm_kneser_ney_lite",
+    "sql_recursive_reset_accumulator",
+    "report_supplier_herfindahl",
+    "ml_batch_perceptron",
 ]
 
 

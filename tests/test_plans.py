@@ -1090,3 +1090,24 @@ def test_hits_no_python_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_hits_scores")
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_edge_support_agg_not_aqe_coalesced(spark, sf_dir):
+    """Round-8 pin: the support aggregate must sit on an explicit
+    keyed repartition (REPARTITION_BY_NUM), which AQE never coalesces —
+    the session's parallelism-second coalescing ran this CPU-bound
+    aggregate near-serial (2.3s vs 0.6s measured at sf0.1)."""
+    plan = _plan(spark, sf_dir, "graph_edge_support_topk")
+    assert "REPARTITION_BY_NUM" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sparse_cosine_agg_not_aqe_coalesced(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_sparse_cosine")
+    assert "REPARTITION_BY_NUM" in plan
+
+
+def test_basket_lift_agg_not_aqe_coalesced(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "report_basket_affinity_lift")
+    assert "REPARTITION_BY_NUM" in plan
+    assert "TakeOrderedAndProject" in plan
