@@ -1658,3 +1658,247 @@ def agg_sketch_rollup_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("within_band"),
     )
+
+
+def _theta_priority_sketches(spark: SparkSession, sf_dir: str):
+    """Theta sketches of o_custkey for the URGENT and LOW order slices
+    (1-row frames) — shared by the set-ops estimate and its band."""
+    o = load_table(spark, sf_dir, "orders")
+    sk = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).groupBy("o_orderpriority").agg(
+        F.theta_sketch_agg("o_custkey").alias("sk")
+    )
+    a = sk.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("sk").alias("ska")
+    )
+    b = sk.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("sk").alias("skb")
+    )
+    return a.crossJoin(b)
+
+
+@query("agg_theta_set_ops")  # approximate sketch — rows-only check by design
+def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set ALGEBRA on Theta sketches: |urgent ∪ low|,
+    |urgent ∩ low| and |urgent − low| customer counts estimated from
+    two mergeable sketches — the capability HLL lacks (HLL unions only;
+    Theta supports intersection and difference), and the 100 TB way to
+    answer "how many users did X but never Y" without a distinct-join
+    over raw facts: sketch each slice once, combine sketches at KB
+    scale forever after.
+
+    DataSketches Theta estimates are not reproducible in DuckDB, so
+    this is declared-weak rows-only; ``agg_theta_band`` carries the
+    strong error-envelope oracle for the same dataflow.
+    """
+    ab = _theta_priority_sketches(spark, sf_dir)
+    return ab.select(
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_union(F.col("ska"), F.col("skb"))
+            ),
+            0,
+        ).alias("est_union"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("ska"), F.col("skb"))
+            ),
+            0,
+        ).alias("est_intersect"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_difference(F.col("ska"), F.col("skb"))
+            ),
+            0,
+        ).alias("est_diff"),
+    )
+
+
+@query(
+    "agg_theta_band",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '5-LOW')
+    SELECT CAST((SELECT count(*) FROM (SELECT o_custkey FROM a
+                                       UNION SELECT o_custkey FROM b))
+                AS BIGINT) AS exact_union,
+           CAST((SELECT count(*) FROM a JOIN b USING (o_custkey))
+                AS BIGINT) AS exact_intersect,
+           CAST((SELECT count(*) FROM a
+                 WHERE o_custkey NOT IN (SELECT o_custkey FROM b))
+                AS BIGINT) AS exact_diff,
+           CAST(1 AS INTEGER) AS union_in_band,
+           CAST(1 AS INTEGER) AS intersect_in_band,
+           CAST(1 AS INTEGER) AS diff_in_band
+    """,
+)
+def agg_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta set-algebra error-envelope audit: each sketch estimate
+    (union / intersection / difference of the URGENT and LOW customer
+    sets) must land within ±max(2, 5%·exact) of the exact answer —
+    the strong-oracle companion that makes ``agg_theta_set_ops``'s
+    correctness externally checkable (the HLL ``_band`` pattern).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    a_ex = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("ck")
+    ).distinct()
+    b_ex = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("ck")
+    ).distinct()
+    exact = (
+        a_ex.unionAll(b_ex).distinct().agg(
+            F.count(F.lit(1)).alias("exact_union")
+        )
+        .crossJoin(
+            a_ex.join(b_ex, "ck").agg(
+                F.count(F.lit(1)).alias("exact_intersect")
+            )
+        )
+        .crossJoin(
+            a_ex.join(b_ex, "ck", "left_anti").agg(
+                F.count(F.lit(1)).alias("exact_diff")
+            )
+        )
+    )
+    ests = _theta_priority_sketches(spark, sf_dir).select(
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("ska"), F.col("skb"))
+        ).alias("eu"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("ska"), F.col("skb"))
+        ).alias("ei"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("ska"), F.col("skb"))
+        ).alias("ed"),
+    )
+
+    def band_flag(est, exact_col):
+        band = F.greatest(
+            F.lit(2.0), F.col(exact_col).cast("double") * 0.05
+        )
+        return (
+            (F.abs(est - F.col(exact_col)).cast("double") <= band)
+            .cast("int")
+        )
+
+    return exact.crossJoin(ests).select(
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_intersect").cast("long").alias("exact_intersect"),
+        F.col("exact_diff").cast("long").alias("exact_diff"),
+        band_flag(F.col("eu"), "exact_union").alias("union_in_band"),
+        band_flag(F.col("ei"), "exact_intersect").alias(
+            "intersect_in_band"
+        ),
+        band_flag(F.col("ed"), "exact_diff").alias("diff_in_band"),
+    )
+
+
+def _kll_merged_price_sketch(spark: SparkSession, sf_dir: str):
+    """Daily KLL(double) sketches of o_totalprice merged to ONE corpus
+    sketch (1-row frame) — the mergeable-quantile rollup shared by the
+    estimate query and its band."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.kll_sketch_agg_double("o_totalprice").alias("sk"))
+    # kll_sketch_merge_double is a BINARY merge (no union aggregate in
+    # Spark 4.1) — fold the collected daily sketches pairwise.  The
+    # collected array is #days × ~KB: the whole point of sketch rollups
+    # is that this stays driver-free and tiny at any corpus size.
+    return daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "sk"))).alias("sks")
+    ).select(
+        F.aggregate(
+            F.expr("slice(transform(sks, s -> s.sk), 2, size(sks))"),
+            F.expr("transform(sks, s -> s.sk)[0]"),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("msk"),
+        F.size("sks").alias("n_daily_sketches"),
+    )
+
+
+@query("agg_kll_quantile_rollup")  # approximate sketch — rows-only by design
+def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable QUANTILE sketches: per-day KLL(double) sketches
+    of order value, merged to a corpus sketch and queried for p50/p90 —
+    the quantile analog of the HLL rollup (``agg_sketch_rollup``): at
+    100 TB, daily sketch tables re-merge to any coarser grain in KB of
+    I/O, where exact percentiles or even ``approx_percentile`` would
+    rescan the raw facts per rollup grain.
+
+    DataSketches KLL estimates are not reproducible in DuckDB — and,
+    unlike HLL/Theta, not even run-stable in Spark (compaction draws
+    random bits per execution), so this is declared-weak rows-only and
+    deliberately NOT output-pinned; ``agg_kll_band`` carries the
+    strong rank-error-envelope oracle, which is exactly the guarantee
+    the randomization preserves.
+    """
+    m = _kll_merged_price_sketch(spark, sf_dir)
+    return m.select(
+        F.round(
+            F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(0.5)), 2
+        ).alias("est_p50"),
+        F.round(
+            F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(0.9)), 2
+        ).alias("est_p90"),
+        F.kll_sketch_get_n_double("msk").alias("n_rows"),
+        F.col("n_daily_sketches").cast("long").alias("n_daily_sketches"),
+    )
+
+
+@query(
+    "agg_kll_band",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(1 AS INTEGER) AS p50_rank_in_band,
+           CAST(1 AS INTEGER) AS p90_rank_in_band
+    FROM orders
+    """,
+)
+def agg_kll_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL rank-error-envelope audit: the TRUE rank of each merged-
+    sketch quantile estimate (count of rows ≤ estimate) must sit within
+    ±5%·n of the target rank — KLL's k=200 default guarantees ~1.65%
+    normalized rank error at 99% confidence, so the 5% band holds with
+    ~10σ margin against the sketch's internal randomization.  Strong-
+    oracle companion of ``agg_kll_quantile_rollup`` (the HLL ``_band``
+    pattern applied to ranks: value error is unbounded for quantile
+    sketches, rank error is the contract).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ests = _kll_merged_price_sketch(spark, sf_dir).select(
+        F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(0.5)).alias(
+            "e50"
+        ),
+        F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(0.9)).alias(
+            "e90"
+        ),
+    )
+    joined = o.crossJoin(F.broadcast(ests))
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("o_totalprice") <= F.col("e50")).cast("long")
+        ).alias("r50"),
+        F.sum(
+            (F.col("o_totalprice") <= F.col("e90")).cast("long")
+        ).alias("r90"),
+    )
+
+    def in_band(rank_col, q):
+        return (
+            (
+                F.abs(F.col(rank_col).cast("double") - F.lit(q) * F.col("n"))
+                <= F.lit(0.05) * F.col("n")
+            ).cast("int")
+        )
+
+    return agg.select(
+        F.col("n").cast("long").alias("n_rows"),
+        in_band("r50", 0.5).alias("p50_rank_in_band"),
+        in_band("r90", 0.9).alias("p90_rank_in_band"),
+    )

@@ -111,6 +111,12 @@ SENSITIVE = [
     "sql_recursive_reset_accumulator",
     "report_supplier_herfindahl",
     "ml_batch_perceptron",
+    # round-8 batch 74: theta sketches are hash-deterministic; the KLL
+    # BAND flags must stay 1 despite KLL's internal randomization (the
+    # raw KLL estimates are deliberately not here — see sketch pins)
+    "agg_theta_set_ops",
+    "agg_theta_band",
+    "agg_kll_band",
 ]
 
 

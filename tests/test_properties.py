@@ -883,7 +883,16 @@ class TestSketchSeedStability:
     that a silent Spark-upgrade change to HLL/KLL internals would break
     loudly instead of drifting the recorded evidence."""
 
-    NAMES = ["agg_approx_distinct", "agg_approx_percentile", "agg_sketch_rollup"]
+    # agg_kll_quantile_rollup is deliberately absent: KLL compaction
+    # draws random bits per execution, so its point estimates are not
+    # run-stable even under a fixed engine+data key (its contract is
+    # the rank envelope, pinned by agg_kll_band's strong oracle).
+    NAMES = [
+        "agg_approx_distinct",
+        "agg_approx_percentile",
+        "agg_sketch_rollup",
+        "agg_theta_set_ops",
+    ]
 
     @staticmethod
     def _fingerprint(spark, sf_dir, name):

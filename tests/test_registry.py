@@ -426,6 +426,10 @@ EXPECTED_IDS = {
     # partitioned lag), interpolated Kneser-Ney bigram smoothing
     "ml_confusion_matrix", "win_percent_change_yoy",
     "llm_kneser_ney_lite",
+    # round-8 batch 74: Theta set algebra + KLL quantile rollup, each
+    # with a strong error-envelope band companion
+    "agg_theta_set_ops", "agg_theta_band",
+    "agg_kll_quantile_rollup", "agg_kll_band",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
@@ -436,6 +440,11 @@ WEAK_IDS = {
     "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_sketch_rollup",
+    # round-8: Theta set-algebra and KLL quantile rollup — DataSketches
+    # estimates are engine-specific (KLL additionally randomized);
+    # each has a strong `_band` error-envelope companion
+    "agg_theta_set_ops",
+    "agg_kll_quantile_rollup",
 }
 
 
