@@ -43,72 +43,70 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-#: Front-of-registry order for round 8.  External correctness sweeps
+#: Front-of-registry order for round 9.  External correctness sweeps
 #: sample the first 50 registry entries in iteration order; every id
-#: below is NEVER-sampled in any CORRECTNESS_r01-r07 window (verified
-#: by ``tools/evidence.py``), so CORRECTNESS_r08 ∩ (r01-r07) = ∅ by
-#: construction.  Selection follows the round-7 verdict: the thinnest
-#: external-evidence pools first — multimodal_* (1/11 sampled through
-#: r7), events_* (1/13), dq_* (5/19), the two singleton families
-#: (csv_funcs, gen_funcs, 0/1 each), then the earliest-registered
-#: never-sampled ts_* float-fold queries.  All 50 carry strong DuckDB
-#: oracles.
+#: below is NEVER-sampled in any CORRECTNESS_r01-r08 window (verified
+#: by ``tools/evidence.py``), so CORRECTNESS_r09 ∩ (r01-r08) = ∅ by
+#: construction.  Selection follows the round-8 verdict task 1: the
+#: sql_* pool is by far the thinnest (2/31 external = 6%) and carries
+#: the trickiest engine-equivalence claims (recursive CTEs, EXECUTE
+#: IMMEDIATE, variant, parameterized SQL) — all 29 never-sampled
+#: sql_* ids go first, then the 21 earliest-registered never-sampled
+#: ml_* ids (ml_* is next-thinnest at 40%).  All 50 carry strong
+#: DuckDB oracles.
 _WINDOW_PRIORITY: list[str] = [
-    # multimodal_* — 10 never-sampled of 11 (Pandas-UDF plumbing family)
-    "multimodal_resize_stub",
-    "multimodal_frame_sample",
-    "multimodal_feature_extract",
-    "multimodal_caption_align",
-    "multimodal_byte_histogram",
-    "multimodal_audio_rms",
-    "multimodal_shot_boundaries",
-    "multimodal_phash_dedup",
-    "multimodal_blur_score",
-    "multimodal_aspect_bucket",
-    # events_* — 12 never-sampled of 13 (sessionization / funnel family)
-    "events_funnel_conversion",
-    "events_sequence_match",
-    "events_user_paths",
-    "events_time_to_convert",
-    "events_cooccurrence",
-    "events_inter_arrival",
-    "events_funnel_steps",
-    "events_bounce_rate",
-    "events_markov_second_order",
-    "events_rolling_retention",
-    "events_overdispersion",
-    "events_peak_concurrency",
-    # dq_* — all 14 never-sampled (data-quality / reconciliation family)
-    "dq_referential_orphans",
-    "dq_uniqueness_keys",
-    "dq_outlier_iqr",
-    "dq_psi_drift",
-    "dq_freshness_lag",
-    "dq_duplicate_rate",
-    "dq_reconcile_aggregates",
-    "dq_fk_containment",
-    "dq_id_gaps",
-    "dq_ks_two_sample",
-    "dq_monotonic_violations",
-    "dq_string_pattern_conformance",
-    "dq_anomalous_partitions",
-    "dq_partition_checksums",
-    # singleton families with zero external rows
-    "csv_funcs",
-    "gen_funcs",
-    # ts_* float-fold — earliest-registered never-sampled 12 of 31
-    "ts_seasonal_naive",
-    "ts_streak_longest",
-    "ts_interpolate_linear",
-    "ts_anomaly_zscore",
-    "ts_level_shift",
-    "ts_autocorr_lag",
-    "ts_ohlc_bars",
-    "ts_calendar_gaps",
-    "ts_peak_detection",
-    "ts_stochastic_oscillator",
-    "ts_rsi",
-    "ts_ewma_crossover",
+    # sql_* — all 29 never-sampled of 31 (SQL-surface family)
+    "sql_subquery_in",
+    "sql_subquery_not_exists",
+    "sql_subquery_scalar_corr",
+    "sql_group_by_all",
+    "sql_parameterized",
+    "sql_execute_immediate",
+    "sql_pivot_clause",
+    "sql_unpivot_clause",
+    "sql_star_except",
+    "sql_window_clause",
+    "sql_distribute_sort_by",
+    "sql_lateral_view_explode",
+    "sql_pivot_dynamic",
+    "sql_join_hints",
+    "sql_variant_extract",
+    "sql_tpch_q13_custdist",
+    "sql_tpch_q15_top_supplier",
+    "sql_tpch_q21_waiting_suppliers",
+    "sql_tpch_q22_prospects",
+    "sql_tpch_q4_order_priority",
+    "sql_tpch_q16_supplier_cnt",
+    "sql_tpch_q18_large_volume",
+    "sql_tpch_q20_promo_suppliers",
+    "sql_tpch_q2_min_cost_supplier",
+    "sql_tpch_q11_important_stock",
+    "sql_tpch_q14_promo_revenue",
+    "sql_tpch_q17_small_quantity_revenue",
+    "sql_tpch_q19_disjunctive_revenue",
+    "sql_recursive_reset_accumulator",
+    # ml_* — earliest-registered never-sampled 21 of 33
+    "ml_ndcg_at_k",
+    "ml_mrr_at_k",
+    "ml_map_at_k",
+    "ml_recall_at_k",
+    "ml_rank_biased_overlap",
+    "ml_batch_perceptron",
+    "ml_mannwhitney_u",
+    "ml_kruskal_wallis",
+    "ml_spearman_corr",
+    "ml_wilcoxon_signed_rank",
+    "ml_friedman_test",
+    "ml_brown_forsythe",
+    "ml_cohens_kappa",
+    "ml_kendall_tau",
+    "ml_mcnemar_test",
+    "ml_cochrans_q",
+    "ml_kaplan_meier",
+    "ml_permutation_test",
+    "ml_bootstrap_ci",
+    "ml_nelson_aalen",
+    "ml_logrank_test",
 ]
 
 
