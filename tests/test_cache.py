@@ -93,3 +93,33 @@ def test_alias_variants_share_one_materialization(spark, fresh_registry):
     assert after["misses"] == before["misses"] + 1
     assert after["hits"] == before["hits"] + 1
     assert cache_stats()["live"] == 1
+
+
+def test_ann_model_memo_trains_once_per_session(spark, sf_dir):
+    """Round-9 verdict task 2: the ANN family's trained frames
+    (codebooks, codes, LUT, cell ranks) are memoized per (session,
+    sf_dir) — a re-invoked query must return the IDENTICAL DataFrame
+    handles (no plan rebuild, no retraining), and an external
+    clearCache must self-heal persistence through the registry."""
+    from covid_19_data_analysis_bigdata_spark.operators import textprep
+
+    m1 = textprep._pq_model(spark, sf_dir)
+    m2 = textprep._pq_model(spark, sf_dir)
+    assert all(a is b for a, b in zip(m1, m2))
+    c1 = textprep._ivf_cell_model(spark, sf_dir)
+    c2 = textprep._ivf_cell_model(spark, sf_dir)
+    assert all(a is b for a, b in zip(c1, c2))
+    # and both composed queries share the one model: same codes handle
+    codes = m1[2]
+    codes.count()
+    assert codes.storageLevel != StorageLevel.NONE
+    # external clear wipes persistence behind the memo's back …
+    spark.catalog.clearCache()
+    from covid_19_data_analysis_bigdata_spark.cache import clear_cache
+
+    clear_cache()
+    assert codes.storageLevel == StorageLevel.NONE
+    # … and the next fetch re-marks the SAME handles for persistence
+    m3 = textprep._pq_model(spark, sf_dir)
+    assert all(a is b for a, b in zip(m1, m3))
+    assert m3[2].storageLevel != StorageLevel.NONE
