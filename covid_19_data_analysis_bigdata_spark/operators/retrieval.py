@@ -258,6 +258,25 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPARSE_TAU = 0.8  #: cosine threshold — isolates the injected near-dups
 SPARSE_DF_MAX = 1000  #: safety valve: drop degenerate hot grams
+#: Round-9 (verdict task 4): CANDIDATE-GENERATION-ONLY posting cap.
+#: Only grams with df ≤ this value participate in the pair-producing
+#: self-join, so the candidate space is Σ_{df(t)≤cap} df(t)² ≤
+#: cap · Σ_t df(t) — LINEAR in corpus gram volume instead of quadratic
+#: in hot-gram df.  The verify stage then computes the EXACT cosine
+#: over all kept grams (df ≤ {SPARSE_DF_MAX}) for each candidate, so
+#: any surfaced pair's cosine/n_shared is unchanged by the cap.
+SPARSE_CAND_DF_MAX = 40
+#: Minimum number of shared capped grams for a pair to reach the
+#: verify stage.  One shared rare gram is weak evidence on a
+#: shared-vocabulary corpus (probed at the adversarial 4× replica:
+#: 7.0M pairs share ≥1 capped gram but only 33k share ≥5 — a 200×
+#: verify-stage cut); cosine-{SPARSE_TAU} pairs share MANY grams
+#: (probed sf0.1: every result pair shares ≥8 capped grams, so
+#: min-share 5 has a 1.6× margin and committed-SF results are
+#: identical to the uncapped form).  Standard minoverlap/prefix-filter
+#: recall trade: a qualifying pair is missed only if it shares fewer
+#: than 5 grams rarer than the candidate cap.
+SPARSE_CAND_MIN_SHARED = 5
 
 
 @query(
@@ -268,14 +287,29 @@ SPARSE_DF_MAX = 1000  #: safety valve: drop degenerate hot grams
     g AS (SELECT doc_id, unnest({_ORACLE_GRAMS}) AS t
           FROM w WHERE len(ws) >= {WIN_K}),
     tf AS (SELECT doc_id, t, count(*) AS tf FROM g GROUP BY doc_id, t),
-    keep AS (SELECT t FROM (SELECT t, count(*) AS df FROM tf GROUP BY t)
-             WHERE df <= {SPARSE_DF_MAX}),
-    tfk AS (SELECT tf.* FROM tf JOIN keep USING (t)),
+    dfs AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    tfk AS (SELECT tf.* FROM tf JOIN dfs USING (t)
+            WHERE dfs.df <= {SPARSE_DF_MAX}),
+    cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                    sum(a.tf * b.tf) AS dotc, count(*) AS nsc
+             FROM tfk a JOIN tfk b ON a.t = b.t AND a.doc_id < b.doc_id
+             JOIN dfs d ON d.t = a.t
+             WHERE d.df <= {SPARSE_CAND_DF_MAX}
+             GROUP BY a.doc_id, b.doc_id
+             HAVING count(*) >= {SPARSE_CAND_MIN_SHARED}),
+    hot AS (SELECT tfk.* FROM tfk JOIN dfs USING (t)
+            WHERE dfs.df > {SPARSE_CAND_DF_MAX}),
+    res AS (SELECT c.a_id, c.b_id,
+                   sum(a.tf * b.tf) AS doth, count(*) AS nsh
+            FROM cand c
+            JOIN hot a ON a.doc_id = c.a_id
+            JOIN hot b ON b.doc_id = c.b_id AND b.t = a.t
+            GROUP BY c.a_id, c.b_id),
     nrm AS (SELECT doc_id, sum(tf * tf) AS ss FROM tfk GROUP BY doc_id),
-    dot AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                   sum(a.tf * b.tf) AS dot, count(*) AS n_shared
-            FROM tfk a JOIN tfk b ON a.t = b.t AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id)
+    dot AS (SELECT c.a_id, c.b_id,
+                   c.dotc + coalesce(r.doth, 0) AS dot,
+                   c.nsc + coalesce(r.nsh, 0) AS n_shared
+            FROM cand c LEFT JOIN res r USING (a_id, b_id))
     SELECT a_id, b_id, CAST(n_shared AS BIGINT) AS n_shared,
            round(dot / sqrt(na.ss * nb.ss), 6) AS cosine
     FROM dot JOIN nrm na ON na.doc_id = a_id JOIN nrm nb ON nb.doc_id = b_id
@@ -295,10 +329,19 @@ def llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-correctly-rounded ops, bit-identical across engines (no
     rounding tolerance needed for the τ gate).
 
-    100 TB shape: per-trigram posting lists are df-capped (hot grams
-    carry no signal and quadratic fan-out; same valve as
-    ``llm_dedup_ngram``); the pair aggregation shuffles only
-    Σ_t df(t)² candidate rows, and norms join back by doc_id.
+    100 TB shape (round-9 two-phase form): the pair-PRODUCING self-join
+    runs only over grams with df ≤ {SPARSE_CAND_DF_MAX} (stop-shingle
+    practice — hot grams carry no discriminative signal but quadratic
+    fan-out), so candidate volume is ≤ cap · total gram occurrences,
+    linear in the corpus; only pairs sharing ≥
+    {SPARSE_CAND_MIN_SHARED} capped grams (minoverlap filter) reach
+    the VERIFY stage, which recomputes the exact dot/norms over ALL
+    kept grams (df ≤ {SPARSE_DF_MAX}) per candidate — every emitted
+    cosine is the uncapped value.  Recall behavior: a qualifying pair
+    is missed only when it shares fewer than {SPARSE_CAND_MIN_SHARED}
+    grams rarer than the candidate cap — at the committed SFs every
+    result pair shares ≥ 8 such grams (probed), so results are
+    identical to the uncapped single-pass form.
     """
     d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.lower("text"), " ")
@@ -308,46 +351,85 @@ def llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("grams").alias("t"))
     )
     # Persisted: tf (the tokenize + trigram count — the expensive
-    # upstream) feeds BOTH the df-filter derivation and the filtered
-    # join; unpersisted it re-tokenizes the corpus twice.
+    # upstream) feeds BOTH the df derivation and the filtered join;
+    # unpersisted it re-tokenizes the corpus twice.
     tf = (
         g.groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
         .transform(cached)
     )
-    keep = (
+    dfs = (
         tf.groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= SPARSE_DF_MAX)
-        .select("t")
+        .transform(cached)  # feeds both the keep filter and the cand cap
     )
-    tfk = tf.join(keep, "t").transform(cached)
+    tfk = (
+        tf.join(dfs.filter(F.col("df") <= SPARSE_DF_MAX).select("t"), "t")
+        .transform(cached)
+    )
     nrm = tfk.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("ss"))
-    a = tfk.select(
+    candgrams = dfs.filter(F.col("df") <= SPARSE_CAND_DF_MAX).select("t")
+    # NOT persisted: both sides re-derive from the CACHED tfk ⋈ the
+    # broadcast candgram set — a rescan of materialized partitions,
+    # cheaper than materializing a near-copy of tfk (at the committed
+    # SFs the cap keeps every gram, so tfc ≡ tfk row-for-row).
+    tfc = tfk.join(candgrams, "t")
+    ca = tfc.select(
         F.col("doc_id").alias("a_id"),
         F.col("t").alias("ta"),
         F.col("tf").alias("tfa"),
     )
-    b = tfk.select(
+    cb = tfc.select(
         F.col("doc_id").alias("b_id"),
         F.col("t").alias("tb"),
         F.col("tf").alias("tfb"),
     )
-    # Explicit keyed repartition (round-8): the pair aggregate hashes
-    # Σ_t df(t)² candidate rows down to ~|pairs| keys — CPU-bound with
-    # tiny output bytes, so the session's parallelism-second AQE
-    # coalescing collapses its exchange to ~1-2 partitions and the agg
-    # runs serial (measured 1.8 s vs 1.2 s at sf0.1).  An explicit
-    # partition COUNT opts this one exchange out of AQE coalescing;
-    # defaultParallelism scales with the cluster.
-    dot = (
-        a.join(b, (F.col("ta") == F.col("tb")) & (F.col("a_id") < F.col("b_id")))
+    # Candidate pass: the CAPPED dot and shared count per pair, with
+    # the minoverlap gate.  Explicit keyed repartition (round-8): this
+    # pair aggregate hashes CPU-bound, byte-light rows down to ~|pairs|
+    # keys — the session's parallelism-second AQE coalescing collapses
+    # its exchange to ~1-2 partitions and the agg runs serial.  An
+    # explicit partition COUNT opts this one exchange out of AQE
+    # coalescing; defaultParallelism scales with the cluster.
+    cand = (
+        ca.join(cb, (F.col("ta") == F.col("tb")) & (F.col("a_id") < F.col("b_id")))
         .repartition(spark.sparkContext.defaultParallelism, "a_id", "b_id")
         .groupBy("a_id", "b_id")
         .agg(
-            F.sum(F.col("tfa") * F.col("tfb")).alias("dot"),
-            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(F.col("tfa") * F.col("tfb")).alias("dotc"),
+            F.count(F.lit(1)).alias("nsc"),
         )
+        .filter(F.col("nsc") >= SPARSE_CAND_MIN_SHARED)
+    )
+    # Residual pass: hot-gram (df > cap) contributions for the
+    # surviving candidates only — empty whenever no gram exceeds the
+    # candidate cap (true at every committed SF), and bounded by
+    # |candidates| × doc length otherwise.  dot = dotc + residual is
+    # the EXACT uncapped dot: integer sums split by a disjoint gram
+    # partition.
+    hot = tfk.join(dfs.filter(F.col("df") > SPARSE_CAND_DF_MAX).select("t"), "t")
+    ra = cand.select("a_id", "b_id").join(
+        hot.select(F.col("doc_id").alias("a_id"), "t", F.col("tf").alias("tfa")),
+        "a_id",
+    )
+    res = (
+        ra.join(
+            hot.select(
+                F.col("doc_id").alias("b_id"), "t", F.col("tf").alias("tfb")
+            ),
+            ["b_id", "t"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.sum(F.col("tfa") * F.col("tfb")).alias("doth"),
+            F.count(F.lit(1)).alias("nsh"),
+        )
+    )
+    dot = cand.join(res, ["a_id", "b_id"], "left").select(
+        "a_id",
+        "b_id",
+        (F.col("dotc") + F.coalesce(F.col("doth"), F.lit(0))).alias("dot"),
+        (F.col("nsc") + F.coalesce(F.col("nsh"), F.lit(0))).alias("n_shared"),
     )
     na = nrm.select(F.col("doc_id").alias("a_id"), F.col("ss").alias("ssa"))
     nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("ss").alias("ssb"))

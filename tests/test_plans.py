@@ -1111,3 +1111,63 @@ def test_basket_lift_agg_not_aqe_coalesced(spark, sf_dir):
     plan = _plan(spark, sf_dir, "report_basket_affinity_lift")
     assert "REPARTITION_BY_NUM" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_full_registry_plan_audit_advisory_set_pinned(spark, sf_dir):
+    """Round-9 guard (r8 verdict task 8): the full-registry physical-
+    plan audit must flag EXACTLY the documented advisory set — the
+    report_rfm_segmentation three-pass distributed-ntile plan (its
+    budget override is intentionally one below its static explain
+    count so the trade stays visible).  Any new row-UDF, cartesian,
+    nested output, or exchange-budget breach fails this test."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_plans",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "audit_plans.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from covid_19_data_analysis_bigdata_spark import core
+
+    core.load_all()
+    flagged = mod.audit(spark, sorted(core.QUERIES), sf_dir)
+    assert set(flagged) == {"report_rfm_segmentation"}, flagged
+
+
+def test_reinvoked_queries_never_repersist(spark, sf_dir):
+    """Round-9 guard (r8 verdict task 8): re-building a query's DAG
+    must hit the cache.py registry for every persist site — zero new
+    misses on the second build.  A new miss is exactly the condition
+    that produced CacheManager's `Asked to cache already cached data`
+    warnings (dozens per sweep before round 8's registry)."""
+    from covid_19_data_analysis_bigdata_spark import core
+    from covid_19_data_analysis_bigdata_spark.cache import cache_stats
+
+    core.load_all()
+    # The most persist-heavy families: iterative training, LSH dedup,
+    # label propagation, the shared ANN session models.
+    names = [
+        "llm_ann_pq",
+        "llm_ann_ivfpq",
+        "llm_dedup_fuzzy",
+        "llm_dedup_clusters",
+        "llm_semdedup",
+        "llm_sparse_cosine",
+        "ml_kmeans_lloyd",
+        "graph_edge_support_topk",
+    ]
+    for name in names:
+        core.QUERIES[name](spark, sf_dir)  # first build registers
+        before = cache_stats()["misses"]
+        core.QUERIES[name](spark, sf_dir)  # re-build must hit
+        after = cache_stats()["misses"]
+        assert after == before, (
+            f"{name}: re-build added {after - before} persist miss(es)"
+        )

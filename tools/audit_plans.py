@@ -58,21 +58,17 @@ EXCHANGE_OVERRIDES = {
 }
 
 
-def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = "/root/testdata/sf0.01"
-    if "--sf" in sys.argv:
-        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
-        args = [a for a in args if a != sf_dir]
+def audit(spark, names, sf_dir: str) -> dict[str, list[str]]:
+    """Build each query's physical plan and return {name: [flags]}.
 
+    Importable so the round-9 pytest guard
+    (tests/test_plans.py::test_full_registry_plan_audit) can pin the
+    advisory set without shelling out; a query that fails to PLAN gets
+    an ``error:`` flag.
+    """
     from covid_19_data_analysis_bigdata_spark import core
-    from covid_19_data_analysis_bigdata_spark.session import get_spark
 
-    core.load_all()
-    spark = get_spark("plan-audit")
-    names = args or sorted(core.QUERIES)
-
-    issues = 0
+    out: dict[str, list[str]] = {}
     for name in names:
         try:
             df = core.QUERIES[name](spark, sf_dir)
@@ -80,8 +76,7 @@ def main() -> int:
                 df._jdf.queryExecution(), "formatted"
             )
         except Exception as exc:  # noqa: BLE001
-            print(f"ERROR {name}: {exc}")
-            issues += 1
+            out[name] = [f"error: {exc}"]
             continue
         flags = []
         nested = [
@@ -103,10 +98,32 @@ def main() -> int:
         if n_ex > EXCHANGE_OVERRIDES.get(name, EXCHANGE_BUDGET):
             flags.append(f"exchanges={n_ex}")
         if flags:
-            issues += 1
+            out[name] = flags
+    return out
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = "/root/testdata/sf0.01"
+    if "--sf" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+        args = [a for a in args if a != sf_dir]
+
+    from covid_19_data_analysis_bigdata_spark import core
+    from covid_19_data_analysis_bigdata_spark.session import get_spark
+
+    core.load_all()
+    spark = get_spark("plan-audit")
+    names = args or sorted(core.QUERIES)
+
+    flagged = audit(spark, names, sf_dir)
+    for name, flags in flagged.items():
+        if flags and flags[0].startswith("error:"):
+            print(f"ERROR {name}: {flags[0][7:]}")
+        else:
             print(f"FLAG {name}: {', '.join(flags)}")
-    print(f"{len(names)} plans audited, {issues} flagged")
-    return 1 if issues else 0
+    print(f"{len(names)} plans audited, {len(flagged)} flagged")
+    return 1 if flagged else 0
 
 
 if __name__ == "__main__":
