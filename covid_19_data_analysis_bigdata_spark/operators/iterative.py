@@ -4872,3 +4872,271 @@ def ml_batch_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionAll(row)
         w = w_next.select("b", "w1", "w2")
     return out.orderBy("iter")
+
+
+# --------------------------------------------------------------------------
+# Two-sample tests and effect sizes (round 9, batch 75)
+# --------------------------------------------------------------------------
+
+#: The two-sample pair used by the Welch-t / effect-size queries —
+#: unequal n AND unequal variance across these segments in the test
+#: fixture, which is exactly the regime Welch's correction exists for.
+_TWOSAMPLE_SEGS = ("BUILDING", "MACHINERY")
+
+_TWOSAMPLE_MOMENTS_SQL = f"""
+    y AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(round(o.o_totalprice) AS BIGINT) AS usd
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('{_TWOSAMPLE_SEGS[0]}', '{_TWOSAMPLE_SEGS[1]}')),
+    g AS (
+        SELECT segment,
+               CAST(count(*) AS BIGINT)       AS n_g,
+               CAST(sum(usd) AS BIGINT)       AS s_g,
+               CAST(sum(usd * usd) AS BIGINT) AS q_g
+        FROM y GROUP BY segment),
+    m AS (
+        SELECT min(CASE WHEN segment = '{_TWOSAMPLE_SEGS[0]}' THEN n_g END) AS n1,
+               min(CASE WHEN segment = '{_TWOSAMPLE_SEGS[0]}' THEN s_g END) AS s1,
+               min(CASE WHEN segment = '{_TWOSAMPLE_SEGS[0]}' THEN q_g END) AS q1,
+               min(CASE WHEN segment = '{_TWOSAMPLE_SEGS[1]}' THEN n_g END) AS n2,
+               min(CASE WHEN segment = '{_TWOSAMPLE_SEGS[1]}' THEN s_g END) AS s2,
+               min(CASE WHEN segment = '{_TWOSAMPLE_SEGS[1]}' THEN q_g END) AS q2
+        FROM g),
+    v AS (
+        SELECT n1, n2,
+               CAST(s1 AS DOUBLE) / n1 AS m1,
+               CAST(s2 AS DOUBLE) / n2 AS m2,
+               (q1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+               (q2 - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) AS v2
+        FROM m)
+"""
+
+
+def _twosample_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row of exact two-sample moments (n, mean, variance per
+    group) for the Welch/effect-size family, from a single
+    partial+final aggregate over the fact table.
+
+    Whole-dollar response (the ``ml_anova_oneway`` discipline): Σy²
+    in dollars stays below 2⁵³ into the billions of rows, so the
+    BIGINT→DOUBLE widenings below are exact; S² is formed as the
+    double product ``CAST(s AS DOUBLE) * s / n`` (two correctly
+    rounded IEEE ops, bit-identical cross-engine) because the integer
+    square would overflow BIGINT first.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    y = od.join(
+        F.broadcast(
+            cu.filter(F.col("c_mktsegment").isin(*_TWOSAMPLE_SEGS)).select(
+                "c_custkey", "c_mktsegment"
+            )
+        ),
+        od.o_custkey == cu.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice")).cast("long").alias("usd"),
+    )
+    g = y.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("usd").alias("s_g"),
+        F.sum(F.col("usd") * F.col("usd")).alias("q_g"),
+    )
+
+    def pick(seg: str, col: str):
+        return F.min(F.when(F.col("segment") == seg, F.col(col)))
+
+    m = g.agg(
+        pick(_TWOSAMPLE_SEGS[0], "n_g").alias("n1"),
+        pick(_TWOSAMPLE_SEGS[0], "s_g").alias("s1"),
+        pick(_TWOSAMPLE_SEGS[0], "q_g").alias("q1"),
+        pick(_TWOSAMPLE_SEGS[1], "n_g").alias("n2"),
+        pick(_TWOSAMPLE_SEGS[1], "s_g").alias("s2"),
+        pick(_TWOSAMPLE_SEGS[1], "q_g").alias("q2"),
+    )
+    return m.select(
+        "n1",
+        "n2",
+        (F.col("s1").cast("double") / F.col("n1")).alias("m1"),
+        (F.col("s2").cast("double") / F.col("n2")).alias("m2"),
+        (
+            (F.col("q1") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+            / (F.col("n1") - 1)
+        ).alias("v1"),
+        (
+            (F.col("q2") - F.col("s2").cast("double") * F.col("s2") / F.col("n2"))
+            / (F.col("n2") - 1)
+        ).alias("v2"),
+    )
+
+
+@query(
+    "ml_welch_ttest",
+    oracle=f"""
+    WITH {_TWOSAMPLE_MOMENTS_SQL},
+    se AS (SELECT n1, n2, m1, m2, v1, v2,
+                  v1 / n1 + v2 / n2 AS se2
+           FROM v)
+    SELECT n1, n2,
+           round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2) / sqrt(se2), 6) AS t_stat,
+           round((se2 * se2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df_welch
+    FROM se
+    """,
+)
+def ml_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: does mean order value differ
+    between the {BUILDING, MACHINERY} segments?  The two-sample
+    member of the registry's hypothesis-test family (k-group F:
+    ``ml_anova_oneway``; paired ranks: ``ml_wilcoxon_signed_rank``;
+    unpaired ranks: ``ml_mannwhitney_u``) — Welch is the
+    default-correct form when group variances differ, reporting the
+    Welch–Satterthwaite degrees of freedom alongside t.
+
+    One scan, one 2-group partial+final aggregate; every downstream
+    expression is scalar IEEE arithmetic on a single row, written as
+    the identical expression tree in both engines (each division /
+    product / sqrt is a correctly rounded op on exact inputs, so the
+    6dp rounding is cosmetic, not load-bearing).
+    """
+    v = _twosample_moments(spark, sf_dir)
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    va = F.col("v1") / F.col("n1")
+    vb = F.col("v2") / F.col("n2")
+    return v.select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            (se2 * se2)
+            / (va * va / (F.col("n1") - 1) + vb * vb / (F.col("n2") - 1)),
+            6,
+        ).alias("df_welch"),
+    )
+
+
+@query(
+    "ml_effect_size_d",
+    oracle=f"""
+    WITH {_TWOSAMPLE_MOMENTS_SQL},
+    p AS (SELECT n1, n2, m1, m2,
+                 ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2) AS sp2
+          FROM v)
+    SELECT n1, n2,
+           round((m1 - m2) / sqrt(sp2), 6) AS cohens_d,
+           round(((m1 - m2) / sqrt(sp2))
+                 * (1.0e0 - 3.0e0 / (4 * (n1 + n2 - 2) - 1)), 6) AS hedges_g
+    FROM p
+    """,
+)
+def ml_effect_size_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes for the same two-segment contrast as
+    ``ml_welch_ttest``: Cohen's d on the pooled SD, plus Hedges' g
+    (the small-sample bias correction J = 1 − 3/(4·df − 1), df =
+    n₁+n₂−2).  Significance tests answer "is there a difference";
+    effect sizes answer "does it matter" — A/B readouts report both.
+
+    Same one-scan moment dataflow as the t-test; the pooled variance
+    combines the two exact group variances with integer weights, and
+    every scalar op afterwards is the identical correctly rounded
+    expression tree in both engines (float literals written ``e0`` on
+    the DuckDB side so nothing quantizes to DECIMAL).
+    """
+    v = _twosample_moments(spark, sf_dir)
+    sp2 = (
+        (F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2")
+    ) / (F.col("n1") + F.col("n2") - 2)
+    d = (F.col("m1") - F.col("m2")) / F.sqrt(sp2)
+    j = F.lit(1.0) - F.lit(3.0) / (4 * (F.col("n1") + F.col("n2") - 2) - 1)
+    return v.select(
+        "n1",
+        "n2",
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * j, 6).alias("hedges_g"),
+    )
+
+
+@query(
+    "ml_two_proportion_ztest",
+    oracle="""
+    WITH g AS (
+        SELECT l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM lineitem
+        GROUP BY l_linestatus),
+    m AS (
+        SELECT min(CASE WHEN l_linestatus = 'O' THEN n END) AS n1,
+               min(CASE WHEN l_linestatus = 'O' THEN x END) AS x1,
+               min(CASE WHEN l_linestatus = 'F' THEN n END) AS n2,
+               min(CASE WHEN l_linestatus = 'F' THEN x END) AS x2
+        FROM g),
+    p AS (
+        SELECT n1, x1, n2, x2,
+               CAST(x1 AS DOUBLE) / n1 AS p1,
+               CAST(x2 AS DOUBLE) / n2 AS p2,
+               CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp
+        FROM m)
+    SELECT n1, x1, n2, x2,
+           round(p1, 6) AS p1,
+           round(p2, 6) AS p2,
+           round((p1 - p2)
+                 / sqrt(pp * (1.0e0 - pp) * (1.0e0 / n1 + 1.0e0 / n2)),
+                 6) AS z_stat
+    FROM p
+    """,
+)
+def ml_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test: do open-status (O) and
+    finished-status (F) lineitems return (``l_returnflag = 'R'``) at
+    different rates?  The categorical
+    counterpart of ``ml_welch_ttest`` — the test behind every
+    conversion-rate A/B readout (``report_ab_test_lift`` reports the
+    lift; this reports the statistic that gates it).
+
+    The entire test reduces to four exact BIGINT counts from one
+    filtered partial+final aggregate — the 100 TB cost is one
+    map-side-combined scan; the z expression is a fixed scalar tree
+    on one row (pooled p̂, correctly rounded divisions, one sqrt),
+    bit-identical across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("x"),
+        )
+    )
+
+    def pick(status: str, col: str):
+        return F.min(F.when(F.col("l_linestatus") == status, F.col(col)))
+
+    m = g.agg(
+        pick("O", "n").alias("n1"),
+        pick("O", "x").alias("x1"),
+        pick("F", "n").alias("n2"),
+        pick("F", "x").alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return m.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(z, 6).alias("z_stat"),
+    )

@@ -1714,3 +1714,142 @@ def llm_kneser_ney_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
         .limit(KN_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage curve and dedup token savings (round 9, batch 75)
+# --------------------------------------------------------------------------
+
+#: Coverage checkpoints — the "how many entries cover X% of the
+#: corpus" readout is evaluated at these top-k vocabulary sizes.
+COVERAGE_KS = (1, 2, 4, 8, 16, 32, 64)
+
+
+@query(
+    "llm_ngram_coverage_curve",
+    oracle=f"""
+    WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+    bg AS (SELECT unnest([ws[i] || ' ' || ws[i + 1]
+                          for i in generate_series(1, len(ws) - 1)]) AS b
+           FROM w WHERE len(ws) >= 2),
+    c AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+    r AS (SELECT c, row_number() OVER (ORDER BY c DESC, b ASC) AS rk FROM c),
+    t AS (SELECT sum(c) AS total FROM r),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in COVERAGE_KS)}]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(sum(r.c) AS BIGINT) AS covered_occurrences,
+           round(CAST(sum(r.c) AS DOUBLE) / min(t.total), 6) AS coverage
+    FROM ks JOIN r ON r.rk <= ks.k CROSS JOIN t
+    GROUP BY ks.k ORDER BY k
+    """,
+)
+def llm_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative corpus coverage of the top-k word bigrams — the
+    vocabulary-sizing readout behind tokenizer budgets ("how many
+    entries cover 95% of token occurrences?").  Complements
+    ``llm_vocab_zipf_fit`` (tail-decay exponent) and
+    ``llm_tokenizer_coverage`` (coverage of a FIXED vocab): this is
+    coverage as a FUNCTION of vocab size.
+
+    Scale shape: the bigram explode + count is one linear
+    partial+final aggregate; everything after runs on the
+    vocabulary-bounded count table (the rank window and the
+    checkpoint theta-join touch |vocab| rows, independent of corpus
+    row count — same bounded-grain window discipline as
+    ``llm_vocab_zipf_fit``).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    n1 = F.greatest(F.size("w") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("w", 1, n1),
+        F.slice("w", 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    c = (
+        d.select(ws.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(F.explode(pairs).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(cached)  # feeds the rank window AND the total
+    )
+    r = c.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("b"))).alias("rk"),
+    )
+    total = c.agg(F.sum("c").alias("total"))
+    ks = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k long")
+    return (
+        F.broadcast(ks)
+        .join(r, F.col("rk") <= F.col("k"))
+        .crossJoin(F.broadcast(total))
+        .groupBy("k")
+        .agg(
+            F.sum("c").alias("covered_occurrences"),
+            F.round(
+                F.sum("c").cast("double") / F.min("total"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "llm_dedup_token_savings",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, md5(text) AS h,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok
+        FROM documents),
+    k AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h),
+    f AS (SELECT d.source, d.tok,
+                 CASE WHEN d.doc_id = k.keep_id THEN 0 ELSE 1 END AS removed
+          FROM d JOIN k USING (h))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(removed) AS BIGINT) AS n_removed,
+           CAST(sum(tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN removed = 1 THEN tok ELSE 0 END) AS BIGINT)
+               AS tokens_removed,
+           round(CAST(sum(CASE WHEN removed = 1 THEN tok ELSE 0 END)
+                      AS DOUBLE) / sum(tok), 6) AS savings_pct
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def llm_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token savings from corpus-wide exact dedup — the
+    curation dashboard number that justifies the dedup stage ("N% of
+    source X's token budget is byte-identical copies").  Keeps the
+    ``llm_dedup_exact`` keep-first-doc_id convention so the two
+    queries reconcile row-for-row.
+
+    Scale shape: md5 groupBy (linear, same as ``llm_dedup_exact``) +
+    one hash join back on the digest + a per-source partial+final
+    aggregate; nothing pairwise anywhere.  The savings ratio is one
+    correctly rounded division of exact BIGINTs.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("tok"),
+    )
+    k = d.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    f = d.join(k, "h").select(
+        "source",
+        "tok",
+        F.when(F.col("doc_id") == F.col("keep_id"), 0).otherwise(1).alias("removed"),
+    )
+    rem_tok = F.sum(F.when(F.col("removed") == 1, F.col("tok")).otherwise(0))
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("removed").cast("long").alias("n_removed"),
+            F.sum("tok").alias("tokens_total"),
+            rem_tok.alias("tokens_removed"),
+            F.round(rem_tok.cast("double") / F.sum("tok"), 6).alias("savings_pct"),
+        )
+        .orderBy("source")
+    )

@@ -258,14 +258,23 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPARSE_TAU = 0.8  #: cosine threshold — isolates the injected near-dups
 SPARSE_DF_MAX = 1000  #: safety valve: drop degenerate hot grams
-#: Round-9 (verdict task 4): CANDIDATE-GENERATION-ONLY posting cap.
-#: Only grams with df ≤ this value participate in the pair-producing
+#: Round-9 (verdict task 4): CANDIDATE-GENERATION-ONLY posting cap —
+#: the effective cap is ``max(SPARSE_CAND_DF_MIN, n_docs div
+#: SPARSE_CAND_DF_PCTDIV)``, i.e. 1% of the corpus with an absolute
+#: floor.  Only grams under the cap participate in the pair-producing
 #: self-join, so the candidate space is Σ_{df(t)≤cap} df(t)² ≤
 #: cap · Σ_t df(t) — LINEAR in corpus gram volume instead of quadratic
 #: in hot-gram df.  The verify stage then computes the EXACT cosine
 #: over all kept grams (df ≤ {SPARSE_DF_MAX}) for each candidate, so
 #: any surfaced pair's cosine/n_shared is unchanged by the cap.
-SPARSE_CAND_DF_MAX = 40
+#: The cap MUST be data-relative, not absolute: replicating the corpus
+#: N× multiplies every gram's df by N, so a fixed cap empties the
+#: candidate set as the corpus grows (measured: the earlier fixed cap
+#: of 40 returned 0 rows on the 16× replica because every gram's df
+#: exceeded it), while a df/N ratio is invariant under growth that
+#: preserves the gram distribution.
+SPARSE_CAND_DF_MIN = 40
+SPARSE_CAND_DF_PCTDIV = 100  #: cap = n_docs // this (1% of corpus)
 #: Minimum number of shared capped grams for a pair to reach the
 #: verify stage.  One shared rare gram is weak evidence on a
 #: shared-vocabulary corpus (probed at the adversarial 4× replica:
@@ -288,17 +297,20 @@ SPARSE_CAND_MIN_SHARED = 5
           FROM w WHERE len(ws) >= {WIN_K}),
     tf AS (SELECT doc_id, t, count(*) AS tf FROM g GROUP BY doc_id, t),
     dfs AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    cap AS (SELECT greatest({SPARSE_CAND_DF_MIN},
+                            count(*) // {SPARSE_CAND_DF_PCTDIV}) AS cap
+            FROM documents),
     tfk AS (SELECT tf.* FROM tf JOIN dfs USING (t)
             WHERE dfs.df <= {SPARSE_DF_MAX}),
     cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                     sum(a.tf * b.tf) AS dotc, count(*) AS nsc
              FROM tfk a JOIN tfk b ON a.t = b.t AND a.doc_id < b.doc_id
              JOIN dfs d ON d.t = a.t
-             WHERE d.df <= {SPARSE_CAND_DF_MAX}
+             WHERE d.df <= (SELECT cap FROM cap)
              GROUP BY a.doc_id, b.doc_id
              HAVING count(*) >= {SPARSE_CAND_MIN_SHARED}),
     hot AS (SELECT tfk.* FROM tfk JOIN dfs USING (t)
-            WHERE dfs.df > {SPARSE_CAND_DF_MAX}),
+            WHERE dfs.df > (SELECT cap FROM cap)),
     res AS (SELECT c.a_id, c.b_id,
                    sum(a.tf * b.tf) AS doth, count(*) AS nsh
             FROM cand c
@@ -330,9 +342,13 @@ def llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding tolerance needed for the τ gate).
 
     100 TB shape (round-9 two-phase form): the pair-PRODUCING self-join
-    runs only over grams with df ≤ {SPARSE_CAND_DF_MAX} (stop-shingle
-    practice — hot grams carry no discriminative signal but quadratic
-    fan-out), so candidate volume is ≤ cap · total gram occurrences,
+    runs only over grams with df ≤ max({SPARSE_CAND_DF_MIN}, n_docs
+    div {SPARSE_CAND_DF_PCTDIV}) — stop-shingle practice (hot grams
+    carry no discriminative signal but quadratic fan-out), with the
+    cap RELATIVE to corpus size so it is invariant under growth that
+    preserves the gram distribution (a fixed absolute cap empties the
+    candidate set as dfs scale with the corpus — measured on the 16×
+    replica).  Candidate volume is ≤ cap · total gram occurrences,
     linear in the corpus; only pairs sharing ≥
     {SPARSE_CAND_MIN_SHARED} capped grams (minoverlap filter) reach
     the VERIFY stage, which recomputes the exact dot/norms over ALL
@@ -340,8 +356,9 @@ def llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine is the uncapped value.  Recall behavior: a qualifying pair
     is missed only when it shares fewer than {SPARSE_CAND_MIN_SHARED}
     grams rarer than the candidate cap — at the committed SFs every
-    result pair shares ≥ 8 such grams (probed), so results are
-    identical to the uncapped single-pass form.
+    result pair shares ≥ 8 such grams (probed), and on the 16×
+    replica every identical-clone pair shares all its grams, so the
+    candidate stage retains them.
     """
     d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.lower("text"), " ")
@@ -368,7 +385,17 @@ def llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cached)
     )
     nrm = tfk.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("ss"))
-    candgrams = dfs.filter(F.col("df") <= SPARSE_CAND_DF_MAX).select("t")
+    # Data-relative candidate cap: one count over documents, broadcast
+    # as a single-row frame (`div` = integer division, portable vs the
+    # CAST-after-float-divide trap).  greatest() applies the absolute
+    # floor at small corpora.
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    cap = F.greatest(
+        F.lit(SPARSE_CAND_DF_MIN),
+        F.expr(f"nd div {SPARSE_CAND_DF_PCTDIV}"),
+    )
+    dfc = dfs.crossJoin(F.broadcast(nd))
+    candgrams = dfc.filter(F.col("df") <= cap).select("t")
     # NOT persisted: both sides re-derive from the CACHED tfk ⋈ the
     # broadcast candgram set — a rescan of materialized partitions,
     # cheaper than materializing a near-copy of tfk (at the committed
@@ -407,7 +434,7 @@ def llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |candidates| × doc length otherwise.  dot = dotc + residual is
     # the EXACT uncapped dot: integer sums split by a disjoint gram
     # partition.
-    hot = tfk.join(dfs.filter(F.col("df") > SPARSE_CAND_DF_MAX).select("t"), "t")
+    hot = tfk.join(dfc.filter(F.col("df") > cap).select("t"), "t")
     ra = cand.select("a_id", "b_id").join(
         hot.select(F.col("doc_id").alias("a_id"), "t", F.col("tf").alias("tfa")),
         "a_id",

@@ -430,6 +430,10 @@ EXPECTED_IDS = {
     # with a strong error-envelope band companion
     "agg_theta_set_ops", "agg_theta_band",
     "agg_kll_quantile_rollup", "agg_kll_band",
+    # round-9 batch 75: two-sample tests + effect sizes, vocabulary
+    # coverage curve, dedup token-savings report
+    "ml_welch_ttest", "ml_effect_size_d", "ml_two_proportion_ztest",
+    "llm_ngram_coverage_curve", "llm_dedup_token_savings",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
