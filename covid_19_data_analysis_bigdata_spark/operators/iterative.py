@@ -5140,3 +5140,113 @@ def ml_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p2, 6).alias("p2"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Chatterjee's xi rank correlation (round 9, batch 76)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_xi_correlation",
+    oracle="""
+    WITH y AS (
+        SELECT c.c_custkey,
+               n.n_name,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS x,
+               CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+                             0) AS BIGINT) AS yv
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, n.n_name, c.c_acctbal),
+    r AS (
+        SELECT n_name,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY x, c_custkey) AS xpos,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY yv, x, c_custkey) AS yrank
+        FROM y),
+    d AS (
+        SELECT n_name,
+               abs(yrank - lag(yrank) OVER (PARTITION BY n_name
+                                            ORDER BY xpos)) AS step
+        FROM r),
+    s AS (
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(step) AS BIGINT) AS s
+        FROM d GROUP BY n_name)
+    SELECT n_name, n_customers,
+           round(1.0e0 - 3.0e0 * s / (n_customers * n_customers - 1), 6)
+               AS xi
+    FROM s ORDER BY n_name
+    """,
+)
+def ml_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's ξ rank correlation (Chatterjee 2020, JASA) between
+    customer account balance and total order value, per nation —
+    unlike Pearson/Spearman/Kendall (``agg_corr_exact``,
+    ``ml_spearman_corr``, ``ml_kendall_tau``), ξ is asymmetric and
+    detects ARBITRARY functional dependence (oscillating, non-
+    monotone), converging to 0 iff independent and 1 iff y is a
+    measurable function of x: ξ = 1 − 3·Σ|r_{i+1} − r_i| / (n² − 1)
+    with the r sequence walked in x order.
+
+    Determinism: both rank sequences are ``row_number`` with total
+    tie-break chains (x, custkey) / (y, x, custkey) — the repo's
+    ranking convention — so Σ|Δr| is an exact integer both engines
+    agree on, and ξ is two correctly rounded IEEE ops.  Scale shape:
+    one fact aggregate, then nation-partitioned windows (rank + one
+    lag — sorts distribute across the nation grain; for a single
+    global ξ at extreme n the same dataflow runs on the
+    ``global_rank`` range-partition machinery instead).
+    """
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    na = load_table(spark, sf_dir, "nation")
+    y = (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(od, od.o_custkey == cu.c_custkey, "left")
+        .groupBy("c_custkey", "n_name", "c_acctbal")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                F.lit(0),
+            ).alias("yv")
+        )
+        .select(
+            "c_custkey",
+            "n_name",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+            "yv",
+        )
+    )
+    r = y.select(
+        "n_name",
+        F.row_number()
+        .over(Window.partitionBy("n_name").orderBy("x", "c_custkey"))
+        .alias("xpos"),
+        F.row_number()
+        .over(Window.partitionBy("n_name").orderBy("yv", "x", "c_custkey"))
+        .alias("yrank"),
+    )
+    d = r.select(
+        "n_name",
+        F.abs(
+            F.col("yrank")
+            - F.lag("yrank").over(Window.partitionBy("n_name").orderBy("xpos"))
+        ).alias("step"),
+    )
+    s = d.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("step").alias("s"),
+    )
+    nn = F.col("n_customers")
+    return s.select(
+        "n_name",
+        "n_customers",
+        F.round(F.lit(1.0) - F.lit(3.0) * F.col("s") / (nn * nn - 1), 6).alias(
+            "xi"
+        ),
+    ).orderBy("n_name")

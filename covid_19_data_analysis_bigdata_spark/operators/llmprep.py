@@ -1853,3 +1853,133 @@ def llm_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking for chunk-level dedup (round 9, batch 76)
+# --------------------------------------------------------------------------
+
+CDC_WIN = 8  #: rolling-window width (words) fed to the boundary hash
+CDC_MODULUS = 64  #: boundary when hash % this == 0 → ~64-word mean chunk
+
+
+@query(
+    "llm_cdc_chunking",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+               FROM documents),
+    t AS (SELECT doc_id, source,
+                 unnest(ws) AS w,
+                 unnest(range(1, len(ws) + 1)) AS pos
+          FROM w),
+    g AS (SELECT doc_id, source, w, pos,
+                 concat_ws(' ',
+                     lag(w, 7) OVER dw, lag(w, 6) OVER dw,
+                     lag(w, 5) OVER dw, lag(w, 4) OVER dw,
+                     lag(w, 3) OVER dw, lag(w, 2) OVER dw,
+                     lag(w, 1) OVER dw, w) AS gram
+          FROM t WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+    b AS (SELECT doc_id, source, w, pos,
+                 CASE WHEN pos >= {CDC_WIN}
+                       AND CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+                           % {CDC_MODULUS} = 0
+                      THEN 1 ELSE 0 END AS boundary
+          FROM g),
+    c AS (SELECT doc_id, source, w, pos,
+                 sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS chunk_id
+          FROM b),
+    ch AS (SELECT doc_id, source, chunk_id,
+                  count(*) AS words,
+                  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+           FROM c GROUP BY doc_id, source, chunk_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT chunk_hash) AS BIGINT) AS distinct_chunks,
+           round(CAST(count(*) - count(DISTINCT chunk_hash) AS DOUBLE)
+                 / count(*), 6) AS dup_ratio,
+           round(CAST(sum(words) AS DOUBLE) / count(*), 6) AS avg_words
+    FROM ch GROUP BY source ORDER BY source
+    """,
+)
+def llm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin/LBFS-style): a chunk boundary
+    falls wherever the rolling hash of the last {CDC_WIN} words is ≡ 0
+    mod {CDC_MODULUS}, so chunk boundaries are a function of CONTENT,
+    not position — inserting a sentence shifts at most the chunk it
+    lands in, and identical passages chunk identically in every
+    document.  That is the property that makes chunk-hash dedup work
+    where fixed-width shingles fail (the storage/dedup literature's
+    standard trick, here as the corpus-curation readout: per-source
+    chunk duplication ratio and mean chunk length).
+
+    Scale shape: one linear posexplode; the rolling gram is {CDC_WIN}
+    per-doc ``lag``s inside a doc-partitioned window (bounded by doc
+    length, fully parallel across docs); chunk ids are a per-doc
+    running sum; chunk hashing is one linear groupBy.  The boundary
+    hash reuses the portable md5-prefix→BIGINT idiom
+    (``conv(substr(md5,1,8),16,10)`` ≡ DuckDB ``'0x'||…`` cast), so
+    the statistic is engine-exact end to end.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "w"),
+    ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "w")
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", *[F.lag("w", k).over(dw) for k in range(CDC_WIN - 1, 0, -1)], F.col("w")
+    )
+    b = t.select(
+        "doc_id",
+        "source",
+        "w",
+        "pos",
+        F.when(
+            (F.col("pos") >= CDC_WIN)
+            & (
+                F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+                % CDC_MODULUS
+                == 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    c = b.select(
+        "doc_id",
+        "source",
+        "w",
+        "pos",
+        F.sum("boundary")
+        .over(dw.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("chunk_id"),
+    )
+    ch = c.groupBy("doc_id", "source", "chunk_id").agg(
+        F.count(F.lit(1)).alias("words"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("w")))
+                    ),
+                    lambda s: s.getField("w"),
+                ),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+    n = F.count(F.lit(1))
+    dc = F.countDistinct("chunk_hash")
+    return (
+        ch.groupBy("source")
+        .agg(
+            n.alias("n_chunks"),
+            dc.alias("distinct_chunks"),
+            F.round((n - dc).cast("double") / n, 6).alias("dup_ratio"),
+            F.round(F.sum("words").cast("double") / n, 6).alias("avg_words"),
+        )
+        .orderBy("source")
+    )

@@ -231,6 +231,41 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_order_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY ALL`` (round 9) — sort by every select item left to
+    right, the companion sugar to ``sql_group_by_all``; Spark 4 and
+    DuckDB both resolve it at analysis time to an ordinary global
+    sort, so the physical plan is the usual range-partitioned sort.
+    Money summed as exact integer cents (the repo's
+    no-float-total discipline)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_oba_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM v_oba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@query(
     "sql_parameterized",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -434,6 +434,9 @@ EXPECTED_IDS = {
     # coverage curve, dedup token-savings report
     "ml_welch_ttest", "ml_effect_size_d", "ml_two_proportion_ztest",
     "llm_ngram_coverage_curve", "llm_dedup_token_savings",
+    # round-9 batch 76: content-defined chunking, Chatterjee's xi,
+    # ORDER BY ALL surface
+    "llm_cdc_chunking", "ml_xi_correlation", "sql_order_by_all",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
