@@ -396,11 +396,11 @@ def llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfc = dfs.crossJoin(F.broadcast(nd))
     candgrams = dfc.filter(F.col("df") <= cap).select("t")
-    # NOT persisted: both sides re-derive from the CACHED tfk ⋈ the
-    # broadcast candgram set — a rescan of materialized partitions,
-    # cheaper than materializing a near-copy of tfk (at the committed
-    # SFs the cap keeps every gram, so tfc ≡ tfk row-for-row).
-    tfc = tfk.join(candgrams, "t")
+    # Persisted: tfc feeds BOTH pair-join sides (ca and cb below) —
+    # unpersisted each side re-runs the tfk ⋈ candgram join (measured
+    # +0.5 s warm at sf0.1); same for hot, whose emptiness at the
+    # committed SFs AQE can then see once instead of deriving twice.
+    tfc = tfk.join(candgrams, "t").transform(cached)
     ca = tfc.select(
         F.col("doc_id").alias("a_id"),
         F.col("t").alias("ta"),
@@ -434,7 +434,9 @@ def llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |candidates| × doc length otherwise.  dot = dotc + residual is
     # the EXACT uncapped dot: integer sums split by a disjoint gram
     # partition.
-    hot = tfk.join(dfc.filter(F.col("df") > cap).select("t"), "t")
+    hot = tfk.join(dfc.filter(F.col("df") > cap).select("t"), "t").transform(
+        cached
+    )
     ra = cand.select("a_id", "b_id").join(
         hot.select(F.col("doc_id").alias("a_id"), "t", F.col("tf").alias("tfa")),
         "a_id",
