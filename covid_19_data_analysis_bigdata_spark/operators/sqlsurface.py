@@ -1280,3 +1280,153 @@ def sql_recursive_reset_accumulator(spark: SparkSession, sf_dir: str) -> DataFra
             "yearly AS (SELECT y, rev FROM yearly_rev),",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H suite completion: Q1 / Q3 / Q6 / Q10 (round 9, batch 77)
+# --------------------------------------------------------------------------
+
+_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_base_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_charge_e6,
+           round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+                 / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE) / count(*), 6) AS avg_price_cents,
+           round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                      AS DOUBLE) / count(*), 6) AS avg_disc_pct,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_tpch_q1_pricing_summary", oracle=_Q1_SQL)
+def sql_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — THE canonical scan-heavy
+    single-table aggregate: one pass over lineitem, partial+final
+    hash aggregate on a 6-value grouping key, every measure an exact
+    integer unit sum (cents / 1e-4 / 1e-6 grains; the per-row rounds
+    sit at each expression's TRUE decimal grain — price 2dp × disc
+    2dp × tax 2dp — so they are exact, per the repo's money
+    discipline).  Averages are single divisions of exact sums.
+
+    At 100 TB this plan is pure map-side combine into a 6-row final
+    aggregate — the benchmark's textbook whole-stage-codegen scan.
+    The date filter reaches the parquet scan (PushedFilters), pruning
+    nothing here but partition-pruning a date-partitioned layout.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q1_SQL)
+
+
+_Q3_SQL = """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS BIGINT)
+               AS revenue_e4,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15'
+      AND l.l_shipdate > TIMESTAMP '1997-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_e4 DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+"""
+
+
+@query("sql_tpch_q3_shipping_priority", oracle=_Q3_SQL)
+def sql_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted: the 10 highest-revenue
+    BUILDING-segment orders taken before the cutoff with lineitems
+    still shipping after it (o_orderpriority stands in for the
+    original's o_shippriority, which is not in the testdata).
+
+    The classic selective star join: the segment filter shrinks
+    customer BEFORE the join (broadcastable slice), the date filters
+    push into both fact scans, and the top-10 is a
+    TakeOrderedAndProject over exact integer revenue — no global
+    sort.  Revenue ranks on the exact 1e-4-grain integer, with
+    (orderdate, orderkey) tie-breaks for total determinism.
+    """
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q3_SQL)
+
+
+_Q6_SQL = """
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+"""
+
+
+@query("sql_tpch_q6_forecast_revenue", oracle=_Q6_SQL)
+def sql_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): revenue that would have
+    been lost by eliminating small discounts in one shipping year —
+    the canonical fully-pushed-down filter + global aggregate.  The
+    discount band compares the EXACT integer percent
+    (``round(disc*100)``), never raw float literals against a double
+    column, so the row set is engine-exact; revenue sums at the
+    1e-4 grain (price 2dp × discount 2dp).
+
+    100 TB shape: every predicate reaches the scan, the aggregate is
+    one map-side-combined row — the cheapest possible full-table
+    question.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6_SQL)
+
+
+_Q10_SQL = """
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS BIGINT)
+               AS revenue_e4,
+           CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue_e4 DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@query("sql_tpch_q10_returned_items", oracle=_Q10_SQL)
+def sql_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting), adapted to the testdata's
+    customer columns: the 20 customers who generated the most revenue
+    in returned items over one quarter, with their nation attached —
+    the canonical fact-heavy join funnel ending in a small top-k.
+
+    The quarter filter prunes orders before the lineitem join, the
+    returnflag filter pushes into the fact scan, nation broadcasts,
+    and the top-20 is TakeOrderedAndProject on the exact integer
+    revenue with a custkey tie-break.
+    """
+    _views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_Q10_SQL)

@@ -1183,3 +1183,4 @@ def test_reinvoked_queries_never_repersist(spark, sf_dir):
         assert after == before, (
             f"{name}: re-build added {after - before} persist miss(es)"
         )
+

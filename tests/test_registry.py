@@ -437,6 +437,11 @@ EXPECTED_IDS = {
     # round-9 batch 76: content-defined chunking, Chatterjee's xi,
     # ORDER BY ALL surface
     "llm_cdc_chunking", "ml_xi_correlation", "sql_order_by_all",
+    # round-9 batch 77: TPC-H suite completion (q1/q3/q6/q10 join the
+    # existing q2/q4/q11/q13-q22 — report_* already carries the q3/q5/
+    # q7/q10/q18 DataFrame shapes; these are the canonical SQL forms)
+    "sql_tpch_q1_pricing_summary", "sql_tpch_q3_shipping_priority",
+    "sql_tpch_q6_forecast_revenue", "sql_tpch_q10_returned_items",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
