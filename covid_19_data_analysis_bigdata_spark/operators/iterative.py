@@ -5250,3 +5250,120 @@ def ml_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "xi"
         ),
     ).orderBy("n_name")
+
+
+# --------------------------------------------------------------------------
+# Isotonic regression via the exact minimax formula (round 9, batch 78)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ml_isotonic_calibration",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM lineitem GROUP BY 1),
+    c AS (
+        SELECT bin, n, pos,
+               CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS idx,
+               CAST(sum(n)   OVER (ORDER BY bin) AS BIGINT) AS cn,
+               CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+        FROM g),
+    seg AS (
+        SELECT a.idx AS j, b.idx AS k,
+               CAST(b.cp - a.cp + a.pos AS DOUBLE)
+                   / (b.cn - a.cn + a.n) AS mean_jk
+        FROM c a JOIN c b ON a.idx <= b.idx),
+    inner_min AS (
+        SELECT c.idx AS i, seg.j, min(seg.mean_jk) AS lo
+        FROM c JOIN seg ON seg.j <= c.idx AND seg.k >= c.idx
+        GROUP BY c.idx, seg.j),
+    iso AS (SELECT i, max(lo) AS iso FROM inner_min GROUP BY i)
+    SELECT c.bin, c.n,
+           round(CAST(c.pos AS DOUBLE) / c.n, 6) AS raw_rate,
+           round(iso.iso, 6) AS iso_rate
+    FROM c JOIN iso ON iso.i = c.idx
+    ORDER BY c.bin
+    """,
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression of return rate on discount — the monotone
+    calibration fit (Zadrozny & Elkan 2002) behind probability
+    calibration and dose-response curves, computed EXACTLY via the
+    minimax identity iso(i) = max_{j≤i} min_{k≥i} mean(y[j..k]) —
+    provably equal to the pool-adjacent-violators solution, but with
+    no sequential merge loop, so it is fully declarative and
+    engine-portable.
+
+    Scale shape: the corpus is touched once by a partial+final
+    aggregate into the ~11-row discount-percent spine; the cubic
+    minimax grid runs on that BOUNDED spine (≤ bins³ ≈ 1.3k rows —
+    constant, corpus-independent), which is exactly the regime where
+    O(bins³) beats a sequential PAVA at cluster scale: no iteration,
+    no driver round-trips.  Every segment mean is one correctly
+    rounded division of exact BIGINTs, and min/max over identical
+    double sets are engine-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy(
+            F.round(F.col("l_discount") * 100).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("pos"),
+        )
+    )
+    w = Window.orderBy("bin")
+    c = g.select(
+        "bin",
+        "n",
+        "pos",
+        F.row_number().over(w).cast("long").alias("idx"),
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    ).transform(cached)  # 11-row spine feeds the pair grid twice + output
+    a = c.select(
+        F.col("idx").alias("j"),
+        F.col("n").alias("na"),
+        F.col("pos").alias("pa"),
+        F.col("cn").alias("cna"),
+        F.col("cp").alias("cpa"),
+    )
+    b = c.select(
+        F.col("idx").alias("k"),
+        F.col("cn").alias("cnb"),
+        F.col("cp").alias("cpb"),
+    )
+    seg = a.join(b, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("cpb") - F.col("cpa") + F.col("pa")).cast("double")
+            / (F.col("cnb") - F.col("cna") + F.col("na"))
+        ).alias("mean_jk"),
+    )
+    inner = (
+        c.select(F.col("idx").alias("i"))
+        .join(seg, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("mean_jk").alias("lo"))
+    )
+    iso = inner.groupBy("i").agg(F.max("lo").alias("iso"))
+    return (
+        c.join(iso, c.idx == iso.i)
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("pos").cast("double") / F.col("n"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(F.col("iso"), 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -442,6 +442,9 @@ EXPECTED_IDS = {
     # q7/q10/q18 DataFrame shapes; these are the canonical SQL forms)
     "sql_tpch_q1_pricing_summary", "sql_tpch_q3_shipping_priority",
     "sql_tpch_q6_forecast_revenue", "sql_tpch_q10_returned_items",
+    # round-9 batch 78: isotonic regression via the exact minimax
+    # identity on the bounded calibration spine
+    "ml_isotonic_calibration",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
