@@ -1131,10 +1131,18 @@ def test_full_registry_plan_audit_advisory_set_pinned(spark, sf_dir):
     report_rfm_segmentation three-pass distributed-ntile plan (its
     budget override is intentionally one below its static explain
     count so the trade stays visible).  Any new row-UDF, cartesian,
-    nested output, or exchange-budget breach fails this test."""
+    nested output, or exchange-budget breach fails this test.
+
+    Plans are audited from a CLEAN cache: frames persisted by earlier
+    tests otherwise replace audited subtrees with InMemoryRelations
+    and the exchange counts drift with test order (observed: the
+    pinned rfm flag vanished mid-suite).  The cache.py registry
+    self-heals after an external clearCache, so later tests are
+    unaffected."""
     import importlib.util
     import os
 
+    spark.catalog.clearCache()
     spec = importlib.util.spec_from_file_location(
         "audit_plans",
         os.path.join(
