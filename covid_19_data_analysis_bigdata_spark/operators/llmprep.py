@@ -1720,9 +1720,12 @@ def llm_kneser_ney_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Vocabulary coverage curve and dedup token savings (round 9, batch 75)
 # --------------------------------------------------------------------------
 
-#: Coverage checkpoints — the "how many entries cover X% of the
+#: Coverage-curve checkpoints — the "how many entries cover X% of the
 #: corpus" readout is evaluated at these top-k vocabulary sizes.
-COVERAGE_KS = (1, 2, 4, 8, 16, 32, 64)
+#: (Named CURVE_KS: COVERAGE_KS already belongs to
+#: llm_tokenizer_coverage above — a same-name redefinition desyncs
+#: that query's runtime constant from its import-time-baked oracle.)
+CURVE_KS = (1, 2, 4, 8, 16, 32, 64)
 
 
 @query(
@@ -1735,7 +1738,7 @@ COVERAGE_KS = (1, 2, 4, 8, 16, 32, 64)
     c AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
     r AS (SELECT c, row_number() OVER (ORDER BY c DESC, b ASC) AS rk FROM c),
     t AS (SELECT sum(c) AS total FROM r),
-    ks AS (SELECT unnest([{", ".join(str(k) for k in COVERAGE_KS)}]) AS k)
+    ks AS (SELECT unnest([{", ".join(str(k) for k in CURVE_KS)}]) AS k)
     SELECT CAST(ks.k AS BIGINT) AS k,
            CAST(sum(r.c) AS BIGINT) AS covered_occurrences,
            round(CAST(sum(r.c) AS DOUBLE) / min(t.total), 6) AS coverage
@@ -1779,7 +1782,7 @@ def llm_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.desc("c"), F.asc("b"))).alias("rk"),
     )
     total = c.agg(F.sum("c").alias("total"))
-    ks = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k long")
+    ks = spark.createDataFrame([(k,) for k in CURVE_KS], "k long")
     return (
         F.broadcast(ks)
         .join(r, F.col("rk") <= F.col("k"))

@@ -358,3 +358,39 @@ class TestLshBucketBound:
         got = self._pairs(spark, n=50, cap=3, maxb=8, monkeypatch=monkeypatch)
         assert len(got) <= 8 * 3 + 42
         assert all(b > a for a, b in got)
+
+
+def test_no_duplicate_module_constants():
+    """Round-9 tripwire: a second top-level assignment to an
+    ALL_CAPS constant inside an operators module silently desyncs
+    every EARLIER query's runtime behavior from its import-time-baked
+    oracle f-string (observed: a batch-75 COVERAGE_KS redefinition
+    broke llm_tokenizer_coverage, caught only by the full sweep).
+    Constants are define-once per module."""
+    import ast
+    import glob
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "covid_19_data_analysis_bigdata_spark",
+    )
+    offenders = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        seen = set()
+        for node in ast.parse(open(path).read()).body:
+            targets = []
+            if isinstance(node, ast.Assign):
+                targets = [
+                    t.id for t in node.targets if isinstance(t, ast.Name)
+                ]
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name
+            ):
+                targets = [node.target.id]
+            for name in targets:
+                if name.isupper():
+                    if name in seen:
+                        offenders.append(f"{os.path.basename(path)}:{name}")
+                    seen.add(name)
+    assert not offenders, offenders
