@@ -1192,3 +1192,59 @@ def test_reinvoked_queries_never_repersist(spark, sf_dir):
             f"{name}: re-build added {after - before} persist miss(es)"
         )
 
+
+
+def test_tpch_q1_fully_pushed_scan_aggregate(spark, sf_dir):
+    """Q1 is THE scan benchmark: the date bound must reach the parquet
+    scan and the plan must be join-free — one partial+final hash
+    aggregate over the scan."""
+    plan = _plan(spark, sf_dir, "sql_tpch_q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_tpch_q6_all_predicates_reach_scan(spark, sf_dir):
+    """Q6's whole point: every plain-column predicate is pushed; the
+    aggregate reduces to one map-side-combined row, join-free."""
+    plan = _plan(spark, sf_dir, "sql_tpch_q6_forecast_revenue")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_quantity" in pushed
+    assert "Join" not in plan
+
+
+def test_tpch_q3_q10_topk_without_global_sort(spark, sf_dir):
+    """Q3/Q10 end in small top-ks: TakeOrderedAndProject, never a
+    global Sort+Limit; Q10's nation lookup rides a broadcast."""
+    for name in ("sql_tpch_q3_shipping_priority", "sql_tpch_q10_returned_items"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+    assert "BroadcastHashJoin" in _plan(spark, sf_dir, "sql_tpch_q10_returned_items")
+
+
+def test_welch_family_pushes_segment_filter(spark, sf_dir):
+    """The two-sample moment scan must push the segment IN-filter into
+    the customer scan and broadcast the filtered dimension."""
+    plan = _plan(spark, sf_dir, "ml_welch_ttest")
+    assert "In(c_mktsegment" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_chunking_is_windowed_not_joined(spark, sf_dir):
+    """Content-defined chunking is explode + doc-partitioned windows +
+    one groupBy: no join of any kind, no Python row-UDF."""
+    plan = _plan(spark, sf_dir, "llm_cdc_chunking")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_isotonic_grid_is_broadcast_bounded(spark, sf_dir):
+    """The minimax grid runs on the 11-row bin spine: its non-equi
+    joins must be broadcast (bounded-side) forms, never a shuffled
+    CartesianProduct over anything corpus-sized."""
+    plan = _plan(spark, sf_dir, "ml_isotonic_calibration")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
