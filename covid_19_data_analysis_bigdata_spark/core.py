@@ -141,6 +141,7 @@ def load_all() -> None:
     )
     from covid_19_data_analysis_bigdata_spark.streaming import ops  # noqa: F401
     from covid_19_data_analysis_bigdata_spark.operators import (  # noqa: F401
+        attribution,
         llm,
         textprep,
         llmprep,

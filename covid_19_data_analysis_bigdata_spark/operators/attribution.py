@@ -1,0 +1,294 @@
+"""Round-9 operator: Markov removal-effect channel attribution.
+
+Multi-touch attribution done right: ``report_last_touch_attribution``
+and ``report_position_attribution`` hand out credit by POSITION
+heuristics; the Markov removal effect (Anderl et al. 2014, the
+standard data-driven attribution model) instead asks a causal-flavored
+counterfactual — "how much conversion reach disappears if this channel
+is removed from the journey graph?" — and shares credit by each
+channel's reach drop.
+
+Everything is exact integer arithmetic: transition counts are BIGINTs,
+absorption probabilities iterate in 1e-12 fixed point with a floor
+division per step (bit-identical across engines — integer sums are
+order-free, unlike float matrix powers whose per-group fold order
+differs), and the final effect shares divide exact BIGINT numerators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from covid_19_data_analysis_bigdata_spark.cache import cached
+from covid_19_data_analysis_bigdata_spark.core import query
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+ATTR_SCALE = 1_000_000_000_000  #: 1e-12 fixed-point grain for p(conv)
+ATTR_ITERS = 40  #: absorption iterations (reach converges geometrically)
+ATTR_CHANNELS = ("click", "error", "signup", "view")
+
+_CHANNELS_SQL = ", ".join(f"'{c}'" for c in ATTR_CHANNELS)
+
+
+@query(
+    "events_markov_removal_attribution",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               CASE WHEN event_type = 'purchase' THEN 'conv'
+                    ELSE event_type END AS state,
+               event_type
+        FROM events),
+    fp AS (SELECT user_id, min(rn) AS frn FROM ev
+           WHERE event_type = 'purchase' GROUP BY user_id),
+    kept AS (
+        SELECT e.user_id, e.rn, e.state, f.frn,
+               coalesce(lag(e.state) OVER (PARTITION BY e.user_id
+                                           ORDER BY e.rn),
+                        'start') AS prev
+        FROM ev e LEFT JOIN fp f USING (user_id)
+        WHERE e.rn <= coalesce(f.frn, 2147483647)),
+    edges AS (
+        SELECT prev AS src, state AS dst FROM kept
+        UNION ALL
+        SELECT k.state, 'null'
+        FROM kept k
+        JOIN (SELECT user_id, max(rn) AS mrn FROM kept
+              GROUP BY user_id) m
+          ON m.user_id = k.user_id AND m.mrn = k.rn
+        WHERE k.frn IS NULL),
+    trans0 AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+               FROM edges GROUP BY src, dst),
+    variants AS (SELECT unnest(['base', {_CHANNELS_SQL}]) AS variant),
+    vtrans AS (
+        SELECT v.variant, t.src,
+               CASE WHEN t.dst = v.variant THEN 'null' ELSE t.dst END AS dst,
+               CAST(sum(t.cnt) AS BIGINT) AS cnt
+        FROM variants v JOIN trans0 t ON t.src <> v.variant
+        GROUP BY v.variant, t.src,
+                 CASE WHEN t.dst = v.variant THEN 'null' ELSE t.dst END
+        UNION ALL
+        SELECT v.variant, s.state, s.state, CAST(1 AS BIGINT)
+        FROM variants v
+        CROSS JOIN (SELECT unnest(['conv', 'null']) AS state) s),
+    tot AS (SELECT variant, src, CAST(sum(cnt) AS BIGINT) AS tot
+            FROM vtrans GROUP BY variant, src),
+    it AS (
+        SELECT v.variant, s.state,
+               CAST(CASE WHEN s.state = 'conv' THEN {ATTR_SCALE}
+                    ELSE 0 END AS BIGINT) AS p,
+               0 AS k
+        FROM variants v
+        CROSS JOIN (SELECT unnest(['conv', 'null']) AS state) s
+        UNION ALL
+        SELECT t.variant, t.src AS state,
+               CAST(sum(t.cnt * i.p) // max(o.tot) AS BIGINT) AS p,
+               i.k + 1 AS k
+        FROM it i
+        JOIN vtrans t ON t.variant = i.variant AND t.dst = i.state
+        JOIN tot o ON o.variant = t.variant AND o.src = t.src
+        WHERE i.k < {ATTR_ITERS}
+        GROUP BY t.variant, t.src, i.k),
+    reach AS (SELECT variant, p FROM it
+              WHERE k = {ATTR_ITERS} AND state = 'start'),
+    b AS (SELECT p AS pb FROM reach WHERE variant = 'base'),
+    eff AS (SELECT variant AS channel, greatest(pb - p, 0) AS dr, pb
+            FROM reach CROSS JOIN b WHERE variant <> 'base'),
+    te AS (SELECT CAST(sum(dr) AS BIGINT) AS td FROM eff)
+    SELECT channel,
+           round(CAST(dr AS DOUBLE) / pb, 6) AS removal_effect,
+           round(CAST(dr AS DOUBLE) / td, 6) AS credit_share
+    FROM eff CROSS JOIN te
+    ORDER BY channel
+    """,
+)
+def events_markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov removal-effect attribution over user journeys: build the
+    first-order channel transition graph (journeys truncated at first
+    purchase → absorbing ``conv``; non-converting journeys end in
+    absorbing ``null``), then for each channel re-route its inbound
+    edges to ``null`` (the removal counterfactual), re-run absorption,
+    and credit the channel with its share of the total reach drop.
+
+    Determinism: absorption is iterated in 1e-12 FIXED POINT — each
+    step is an exact BIGINT Σ(cnt·p) (order-free, unlike float matrix
+    powers) followed by one floor division (``div`` ≡ DuckDB ``//``),
+    so all {ATTR_ITERS} iterations are bit-identical across engines;
+    absorbing states ride self-loop edges (cnt=tot=1) so one uniform
+    join step handles every state.  Final shares divide exact BIGINT
+    reach drops.
+
+    Scale shape: one linear scan + per-user windows build the edge
+    list; everything after runs on the CHANNEL-BOUNDED graph (≤
+    (|channels|+3)² edges × |variants| ≈ 2e2 rows — corpus-
+    independent), iterated with lineage truncation every few steps.
+    At 100 TB the only data-sized stages are the sessionize windows
+    and one groupBy — counts fit BIGINT·1e-12 fixed point up to ~1e6
+    events per transition cell per unit reach; beyond that, pre-scale
+    counts to rates at a 1e6 grain (same envelope note as
+    ``ml_anova_oneway``).
+    """
+    ev0 = load_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev0.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(uw).alias("rn"),
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("frn"))
+    )
+    kw = Window.partitionBy("user_id").orderBy("rn")
+    kept = (
+        ev.join(fp, "user_id", "left")
+        .filter(F.col("rn") <= F.coalesce(F.col("frn"), F.lit(2147483647)))
+        .select(
+            "user_id",
+            "rn",
+            "state",
+            "frn",
+            F.coalesce(F.lag("state").over(kw), F.lit("start")).alias("prev"),
+        )
+        # Three consumers: pair edges, terminal edges, and the max-rn
+        # spine — persist the sessionized journey once.
+        .transform(cached)
+    )
+    mrn = kept.groupBy("user_id").agg(F.max("rn").alias("mrn"))
+    edges = kept.select(
+        F.col("prev").alias("src"), F.col("state").alias("dst")
+    ).unionAll(
+        kept.join(
+            mrn, (kept.user_id == mrn.user_id) & (kept.rn == mrn.mrn)
+        )
+        .filter(F.col("frn").isNull())
+        .select(F.col("state").alias("src"), F.lit("null").alias("dst"))
+    )
+    trans0 = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    variants = spark.createDataFrame(
+        [("base",)] + [(c,) for c in ATTR_CHANNELS], "variant string"
+    )
+    absorb = spark.createDataFrame(
+        [("conv",), ("null",)], "state string"
+    )
+    vtrans = (
+        F.broadcast(variants)
+        .join(trans0, F.col("src") != F.col("variant"))
+        .select(
+            "variant",
+            "src",
+            F.when(F.col("dst") == F.col("variant"), "null")
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "cnt",
+        )
+        .groupBy("variant", "src", "dst")
+        .agg(F.sum("cnt").alias("cnt"))
+        .unionAll(
+            F.broadcast(variants)
+            .crossJoin(F.broadcast(absorb))
+            .select(
+                "variant",
+                F.col("state").alias("src"),
+                F.col("state").alias("dst"),
+                F.lit(1).cast("long").alias("cnt"),
+            )
+        )
+        # The bounded graph (≤ ~2e2 rows): persist through the cache
+        # registry (NOT localCheckpoint — the RDD materialization path
+        # skips AQE, so its shuffles run at initialPartitionNum;
+        # measured 1024-task stages and 20 s warm on a 200-row frame)
+        # and repartition — NOT coalesce — to one partition, so the
+        # event-window stages upstream keep their full parallelism
+        # (coalesce(1) pulled them into a single task: 6.9 s warm;
+        # repartition: ~1.5 s).
+        .repartition(1)
+        .transform(cached)
+    )
+    tot = (
+        vtrans.groupBy("variant", "src")
+        .agg(F.sum("cnt").alias("tot"))
+        .repartition(1)
+        .transform(cached)
+    )
+    # The absorption iteration runs INSIDE one Arrow-batched
+    # applyInPandas over variant groups: the journey graph is BOUNDED
+    # (≤ (|channels|+3)² edges per variant), so the 40-step integer
+    # recurrence is a per-group in-memory loop — the documented escape
+    # hatch for semantics the relational operators can't express
+    # cheaply.  Two rejected alternatives, both measured: unrolled
+    # DataFrame iteration with localCheckpoint truncation (the RDD
+    # materialization path skips AQE → 1024-task stages on 35-row
+    # frames, 20 s warm) and without truncation (40 chained adaptive
+    # shuffles → quadratic driver re-planning, >8 min).  The UDF body
+    # is pure Python-int arithmetic — Σ(cnt·p) then one floor
+    # division per state, the EXACT recurrence the oracle's recursive
+    # CTE runs — so results stay bit-identical cross-engine.
+    import pandas as pd  # noqa: PLC0415 (Arrow batch shape only)
+
+    def absorb_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        tot_by_src = dict(
+            pdf.drop_duplicates("src")[["src", "tot"]].itertuples(
+                index=False, name=None
+            )
+        )
+        edges_by_src: dict = {}
+        for src, dst, cnt in pdf[["src", "dst", "cnt"]].itertuples(
+            index=False, name=None
+        ):
+            edges_by_src.setdefault(src, []).append((dst, int(cnt)))
+        p = {s: 0 for s in tot_by_src}
+        p["conv"] = ATTR_SCALE
+        for _ in range(ATTR_ITERS):
+            p = {
+                src: sum(c * p.get(d, 0) for d, c in es)
+                // int(tot_by_src[src])
+                for src, es in edges_by_src.items()
+            }
+        return pd.DataFrame(
+            {
+                "variant": [pdf["variant"].iloc[0]],
+                "p": [int(p.get("start", 0))],
+            }
+        )
+
+    reach = (
+        vtrans.join(F.broadcast(tot), ["variant", "src"])
+        .groupBy("variant")
+        .applyInPandas(absorb_fn, "variant string, p long")
+    )
+    b = reach.filter(F.col("variant") == "base").select(
+        F.col("p").alias("pb")
+    )
+    eff = (
+        reach.filter(F.col("variant") != "base")
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.col("variant").alias("channel"),
+            F.greatest(F.col("pb") - F.col("p"), F.lit(0)).alias("dr"),
+            "pb",
+        )
+    )
+    te = eff.agg(F.sum("dr").alias("td"))
+    return (
+        eff.crossJoin(F.broadcast(te))
+        .select(
+            "channel",
+            F.round(F.col("dr").cast("double") / F.col("pb"), 6).alias(
+                "removal_effect"
+            ),
+            F.round(F.col("dr").cast("double") / F.col("td"), 6).alias(
+                "credit_share"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -445,6 +445,9 @@ EXPECTED_IDS = {
     # round-9 batch 78: isotonic regression via the exact minimax
     # identity on the bounded calibration spine
     "ml_isotonic_calibration",
+    # round-9 batch 79: Markov removal-effect attribution (integer
+    # fixed-point absorption over the channel-bounded journey graph)
+    "events_markov_removal_attribution",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
