@@ -654,17 +654,27 @@ def llm_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind choosing a tokenizer vocab size (what OOV/byte-fallback
     rate would a K-entry vocab pay on this corpus?).
 
-    One corpus-scale token aggregation; everything after (ranking,
-    the K-budget join, cumulative sums) runs over the vocabulary
-    table, which is orders of magnitude smaller than the stream — at
-    100 TB the rank window costs |vocab| log |vocab| on one executor
-    group while the scan dominates.  Counts are exact integers; each
-    coverage is one correctly-rounded division.
+    One corpus-scale token aggregation; everything after runs on at
+    most max(COVERAGE_KS) rows.  Coverage only needs ranks ≤ max(K),
+    so the vocabulary is pre-pruned with ``orderBy(...).limit(max K)``
+    — TakeOrderedAndProject (per-partition top-K, driver merge of K
+    rows per partition), never a single-partition rank window over the
+    full vocabulary: at 100 TB web text the whitespace-token type
+    count is 10⁸–10⁹ (see ``llm_build_vocab``), which no one executor
+    should sort or broadcast.  The totals still aggregate the FULL
+    frequency table (one partial+final agg).  Counts are exact
+    integers; each coverage is one correctly-rounded division.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
-    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
-    ranked = freq.select(
+    freq = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .transform(cached)  # feeds the top-K prune AND the totals
+    )
+    # Bounded-grain window: ≤ max(COVERAGE_KS) rows after the limit.
+    top = freq.orderBy(F.desc("f"), F.asc("t")).limit(max(COVERAGE_KS))
+    ranked = top.select(
         "t",
         "f",
         F.row_number()
@@ -809,8 +819,12 @@ def llm_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same fixed-point OLS discipline as `ml_ols_normal_eq`, here
     applied to transcendental inputs: the ln calls agree across
     engines and the 1e-5 quantization absorbs any final-ulp
-    disagreement risk at rounding boundaries).  The rank window runs
-    over the vocabulary, not the token stream.
+    disagreement risk at rounding boundaries).  The fit needs EVERY
+    rank (the whole log-log line, not a top-K prefix), and the trigram
+    type grain is unbounded at web scale, so the rank is
+    :func:`distrank.global_rank` — the two-pass range-partitioned
+    distributed rank (per-partition row_number + broadcast offsets),
+    never a single-partition ``Window.orderBy`` over all types.
     """
     d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.lower("text"), " ")
@@ -830,10 +844,7 @@ def llm_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(tri).alias("t"))
     )
     freq = g.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
-    ranked = freq.select(
-        "f",
-        F.row_number().over(Window.orderBy(F.desc("f"), F.asc("t"))).alias("rk"),
-    )
+    ranked = global_rank(freq, [F.desc("f"), F.asc("t")], rank_col="rk")
     pts = ranked.select(
         F.round(F.log(F.col("rk").cast("double")) * ZIPF_SCALE)
         .cast("long")
@@ -1755,11 +1766,13 @@ def llm_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage as a FUNCTION of vocab size.
 
     Scale shape: the bigram explode + count is one linear
-    partial+final aggregate; everything after runs on the
-    vocabulary-bounded count table (the rank window and the
-    checkpoint theta-join touch |vocab| rows, independent of corpus
-    row count — same bounded-grain window discipline as
-    ``llm_vocab_zipf_fit``).
+    partial+final aggregate; the curve only needs ranks ≤
+    max(CURVE_KS), so the bigram-type table (strictly LARGER than the
+    unigram vocab — unbounded at web scale) is pre-pruned with
+    ``orderBy(...).limit(max K)`` (TakeOrderedAndProject) before the
+    rank window, which then touches max(CURVE_KS) rows regardless of
+    corpus size.  The coverage denominator still sums the FULL count
+    table.
     """
     d = load_table(spark, sf_dir, "documents")
     ws = _words()
@@ -1775,11 +1788,18 @@ def llm_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(pairs).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c"))
-        .transform(cached)  # feeds the rank window AND the total
+        .transform(cached)  # feeds the top-K prune AND the total
     )
-    r = c.select(
-        "c",
-        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("b"))).alias("rk"),
+    # Bounded-grain window: ≤ max(CURVE_KS) rows after the limit.
+    r = (
+        c.orderBy(F.desc("c"), F.asc("b"))
+        .limit(max(CURVE_KS))
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("b")))
+            .alias("rk"),
+        )
     )
     total = c.agg(F.sum("c").alias("total"))
     ks = spark.createDataFrame([(k,) for k in CURVE_KS], "k long")

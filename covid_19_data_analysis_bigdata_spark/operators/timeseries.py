@@ -1747,8 +1747,11 @@ def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-user sequence is one window (partitioned by user — no
     global sort); path assembly is sort_array over the ≤8 collected
     (rn, type) structs, so the shuffled payload per user is bounded by
-    the path length, not the user's event count.  The final top-N runs
-    over the path-count table (≤ |users| rows, already aggregated).
+    the path length, not the user's event count.  Distinct paths grow
+    combinatorially with corpus size (|event_types|^8 worst case), so
+    the final top-N is ``orderBy(...).limit(PATH_TOPN)`` —
+    TakeOrderedAndProject (per-partition top-N, driver merge), never a
+    single-partition rank window over the unbounded path grain.
     Total order everywhere: (ts, event_id) inside the path,
     (n_users DESC, path) for the ranking.
     """
@@ -1775,12 +1778,7 @@ def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
-    wt = Window.orderBy(F.desc("n_users"), F.asc("path"))
-    return (
-        counted.withColumn("rk", F.row_number().over(wt))
-        .filter(F.col("rk") <= PATH_TOPN)
-        .drop("rk")
-    )
+    return counted.orderBy(F.desc("n_users"), F.asc("path")).limit(PATH_TOPN)
 
 
 # --------------------------------------------------------------------------

@@ -984,6 +984,10 @@ ENTITY_GRAIN_QUERIES = [
     ("llm_curriculum_order", []),
     ("events_active_streak_users", []),
     ("graph_clustering_local", []),
+    # round-10 de-globalizations (r9 verdict task 1): full-rank via
+    # distrank.global_rank / top-N via TakeOrderedAndProject
+    ("llm_vocab_zipf_fit", []),
+    ("events_user_paths", []),
 ]
 
 
@@ -1007,6 +1011,36 @@ def test_entity_topn_uses_take_ordered(spark, sf_dir):
     for name in ("events_active_streak_users", "graph_clustering_local"):
         plan = _plan(spark, sf_dir, name)
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_coverage_curves_pre_pruned_to_topk(spark, sf_dir):
+    """Round-10 (r9 verdict task 1): the two vocabulary-coverage
+    queries must prune the unbounded type table to max(K) rows via
+    TakeOrderedAndProject BEFORE their rank window — the remaining
+    unpartitioned window spec is then bounded by the K constant, and
+    the ranked-side broadcast is O(K), not O(|vocab|).
+    ``events_user_paths`` drops its rank window entirely (pure
+    TakeOrderedAndProject top-N over the combinatorial path grain)."""
+    for name in (
+        "llm_tokenizer_coverage",
+        "llm_ngram_coverage_curve",
+        "events_user_paths",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+    # the curves keep exactly ONE (bounded, post-limit) global spec
+    for name in ("llm_tokenizer_coverage", "llm_ngram_coverage_curve"):
+        keys = _unpartitioned_window_sort_keys(_plan(spark, sf_dir, name))
+        assert len(keys) <= 1, (name, keys)
+
+
+def test_zipf_fit_uses_distrank(spark, sf_dir):
+    """llm_vocab_zipf_fit needs EVERY rank (whole log-log line), so it
+    must ride distrank.global_rank — range partitioning in the plan,
+    zero unpartitioned window specs (pinned by the parametrized
+    entity-grain test above)."""
+    plan = _plan(spark, sf_dir, "llm_vocab_zipf_fit")
+    assert "rangepartitioning" in plan.lower(), plan[:2000]
 
 
 # --------------------------------------------------------------------------

@@ -9,7 +9,14 @@ Flags (SURVEY.md §4.3 discipline):
 - exchanges > 6          — shuffle-heavy plan worth a second look;
 - nested output type     — array/map/struct column in a registered
                            query's output schema (result-comparison
-                           harnesses cannot canonicalize nested cells).
+                           harnesses cannot canonicalize nested cells);
+- global-window          — unpartitioned WindowExec (single-executor
+                           sort of its whole input) outside the
+                           documented bounded-grain allowlist
+                           (round-10 guard; the scale-safe routes are
+                           ``distrank.global_rank`` for full ranks and
+                           ``orderBy().limit(K)`` pre-pruning for
+                           top-K, see operators/distrank.py).
 
 Usage: python tools/audit_plans.py [--sf DIR] [name ...]
 """
@@ -57,6 +64,107 @@ EXCHANGE_OVERRIDES = {
     "report_rfm_segmentation": 9,
 }
 
+#: Queries whose plans legitimately contain an UNPARTITIONED window —
+#: every entry's window input is a BOUNDED grain, so the single-task
+#: sort is O(grain), independent of corpus size.  Grain classes:
+#:
+#: - day spine: distinct calendar days (≤ ~2.4k for the synthetic
+#:   1995-2001 span; grows with time, never with data volume);
+#: - duration days: distinct event-duration values in whole days
+#:   (survival family), bounded by the observation span;
+#: - bins/deciles/buckets/stages: fixed-cardinality quantization
+#:   grains (10 deciles, CURRICULUM_STAGES, learning-curve buckets);
+#: - post-limit top-K: the window input is already pruned by
+#:   ``orderBy().limit(K)`` (TakeOrderedAndProject) or an equivalent
+#:   bounded reservoir, so ≤ K rows reach the single task;
+#: - aggregated dimension: the window runs over an already-aggregated
+#:   bounded dimension table (nations, sources, contingency cells,
+#:   partition directories, replicate ids, the ≤600-row trade-edge
+#:   graph), never over a fact table;
+#: - eval-set curve: ROC/PR/gains/calibration curves rank a labeled
+#:   EVALUATION set — bounded by labeling budget, not corpus size
+#:   (each docstring carries the argument);
+#: - part dimension: report_pareto_abc / report_abc_xyz cumulative
+#:   windows over the part catalog — the round-9 verdict's documented
+#:   borderline-accepted case (facts never enter the window).
+#:
+#: Anything NOT listed here that plans an unpartitioned WindowExec is
+#: flagged ``global-window`` — the round-6 single-executor-sort class
+#: (llm_tokenizer_coverage / llm_ngram_coverage_curve /
+#: llm_vocab_zipf_fit / events_user_paths were de-globalized in
+#: round 10; tests/test_plans.py pins the audit output, so a new
+#: unbounded global window fails pytest until fixed or documented).
+BOUNDED_WINDOW_ALLOW = {
+    # day spine
+    "stream_error_rate_alert", "ts_active_outstanding",
+    "ts_bollinger_bands", "ts_decompose_stl_lite", "ts_doubling_time",
+    "ts_drawdown_duration", "ts_growth_ratio_rt", "ts_interval_coverage",
+    "ts_lagged_outcome_ratio", "ts_mase_backtest", "ts_max_drawdown",
+    "ts_pinball_loss", "ts_sharpe_ratio", "ts_theil_u2",
+    "ts_variance_ratio", "win_rolling_corr", "win_rolling_slope",
+    "ml_sprt_monitor", "ml_brier_score", "ml_conformal_interval",
+    # duration-day spine (survival family)
+    "ml_kaplan_meier", "ml_nelson_aalen", "ml_rmst",
+    "ml_competing_risks",
+    # bins / deciles / buckets / bounded spines
+    "report_lorenz_points", "ml_isotonic_calibration",
+    "ml_learning_curve", "ml_decision_stump", "ml_bootstrap_ci",
+    "ts_theil_sen", "sql_recursive_reset_accumulator",
+    # post-limit top-K / bounded reservoir
+    "llm_build_vocab", "llm_tokenizer_coverage",
+    "llm_ngram_coverage_curve", "llm_dataset_card",
+    "llm_pack_sequences", "sample_reservoir_topk",
+    "report_skyline_parts", "graph_jaccard_neighbors", "dq_id_gaps",
+    # aggregated bounded dimension
+    "report_share_of_total", "report_ratio_to_parent",
+    "report_position_attribution", "report_catalog_adoption",
+    "graph_hits_scores", "graph_modularity", "ml_chi2_contingency",
+    "ml_cramers_v", "ml_mutual_information", "dq_entropy_drift",
+    "dq_anomalous_partitions", "dq_ks_two_sample",
+    "scan_dpp_star_join", "ml_rank_biased_overlap",
+    # eval-set score curves
+    "ml_roc_auc", "ml_pr_curve", "ml_cumulative_gains",
+    # part-dimension cumulative (round-9 borderline-accepted)
+    "report_pareto_abc", "report_abc_xyz",
+}
+
+
+def _unpartitioned_window_specs(plan: str) -> int:
+    """Count UNPARTITIONED windowspecdefinitions in a formatted plan.
+
+    ``windowspecdefinition(p1, …, o1 ASC …, frame)`` lists partition
+    columns FIRST (bare attributes, no ASC/DESC); an unpartitioned
+    spec starts directly with a sort expression or with the frame.
+    The first argument is extracted paren-depth-aware so nested calls
+    like ``round(x, 6)`` don't split it.  (Same parse as
+    tests/test_plans.py::_unpartitioned_window_sort_keys.)
+    """
+    n = 0
+    marker = "windowspecdefinition("
+    i = plan.find(marker)
+    while i != -1:
+        j = i + len(marker)
+        depth, arg = 0, []
+        while j < len(plan):
+            c = plan[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            arg.append(c)
+            j += 1
+        first = "".join(arg).strip()
+        if " ASC" in first or " DESC" in first or first.startswith(
+            "specifiedwindowframe"
+        ):
+            n += 1
+        i = plan.find(marker, i + 1)
+    return n
+
 
 def audit(spark, names, sf_dir: str) -> dict[str, list[str]]:
     """Build each query's physical plan and return {name: [flags]}.
@@ -97,6 +205,9 @@ def audit(spark, names, sf_dir: str) -> dict[str, list[str]]:
         )
         if n_ex > EXCHANGE_OVERRIDES.get(name, EXCHANGE_BUDGET):
             flags.append(f"exchanges={n_ex}")
+        n_gw = _unpartitioned_window_specs(plan)
+        if n_gw and name not in BOUNDED_WINDOW_ALLOW:
+            flags.append(f"global-window={n_gw}")
         if flags:
             out[name] = flags
     return out
