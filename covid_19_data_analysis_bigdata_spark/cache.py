@@ -118,6 +118,33 @@ def cached(df: DataFrame) -> DataFrame:
     return df
 
 
+def uncache(df: DataFrame) -> None:
+    """Unpersist and FORGET ``df``'s plan (registry entry included).
+
+    Counterpart of :func:`cached` for owners that know a frame's
+    lifetime has ended (round-10 advice fix: the ANN model memo evicts
+    trained codebook/code frames at its cap, and without dropping the
+    registry entry the executors keep the evicted frames' blocks alive
+    for the rest of the session — a storage leak across many sf_dirs).
+    Safe on never-cached frames and on frames from a dead session.
+    """
+    try:
+        key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+    except Exception:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+        return
+    with _LOCK:
+        olds = _REGISTRY.pop(key, None) or []
+    for old in olds:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def clear_cache() -> None:
     """Unpersist and forget every registered frame (test/session teardown)."""
     with _LOCK:

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from covid_19_data_analysis_bigdata_spark.cache import cached
+from covid_19_data_analysis_bigdata_spark.cache import cached, uncache
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.operators.llm import (
     FUZZY_PAIRS_CTES,
@@ -1226,7 +1226,14 @@ def _ann_memo(spark: SparkSession, sf_dir: str, tag: str, builder):
     if frames is None:
         frames = tuple(builder())
         while len(_ANN_MODEL_MEMO) >= _ANN_MEMO_CAP:
-            _ANN_MODEL_MEMO.pop(next(iter(_ANN_MODEL_MEMO)))
+            # Round-10 advice fix: evicted entries' frames were handed
+            # out through ``cached``, so their persisted blocks live in
+            # the cache registry — drop those too, or trained
+            # codebooks/codes from long-gone sf_dirs stay pinned on
+            # executors for the rest of the session.
+            evicted = _ANN_MODEL_MEMO.pop(next(iter(_ANN_MODEL_MEMO)))
+            for f in evicted:
+                uncache(f)
         _ANN_MODEL_MEMO[key] = frames
     return tuple(f.transform(cached) for f in frames)
 

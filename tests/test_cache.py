@@ -123,3 +123,36 @@ def test_ann_model_memo_trains_once_per_session(spark, sf_dir):
     m3 = textprep._pq_model(spark, sf_dir)
     assert all(a is b for a, b in zip(m1, m3))
     assert m3[2].storageLevel != StorageLevel.NONE
+
+
+def test_ann_memo_eviction_unpersists_registry_frames(spark, fresh_registry):
+    """Round-10 advice fix: when the ANN model memo evicts an entry at
+    _ANN_MEMO_CAP, the evicted frames' persisted blocks (held by the
+    cache registry from earlier hand-outs) must be unpersisted —
+    otherwise codebooks/codes from long-gone sf_dirs stay on executors
+    for the whole session."""
+    from covid_19_data_analysis_bigdata_spark.operators import textprep
+
+    saved = dict(textprep._ANN_MODEL_MEMO)
+    textprep._ANN_MODEL_MEMO.clear()
+    try:
+        handles = {}
+        for i in range(textprep._ANN_MEMO_CAP + 1):
+            (h,) = textprep._ann_memo(
+                spark,
+                f"/tmp/evict-fixture-{i}",
+                "t",
+                lambda i=i: (spark.range(100 + i),),
+            )
+            h.count()
+            handles[i] = h
+            assert h.storageLevel != StorageLevel.NONE
+        # entry 0 was evicted by the CAP+1'th insert: its persisted
+        # block AND registry entry are gone …
+        assert handles[0].storageLevel == StorageLevel.NONE
+        # … while the survivors keep theirs
+        assert handles[1].storageLevel != StorageLevel.NONE
+        assert handles[textprep._ANN_MEMO_CAP].storageLevel != StorageLevel.NONE
+    finally:
+        textprep._ANN_MODEL_MEMO.clear()
+        textprep._ANN_MODEL_MEMO.update(saved)

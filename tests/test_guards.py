@@ -394,3 +394,116 @@ def test_no_duplicate_module_constants():
                         offenders.append(f"{os.path.basename(path)}:{name}")
                     seen.add(name)
     assert not offenders, offenders
+
+
+# --------------------------------------------------------------------------
+# Round-10 (r9 advice, medium): llm_sparse_cosine minoverlap recall contract
+# --------------------------------------------------------------------------
+
+class TestSparseCosineMinoverlapContract:
+    """Pin the recall trade of llm_sparse_cosine's candidate stage.
+
+    The DuckDB oracle embeds the SAME ``n_shared >= SPARSE_CAND_MIN_SHARED``
+    approximation as the Spark plan, so the sweep can never detect
+    recall loss on a new data distribution — PASS certifies agreement,
+    not exhaustiveness.  This fixture makes the trade observable: one
+    true near-dup pair (exact cosine ~0.996, brute-force-verified in
+    the test itself) shares exactly MIN_SHARED-1 sub-cap grams and is
+    EXPECTED-MISS; its 5-shared twin is EXPECTED-HIT.  If anyone
+    retunes SPARSE_CAND_MIN_SHARED or the candidate cap, this test
+    states exactly which qualifying pairs start (or stop) surfacing.
+    """
+
+    def _fixture_dir(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # Pair (1, 2): 4-word cycle -> exactly 4 shared trigram types.
+        t1 = " ".join(["qa qb qc qd"] * 10)
+        t2 = t1 + " qx qy qz"  # 3 unique boundary trigrams, tf=1 each
+        # Pair (3, 4): 5-word cycle -> exactly 5 shared trigram types.
+        t3 = " ".join(["pa pb pc pd pe"] * 8)
+        t4 = t3 + " pu pv pw"
+        texts = [t1, t2, t3, t4]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "source": pa.array(["src0"] * 4, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    @staticmethod
+    def _trigram_counts(text):
+        ws = text.split(" ")
+        out = {}
+        for i in range(len(ws) - 2):
+            g = " ".join(ws[i : i + 3])
+            out[g] = out.get(g, 0) + 1
+        return out
+
+    def test_expected_miss_and_hit_pinned(self, spark, tmp_path):
+        import math
+
+        from covid_19_data_analysis_bigdata_spark.operators import retrieval
+
+        sf = self._fixture_dir(tmp_path)
+        # Brute-force ground truth: BOTH pairs qualify (cosine >= tau).
+        c1, c2 = self._trigram_counts(
+            " ".join(["qa qb qc qd"] * 10)
+        ), self._trigram_counts(" ".join(["qa qb qc qd"] * 10) + " qx qy qz")
+        shared = set(c1) & set(c2)
+        assert len(shared) == retrieval.SPARSE_CAND_MIN_SHARED - 1
+        dot = sum(c1[g] * c2[g] for g in shared)
+        cos = dot / math.sqrt(
+            sum(v * v for v in c1.values()) * sum(v * v for v in c2.values())
+        )
+        assert cos >= retrieval.SPARSE_TAU, cos  # a TRUE near-dup...
+        got = {
+            (r.a_id, r.b_id)
+            for r in retrieval.llm_sparse_cosine(spark, sf).collect()
+        }
+        # ...that the minoverlap candidate gate drops by contract:
+        assert (1, 2) not in got, (
+            "pair sharing MIN_SHARED-1 capped grams surfaced — the "
+            "candidate gate semantics changed; update the docstring "
+            "recall note and this pin together"
+        )
+        # while the >=MIN_SHARED twin with the same construction hits:
+        assert (3, 4) in got, (
+            "pair sharing exactly MIN_SHARED capped grams was dropped — "
+            "recall regressed below the documented contract"
+        )
+
+
+def test_attribution_rejects_reserved_state_names(spark, tmp_path):
+    """Round-10 advice fix: an event_type equal to a reserved Markov
+    state name ('start'/'conv'/'null'/'base') would silently merge with
+    the synthetic state in BOTH engines — the oracle can't see it, so
+    the plan must fail loudly instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from covid_19_data_analysis_bigdata_spark.operators.attribution import (
+        events_markov_removal_attribution,
+    )
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(3)],
+                           pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "event_type": pa.array(["view", "null", "purchase"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}"] * 3, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    with pytest.raises(Exception, match="reserved Markov state"):
+        events_markov_removal_attribution(spark, str(tmp_path)).collect()
