@@ -774,6 +774,19 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only the bounded pair graph participates, never the corpus.  The
     DuckDB oracle computes the same components by recursive-CTE
     transitive closure.
+
+    Two exactness-preserving cost cuts vs the naive loop (round-9
+    verdict task 3): (1) labels are SEEDED with min(self, neighbors) —
+    one aggregate over the edge list that is exactly the first
+    propagation round, so the loop starts a hop ahead; (2) the
+    fixed-point check is a sum-of-labels comparison instead of a
+    join-against-previous count: every node's label is monotonically
+    non-increasing (new = min(old, neighbor labels)), so the total
+    Σ label strictly decreases iff ANY label changed — an exact
+    convergence witness from one tiny aggregate over the already-
+    checkpointed label table, no per-round join with the old labels.
+    The sum is decimal(38,0): exact up to ~1e12 nodes with 64-bit ids
+    (1e12 · 9.2e18 < 1e38), i.e. far past 100 TB corpus scale.
     """
     from covid_19_data_analysis_bigdata_spark.operators.llm import (
         llm_dedup_fuzzy,
@@ -783,19 +796,30 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).toDF("u", "v")
-    labels = edges.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # Seed = min(self, min neighbor): identical to one round of
+    # propagation from identity labels, for the cost of one groupBy.
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mnv"))
+        .select(F.col("u").alias("node"), F.least("u", "mnv").alias("label"))
+        .localCheckpoint(eager=True)
     )
-    # Fixed-point iteration: a round that changes no label proves
-    # convergence for ANY graph diameter (labels only ever decrease),
-    # instead of assuming a hop bound.  The change check is one count()
-    # over the bounded label table per round — driver-side scalars only.
+
+    def _label_sum(lbl: DataFrame) -> int:
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).head()[0]
+
+    prev_sum = _label_sum(labels)
+    # Fixed-point iteration: an unchanged Σ label proves convergence
+    # for ANY graph diameter (labels only ever decrease), instead of
+    # assuming a hop bound.  Driver-side scalars only.
     for it in range(64):
         via_nbr = (
             edges.join(labels, edges.v == labels.node)
             .select(F.col("u").alias("node"), "label")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(via_nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
@@ -806,15 +830,10 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             # iterative Spark dataflows.
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.withColumnRenamed("label", "old")
-            .join(new_labels, "node")
-            .filter(F.col("old") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:  # pragma: no cover - needs a >64-hop chain component
         raise RuntimeError("label propagation did not converge in 64 rounds")
     # cluster_reach mirrors the oracle's closure count: the component
