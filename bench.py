@@ -117,40 +117,59 @@ def main() -> int:
         ).collect()
         return round(time.time() - t0, 3)
 
-    canary()  # warm the canary codepath (JVM/codegen) before recording
-    canaries = [canary()]
-    times: dict[str, float] = {}
-    for qi, name in enumerate(HEADLINE):
-        fn = qs[name]
-        # Round-5 harness fix (round-8 form): queries cache shared
-        # intermediates through the cache.py registry; clearing BOTH
-        # the registry and Spark's CacheManager between queries makes
-        # each measurement independent and round-over-round comparable
-        # (the registry clear keeps its handles coherent with the
-        # CacheManager state).  Within a query's samples the cache
-        # stays warm, preserving the warm-timing contract.
-        clear_cache()
-        spark.catalog.clearCache()
-        fn(spark, sf_dir).toPandas()  # warm
-        samples = []
-        for _ in range(3):
-            t0 = time.time()
-            fn(spark, sf_dir).toPandas()
-            samples.append(time.time() - t0)
-        # Round-8 harness fix: the heavy tail (≥ 1.5 s) dominates the
-        # total and is exactly where bursty ambient load lands — two
-        # more samples there makes the median robust to one slow AND
-        # one fast outlier (median-of-5), at ~10% extra wall time.
-        if sorted(samples)[1] >= 1.5:
-            for _ in range(2):
+    def measure() -> tuple[dict[str, float], list[float], float]:
+        canary()  # warm the canary codepath (JVM/codegen) before recording
+        canaries = [canary()]
+        times: dict[str, float] = {}
+        for qi, name in enumerate(HEADLINE):
+            fn = qs[name]
+            # Round-5 harness fix (round-8 form): queries cache shared
+            # intermediates through the cache.py registry; clearing BOTH
+            # the registry and Spark's CacheManager between queries makes
+            # each measurement independent and round-over-round comparable
+            # (the registry clear keeps its handles coherent with the
+            # CacheManager state).  Within a query's samples the cache
+            # stays warm, preserving the warm-timing contract.
+            clear_cache()
+            spark.catalog.clearCache()
+            fn(spark, sf_dir).toPandas()  # warm
+            samples = []
+            for _ in range(3):
                 t0 = time.time()
                 fn(spark, sf_dir).toPandas()
                 samples.append(time.time() - t0)
-        med = sorted(samples)[len(samples) // 2]
-        times[name] = round(med, 3)
-        if (qi + 1) % 10 == 0:
-            canaries.append(canary())
-    canaries.append(canary())
+            # Round-8 harness fix: the heavy tail (≥ 1.5 s) dominates the
+            # total and is exactly where bursty ambient load lands — two
+            # more samples there makes the median robust to one slow AND
+            # one fast outlier (median-of-5), at ~10% extra wall time.
+            if sorted(samples)[1] >= 1.5:
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, sf_dir).toPandas()
+                    samples.append(time.time() - t0)
+            med = sorted(samples)[len(samples) // 2]
+            times[name] = round(med, 3)
+            if (qi + 1) % 10 == 0:
+                canaries.append(canary())
+        canaries.append(canary())
+        spread = round(max(canaries) / max(min(canaries), 1e-9), 3)
+        return times, canaries, spread
+
+    # Round-10 methodology pin (round-9 verdict task 7): two same-code
+    # A/B runs differed 36.4 s vs 47.9 s purely on ambient spread, so a
+    # run whose canary spread exceeds CANARY_SPREAD_MAX is not
+    # comparable round-over-round and is RE-MEASURED once; the attempt
+    # with the lower spread is reported.  The threshold and every
+    # attempt's spread are recorded in the JSON so readers can audit
+    # which rule fired.
+    CANARY_SPREAD_MAX = 1.8
+    times, canaries, spread = measure()
+    attempt_spreads = [spread]
+    if spread > CANARY_SPREAD_MAX:
+        times2, canaries2, spread2 = measure()
+        attempt_spreads.append(spread2)
+        if spread2 < spread:
+            times, canaries, spread = times2, canaries2, spread2
 
     total = round(sum(times.values()), 3)
     print(
@@ -164,9 +183,12 @@ def main() -> int:
                 # ambient-load canary: fixed job, measured at start /
                 # every 10 queries / end.  spread >> 1.0 means the box
                 # was bursty and the totals are not comparable across
-                # rounds without re-measurement.
+                # rounds without re-measurement (which the rule above
+                # performs automatically once when spread > threshold).
                 "canary_sec": canaries,
-                "canary_spread": round(max(canaries) / max(min(canaries), 1e-9), 3),
+                "canary_spread": spread,
+                "canary_spread_threshold": CANARY_SPREAD_MAX,
+                "canary_attempt_spreads": attempt_spreads,
             }
         )
     )
