@@ -988,6 +988,9 @@ ENTITY_GRAIN_QUERIES = [
     # distrank.global_rank / top-N via TakeOrderedAndProject
     ("llm_vocab_zipf_fit", []),
     ("events_user_paths", []),
+    # round-10: cumulative-revenue banding via the _cum_below
+    # distributed prefix sum (was the r9 borderline global-window note)
+    ("report_pareto_abc", []),
 ]
 
 
