@@ -3123,3 +3123,214 @@ def report_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("u"), F.asc("v"))
         .limit(BASKET_LIFT_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Round-10 batch 80: skyline variants — grouped frontier + dominator top-k
+# --------------------------------------------------------------------------
+
+#: Top-k (price, size) points reported by domination count.
+DOM_TOPK = 25
+#: Grid resolution per dimension for the dominance-count decomposition.
+DOM_GRID = 32
+
+
+@query(
+    "report_group_skyline",
+    oracle="""
+    WITH pts AS (
+        SELECT p_brand, p_retailprice, p_size, count(*) AS n_parts
+        FROM part GROUP BY p_brand, p_retailprice, p_size)
+    SELECT p_brand,
+           p_retailprice,
+           CAST(p_size AS INTEGER) AS p_size,
+           CAST(n_parts AS BIGINT) AS n_parts
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.p_brand = p.p_brand
+          AND q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def report_group_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped skyline: the per-brand Pareto frontier of (price ↓,
+    size ↑) — "best offers within every brand", the partitioned
+    variant of ``report_skyline_parts`` that a catalog team runs when
+    frontiers are only comparable within a segment.
+
+    Same two-stage sweep as the global skyline, with the group key
+    prepended to every partition spec: a *local* prune inside
+    (brand, hash-bucket) windows first (dominated-in-any-subset ⇒
+    dominated-globally, so pruning inside arbitrary buckets is always
+    safe), then the exact sweep inside per-brand windows over local
+    winners only.  NO unpartitioned window exists at all — the group
+    key keeps even the final sweep partitioned, so this scales with
+    the number of brands × frontier size, never with the part count
+    in one task.  Dominance is pure comparisons on stored values —
+    no arithmetic, so both engines agree bit-exactly.
+    """
+    part = load_table(spark, sf_dir, "part")
+    pts = part.groupBy("p_brand", "p_retailprice", "p_size").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    sweep_cols = [F.asc("p_retailprice"), F.desc("p_size")]
+    local_w = (
+        Window.partitionBy(
+            "p_brand", F.pmod(F.hash("p_retailprice"), F.lit(16))
+        )
+        .orderBy(*sweep_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pruned = (
+        pts.withColumn("mx", F.max("p_size").over(local_w))
+        .filter(F.col("mx").isNull() | (F.col("mx") < F.col("p_size")))
+        .drop("mx")
+    )
+    brand_w = (
+        Window.partitionBy("p_brand")
+        .orderBy(*sweep_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pruned.withColumn("mx", F.max("p_size").over(brand_w))
+        .filter(F.col("mx").isNull() | (F.col("mx") < F.col("p_size")))
+        .select("p_brand", "p_retailprice", "p_size", "n_parts")
+    )
+
+
+@query(
+    "report_skyline_dominators",
+    oracle=f"""
+    WITH pts AS (
+        SELECT p_retailprice AS price, p_size AS sz, count(*) AS m
+        FROM part GROUP BY p_retailprice, p_size)
+    SELECT a.price,
+           CAST(a.sz AS INTEGER)                    AS sz,
+           CAST(a.m AS BIGINT)                      AS n_parts,
+           CAST(coalesce(sum(b.m), 0) AS BIGINT)    AS dominated
+    FROM pts a
+    LEFT JOIN pts b ON b.price > a.price AND b.sz < a.sz
+    GROUP BY a.price, a.sz, a.m
+    ORDER BY dominated DESC, a.price ASC, a.sz ASC
+    LIMIT {DOM_TOPK}
+    """,
+)
+def report_skyline_dominators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k dominating points: for every distinct (price, size) offer,
+    the exact count of parts it strictly dominates (cheaper AND
+    bigger), ranked by that count — "which offers obsolete the most
+    catalog" — the counting companion to the skyline's yes/no
+    frontier.
+
+    The oracle states the count as the quadratic dominance join; the
+    Spark plan replaces all-pairs with the exact grid decomposition:
+    points land in a G×G bin grid (G={DOM_GRID} per dimension,
+    fixed-width over the observed min/max), the per-cell counts
+    (≤ G² rows) broadcast, and a point's dominated-count splits into
+    (a) cells strictly below-right of its own — summed exactly from
+    the broadcast grid with zero per-point work, binning guarantees
+    strictness because equal values share a bin — plus (b) the two
+    boundary strips (same price-bin row, same size-bin column), which
+    are EQUI-joins on the bin id with the strict comparison applied
+    per pair.  Candidate pairs fall from n² to ~2n²/G; G grows with
+    the catalog at scale (the decomposition is exact for every G, so
+    tuning G never changes results — only the full-cell/strip split).
+    Final top-k totals an ORDER BY with unique (price, size)
+    tie-break through TakeOrderedAndProject, never a global sort.
+    """
+    part = load_table(spark, sf_dir, "part")
+    pts = (
+        part.groupBy(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("sz"),
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+        .transform(cached)
+    )
+    g = F.lit(DOM_GRID)
+    bounds = pts.agg(
+        F.min("price").alias("lo_p"),
+        F.max("price").alias("hi_p"),
+        F.min("sz").alias("lo_s"),
+        F.max("sz").alias("hi_s"),
+    )
+
+    def _bin(col: str, lo: str, hi: str) -> F.Column:
+        span = F.col(hi) - F.col(lo)
+        raw = F.when(span == 0, F.lit(0)).otherwise(
+            F.floor((F.col(col) - F.col(lo)) / span * g)
+        )
+        return F.least(raw, g - 1).cast("int")
+
+    binned = (
+        pts.crossJoin(F.broadcast(bounds))
+        .select(
+            "price",
+            "sz",
+            "m",
+            _bin("price", "lo_p", "hi_p").alias("bi"),
+            _bin("sz", "lo_s", "hi_s").alias("bj"),
+        )
+        .transform(cached)
+    )
+    cells = binned.groupBy("bi", "bj").agg(F.sum("m").alias("cm"))
+    # full cells: strictly higher price-bin AND strictly lower size-bin
+    # (equal values share a bin, so bin-strict ⟹ value-strict)
+    other = cells.select(
+        F.col("bi").alias("obi"), F.col("bj").alias("obj"),
+        F.col("cm").alias("ocm"),
+    )
+    full = (
+        cells.join(
+            F.broadcast(other),
+            (F.col("obi") > F.col("bi")) & (F.col("obj") < F.col("bj")),
+            "left",
+        )
+        .groupBy("bi", "bj")
+        .agg(F.coalesce(F.sum("ocm"), F.lit(0)).alias("full_cnt"))
+    )
+    strict = (F.col("bprice") > F.col("price")) & (F.col("bsz") < F.col("sz"))
+    b_side = binned.select(
+        F.col("price").alias("bprice"), F.col("sz").alias("bsz"),
+        F.col("m").alias("bm"), F.col("bi").alias("bbi"),
+        F.col("bj").alias("bbj"),
+    )
+    # row strip: same price-bin (any size-bin ≤ own handled by strict)
+    row_cnt = (
+        binned.join(b_side, F.col("bbi") == F.col("bi"), "left")
+        .groupBy("price", "sz")
+        .agg(
+            F.sum(F.when(strict, F.col("bm")).otherwise(0)).alias("row_cnt")
+        )
+    )
+    # column strip: same size-bin, strictly higher price-bin
+    col_cnt = (
+        binned.join(
+            b_side,
+            (F.col("bbj") == F.col("bj")) & (F.col("bbi") > F.col("bi")),
+            "left",
+        )
+        .groupBy("price", "sz")
+        .agg(
+            F.sum(F.when(strict, F.col("bm")).otherwise(0)).alias("col_cnt")
+        )
+    )
+    return (
+        binned.join(full, ["bi", "bj"])
+        .join(row_cnt, ["price", "sz"])
+        .join(col_cnt, ["price", "sz"])
+        .select(
+            "price",
+            "sz",
+            F.col("m").alias("n_parts"),
+            (
+                F.col("full_cnt")
+                + F.coalesce(F.col("row_cnt"), F.lit(0))
+                + F.coalesce(F.col("col_cnt"), F.lit(0))
+            ).cast("long").alias("dominated"),
+        )
+        .orderBy(F.desc("dominated"), F.asc("price"), F.asc("sz"))
+        .limit(DOM_TOPK)
+    )

@@ -991,6 +991,10 @@ ENTITY_GRAIN_QUERIES = [
     # round-10: cumulative-revenue banding via the _cum_below
     # distributed prefix sum (was the r9 borderline global-window note)
     ("report_pareto_abc", []),
+    # round-10 batch 80: every window carries the brand partition key /
+    # the dominance count is grid-join + TakeOrderedAndProject
+    ("report_group_skyline", []),
+    ("report_skyline_dominators", []),
 ]
 
 
@@ -1285,3 +1289,31 @@ def test_isotonic_grid_is_broadcast_bounded(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ml_isotonic_calibration")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# Round-10 batch 80: skyline-variant plan pins
+# --------------------------------------------------------------------------
+
+
+def test_group_skyline_two_stage_brand_partitioned(spark, sf_dir):
+    """report_group_skyline runs the bucket-local prune then the
+    per-brand sweep — two Window stages, both partitioned (the
+    parametrized entity-grain guard separately pins zero
+    unpartitioned specs)."""
+    plan = _plan(spark, sf_dir, "report_group_skyline")
+    assert plan.count("Window") >= 2
+    assert "hashpartitioning" in plan.lower()
+
+
+def test_skyline_dominators_grid_no_cartesian(spark, sf_dir):
+    """report_skyline_dominators must decompose dominance counting
+    into the broadcast grid + equi-joined boundary strips: no
+    CartesianProduct (the only theta join is the bounded G x G cell
+    grid against itself, which compiles to a broadcast nested loop),
+    and the final top-k rides TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "report_skyline_dominators")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the point-vs-point strip joins are hash equi-joins on the bin id
+    assert "hashpartitioning" in plan.lower() or "SortMergeJoin" in plan

@@ -448,6 +448,9 @@ EXPECTED_IDS = {
     # round-9 batch 79: Markov removal-effect attribution (integer
     # fixed-point absorption over the channel-bounded journey graph)
     "events_markov_removal_attribution",
+    # round-10 batch 80: skyline variants — per-brand Pareto frontier
+    # and exact grid-decomposed dominance counting
+    "report_group_skyline", "report_skyline_dominators",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
