@@ -117,6 +117,14 @@ SENSITIVE = [
     "agg_theta_set_ops",
     "agg_theta_band",
     "agg_kll_band",
+    # round-10: the distributed-prefix-sum ABC banding (decimal cum
+    # must be exact at ANY partition split), the Σ-label CC fixed
+    # point, and the grid-decomposed dominance count (integer counts,
+    # but the full-cell/strip split must not leak into results)
+    "report_pareto_abc",
+    "llm_dedup_clusters",
+    "report_skyline_dominators",
+    "report_group_skyline",
 ]
 
 
