@@ -1046,3 +1046,72 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.row_number().over(wr).cast("long").alias("rnk"),
     ).filter(F.col("rnk") <= 3)
+
+
+@query(
+    "stream_chained_agg",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    ten AS (
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS w10s,
+               count(*) AS cnt10,
+               CAST(round(sum(value), 4) AS DECIMAL(18,4)) AS sum10
+        FROM events GROUP BY 1),
+    hr AS (
+        SELECT time_bucket(INTERVAL '1 hour', w10s) AS whs,
+               CAST(sum(cnt10) AS BIGINT)           AS cnt,
+               round(CAST(sum(sum10) AS DOUBLE), 4) AS sum_value,
+               CAST(count(*) AS BIGINT)             AS n_subwindows
+        FROM ten GROUP BY 1)
+    SELECT epoch_ms(whs) AS window_start_ms, cnt, sum_value, n_subwindows
+    FROM hr, m
+    WHERE whs + INTERVAL '1 hour' <= mx - INTERVAL '1 hour'
+    """,
+)
+def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained time-window aggregations in ONE streaming query
+    (window-on-window, Spark 3.4+): 10-minute tumbling partials roll up
+    into hourly windows — the pre-aggregation cascade every high-volume
+    metrics pipeline runs (raw events → minute grain → hour grain)
+    without a second job or an intermediate sink.
+
+    The second ``groupBy(window(col("w10"), "1 hour"))`` consumes the
+    FIRST aggregation's window column as its event time; the watermark
+    propagates through, so each stage's state stays bounded and the
+    outer window emits (append mode) once the watermark passes its
+    end.  At 100 TB/day the 10-minute stage collapses the raw stream
+    ~10⁴× before the hourly shuffle — the cascade IS the scale design.
+    End-of-stream append output equals the batch two-level rollup over
+    windows whose end ≤ max ts − 1 h (the same availableNow no-data-
+    batch flush contract as ``stream_watermark_late``); the oracle
+    states that as two nested GROUP BYs plus the watermark filter.
+    Partition-safety: the inner 4dp sums are cast to DECIMAL(18,4)
+    before the outer sum, so the hourly rollup is order-independent
+    in both engines; counts are exact integers.
+    """
+    ev = events_stream(spark, sf_dir)
+    w10 = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w10"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt10"),
+            F.round(F.sum("value"), 4)
+            .cast("decimal(18,4)")
+            .alias("sum10"),
+        )
+    )
+    hourly = w10.groupBy(F.window(F.col("w10"), "1 hour").alias("wh")).agg(
+        F.sum("cnt10").alias("cnt"),
+        F.round(F.sum("sum10").cast("double"), 4).alias("sum_value"),
+        F.count(F.lit(1)).alias("n_subwindows"),
+    )
+    out = run_to_table(
+        spark, hourly, "t_chained_agg", "append",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
+    return out.select(
+        F.unix_millis(F.col("wh.start")).alias("window_start_ms"),
+        "cnt",
+        "sum_value",
+        "n_subwindows",
+    )

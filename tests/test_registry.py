@@ -451,6 +451,9 @@ EXPECTED_IDS = {
     # round-10 batch 80: skyline variants — per-brand Pareto frontier
     # and exact grid-decomposed dominance counting
     "report_group_skyline", "report_skyline_dominators",
+    # round-10 batch 81: chained time-window aggregation (window-on-
+    # window cascade, append-mode watermark-flush contract)
+    "stream_chained_agg",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
