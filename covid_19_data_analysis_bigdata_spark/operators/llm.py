@@ -309,6 +309,14 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verify stage recomputes *exact* Jaccard from the true shingle
     sets (integer set sizes → bit-deterministic double division), so
     LSH false positives never reach the output.
+
+    Composition note (64× scalebench reading, SCALE.md): verify cost is
+    linear in the TRUE pair count, which is quadratic in per-document
+    duplication — so at 100 TB this op composes AFTER
+    ``llm_dedup_exact`` (hash-collapse identical texts first), leaving
+    the verify stage only genuinely-fuzzy candidates.  The 64× rung
+    measures the uncomposed worst case (every doc 64-way duplicated)
+    and is sublinear in output even there.
     """
     d = load_table(spark, sf_dir, "documents")
     sh = (
