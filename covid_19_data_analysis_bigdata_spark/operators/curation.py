@@ -343,16 +343,21 @@ def llm_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip a document sitting on the boundary).
     """
     d = load_table(spark, sf_dir, "documents")
-    # Persisted: the token explode feeds the unigram counts AND the
-    # scoring join; uni feeds its own total and the join (round-7
-    # twice-consumed-frame sweep).
+    # Persisted: the token explode feeds the model count AND the
+    # scoring pass (round-7 twice-consumed-frame sweep).
     tok = d.select("doc_id", F.explode(_words()).alias("tok")).transform(cached)
-    uni = (
-        tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).transform(cached)
-    )
-    tot = uni.agg(F.sum("c").alias("t"))
+    # tot = total token count — one scalar, from the persisted explode.
+    tot = tok.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
     scored = (
-        tok.join(F.broadcast(uni), "tok")
+        # The per-token model count comes from a count window
+        # PARTITIONED BY the token, not an aggregate broadcast-joined
+        # back: the unigram TYPE count is unbounded at 100 TB
+        # (10⁸–10⁹ types of web text), so nothing vocabulary-sized may
+        # be broadcast or funneled; the window is one shuffle on tok
+        # and hash-distributes over any key count.
+        tok.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+        )
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -951,8 +956,12 @@ def llm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = c1.agg(F.count(F.lit(1)).alias("v"))
     nll = -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
     return (
-        st.join(F.broadcast(c2), "b")
-        .join(F.broadcast(c1), st.w1 == c1.t)
+        # No broadcast hints on the model joins: bigram/unigram TYPE
+        # counts are unbounded at 100 TB; AQE broadcasts at runtime
+        # when the model side is small (the vocab scalar stays an
+        # explicit 1-row broadcast).
+        st.join(c2, "b")
+        .join(c1, st.w1 == c1.t)
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(

@@ -1600,7 +1600,10 @@ def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ll_tok = (
-        ttok.join(F.broadcast(model), "token")
+        # No broadcast hint: the (class × token) model grain is
+        # vocabulary-sized, unbounded at 100 TB — AQE converts the
+        # shuffle join to broadcast at runtime when it is small.
+        ttok.join(model, "token")
         .groupBy("doc_id", "cls")
         .agg(F.sum(F.col("n_t") * F.log(F.col("c_tc") + 1)).alias("ll_match"))
     )

@@ -507,20 +507,29 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cached)  # feeds the index and both verify sides
     )
     tok = bg.select("doc_id", F.explode("grams").alias("g"))
-    df = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    # Persisted: the filtered posting list is self-joined (two alias
-    # sides re-execute the explode+filter lineage unpersisted).
-    rare = tok.join(
-        F.broadcast(df.filter(F.col("df") <= NGRAM_DF_MAX)), "g"
-    ).transform(cached)
-    a, b = rare.alias("a"), rare.alias("b")
+    # Candidate pairs via the bucketed array-side pattern (the same
+    # shape as llm.py's `_lsh_candidate_pairs`): ONE hash aggregate
+    # collapses each gram to its sorted member list, the df cap is the
+    # size filter, and pairs explode array-side inside codegen.  This
+    # replaced an aggregate + F.broadcast join-back: the rare-gram
+    # TYPE count is the bulk of the vocabulary — unbounded at 100 TB —
+    # so nothing vocabulary-sized may be broadcast; here nothing is
+    # even joined.  The df cap (≤ {NGRAM_DF_MAX}) bounds every
+    # bucket's pair array, so no LSH-style neighbor cap is needed.
     cand = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        tok.groupBy("g")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= NGRAM_DF_MAX))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "b -> struct(a AS a_id, b AS b_id))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )
     sa = bg.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("ga"))
@@ -1166,16 +1175,24 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cached)
     )
     tok = bg.select("doc_id", F.explode("grams").alias("g"))
-    df_t = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    # Persisted: two alias sides of the candidate self-join.
-    rare = tok.join(
-        F.broadcast(df_t.filter(F.col("df") <= NGRAM_DF_MAX)), "g"
-    ).transform(cached)
-    a = rare.select(F.col("doc_id").alias("a_id"), "g")
-    b = rare.select(F.col("doc_id").alias("b_id"), "g")
+    # Candidates via the bucketed array-side pattern — one aggregate,
+    # df cap as the bucket-size filter, pairs exploded in codegen; no
+    # broadcast of the unbounded rare-gram type table and no posting-
+    # list self-join (see llm_dedup_ngram for the full rationale).
     cand = (
-        a.join(b, (a.g == b.g) & (F.col("a_id") < F.col("b_id")))
-        .select("a_id", "b_id")
+        tok.groupBy("g")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= NGRAM_DF_MAX))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "b -> struct(a AS a_id, b AS b_id))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )
     sa = bg.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("ga"))

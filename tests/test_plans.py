@@ -281,11 +281,19 @@ def test_inverted_index_single_term_exchange(spark, sf_dir):
 
 
 def test_perplexity_broadcasts_model_not_corpus(spark, sf_dir):
-    # The unigram "model" (vocabulary counts + total) must reach the
-    # scoring join as broadcasts; the token stream must never sort-merge.
+    # Round-10 hardening: the per-token model count comes from a count
+    # window PARTITIONED BY the token (one shuffle, unbounded key count
+    # hash-distributes) — NOTHING vocabulary-sized is broadcast or
+    # joined (the old form broadcast the full unigram table, which is
+    # 10^8-10^9 types at 100 TB).  The only broadcast is the 1-row
+    # token total; the token stream never sort-merges.
     plan = _plan(spark, sf_dir, "llm_perplexity_unigram")
-    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    low = plan.lower()
+    assert "window" in low and "hashpartitioning(tok" in low.replace(" ", "")
+    # no keyed join remains at all — the only broadcasts are the 1-row
+    # scalar crossJoins (tot, stats), which compile to nested-loop
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_triangle_count_has_no_cartesian_and_packs_adjacency(spark, sf_dir):
