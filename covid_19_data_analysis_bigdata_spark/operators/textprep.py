@@ -499,6 +499,16 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds every bucket while real near-dups still share rare grams.
     Verify recomputes exact Jaccard from the full sets, so the cap can
     only lose candidates, never corrupt a score.
+
+    Cap contract (the sparse-cosine lesson, stated explicitly): the df
+    cap is ABSOLUTE and is the query's DECLARED blocking rule, mirrored
+    verbatim in the oracle — so a pair duplicated widely enough that
+    ALL its shared grams exceed df {NGRAM_DF_MAX} is out of this
+    query's scope by definition, not silently lost: popular-duplicate
+    recall is owned by ``llm_dedup_exact`` (no cap) and
+    ``llm_dedup_fuzzy`` (MinHash-LSH, no df cap — identical docs share
+    all 16 bands at ANY duplication level).  The rare-gram inverted
+    index is the complementary blocker for low-multiplicity near-dups.
     """
     d = load_table(spark, sf_dir, "documents")
     bg = (
