@@ -330,11 +330,18 @@ def llm_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     language model and drop the high-perplexity tail; the unigram LM is
     that dataflow with an exactly-reproducible model).
 
-    The "model" is the corpus's own unigram distribution: one token
-    aggregation (vocabulary-sized, broadcast back), so scoring is a
-    broadcast join + per-doc sum — two shuffles total, both bounded by
-    vocabulary or document count, never token volume beyond the initial
-    explode.  ``above_avg`` is computed in EXACT integer arithmetic:
+    The "model" is the corpus's own unigram distribution: a two-level
+    dataflow — groupBy(tok) count (constant per-key state via map-side
+    partial aggregation) then a de-hinted join back onto the token
+    stream.  Neither half concentrates a Zipf-head token's full
+    posting in one task: the count aggregate combines map-side, and
+    the scoring join gets AQE's runtime strategy choice
+    (broadcast-convert when the model is actually small, skew-split
+    the hot-token partitions of a sort-merge join at corpus scale) —
+    mitigation a count window PARTITIONED BY tok cannot get, since a
+    window partition is always one task regardless of volume (~5% of
+    a web corpus is the single hottest token).  ``above_avg`` is
+    computed in EXACT integer arithmetic:
     each 4dp cross-entropy becomes an integer (ce·10⁴) and the
     comparison is ``ce_int · count > Σ ce_int`` — equivalent to
     "above the mean of the rounded values" with no float accumulation
@@ -343,21 +350,23 @@ def llm_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip a document sitting on the boundary).
     """
     d = load_table(spark, sf_dir, "documents")
-    # Persisted: the token explode feeds the model count AND the
-    # scoring pass (round-7 twice-consumed-frame sweep).
+    # Persisted: the token explode feeds the model count, the scalar
+    # total, AND the scoring join (round-7 twice-consumed-frame sweep).
     tok = d.select("doc_id", F.explode(_words()).alias("tok")).transform(cached)
     # tot = total token count — one scalar, from the persisted explode.
     tot = tok.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    # Unigram model: groupBy count (map-side partials keep per-key
+    # state constant), joined back WITHOUT a hint — the unigram TYPE
+    # count is unbounded at 100 TB (10⁸–10⁹ types of web text), so
+    # nothing vocabulary-sized may be hard-coded onto one executor;
+    # AQE broadcast-converts when the model is actually small and
+    # skew-splits the Zipf-head partitions of a sort-merge join.  A
+    # count window PARTITIONED BY tok would instead put the hottest
+    # token's entire posting (~5% of the corpus) in ONE task, with no
+    # AQE mitigation (round-10 ADVICE finding).
+    uc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     scored = (
-        # The per-token model count comes from a count window
-        # PARTITIONED BY the token, not an aggregate broadcast-joined
-        # back: the unigram TYPE count is unbounded at 100 TB
-        # (10⁸–10⁹ types of web text), so nothing vocabulary-sized may
-        # be broadcast or funneled; the window is one shuffle on tok
-        # and hash-distributes over any key count.
-        tok.withColumn(
-            "c", F.count(F.lit(1)).over(Window.partitionBy("tok"))
-        )
+        tok.join(uc, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

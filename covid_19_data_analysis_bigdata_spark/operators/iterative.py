@@ -1551,10 +1551,13 @@ def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc with ``lang_actual`` / ``lang_pred``.
 
     The whole model is GROUP BY counts, so training is one linear pass
-    with map-side partial aggregation, and the model table (V × C
-    rows — tiny vs corpus) broadcast-joins to the test tokens: scoring
-    is map-side at any corpus size, the textbook reason NB is the
-    classifier you can actually train at 100 TB.  Determinism: with
+    with map-side partial aggregation.  Scoring joins the (V × C)
+    model table to the test tokens WITHOUT a broadcast hint: the model
+    grain is vocabulary-sized — unbounded at 100 TB — so the strategy
+    is AQE's runtime call (broadcast-convert when the model is
+    actually small, sort-merge with skew splitting otherwise); only
+    the class-grain frames (prior/ntok/voc/tot — |C| rows) ride
+    explicit broadcasts.  Determinism: with
     add-one smoothing, log P(t|c) sums telescope into
     Σ n_t·ln(c_tc+1) − T_d·ln(N_c+V), so unseen (token, class) pairs
     contribute ln(1)=0 and drop out of the join — every ln() argument

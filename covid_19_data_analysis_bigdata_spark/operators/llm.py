@@ -659,25 +659,38 @@ def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-term TF-IDF, top-3 terms per document.
 
-    Exact dataflow (explode → tf / df aggregates → broadcast joins)
-    rather than MLlib's HashingTF: hashed features are irreproducible
-    across engines and the exact form is the same number of shuffles.
+    Exact dataflow (explode → tf → df → scoring join) rather than
+    MLlib's HashingTF: hashed features are irreproducible across
+    engines.  The df table is derived FROM tf — tf has exactly one row
+    per (doc, term), so ``tf.groupBy(term).count()`` IS the document
+    frequency, with no countDistinct and no second pass over the token
+    explode.  The scoring join carries NO broadcast hint: the term
+    TYPE table is unbounded at 100 TB (10⁸–10⁹ whitespace-token types
+    of web text, per llm_build_vocab), so nothing term-grain may be
+    hard-coded onto one executor; AQE broadcast-converts at runtime
+    when df is actually small, and skew-splits the stopword-term
+    partitions of a sort-merge join — mitigation a count window
+    PARTITIONED BY term (one task per hot term, no AQE) cannot get.
+    Only the 1-row corpus count n is an explicit broadcast.
     """
     d = load_table(spark, sf_dir, "documents")
-    # Persisted: the token explode feeds BOTH the tf and df aggregates
-    # (round-7 twice-consumed-frame sweep).
-    tok = d.select(
-        "doc_id", F.explode(_words()).alias("term")
-    ).transform(cached)
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tok = d.select("doc_id", F.explode(_words()).alias("term"))
+    # Persisted: tf feeds BOTH the df aggregate and the scoring join
+    # (round-7 twice-consumed-frame sweep; the cache moved from tok to
+    # tf when df became a tf derivative).
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(cached)
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     tfidf = F.col("tf") * (
         F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "term", F.round(tfidf, 6).alias("tfidf"))
         .withColumn("rk", F.row_number().over(w))
@@ -968,10 +981,18 @@ def llm_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
             split.getItem(1).alias("v"),
             "c_uv",
         )
-        .join(F.broadcast(uc.select(F.col("tok").alias("u"),
-                                    F.col("c").alias("cu"))), "u")
-        .join(F.broadcast(uc.select(F.col("tok").alias("v"),
-                                    F.col("c").alias("cv"))), "v")
+        # No broadcast hints on the unigram-count joins: the token
+        # TYPE table is unbounded at 100 TB (the pair-side c_uv >= 5
+        # filter bounds the PROBE side, not uc), so AQE decides at
+        # runtime — broadcast-convert when uc is actually small,
+        # skew-split the Zipf-head tokens of a sort-merge join
+        # otherwise (the llm_perplexity_bigram template,
+        # curation.py's model joins).  Only the 1-row totals frame
+        # stays an explicit broadcast.
+        .join(uc.select(F.col("tok").alias("u"),
+                        F.col("c").alias("cu")), "u")
+        .join(uc.select(F.col("tok").alias("v"),
+                        F.col("c").alias("cv")), "v")
         .crossJoin(F.broadcast(tot))
     )
     pmi = F.log(

@@ -458,6 +458,50 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _df_capped_posting_pairs(tok: DataFrame, cap: int) -> DataFrame:
+    """Candidate pairs (a_id < b_id) from a df-capped inverted index
+    over ``tok(doc_id, g)``, hot grams pre-pruned BEFORE any posting
+    list is materialized.
+
+    Two-level shape (round-10 ADVICE hardening): a count aggregate
+    first — per-key state is one counter, combined map-side, so a
+    stopword-like gram with 10⁸–10⁹ postings at 100 TB costs a few
+    bytes of aggregation buffer — then a de-hinted semi-join keeps
+    only rare-gram rows, and only THEN does collect_list build the
+    (≤ cap)-bounded posting arrays.  The previous single-pass form
+    (collect_list → size filter) materialized a hot gram's entire
+    posting in one aggregation buffer before dropping it.  The
+    semi-join carries no broadcast hint (the rare-gram type table is
+    most of the vocabulary — unbounded); AQE broadcast-converts when
+    it is actually small and skew-splits hot stream partitions
+    otherwise, and its g-partitioned output feeds the collect_list
+    aggregate without a further exchange.  Pairs explode array-side
+    inside codegen — no posting-list self-join anywhere.
+    """
+    rare = (
+        tok.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= cap))
+        .select("g")
+    )
+    return (
+        tok.join(rare, "g", "left_semi")
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "b -> struct(a AS a_id, b AS b_id))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
+        .distinct()
+    )
+
+
 @query(
     "llm_dedup_ngram",
     oracle=f"""
@@ -517,31 +561,13 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cached)  # feeds the index and both verify sides
     )
     tok = bg.select("doc_id", F.explode("grams").alias("g"))
-    # Candidate pairs via the bucketed array-side pattern (the same
-    # shape as llm.py's `_lsh_candidate_pairs`): ONE hash aggregate
-    # collapses each gram to its sorted member list, the df cap is the
-    # size filter, and pairs explode array-side inside codegen.  This
-    # replaced an aggregate + F.broadcast join-back: the rare-gram
-    # TYPE count is the bulk of the vocabulary — unbounded at 100 TB —
-    # so nothing vocabulary-sized may be broadcast; here nothing is
-    # even joined.  The df cap (≤ {NGRAM_DF_MAX}) bounds every
-    # bucket's pair array, so no LSH-style neighbor cap is needed.
-    cand = (
-        tok.groupBy("g")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= NGRAM_DF_MAX))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "b -> struct(a AS a_id, b AS b_id))))"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
-        .distinct()
-    )
+    # Candidate pairs via the count-prefiltered inverted index: hot
+    # grams are dropped by a constant-state count aggregate BEFORE
+    # collect_list ever builds a posting array, so every aggregation
+    # buffer is ≤ {NGRAM_DF_MAX} ids no matter how hot a stopword
+    # bigram gets (see _df_capped_posting_pairs for the full 100 TB
+    # rationale; nothing vocabulary-sized is broadcast or buffered).
+    cand = _df_capped_posting_pairs(tok, NGRAM_DF_MAX)
     sa = bg.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("ga"))
     sb = bg.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gb"))
     verified = (
@@ -1185,26 +1211,11 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cached)
     )
     tok = bg.select("doc_id", F.explode("grams").alias("g"))
-    # Candidates via the bucketed array-side pattern — one aggregate,
-    # df cap as the bucket-size filter, pairs exploded in codegen; no
-    # broadcast of the unbounded rare-gram type table and no posting-
-    # list self-join (see llm_dedup_ngram for the full rationale).
-    cand = (
-        tok.groupBy("g")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= NGRAM_DF_MAX))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "b -> struct(a AS a_id, b AS b_id))))"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
-        .distinct()
-    )
+    # Candidates via the count-prefiltered inverted index — hot grams
+    # pruned by a constant-state count aggregate before any posting
+    # list materializes (see _df_capped_posting_pairs / llm_dedup_ngram
+    # for the full rationale).
+    cand = _df_capped_posting_pairs(tok, NGRAM_DF_MAX)
     sa = bg.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("ga"))
     sb = bg.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("gb"))
     smaller = F.least(F.size("ga"), F.size("gb"))

@@ -360,6 +360,48 @@ class TestLshBucketBound:
         assert all(b > a for a, b in got)
 
 
+class TestDfCappedPostingPairs:
+    """Round-11 hardening (r10 ADVICE): the inverted-index candidate
+    generator prunes hot grams with a constant-state count aggregate
+    BEFORE any posting list is collected, so no aggregation buffer
+    ever holds a hot gram's full posting."""
+
+    def _pairs(self, spark, rows, cap):
+        from covid_19_data_analysis_bigdata_spark.operators import textprep
+
+        tok = spark.createDataFrame(rows, "doc_id long, g string")
+        return sorted(
+            (r.a_id, r.b_id)
+            for r in textprep._df_capped_posting_pairs(tok, cap).collect()
+        )
+
+    def test_hot_gram_pruned_rare_gram_kept(self, spark):
+        rows = [(i, "hot") for i in range(10)] + [(1, "rare"), (7, "rare")]
+        got = self._pairs(spark, rows, cap=4)
+        assert got == [(1, 7)]  # hot's 45 pairs pruned, singleton-free
+
+    def test_singleton_grams_emit_nothing(self, spark):
+        got = self._pairs(spark, [(1, "a"), (2, "b")], cap=4)
+        assert got == []
+
+    def test_count_prefilter_precedes_collect(self, spark):
+        # The optimized plan must filter on the count aggregate's df
+        # BEFORE the collect_list aggregate — never a size() filter on
+        # collected arrays (the unbounded-buffer shape this replaced).
+        from covid_19_data_analysis_bigdata_spark.operators import textprep
+
+        tok = spark.createDataFrame([(1, "a")], "doc_id long, g string")
+        op = (
+            textprep._df_capped_posting_pairs(tok, 4)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "collect_list" in op
+        assert "size(collect_list" not in op  # cap is not a post-filter
+        assert "LeftSemi" in op  # the de-hinted rare-gram semi-join
+
+
 def test_no_duplicate_module_constants():
     """Round-9 tripwire: a second top-level assignment to an
     ALL_CAPS constant inside an operators module silently desyncs

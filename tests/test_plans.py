@@ -280,20 +280,66 @@ def test_inverted_index_single_term_exchange(spark, sf_dir):
     assert "Window" in plan
 
 
-def test_perplexity_broadcasts_model_not_corpus(spark, sf_dir):
-    # Round-10 hardening: the per-token model count comes from a count
-    # window PARTITIONED BY the token (one shuffle, unbounded key count
-    # hash-distributes) — NOTHING vocabulary-sized is broadcast or
-    # joined (the old form broadcast the full unigram table, which is
-    # 10^8-10^9 types at 100 TB).  The only broadcast is the 1-row
-    # token total; the token stream never sort-merges.
+def _optimized(spark, sf_dir, name: str) -> str:
+    df = E.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+# The vocabulary-broadcast class, closed in rounds 10–11: every query
+# whose dataflow joins a token/term/gram-grain (unbounded-at-100TB)
+# model table back onto a corpus stream.  Contract: NO keyed join may
+# carry a broadcast hint — the only hinted joins are 1-row scalar
+# crossJoins (corpus totals, vocab sizes, class tables), which print
+# as `Join Cross, ...Hint=(strategy=broadcast)`.  The strategy for
+# every vocabulary-grain join is AQE's runtime call: broadcast-convert
+# when the model side is actually small, sort-merge with skew
+# splitting at corpus scale.  A stats-based BroadcastHashJoin in the
+# small-SF physical plan is fine (that IS the adaptive behavior); a
+# HINT on a keyed join is the bug this pin exists to catch.
+VOCAB_GRAIN_JOIN_QUERIES = [
+    "llm_tfidf",
+    "llm_pmi_cooccur",
+    "llm_perplexity_unigram",
+    "llm_perplexity_bigram",
+    "ml_naive_bayes",
+    "llm_dedup_ngram",
+    "llm_dedup_containment",
+]
+
+
+def test_no_keyed_broadcast_hint_in_vocab_grain_class(spark, sf_dir):
+    for name in VOCAB_GRAIN_JOIN_QUERIES:
+        op = _optimized(spark, sf_dir, name)
+        bad = [
+            line.strip()
+            for line in op.splitlines()
+            if "strategy=broadcast" in line and "Join Cross" not in line
+        ]
+        assert not bad, f"{name}: broadcast hint on a keyed join: {bad}"
+
+
+def test_perplexity_unigram_model_is_two_level_aggregate(spark, sf_dir):
+    # Round-11 hardening (r10 ADVICE): the unigram model is a
+    # groupBy(tok) count (constant per-key state, map-side partials)
+    # joined back WITHOUT a hint — never a count window PARTITIONED BY
+    # tok, which would put the Zipf-head token's entire posting (~5%
+    # of a web corpus) in ONE task with no AQE skew mitigation.
     plan = _plan(spark, sf_dir, "llm_perplexity_unigram")
-    assert "SortMergeJoin" not in plan
-    low = plan.lower()
-    assert "window" in low and "hashpartitioning(tok" in low.replace(" ", "")
-    # no keyed join remains at all — the only broadcasts are the 1-row
-    # scalar crossJoins (tot, stats), which compile to nested-loop
-    assert "BroadcastHashJoin" not in plan
+    low = plan.lower().replace(" ", "")
+    assert "window" not in low  # no per-token window anywhere
+    assert "hashaggregate" in low  # the two-level model count
+
+
+def test_tfidf_df_from_tf_no_second_token_pass(spark, sf_dir):
+    # df is derived FROM tf (one row per (doc, term) ⇒ groupBy(term)
+    # count IS document frequency): no countDistinct ('distinct' only
+    # appears, if ever, in scan metadata) and exactly one parquet scan
+    # of documents feeds the token pipeline plus one for the corpus
+    # count.
+    plan = _plan(spark, sf_dir, "llm_tfidf")
+    assert "count(distinct" not in plan.lower()
+    # top-3-per-doc window is doc-grain (bounded by doc length)
+    assert "row_number" in plan.lower()
 
 
 def test_triangle_count_has_no_cartesian_and_packs_adjacency(spark, sf_dir):
@@ -527,11 +573,11 @@ def test_corr_matrix_single_aggregate_pass(spark, sf_dir):
 
 
 def test_naive_bayes_model_broadcasts(spark, sf_dir):
-    """ml_naive_bayes scores by broadcast-joining the tiny (V×C) model
-    and class tables to the test tokens — a shuffle join there would
-    re-key the whole corpus per scoring pass."""
+    """ml_naive_bayes broadcasts only the class-grain frames (|C|
+    rows); the (V×C) model join carries NO hint — vocabulary grain is
+    unbounded at 100 TB, so AQE decides the strategy at runtime."""
     plan = _plan(spark, sf_dir, "ml_naive_bayes")
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan  # the class-grain prior/ntok join
     assert "CartesianProduct" not in plan
 
 
