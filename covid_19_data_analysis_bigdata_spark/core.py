@@ -43,76 +43,71 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-#: Front-of-registry order for round 10.  External correctness sweeps
+#: Front-of-registry order for round 11.  External correctness sweeps
 #: sample the first 50 registry entries in iteration order; every id
-#: below is NEVER-sampled in any CORRECTNESS_r01-r09 window (verified
-#: by ``tools/evidence.py``), so CORRECTNESS_r10 ∩ (r01-r09) = ∅ by
-#: construction.  Selection follows the round-9 verdict task 2: the
-#: thinnest external pools are report_* (21/46 = 45%), win_* and
-#: etl_* and udf_* (each 50%) — ALL never-sampled ids from those four
-#: families go first (25 + 10 + 8 + 3 = 46), then 4 llm_* fills
-#: chosen deliberately: the three queries whose global-rank windows
-#: were de-globalized this round (llm_tokenizer_coverage,
-#: llm_vocab_zipf_fit, llm_ngram_coverage_curve — external evidence
-#: lands on the NEW forms, closing the advisor's stale-evidence class)
-#: plus llm_cdc_chunking (round-9 addition entering the scalebench
-#: trend this round).  All 50 carry strong DuckDB oracles.
+#: below is NEVER-sampled in any CORRECTNESS_r01-r10 window (verified
+#: by ``tools/evidence.py``), so CORRECTNESS_r11 ∩ (r01-r10) = ∅ by
+#: construction.  Selection follows the round-10 verdict tasks 2+4:
+#: ALL 30 never-sampled llm_* ids (the thinnest pool), ALL 6
+#: never-sampled stream_* ids front-loaded (incl. the new
+#: stream_chained_agg — task 4), and 14 of the 19 never-sampled ts_*
+#: ids (the remaining 5 ts_* plus agg_*/ml_*/graph_* are planned for
+#: the r12 window, which nearly exhausts the pool).  All 50 carry
+#: strong DuckDB oracles.
 _WINDOW_PRIORITY: list[str] = [
-    # report_* — all 25 never-sampled of 46
-    "report_last_touch_attribution",
-    "report_event_transitions",
-    "report_dau_wau_stickiness",
-    "report_weekday_seasonality",
-    "report_shipping_delay_percentiles",
-    "report_session_duration_stats",
-    "report_order_gap_stats",
-    "report_ab_test_lift",
-    "report_skyline_parts",
-    "report_price_elasticity",
-    "report_ratio_to_parent",
-    "report_customer_migration",
-    "report_price_volume_mix",
-    "report_position_attribution",
-    "report_cohort_ltv",
-    "report_rank_movers",
-    "report_backlog_aging",
-    "report_abc_xyz",
-    "report_seasonality_index",
-    "report_customer_reactivation",
-    "report_supplier_scorecard",
-    "report_ab_srm_check",
-    "report_catalog_adoption",
-    "report_supplier_herfindahl",
-    "report_basket_affinity_lift",
-    # win_* — all 10 never-sampled of 20
-    "win_range_time",
-    "win_percent_change_yoy",
-    "win_rolling_distinct",
-    "win_rolling_median",
-    "win_cume_dist_nth",
-    "win_rolling_slope",
-    "win_rolling_corr",
-    "win_weighted_moving_avg",
-    "win_reset_cumsum",
-    "win_merge_intervals",
-    # etl_* — all 8 never-sampled of 16
-    "etl_consistent_sample",
-    "etl_partition_skew_report",
-    "etl_merge_into",
-    "etl_backfill_gaps",
-    "etl_time_travel",
-    "etl_write_audit_publish",
-    "etl_zorder_layout",
-    "etl_rebalance_layout",
-    # udf_* — all 3 never-sampled of 6
-    "udf_arrow_optimized",
-    "udf_arrow_scalar",
-    "udf_pandas_window",
-    # llm_* fills — the three r10-de-globalized forms + the r9 CDC op
-    "llm_tokenizer_coverage",
-    "llm_vocab_zipf_fit",
-    "llm_ngram_coverage_curve",
-    "llm_cdc_chunking",
+    # llm_* — all 30 never-sampled of 83
+    "llm_dedup_tau_sweep",
+    "llm_matryoshka_eval",
+    "llm_fingerprint",
+    "llm_ngram_novelty",
+    "llm_length_profile_by_source",
+    "llm_dedup_cluster_sizes",
+    "llm_ann_range_search",
+    "llm_knn_join",
+    "llm_minhash_calibration",
+    "llm_prefix_dup_scan",
+    "llm_token_entropy",
+    "llm_rouge_overlap",
+    "llm_cluster_terms",
+    "llm_hard_negatives",
+    "llm_template_extraction",
+    "llm_semdedup",
+    "llm_dataset_shard_assign",
+    "llm_source_token_budget",
+    "llm_label_stratified_sample",
+    "llm_dsir_importance",
+    "llm_heldout_cross_entropy",
+    "llm_span_corruption_plan",
+    "llm_filter_funnel",
+    "llm_type_token_ratio",
+    "llm_hapax_ratio",
+    "llm_kneser_ney_lite",
+    "llm_dedup_token_savings",
+    "llm_embedding_qa",
+    "llm_dataset_card",
+    "llm_embedding_covariance",
+    # stream_* — all 6 never-sampled of 17 (verdict task 4)
+    "stream_ohlc_bars",
+    "stream_upsert_state",
+    "stream_window_distinct",
+    "stream_error_rate_alert",
+    "stream_topk_per_window",
+    "stream_chained_agg",
+    # ts_* — 14 of 19 never-sampled of 47
+    "ts_control_chart_xmr",
+    "ts_ar1_unit_root",
+    "ts_acf_lags",
+    "ts_dow_seasonal_strength",
+    "ts_ljung_box",
+    "ts_runs_test",
+    "ts_turning_points",
+    "ts_npv_discounted",
+    "ts_sharpe_ratio",
+    "ts_beta_to_market",
+    "ts_drawdown_duration",
+    "ts_doubling_time",
+    "ts_growth_ratio_rt",
+    "ts_lagged_outcome_ratio",
 ]
 
 

@@ -486,10 +486,10 @@ def test_oracles_cover_strong_queries():
 
 
 def test_window_rotation_is_never_sampled():
-    """Round-10 contract: the external driver samples the FIRST 50
+    """Round-11 contract: the external driver samples the FIRST 50
     registry ids in iteration order; the rotation must consist only of
-    ids with no committed external evidence yet (CORRECTNESS_r10 ∩
-    r01-r09 = ∅ by construction), all with strong oracles."""
+    ids with no committed external evidence yet (CORRECTNESS_r11 ∩
+    r01-r10 = ∅ by construction), all with strong oracles."""
     import glob
     import json
     import os
@@ -498,8 +498,9 @@ def test_window_rotation_is_never_sampled():
     front = list(qs)[:50]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen = set()
-    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-9].json")):
-        seen |= set(json.load(open(p)))
+    for pat in ("CORRECTNESS_r0[1-9].json", "CORRECTNESS_r10.json"):
+        for p in glob.glob(os.path.join(repo, pat)):
+            seen |= set(json.load(open(p)))
     assert seen, "committed correctness artifacts missing"
     overlap = [n for n in front if n in seen]
     assert not overlap, f"window ids already sampled before: {overlap}"
