@@ -1115,9 +1115,14 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each round is one degree aggregate plus two semi-joins of the edge
     list against the survivor set — linear passes; rounds are unrolled
     into the plan, state between rounds is the edge list itself.
-    Peeling needs only the UNDIRECTED edge list, so this reads
-    :func:`_copurchase_base` directly — the degree-orientation joins
-    the triangle family needs would be two wasted passes here.
+    Per-round stats come ENTIRELY from the (cached, |V|-row) degree
+    table: n_edges = sum(d) div 2 exactly (every undirected edge
+    contributes two endpoints), so no round ever re-counts the edge
+    list — the round-11 sweep-tail trim that removed one full pass
+    over e_cur per round.  Peeling needs only the UNDIRECTED edge
+    list, so this reads :func:`_copurchase_base` directly — the
+    degree-orientation joins the triangle family needs would be two
+    wasted passes here.
     """
     edges, deg = _copurchase_base(spark, sf_dir)
     kv = deg.agg(
@@ -1137,15 +1142,18 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_cur = deg.select("node", "d")
     for rnd in range(KCORE_ROUNDS + 1):
         stat = (
-            d_cur.agg(F.count(F.lit(1)).alias("n_nodes"))
-            .crossJoin(e_cur.agg(F.count(F.lit(1)).alias("n_edges")))
+            d_cur.agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.expr("CAST(sum(d) div 2 AS BIGINT)").alias("n_edges"),
+            )
             .crossJoin(F.broadcast(kv))
             .select(
                 F.lit(rnd).cast("int").alias("round"),
+                F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
                 "n_nodes",
-                "n_edges",
                 "k",
             )
+            .select("round", "n_nodes", "n_edges", "k")
         )
         rows.append(stat)
         if rnd == KCORE_ROUNDS:
@@ -1158,7 +1166,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 keep.withColumnRenamed("node", "u"), "u", "left_semi"
             ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
         ).transform(cached)
-        d_cur = degrees(e_cur)
+        # Cached: the round's degree table feeds BOTH the stat row and
+        # the next keep filter (twice-consumed-frame rule); |V| rows.
+        d_cur = degrees(e_cur).transform(cached)
     out = rows[0]
     for r in rows[1:]:
         out = out.unionAll(r)

@@ -1115,3 +1115,85 @@ def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         "n_subwindows",
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT a.event_id                     AS click_id,
+           b.event_id                     AS purchase_id,
+           a.user_id                      AS user_id,
+           epoch_ms(b.ts) - epoch_ms(a.ts) AS gap_ms
+    FROM events a
+    JOIN events b
+      ON b.user_id = a.user_id
+     AND a.event_type = 'click'
+     AND b.event_type = 'purchase'
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (the streaming form the batch
+    ``join_theta_range`` family lacked): click events join purchase
+    events by the same user within [click_ts, click_ts + 30 min] —
+    the conversion-attribution join every funnel pipeline runs live.
+
+    Both sides carry a watermark AND the join condition bounds the two
+    event-time columns against each other; together they let the state
+    store evict a buffered row as soon as the other side's watermark
+    passes its match horizon, so per-side state is (watermark delay +
+    interval) worth of events — bounded by stream RATE, never by total
+    corpus size, at any scale.  Without the time bound a stream-stream
+    join must retain EVERY past row forever; the interval is what
+    makes the topology runnable unbounded (SURVEY.md §4.3.8).  The
+    state shuffle is keyed on user_id — hash-distributed over the user
+    population, no hot single task.
+
+    End-of-stream equivalence: inner joins emit exactly the matched
+    pairs; the availableNow replay processes the full backlog before
+    stopping, so the append output equals the batch interval join the
+    oracle states (watermarks only evict state EARLIER than the replay
+    delivers a late match when the source splits into multiple
+    micro-batches more disordered than the 1-hour delay — the declared
+    disorder contract shared with ``stream_watermark_late``).
+    ``gap_ms`` is an exact integer (epoch-ms difference), so the
+    comparison is bit-stable in both engines.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    buys = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "b_user = c_user AND "
+            "b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    out = run_to_table(
+        spark, joined, "t_interval_join", "append",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
+    return out.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_millis("b_ts") - F.unix_millis("c_ts")).alias("gap_ms"),
+    )

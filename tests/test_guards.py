@@ -360,6 +360,49 @@ class TestLshBucketBound:
         assert all(b > a for a, b in got)
 
 
+def test_stream_interval_join_equals_batch_join(spark, sf_dir):
+    """The availableNow replay of the stream-stream interval join must
+    emit exactly the pairs the equivalent BATCH interval join produces
+    (engine-internal equivalence, independent of the DuckDB oracle)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+    got = {
+        (r.click_id, r.purchase_id, r.user_id, r.gap_ms)
+        for r in E.queries()["stream_interval_join"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+    )
+    want = {
+        (r.click_id, r.purchase_id, r.c_user, r.gap_ms)
+        for r in a.join(
+            b,
+            (F.col("b_user") == F.col("c_user"))
+            & (F.col("b_ts") >= F.col("c_ts"))
+            & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "c_user",
+            (F.unix_millis("b_ts") - F.unix_millis("c_ts")).alias("gap_ms"),
+        )
+        .collect()
+    }
+    assert got == want and got
+
+
 class TestDfCappedPostingPairs:
     """Round-11 hardening (r10 ADVICE): the inverted-index candidate
     generator prunes hot grams with a constant-state count aggregate

@@ -454,6 +454,9 @@ EXPECTED_IDS = {
     # round-10 batch 81: chained time-window aggregation (window-on-
     # window cascade, append-mode watermark-flush contract)
     "stream_chained_agg",
+    # round-11 batch 82: stream-stream interval join (two watermarked
+    # sides, event-time-bounded state, append-mode pair emission)
+    "stream_interval_join",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
