@@ -1859,9 +1859,16 @@ def llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "vec_id")
     )
+    # Candidate pruning FIRST: restrict the code table to the cell-
+    # cohabiting (probe, vector) pairs BEFORE touching the LUT.  The
+    # previous order (codes ⋈ LUT, then cand) expanded every code row
+    # by all {IVFPQ_NPROBE}-probed queries and threw almost all of it
+    # away — at 100 TB that is a full-corpus×probes ADC scan, exactly
+    # what IVF cell pruning exists to avoid.  This order touches
+    # nprobe/|cells| of the code table, as the docstring promises.
     adc = (
-        codes.join(F.broadcast(lut), ["m", "cid"])
-        .join(cand, ["probe_id", "vec_id"])
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["probe_id", "m", "cid"])
         .groupBy("probe_id", "vec_id")
         .agg(F.sum("pd").alias("adc2"))
     )

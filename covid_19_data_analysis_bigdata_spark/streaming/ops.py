@@ -1197,3 +1197,82 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         (F.unix_millis("b_ts") - F.unix_millis("c_ts")).alias("gap_ms"),
     )
+
+
+@query(
+    "stream_join_windowed_agg",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    p AS (
+        SELECT a.ts AS c_ts
+        FROM events a
+        JOIN events b
+          ON b.user_id = a.user_id
+         AND a.event_type = 'click'
+         AND b.event_type = 'purchase'
+         AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL '30 minutes'),
+    w AS (SELECT time_bucket(INTERVAL '1 day', c_ts) AS d,
+                 CAST(count(*) AS BIGINT) AS conversions
+          FROM p GROUP BY 1)
+    SELECT epoch_ms(d) AS window_start_ms, conversions
+    FROM w, m
+    WHERE d + INTERVAL '1 day' <= mx - INTERVAL '1 hour'
+    """,
+)
+def stream_join_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful operators ACROSS kinds in one streaming query
+    (Spark 3.5+ multi-stateful-operator support): the stream-stream
+    interval join of ``stream_interval_join`` feeds a tumbling daily
+    aggregation — live conversion counts, the funnel metric every
+    attribution dashboard derives from the raw pair stream, without an
+    intermediate sink or a second job.
+
+    State is the SUM of two independently bounded stores: the join
+    buffers (watermark delay + 30-min interval) of events per side —
+    rate-bounded, keyed on user_id — and the window store one row per
+    open day.  The join's event-time watermark propagates into the
+    aggregation, so the daily window emits (append mode) once the
+    watermark passes its end: the end-of-stream output equals the
+    batch join + daily rollup over windows whose end ≤ max ts − 1 h
+    (the same availableNow flush contract as ``stream_chained_agg``;
+    verified empirically — the final partial day and the watermark-
+    held last window are withheld in BOTH engines' stated semantics).
+    Counts are exact integers, window starts exact epoch-ms.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    buys = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "b_user = c_user AND "
+            "b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    daily = joined.groupBy(F.window("c_ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("conversions")
+    )
+    out = run_to_table(
+        spark, daily, "t_join_windowed_agg", "append",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
+    return out.select(
+        F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+        "conversions",
+    )

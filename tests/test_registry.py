@@ -457,6 +457,9 @@ EXPECTED_IDS = {
     # round-11 batch 82: stream-stream interval join (two watermarked
     # sides, event-time-bounded state, append-mode pair emission)
     "stream_interval_join",
+    # round-11 batch 83: chained stateful operators across kinds —
+    # the interval join feeding a tumbling daily aggregation
+    "stream_join_windowed_agg",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
