@@ -783,20 +783,27 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .transform(cached)
+    # Directed edges = the shared undirected co-purchase list (u < v,
+    # array-expanded per order — see _copurchase_base) symmetrized
+    # with a map-only union: identical to the ordered-pair self-join
+    # this replaced (round-11), but it reuses the session-cached base
+    # every graph operator shares instead of paying a second
+    # sort-merge self-join + distinct over the fact table.
+    base, _deg = _copurchase_base(spark, sf_dir)
+    # NOT cached: the symmetrizing union is map-only over the cached
+    # base, and persisting a frame that NESTS another cached frame
+    # whose plan carries higher-order-function lambdas breaks
+    # CacheManager's canonicalized substitution for every later
+    # consumer of the inner frame (the round-5 lambda-canonicalization
+    # failure cache.py documents — observed again in round 11 as a
+    # 4 → 498 printed-exchange blowup in graph_kcore_peel's plan when
+    # this frame was cached first).
+    edges = base.unionAll(
+        base.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    dist = items.agg(F.min("l_partkey").alias("node")).select(
+    # Source = min part key over ALL lineitems (not just co-purchased
+    # parts), exactly as the oracle's recursive CTE seeds it.
+    dist = li.agg(F.min("l_partkey").alias("node")).select(
         "node", F.lit(0).alias("d")
     )
     # Delta (frontier) BFS: only nodes FIRST reached at hop h-1 expand

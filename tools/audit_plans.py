@@ -24,43 +24,62 @@ Usage: python tools/audit_plans.py [--sf DIR] [name ...]
 from __future__ import annotations
 
 import os
+import re
 import sys
+
+#: Top-level shuffle-exchange detail block in a formatted explain.
+_EXCHANGE_DETAIL = re.compile(r"^\(\d+\) Exchange\b")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: Queries that exist to demonstrate the Python-eval surface itself.
 ALLOWED_ROW_UDF = {"udf_python_scalar", "udtf_table_fn", "udtf_analyze_polymorphic"}
 ALLOWED_CARTESIAN = {"join_cross"}
-EXCHANGE_BUDGET = 6
-#: Iterative algorithms pay per-iteration shuffles by nature (argmin +
-#: centroid recompute per Lloyd step); they get a wider budget.
+#: Round-11 recalibration: the exchange metric changed from a tree-
+#: prefix count (which missed every ':'-guttered branch and exploded
+#: on materialized cached subtrees — see the counting comment in
+#: audit()) to the COMPLETE top-level detail-block count.  The
+#: complete metric reads ~2-3× higher on multi-branch plans, so the
+#: smell line moves 6 → 14, and the overrides below are re-derived
+#: from a fresh-session survey of all 528 plans (counts in the
+#: comment; overrides carry ~20% headroom because materialization of
+#: shared cached frames mid-session shifts AQE re-plans by ±3).
+EXCHANGE_BUDGET = 14
 EXCHANGE_OVERRIDES = {
-    "ml_kmeans_lloyd": 16,
-    # llm_semdedup composes the kmeans assignment (centroid aggregate +
-    # argmin window) with a cluster-partitioned pairwise join and a
-    # rollup — 7 exchanges, each on a different key by necessity.
-    "llm_semdedup": 8,
-    # Static-explain counts for plans whose shared frames are persisted:
-    # before materialization, formatted explain re-prints the cached
-    # subtree under EVERY consumer, so its exchanges are counted once
-    # per consumer.  At runtime each cached frame shuffles once.
-    # graph_clustering_local: persisted oriented+adj feed 4 consumers
-    # (tri via src, tri via dst, tcount union, deg join), so their
-    # build-side exchanges print up to 4 times.
-    "graph_clustering_local": 26,
-    # graph_two_hop_reach: persisted edge list feeds 3 consumers
-    # (SCALE.md round-7 plan-audit note).
-    "graph_two_hop_reach": 20,
-    # graph_hits_scores: HITS_ITERS=4 unrolled iterations consume the
-    # persisted ≤600-row trade-edge frame twice per round (authority
-    # join + hub join), so its build-side exchanges print 8×; every
-    # per-round table is nation-grain (≤25 rows).  At runtime the
-    # fact-table aggregation shuffles once.
-    "graph_hits_scores": 22,
-    # report_rfm_segmentation: 3 chained distrank.global_ntile passes
-    # over the CUSTOMER-grain table (3 range + 3 count-agg + 3 hash
-    # shuffles replacing three single-executor global sorts — the
-    # documented round-7 de-globalization trade, SCALE.md).
+    # graph_hits_scores (87): HITS_ITERS=4 unrolled iterations, each
+    # an authority + hub keyed aggregate over the ≤600-row trade-edge
+    # frame — every shuffle is nation-grain, runtime-trivial.
+    "graph_hits_scores": 96,
+    # ml_eval_metrics (34): one scored frame fanned into ROC/PR/
+    # calibration/confusion branches, each with its own keyed rollup.
+    "ml_eval_metrics": 40,
+    # dq_uniqueness_keys (30): one distinct-count pair per candidate
+    # key column — breadth of checks, not depth of a single pipeline.
+    "dq_uniqueness_keys": 36,
+    # graph_kcore_peel (21): KCORE_ROUNDS=2 unrolled peel rounds ×
+    # (degree aggregate + two semi-joins) + the per-round stat rows.
+    "graph_kcore_peel": 26,
+    # llm_sparse_cosine (19) / llm_ann_ivfpq (19): multi-phase
+    # candidate-generation → verify pipelines (documented in SCALE.md).
+    "llm_sparse_cosine": 24,
+    "llm_ann_ivfpq": 24,
+    # dq_fk_containment (18): one semi/anti pair per FK edge, 7 edges.
+    "dq_fk_containment": 22,
+    # ml_pca_power (17): POWER_ITERS unrolled Gram-vector products.
+    "ml_pca_power": 21,
+    # report_lorenz_points (16) / ml_spearman_corr (16) /
+    # report_customer_ltv_deciles (15): distrank two-pass range ranks
+    # (the de-globalization trade — each rank = range + count + hash).
+    "report_lorenz_points": 20,
+    "ml_spearman_corr": 20,
+    "report_customer_ltv_deciles": 19,
+    # dq_referential_orphans (14): per-FK anti-join breadth.
+    "dq_referential_orphans": 18,
+    # report_rfm_segmentation (20): 3 chained distrank.global_ntile
+    # passes over the CUSTOMER-grain table — the documented round-7
+    # de-globalization trade (SCALE.md).  Override INTENTIONALLY kept
+    # below the measured count so the query stays the one standing
+    # advisory flag (pinned in tests/test_plans.py).
     "report_rfm_segmentation": 9,
 }
 
@@ -198,10 +217,25 @@ def audit(spark, names, sf_dir: str) -> dict[str, list[str]]:
             flags.append("row-UDF")
         if "CartesianProduct" in plan and name not in ALLOWED_CARTESIAN:
             flags.append("cartesian")
+        # Count shuffle exchanges via their top-level DETAIL blocks —
+        # "(N) Exchange" at column 0 — not tree lines.  The old tree-
+        # prefix count had two defects (round 11): it missed every
+        # exchange under a ':' branch gutter (left children of joins/
+        # unions), and it exploded when a session-cached frame had
+        # been MATERIALIZED, because a materialized InMemoryRelation
+        # re-prints its finalized cached plan (exchanges included)
+        # under every consumer — shuffles that ran once at cache build
+        # and never again (observed: graph_kcore_peel 4 → 498 printed
+        # exchanges after merely running count() on the shared
+        # co-purchase base).  Detail blocks exist exactly once per
+        # top-level node and never for cached subtrees, so this count
+        # is complete AND materialization-stable.  BroadcastExchange
+        # is deliberately excluded (broadcasts are the cheap path the
+        # audit encourages).
         n_ex = sum(
             1
             for line in plan.splitlines()
-            if line.strip().startswith(("+- Exchange", ":- Exchange", "Exchange ("))
+            if _EXCHANGE_DETAIL.match(line)
         )
         if n_ex > EXCHANGE_OVERRIDES.get(name, EXCHANGE_BUDGET):
             flags.append(f"exchanges={n_ex}")
