@@ -403,6 +403,75 @@ def test_stream_interval_join_equals_batch_join(spark, sf_dir):
     assert got == want and got
 
 
+def test_interval_join_state_survives_micro_batches(spark, tmp_path):
+    """A click and its matching purchase arriving in DIFFERENT
+    micro-batches must still pair: the join's state store buffers the
+    first side until the second arrives (or the watermark passes the
+    match horizon).  Replays a 2-file fixture with maxFilesPerTrigger=1
+    — whichever side lands first, the emitted pair set must equal the
+    batch interval join."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    t = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+    batch_a = [(1, t(10, 0), 1, "click", 1.0), (99, t(10, 5), 2, "purchase", 1.0)]
+    batch_b = [
+        (2, t(10, 10), 1, "purchase", 1.0),  # pairs with e1 across batches
+        (3, t(12, 0), 1, "click", 1.0),
+        (4, t(12, 5), 1, "purchase", 1.0),  # same-batch pair
+    ]
+    src = str(tmp_path / "ev")
+    for i, rows in enumerate([batch_a, batch_b]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    # exactly 2 part files -> 2 micro-batches at maxFilesPerTrigger=1
+    n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_files == 2
+
+    def side(ev, typ, pre):
+        return ev.filter(F.col("event_type") == typ).select(
+            F.col("event_id").alias(f"{pre}_id"),
+            F.col("user_id").alias(f"{pre}_user"),
+            F.col("ts").alias(f"{pre}_ts"),
+        )
+
+    ev = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    joined = side(ev, "click", "c").withWatermark("c_ts", "1 hour").join(
+        side(ev, "purchase", "b").withWatermark("b_ts", "1 hour"),
+        F.expr(
+            "b_user = c_user AND "
+            "b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    from covid_19_data_analysis_bigdata_spark.streaming.ops import run_to_table
+
+    out = run_to_table(spark, joined, "t_xbatch_interval", "append", 4)
+    got = {(r.c_id, r.b_id) for r in out.collect()}
+    assert got == {(1, 2), (3, 4)}  # cross-batch pair AND same-batch pair
+
+
 class TestDfCappedPostingPairs:
     """Round-11 hardening (r10 ADVICE): the inverted-index candidate
     generator prunes hot grams with a constant-state count aggregate
