@@ -1717,7 +1717,11 @@ def ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     division).  Every class present in the test split appears (left
     joins from the actual-count side).
     """
-    pred = _nb_predictions(spark, sf_dir)
+    # Persisted: the full NB train+score pipeline feeds THREE
+    # aggregates (tp / actual / predicted counts) — uncached it
+    # recomputed 3× (round-11 sweep-profile find; the
+    # twice-consumed-frame rule applies a fortiori at three).
+    pred = _nb_predictions(spark, sf_dir).transform(cached)
     tp = (
         pred.filter(F.col("lang_actual") == F.col("lang_pred"))
         .groupBy(F.col("lang_actual").alias("cls"))
