@@ -43,71 +43,79 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-#: Front-of-registry order for round 11.  External correctness sweeps
+#: Front-of-registry order for round 12.  External correctness sweeps
 #: sample the first 50 registry entries in iteration order; every id
-#: below is NEVER-sampled in any CORRECTNESS_r01-r10 window (verified
-#: by ``tools/evidence.py``), so CORRECTNESS_r11 ∩ (r01-r10) = ∅ by
-#: construction.  Selection follows the round-10 verdict tasks 2+4:
-#: ALL 30 never-sampled llm_* ids (the thinnest pool), ALL 6
-#: never-sampled stream_* ids front-loaded (incl. the new
-#: stream_chained_agg — task 4), and 14 of the 19 never-sampled ts_*
-#: ids (the remaining 5 ts_* plus agg_*/ml_*/graph_* are planned for
-#: the r12 window, which nearly exhausts the pool).  All 50 carry
-#: strong DuckDB oracles.
+#: below is NEVER-sampled in any CORRECTNESS_r01-r11 window (verified
+#: by ``tools/evidence.py``), so CORRECTNESS_r12 ∩ (r01-r11) = ∅ by
+#: construction.  Selection follows the round-11 verdict tasks 1+5:
+#: the two r11-new stream_* ids front-loaded (task 5 — completes the
+#: streaming family's external coverage), then ALL never-sampled
+#: strong-oracle ids from the ml_* (17), agg_* (15 of 18; the other 3
+#: are the declared-weak sketches), graph_* (6), sql_* (5) and ts_*
+#: (5) families = exactly 50, all with strong DuckDB oracles.  The
+#: r13 window plan for the final never-sampled remainder (18 strong
+#: singletons/join/scan ids + the 3 weak sketches, which can only ever
+#: get rows-only driver rows) is documented in SCALE.md §"r13 window
+#: plan".
 _WINDOW_PRIORITY: list[str] = [
-    # llm_* — all 30 never-sampled of 83
-    "llm_dedup_tau_sweep",
-    "llm_matryoshka_eval",
-    "llm_fingerprint",
-    "llm_ngram_novelty",
-    "llm_length_profile_by_source",
-    "llm_dedup_cluster_sizes",
-    "llm_ann_range_search",
-    "llm_knn_join",
-    "llm_minhash_calibration",
-    "llm_prefix_dup_scan",
-    "llm_token_entropy",
-    "llm_rouge_overlap",
-    "llm_cluster_terms",
-    "llm_hard_negatives",
-    "llm_template_extraction",
-    "llm_semdedup",
-    "llm_dataset_shard_assign",
-    "llm_source_token_budget",
-    "llm_label_stratified_sample",
-    "llm_dsir_importance",
-    "llm_heldout_cross_entropy",
-    "llm_span_corruption_plan",
-    "llm_filter_funnel",
-    "llm_type_token_ratio",
-    "llm_hapax_ratio",
-    "llm_kneser_ney_lite",
-    "llm_dedup_token_savings",
-    "llm_embedding_qa",
-    "llm_dataset_card",
-    "llm_embedding_covariance",
-    # stream_* — all 6 never-sampled of 17 (verdict task 4)
-    "stream_ohlc_bars",
-    "stream_upsert_state",
-    "stream_window_distinct",
-    "stream_error_rate_alert",
-    "stream_topk_per_window",
-    "stream_chained_agg",
-    # ts_* — 14 of 19 never-sampled of 47
-    "ts_control_chart_xmr",
-    "ts_ar1_unit_root",
-    "ts_acf_lags",
-    "ts_dow_seasonal_strength",
-    "ts_ljung_box",
-    "ts_runs_test",
-    "ts_turning_points",
-    "ts_npv_discounted",
-    "ts_sharpe_ratio",
-    "ts_beta_to_market",
-    "ts_drawdown_duration",
-    "ts_doubling_time",
-    "ts_growth_ratio_rt",
-    "ts_lagged_outcome_ratio",
+    # stream_* — the two r11-new ids (verdict task 5)
+    "stream_interval_join",
+    "stream_join_windowed_agg",
+    # ml_* — all 17 never-sampled of 60
+    "ml_welch_ttest",
+    "ml_effect_size_d",
+    "ml_two_proportion_ztest",
+    "ml_xi_correlation",
+    "ml_isotonic_calibration",
+    "ml_rmst",
+    "ml_competing_risks",
+    "ml_diff_in_diff",
+    "ml_cuped_adjustment",
+    "ml_power_mde",
+    "ml_wilson_ci",
+    "ml_sprt_monitor",
+    "ml_ratio_metric_ci",
+    "ml_brier_score",
+    "ml_conformal_interval",
+    "ml_average_precision",
+    "ml_confusion_matrix",
+    # agg_* — all 15 never-sampled STRONG ids of 42 (the 3 weak
+    # sketches agg_sketch_rollup/agg_theta_set_ops/agg_kll_quantile_rollup
+    # are deferred to r13 where rows-only driver rows are expected)
+    "agg_heavy_hitters",
+    "agg_mad",
+    "agg_decimal_exact",
+    "agg_bool_funcs",
+    "agg_mode_exact",
+    "agg_percentile_disc",
+    "agg_winsorized_mean",
+    "agg_hhi_concentration",
+    "agg_arg_minmax",
+    "agg_frequency_moments",
+    "agg_approx_distinct_band",
+    "agg_approx_percentile_band",
+    "agg_sketch_rollup_band",
+    "agg_theta_band",
+    "agg_kll_band",
+    # graph_* — all 6 never-sampled of 19
+    "graph_hits_scores",
+    "graph_closeness_centrality",
+    "graph_reciprocity",
+    "graph_pref_attachment",
+    "graph_katz_centrality",
+    "graph_resource_allocation",
+    # sql_* — all 5 never-sampled of 36
+    "sql_order_by_all",
+    "sql_tpch_q1_pricing_summary",
+    "sql_tpch_q3_shipping_priority",
+    "sql_tpch_q6_forecast_revenue",
+    "sql_tpch_q10_returned_items",
+    # ts_* — all 5 never-sampled of 47
+    "ts_active_outstanding",
+    "ts_pinball_loss",
+    "ts_mase_backtest",
+    "ts_interval_coverage",
+    "ts_theil_u2",
 ]
 
 

@@ -923,8 +923,10 @@ def llm_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs are normalized unordered (lexicographic least/greatest), and
     PMI = ln(c_uv·T² / (P·c_u·c_v)) is one double expression over
     exact integer counts, rounded 6dp, identical in both engines.
-    Unigram and total counts are broadcast — bounded by vocabulary
-    size, not corpus size.
+    The unigram-count joins carry NO broadcast hint — the token TYPE
+    table is unbounded at 100 TB, so AQE picks the strategy at runtime
+    (see the inline note at the scoring join); only the 1-row totals
+    frame is an explicit broadcast.
     """
     # Tokenize ONCE into a projected column.  The round-2 version indexed
     # the raw `split(lower(text))` expression with per-position

@@ -318,6 +318,37 @@ def test_no_keyed_broadcast_hint_in_vocab_grain_class(spark, sf_dir):
         assert not bad, f"{name}: broadcast hint on a keyed join: {bad}"
 
 
+def test_vocab_grain_docstrings_match_dehinted_plans():
+    """Docstring-vs-plan audit (r11 verdict task 3): three rounds in a
+    row a query was de-hinted while its docstring kept claiming the
+    vocabulary-grain frame "is broadcast" (r10 `_nb_predictions`, r11
+    `llm_pmi_cooccur`).  For every query the vocab-grain plan pin
+    covers, no docstring sentence may assert that a token/term/gram/
+    vocabulary-grain frame IS broadcast — the plan pin above forbids
+    exactly that hint.  Mentions of broadcast in negated form ("NO
+    broadcast hint", "de-hinted") or about 1-row scalar totals frames
+    are the truthful cases and still pass."""
+    import re
+
+    qs = E.queries()
+    claim = re.compile(
+        r"\b(unigram|bigram|vocab\w*|token\w*|term\w*|gram\w*|"
+        r"shingle\w*|model)\b[^.]{0,120}?\b(is|are)\s+(an?\s+)?"
+        r"(explicit\s+)?broadcast",
+        re.IGNORECASE | re.DOTALL,
+    )
+    offenders = {}
+    for name in VOCAB_GRAIN_JOIN_QUERIES:
+        doc = qs[name].__doc__ or ""
+        m = claim.search(doc)
+        if m:
+            offenders[name] = " ".join(m.group(0).split())
+    assert not offenders, (
+        "docstring claims a vocab-grain frame is broadcast while the "
+        f"plan pin forbids the hint: {offenders}"
+    )
+
+
 def test_perplexity_unigram_model_is_two_level_aggregate(spark, sf_dir):
     # Round-11 hardening (r10 ADVICE): the unigram model is a
     # groupBy(tok) count (constant per-key state, map-side partials)

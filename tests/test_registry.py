@@ -492,22 +492,35 @@ def test_oracles_cover_strong_queries():
 
 
 def test_window_rotation_is_never_sampled():
-    """Round-11 contract: the external driver samples the FIRST 50
+    """Per-round contract: the external driver samples the FIRST 50
     registry ids in iteration order; the rotation must consist only of
-    ids with no committed external evidence yet (CORRECTNESS_r11 ∩
-    r01-r10 = ∅ by construction), all with strong oracles."""
+    ids with no committed external evidence from any PRIOR round.
+
+    Self-maintaining (r11 ADVICE): globs ALL committed
+    CORRECTNESS_r*.json artifacts instead of a hardcoded round list.
+    An artifact whose id set is a subset of the current front-50 is
+    the CURRENT window's own evidence (committed by the driver at
+    round end) and is excluded; every other artifact — past windows,
+    which are disjoint from the front by construction — counts.  When
+    a new round rotates the front, the previous round's artifact stops
+    being a subset and is automatically enforced against."""
     import glob
     import json
     import os
 
     qs, orc = E.queries(), E.oracle_sql()
     front = list(qs)[:50]
+    front_set = set(front)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    assert len(paths) >= 11, f"committed correctness artifacts missing: {paths}"
     seen = set()
-    for pat in ("CORRECTNESS_r0[1-9].json", "CORRECTNESS_r10.json"):
-        for p in glob.glob(os.path.join(repo, pat)):
-            seen |= set(json.load(open(p)))
-    assert seen, "committed correctness artifacts missing"
+    for p in paths:
+        ids = set(json.load(open(p)))
+        if ids <= front_set:
+            continue  # this window's own round-end evidence
+        seen |= ids
+    assert seen, "no prior-round correctness artifacts found"
     overlap = [n for n in front if n in seen]
     assert not overlap, f"window ids already sampled before: {overlap}"
     assert all(n in orc for n in front)
