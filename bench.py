@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -80,6 +81,113 @@ HEADLINE = [
     "join_fuzzy_levenshtein",  # blocked edit-distance join (round-5 late)
     "dq_ks_two_sample",     # integer-ECDF sup distance (round-5 late)
 ]
+
+
+def _git(repo: str, *args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", repo, *args],
+        check=True,
+        capture_output=True,
+        text=True,
+        timeout=60,
+    ).stdout.strip()
+
+
+def _previous_round_ref(repo: str) -> tuple[str, str] | None:
+    """Resolve the previous round's code as (commit sha, how-found).
+
+    Prefers the highest ``round-N`` tag (the builder tags each round's
+    driver ledger commit); falls back to the most recent commit that
+    touched a BENCH_r*.json artifact (the driver's round-end commit).
+    """
+    try:
+        tags = [
+            t
+            for t in _git(repo, "tag", "--list", "round-*").splitlines()
+            if re.fullmatch(r"round-\d+", t)
+        ]
+        if tags:
+            tag = max(tags, key=lambda t: int(t.split("-")[1]))
+            return _git(repo, "rev-parse", f"{tag}^{{commit}}"), f"tag {tag}"
+        sha = _git(repo, "log", "-n", "1", "--format=%H", "--", "BENCH_r*.json")
+        if sha:
+            return sha, "last BENCH_r*.json commit"
+    except Exception:
+        pass
+    return None
+
+
+def _matched_conditions_ab(head_total: float, sf_dir: str) -> dict:
+    """Same-hour A/B against the previous round's code (r11 verdict
+    task 4): when the final canary spread exceeds the comparability
+    threshold, the committed total is NOT comparable to last round's
+    committed total — the environment itself drifted.  Instead of
+    leaving the exonerating evidence to prose archaeology (the r11
+    situation: spread 2.7, and the 50.1 s-today-vs-36.0 s-committed
+    re-bench of the r10 commit lived only in SCALE.md + a commit
+    message), bench the previous round's commit in a worktree
+    BACK-TO-BACK with this run and record the matched-conditions ratio
+    in the JSON artifact itself.  ratio < 1 means HEAD is faster than
+    the previous round under identical ambient conditions, whatever
+    the raw totals say."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ref = _previous_round_ref(repo)
+    if ref is None:
+        return {"error": "no previous-round ref resolvable"}
+    sha, source = ref
+    wt = os.path.join(repo, ".bench_ab", "wt")
+    try:
+        if os.path.exists(wt):
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "remove", "--force", wt],
+                capture_output=True,
+                timeout=60,
+            )
+        _git(repo, "worktree", "add", "--force", "--detach", wt, sha)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_CHILD="1",
+            SPARK_GRAFT_SF_DIR=sf_dir,
+        )
+        proc = subprocess.run(
+            [sys.executable, "bench.py"],
+            cwd=wt,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=2400,
+        )
+        line = next(
+            (
+                ln
+                for ln in reversed(proc.stdout.splitlines())
+                if ln.startswith("{")
+            ),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            return {
+                "ref": sha,
+                "ref_source": source,
+                "error": f"child bench failed rc={proc.returncode}",
+            }
+        prev = json.loads(line)
+        prev_total = float(prev["value"])
+        return {
+            "ref": sha,
+            "ref_source": source,
+            "prev_total_sec": prev_total,
+            "prev_canary_spread": prev.get("canary_spread"),
+            "matched_conditions_ratio": round(head_total / prev_total, 3),
+        }
+    except Exception as exc:  # never let the A/B sink the bench itself
+        return {"ref": sha, "ref_source": source, "error": repr(exc)}
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True,
+            timeout=60,
+        )
 
 
 def main() -> int:
@@ -172,26 +280,38 @@ def main() -> int:
             times, canaries, spread = times2, canaries2, spread2
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_warm",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                # ambient-load canary: fixed job, measured at start /
-                # every 10 queries / end.  spread >> 1.0 means the box
-                # was bursty and the totals are not comparable across
-                # rounds without re-measurement (which the rule above
-                # performs automatically once when spread > threshold).
-                "canary_sec": canaries,
-                "canary_spread": spread,
-                "canary_spread_threshold": CANARY_SPREAD_MAX,
-                "canary_attempt_spreads": attempt_spreads,
-            }
-        )
-    )
+
+    # Round-12 comparability pin: if even the re-measured run is over
+    # the spread threshold, the environment is degraded and the raw
+    # total is not cross-round comparable — run the previous round's
+    # tagged commit back-to-back in a worktree and record the
+    # matched-conditions ratio in the artifact (child runs are guarded
+    # against recursing into their own A/B).
+    matched = None
+    if spread > CANARY_SPREAD_MAX and not os.environ.get(
+        "SPARK_GRAFT_BENCH_CHILD"
+    ):
+        matched = _matched_conditions_ab(total, sf_dir)
+
+    payload = {
+        "metric": "headline_queries_total_warm",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        # ambient-load canary: fixed job, measured at start / every 10
+        # queries / end.  spread >> 1.0 means the box was bursty and
+        # the totals are not comparable across rounds without
+        # re-measurement (which the rule above performs automatically
+        # once when spread > threshold).
+        "canary_sec": canaries,
+        "canary_spread": spread,
+        "canary_spread_threshold": CANARY_SPREAD_MAX,
+        "canary_attempt_spreads": attempt_spreads,
+    }
+    if matched is not None:
+        payload["matched_conditions_ab"] = matched
+    print(json.dumps(payload))
     return 0
 
 

@@ -1202,7 +1202,10 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_join_windowed_agg",
     oracle="""
-    WITH m AS (SELECT max(ts) AS mx FROM events),
+    WITH m AS (SELECT least(
+                   max(ts) FILTER (WHERE event_type = 'click'),
+                   max(ts) FILTER (WHERE event_type = 'purchase'))
+               AS mx FROM events),
     p AS (
         SELECT a.ts AS c_ts
         FROM events a
@@ -1217,7 +1220,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM p GROUP BY 1)
     SELECT epoch_ms(d) AS window_start_ms, conversions
     FROM w, m
-    WHERE d + INTERVAL '1 day' <= mx - INTERVAL '1 hour'
+    WHERE d + INTERVAL '1 day' < mx - INTERVAL '90 minutes'
     """,
 )
 def stream_join_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1232,13 +1235,21 @@ def stream_join_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffers (watermark delay + 30-min interval) of events per side —
     rate-bounded, keyed on user_id — and the window store one row per
     open day.  The join's event-time watermark propagates into the
-    aggregation, so the daily window emits (append mode) once the
-    watermark passes its end: the end-of-stream output equals the
-    batch join + daily rollup over windows whose end ≤ max ts − 1 h
-    (the same availableNow flush contract as ``stream_chained_agg``;
-    verified empirically — the final partial day and the watermark-
-    held last window are withheld in BOTH engines' stated semantics).
-    Counts are exact integers, window starts exact epoch-ms.
+    aggregation DELAYED BY THE JOIN INTERVAL: a click row can sit in
+    the join buffer until the watermark passes c_ts + 30 min, so the
+    aggregate's effective watermark is wm − 30 min, and the day window
+    emits (append mode) iff window_end < wm − 30 min STRICTLY, where
+    wm = min(max click ts, max purchase ts) − 1 h — per-side maxima
+    because each side's ``withWatermark`` sits above its event_type
+    filter, so only that side's rows advance it.  All three facts
+    (the 30-min propagation delay, the strict inequality at the
+    boundary, the per-side maxima) are pinned empirically by
+    tests/test_guards.py::test_join_windowed_agg_watermark_band with a
+    synthetic fixture whose max ts lands INSIDE the (wm−30min, wm]
+    band the r11 ADVICE flagged — the oracle states exactly this
+    cutoff, so the contract holds at any data's max-ts placement, not
+    just the committed testdata's.  Counts are exact integers, window
+    starts exact epoch-ms.
     """
     clicks = (
         events_stream(spark, sf_dir)
@@ -1275,4 +1286,97 @@ def stream_join_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.unix_millis(F.col("w.start")).alias("window_start_ms"),
         "conversions",
+    )
+
+
+@query(
+    "stream_interval_join_left",
+    oracle="""
+    WITH m AS (SELECT least(
+                   max(ts) FILTER (WHERE event_type = 'click'),
+                   max(ts) FILTER (WHERE event_type = 'purchase'))
+               - INTERVAL '1 hour' AS wm FROM events),
+    c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS b_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id                      AS click_id,
+           p.purchase_id                   AS purchase_id,
+           c.user_id                       AS user_id,
+           epoch_ms(p.b_ts) - epoch_ms(c.c_ts) AS gap_ms
+    FROM c
+    LEFT JOIN p
+      ON p.user_id = c.user_id
+     AND p.b_ts >= c.c_ts
+     AND p.b_ts <= c.c_ts + INTERVAL '30 minutes'
+    CROSS JOIN m
+    WHERE p.purchase_id IS NOT NULL
+       OR c.c_ts + INTERVAL '30 minutes' < m.wm
+    """,
+)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the state-TIMEOUT
+    semantics the inner join never exercises: every click emits either
+    its matching purchases within [c_ts, c_ts + 30 min] or, once the
+    watermark proves no match can still arrive, ONE null-extended row.
+    This is the live form of "which clicks did NOT convert" — the
+    funnel-drop stream an attribution pipeline alerts on.
+
+    Emission contract, pinned empirically (probe fixtures + the
+    cross-micro-batch expiry test
+    tests/test_guards.py::test_left_interval_join_emits_null_on_expiry):
+    matched pairs emit as found, exactly like the inner join; an
+    unmatched click's null row emits only when its match horizon has
+    STRICTLY passed the global watermark — c_ts + 30 min < wm, where
+    wm = min(max click ts, max purchase ts) − 1 h (per-side maxima:
+    each ``withWatermark`` sits above its event_type filter; min
+    because Spark's default multipleWatermarkPolicy is min; equality
+    at the boundary stays buffered, verified at exact-boundary
+    fixtures).  Clicks whose horizon is still inside the watermark at
+    end-of-replay remain in state and emit nothing — the oracle states
+    the same cutoff, so batch and stream agree at any max-ts placement.
+
+    Scale: identical state topology to ``stream_interval_join`` —
+    per-side buffers bounded by (watermark delay + interval) × stream
+    rate, hash-partitioned on user_id, no hot task; the null-extension
+    adds no state, only an eviction-time emit.  ``gap_ms`` is an exact
+    integer on matched rows and NULL on expiry rows in both engines.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    buys = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "b_user = c_user AND "
+            "b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    )
+    out = run_to_table(
+        spark, joined, "t_interval_join_left", "append",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
+    return out.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_millis("b_ts") - F.unix_millis("c_ts")).alias("gap_ms"),
     )

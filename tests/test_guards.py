@@ -472,6 +472,165 @@ def test_interval_join_state_survives_micro_batches(spark, tmp_path):
     assert got == {(1, 2), (3, 4)}  # cross-batch pair AND same-batch pair
 
 
+def _interval_fixture_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+
+def _interval_sides(ev):
+    from pyspark.sql import functions as F
+
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("b_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    return c, b
+
+
+def test_join_windowed_agg_watermark_band(spark, tmp_path):
+    """r11 ADVICE guard: the interval join delays the downstream
+    aggregate's watermark by the 30-min join interval, so a day window
+    emits iff window_end < min(max_c, max_b) − 1 h − 30 min STRICTLY.
+    The fixture places max ts INSIDE the flagged (wm−30min, wm] band —
+    where the old `end <= max(ts) − 1h` oracle would claim emission —
+    and at the exact boundary, so the divergence surfaces
+    deterministically instead of at a new scale factor."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from covid_19_data_analysis_bigdata_spark.streaming.ops import (
+        run_to_table,
+    )
+
+    schema = _interval_fixture_schema()
+    D = datetime
+
+    def run(tag, minute):
+        rows = [
+            (1, D(2024, 3, 1, 10, 0), 1, "click", 1.0),
+            (2, D(2024, 3, 1, 10, 10), 1, "purchase", 1.0),
+            # max-ts drivers: one per side (each withWatermark sits
+            # above its event_type filter, so only that side's rows
+            # advance its watermark), non-matching users
+            (3, D(2024, 3, 2, 1, minute), 99, "click", 1.0),
+            (4, D(2024, 3, 2, 1, minute), 98, "purchase", 1.0),
+        ]
+        src = str(tmp_path / f"wmband_{tag}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+        ev = spark.readStream.schema(schema).parquet(src)
+        c, b = _interval_sides(ev)
+        joined = c.join(
+            b,
+            F.expr(
+                "b_user = c_user AND "
+                "b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTES"
+            ),
+        )
+        daily = joined.groupBy(F.window("c_ts", "1 day").alias("w")).agg(
+            F.count(F.lit(1)).alias("conversions")
+        )
+        out = run_to_table(spark, daily, f"t_wmband_{tag}", "append", 4)
+        return [(str(r.w.start), r.conversions) for r in out.collect()]
+
+    # mx = 01:15 -> wm−30min = 00:15−30min < 00:00: inside the old
+    # oracle's false-emission band; the window must be WITHHELD
+    assert run("band", 15) == []
+    # mx = 01:30 -> wm−30min = 00:00 == window end: strict boundary,
+    # still withheld
+    assert run("edge", 30) == []
+    # mx = 01:31 -> wm−30min = 00:01 > 00:00: emitted
+    assert run("past", 31) == [("2024-03-01 00:00:00", 1)]
+
+
+def test_left_interval_join_emits_null_on_expiry(spark, tmp_path):
+    """State-TIMEOUT semantics of the left outer interval join: an
+    unmatched click must emit its null-extended row once the watermark
+    strictly passes c_ts + 30 min — including when the click and the
+    watermark-advancing events arrive in DIFFERENT micro-batches (the
+    expiry fires in a later batch's state eviction, not at ingest).
+    Boundary clicks (horizon == watermark) stay buffered and emit
+    nothing."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from covid_19_data_analysis_bigdata_spark.streaming.ops import (
+        run_to_table,
+    )
+
+    schema = _interval_fixture_schema()
+    D = datetime
+    # final watermark: min-side max ts = 2024-03-02 01:15 -> wm 00:15
+    batch_a = [
+        (10, D(2024, 3, 1, 23, 0), 5, "click", 1.0),  # horizon 23:30 < wm
+        (11, D(2024, 3, 1, 23, 45), 6, "click", 1.0),  # horizon == wm
+        (12, D(2024, 3, 2, 0, 0), 7, "click", 1.0),  # horizon 00:30 > wm
+        (13, D(2024, 3, 1, 10, 0), 8, "click", 1.0),  # matched pair
+        (14, D(2024, 3, 1, 10, 10), 8, "purchase", 1.0),
+    ]
+    batch_b = [
+        (15, D(2024, 3, 2, 1, 15), 99, "click", 1.0),
+        (16, D(2024, 3, 2, 1, 15), 98, "purchase", 1.0),
+    ]
+    src = str(tmp_path / "lexp")
+    for rows in (batch_a, batch_b):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    assert (
+        len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 2
+    )
+    ev = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    c, b = _interval_sides(ev)
+    joined = c.join(
+        b,
+        F.expr(
+            "b_user = c_user AND "
+            "b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    )
+    out = run_to_table(spark, joined, "t_left_expiry", "append", 4)
+    got = {(r.c_id, r.b_id) for r in out.collect()}
+    # click 10: expired -> null row; click 11: exact boundary, held;
+    # clicks 12/15: horizon inside watermark, held; 13/14: matched
+    assert got == {(10, None), (13, 14)}
+
+
 class TestDfCappedPostingPairs:
     """Round-11 hardening (r10 ADVICE): the inverted-index candidate
     generator prunes hot grams with a constant-state count aggregate
@@ -512,6 +671,33 @@ class TestDfCappedPostingPairs:
         assert "collect_list" in op
         assert "size(collect_list" not in op  # cap is not a post-filter
         assert "LeftSemi" in op  # the de-hinted rare-gram semi-join
+        # Positive ordering property (r11 ADVICE: substring absence
+        # proves one spelling is gone, not that the prefilter ordering
+        # holds).  In the printed tree children (upstream inputs)
+        # appear BELOW their consumers, so the df Filter must sit
+        # after the collect_list Aggregate (it feeds the semi-join
+        # that gates collection) and before the count Aggregate that
+        # defines df (it consumes that aggregate's output).
+        import re
+
+        lines = op.splitlines()
+        i_collect = next(
+            i for i, ln in enumerate(lines) if "collect_list" in ln
+        )
+        i_filter = next(
+            i
+            for i, ln in enumerate(lines)
+            if re.search(r"Filter .*\bdf#\d+L? >=", ln)
+        )
+        i_count = next(
+            i
+            for i, ln in enumerate(lines)
+            if re.search(r"count\(1\) AS df#\d+", ln)
+        )
+        assert i_collect < i_filter < i_count, (
+            "df prefilter is not between the collect_list consumer and "
+            f"the count aggregate: {i_collect=} {i_filter=} {i_count=}"
+        )
 
 
 def test_no_duplicate_module_constants():

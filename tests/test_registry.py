@@ -460,6 +460,10 @@ EXPECTED_IDS = {
     # round-11 batch 83: chained stateful operators across kinds —
     # the interval join feeding a tumbling daily aggregation
     "stream_join_windowed_agg",
+    # round-12 batch 84: stream-stream LEFT OUTER interval join —
+    # null-extension emitted on watermark expiry (state-timeout
+    # semantics the inner join never exercises)
+    "stream_interval_join_left",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
