@@ -238,10 +238,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        t_spark = time.time() - t0
         if name not in orc:
             print(f"WEAK {name}: rows={len(srows)} cols={sorted(scols)} ({time.time()-t0:.1f}s)")
             n_weak += 1
             continue
+        t1 = time.time()
         try:
             rel = con.sql(orc[name])
             ocols = rel.columns
@@ -250,6 +252,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        t_oracle = time.time() - t1
 
         problems = []
         if sorted(scols) != sorted(ocols):
@@ -268,7 +271,13 @@ def main() -> int:
             print(f"FAIL {name}: " + " | ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            # Per-engine attribution (r11 verdict task 2): a >5 s sweep
+            # entry must say whether the cost is the Spark query or
+            # DuckDB's (often brute-force) oracle.
+            print(
+                f"PASS {name}: rows={len(srows)} ({time.time()-t0:.1f}s; "
+                f"spark={t_spark:.1f}s oracle={t_oracle:.1f}s)"
+            )
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_weak} weak, {n_fail} fail / {len(names)} total")
