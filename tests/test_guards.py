@@ -573,6 +573,44 @@ def test_join_windowed_agg_watermark_band(spark, tmp_path):
     assert run("past", 31) == [("2024-03-01 00:00:00", 1)]
 
 
+def test_single_stateful_window_flush_is_inclusive(spark, tmp_path):
+    """Companion pin to test_join_windowed_agg_watermark_band: WITHOUT
+    an upstream join, a windowed aggregate in append mode emits at the
+    exact boundary — window_end == watermark flushes (inclusive),
+    whereas the join-fed aggregate withholds at its boundary (strict).
+    This asymmetry is why `stream_watermark_late` /
+    `stream_chained_agg` oracles say `<=` while
+    `stream_join_windowed_agg`'s says `<`: both spellings are
+    empirically pinned, not stylistic."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from covid_19_data_analysis_bigdata_spark.streaming.ops import (
+        run_to_table,
+    )
+
+    schema = _interval_fixture_schema()
+    D = datetime
+    rows = [
+        (1, D(2024, 3, 1, 10, 5), 1, "click", 1.0),
+        (2, D(2024, 3, 1, 10, 10), 1, "view", 1.0),
+        # max ts exactly window_end + delay: wm == end of [10:00,11:00)
+        (3, D(2024, 3, 1, 12, 0), 99, "view", 1.0),
+    ]
+    src = str(tmp_path / "flushinc")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    ev = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = run_to_table(spark, agg, "t_flush_inclusive", "append", 4)
+    got = sorted((str(r.w.start), r.cnt) for r in out.collect())
+    assert got == [("2024-03-01 10:00:00", 2)]
+
+
 def test_left_interval_join_emits_null_on_expiry(spark, tmp_path):
     """State-TIMEOUT semantics of the left outer interval join: an
     unmatched click must emit its null-extended row once the watermark
