@@ -117,6 +117,28 @@ def _previous_round_ref(repo: str) -> tuple[str, str] | None:
     return None
 
 
+def _previous_committed_total() -> float | None:
+    """Total of the highest-numbered committed BENCH_r*.json, if any."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for fname in os.listdir(repo):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
+        if not m:
+            continue
+        if best is None or int(m.group(1)) > best[0]:
+            best = (int(m.group(1)), fname)
+    if best is None:
+        return None
+    try:
+        d = json.load(open(os.path.join(repo, best[1])))
+        # the driver wraps bench's JSON line under "parsed"
+        if "value" not in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        return float(d["value"])
+    except Exception:
+        return None
+
+
 def _matched_conditions_ab(head_total: float, sf_dir: str) -> dict:
     """Same-hour A/B against the previous round's code (r11 verdict
     task 4): when the final canary spread exceeds the comparability
@@ -282,16 +304,29 @@ def main() -> int:
     total = round(sum(times.values()), 3)
 
     # Round-12 comparability pin: if even the re-measured run is over
-    # the spread threshold, the environment is degraded and the raw
-    # total is not cross-round comparable — run the previous round's
-    # tagged commit back-to-back in a worktree and record the
-    # matched-conditions ratio in the artifact (child runs are guarded
-    # against recursing into their own A/B).
+    # the spread threshold, OR the total LOOKS like a >15% regression
+    # vs the previous committed BENCH artifact (ambient bursts shorter
+    # than the canary sampling interval can inflate totals while the
+    # spread stays under threshold — observed this round: a load-13
+    # burst read llm_dedup_fuzzy at 9.7 s with spread only 1.53; the
+    # same code benched 2.0 s minutes later), the raw total is not
+    # cross-round comparable — run the previous round's tagged commit
+    # back-to-back in a worktree and record the matched-conditions
+    # ratio in the artifact (child runs are guarded against recursing
+    # into their own A/B).
     matched = None
-    if spread > CANARY_SPREAD_MAX and not os.environ.get(
-        "SPARK_GRAFT_BENCH_CHILD"
-    ):
-        matched = _matched_conditions_ab(total, sf_dir)
+    ab_reasons = []
+    if not os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        if spread > CANARY_SPREAD_MAX:
+            ab_reasons.append(f"canary_spread {spread} > {CANARY_SPREAD_MAX}")
+        prev_committed = _previous_committed_total()
+        if prev_committed and total > 1.15 * prev_committed:
+            ab_reasons.append(
+                f"total {total} > 1.15x previous committed {prev_committed}"
+            )
+        if ab_reasons:
+            matched = _matched_conditions_ab(total, sf_dir)
+            matched["trigger"] = "; ".join(ab_reasons)
 
     payload = {
         "metric": "headline_queries_total_warm",
