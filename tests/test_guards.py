@@ -573,6 +573,49 @@ def test_join_windowed_agg_watermark_band(spark, tmp_path):
     assert run("past", 31) == [("2024-03-01 00:00:00", 1)]
 
 
+def test_interval_join_watermark_uses_per_side_maxima(spark, tmp_path):
+    """Pin for the oracle's `max(ts) FILTER (WHERE event_type = ...)`:
+    each side's ``withWatermark`` sits ABOVE its event_type filter, so
+    a later event of another type must NOT advance either watermark.
+    The fixture's global max ts is a `view` event far past every
+    click's expiry horizon — if the watermark were computed from the
+    global max, the unmatched click would expire and emit a null row;
+    with per-side maxima it stays buffered and emits nothing."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from covid_19_data_analysis_bigdata_spark.streaming.ops import (
+        run_to_table,
+    )
+
+    schema = _interval_fixture_schema()
+    D = datetime
+    rows = [
+        (1, D(2024, 3, 1, 10, 0), 5, "click", 1.0),  # no matching purchase
+        (2, D(2024, 3, 1, 10, 1), 6, "purchase", 1.0),  # other user
+        # global max ts, wrong type: contributes to NEITHER watermark
+        (3, D(2024, 3, 5, 0, 0), 99, "view", 1.0),
+    ]
+    src = str(tmp_path / "perside")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    ev = spark.readStream.schema(schema).parquet(src)
+    c, b = _interval_sides(ev)
+    joined = c.join(
+        b,
+        F.expr(
+            "b_user = c_user AND "
+            "b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    )
+    out = run_to_table(spark, joined, "t_perside", "append", 4)
+    # side maxima: click 10:00, purchase 10:01 -> wm = 09:01; the
+    # click's horizon 10:30 > wm, so no null extension despite the
+    # March-5 view event
+    assert out.collect() == []
+
+
 def test_single_stateful_window_flush_is_inclusive(spark, tmp_path):
     """Companion pin to test_join_windowed_agg_watermark_band: WITHOUT
     an upstream join, a windowed aggregate in append mode emits at the
