@@ -182,6 +182,22 @@ class TestStrictComparator:
             # nested containers inherit strictness
             assert norm([a]) != norm([b]), (a, b)
 
+    def test_multiset_compare_is_order_free_and_multiplicity_exact(self):
+        """The r12 Counter-based compare must stay a true multiset:
+        column order and row order never matter; duplicate multiplicity
+        always does (the sorted-list compare it replaced had the same
+        contract — this pins it through the representation change)."""
+        import sys
+
+        sys.path.insert(0, str(PKG.parent / "tools"))
+        from check import to_multiset
+
+        a = to_multiset(["x", "y"], [(1, 2), (3, 4), (1, 2)])
+        b = to_multiset(["y", "x"], [(4, 3), (2, 1), (2, 1)])
+        assert a == b  # column + row order free
+        c = to_multiset(["x", "y"], [(1, 2), (3, 4)])
+        assert a != c  # multiplicity 2 vs 1 must fail
+
     def test_equal_values_still_match(self):
         import sys
 

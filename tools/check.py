@@ -163,11 +163,17 @@ def type_problems(scols, sschema, ocols, otypes) -> list[str]:
 
 
 def to_multiset(columns, rows):
-    """Rows → sorted list of tuples with columns ordered by name."""
+    """Rows → Counter of normalized tuples with columns ordered by name.
+
+    Counter equality IS exact multiset equality — semantically identical
+    to the sorted-list compare this replaces, without the O(n log n)
+    sort keyed on repr() of every row (measured: unpivot_melt's 2.4 M
+    rows spent ~100 s in the harness compare at sf0.1, dwarfing the
+    9.7 s Spark + 4.0 s oracle the entry attributes to the engines)."""
+    from collections import Counter
+
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
-    out.sort(key=repr)
-    return out
+    return Counter(tuple(norm(r[i]) for i in order) for r in rows)
 
 
 def main() -> int:
@@ -265,8 +271,15 @@ def main() -> int:
         if not problems:
             sm, om = to_multiset(scols, [tuple(r) for r in srows]), to_multiset(ocols, orows)
             if sm != om:
-                diffs = [(a, b) for a, b in zip(sm, om) if a != b]
-                problems.append(f"values differ in {len(diffs)} rows; first: spark={diffs[0][0]} oracle={diffs[0][1]}")
+                only_s = sm - om
+                only_o = om - sm
+                n_diff = max(sum(only_s.values()), sum(only_o.values()))
+                first_s = next(iter(only_s), None)
+                first_o = next(iter(only_o), None)
+                problems.append(
+                    f"values differ in {n_diff} rows; "
+                    f"spark-only={first_s} oracle-only={first_o}"
+                )
         if problems:
             print(f"FAIL {name}: " + " | ".join(problems))
             n_fail += 1
