@@ -722,7 +722,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DECIMAL(18, 2)) AS gross,
            CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18, 2))
                     * (1 - CAST(round(l_discount, 2) AS DECIMAL(4, 2))))
-                AS DECIMAL(38, 4)) AS net,
+                AS DECIMAL(18, 4)) AS net,
            CAST(count(*) AS BIGINT) AS cnt
     FROM lineitem
     GROUP BY l_returnflag
@@ -749,15 +749,19 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     gross_d = F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")
     disc_d = F.round(F.col("l_discount"), 2).cast("decimal(4,2)")
     net_d = gross_d * (F.lit(1).cast("decimal(4,2)") - disc_d)
-    # net keeps the exact scale-4 sum: re-quantizing to cents would
-    # round an exact ....xx50 tie, where the engines' decimal-cast tie
-    # rules differ (HALF_UP vs round-half-even) — the only lossy step
-    # in an otherwise exact pipeline, so it is simply not taken
+    # net keeps SCALE 4 (the exact product scale — no rounding, so no
+    # tie-rule exposure) but is narrowed to PRECISION 18: a
+    # precision-only narrowing at the same scale quantizes nothing,
+    # and DECIMAL(p<=18) stays INT64-backed in both engines (DuckDB
+    # stores p>18 as INT128 — the HUGEINT storage class whose driver
+    # hash rendering diverges; see tools/scan_oracle_types.py).
+    # Values are ~1e9 at any SF slice here, 5 orders below the
+    # 18-digit ceiling.
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.sum(gross_d).cast("decimal(18,2)").alias("gross"),
-            F.sum(net_d).cast("decimal(38,4)").alias("net"),
+            F.sum(net_d).cast("decimal(18,4)").alias("net"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )

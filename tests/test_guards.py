@@ -297,6 +297,31 @@ class TestOracleTypeLattice:
         )
         assert type_problems(["s", "t", "d"], sch, rel.columns, rel.types) == []
 
+    def test_classify_flags_wide_decimal(self):
+        """DECIMAL(p>18) is INT128-backed in DuckDB — the same storage
+        class as HUGEINT, and the r12 driver window proved its rendering
+        is hash-sensitive (agg_decimal_exact: bit-identical values,
+        hash_match=false).  classify() must flag p>18 (bare and nested)
+        and keep whitelisting p<=18, which is INT64-backed."""
+        import sys
+
+        sys.path.insert(0, str(PKG.parent / "tools"))
+        import duckdb
+
+        from scan_oracle_types import classify
+
+        rel = duckdb.connect().sql(
+            "SELECT CAST(1 AS DECIMAL(38,4)) AS wide, "
+            "CAST(1 AS DECIMAL(18,4)) AS narrow, "
+            "[CAST(1 AS DECIMAL(19,0))] AS nested_wide, "
+            "{'v': CAST(1 AS DECIMAL(12,2))} AS nested_narrow"
+        )
+        by_col = dict(zip(rel.columns, rel.types))
+        assert classify(by_col["wide"]), "DECIMAL(38,4) must be unsafe"
+        assert classify(by_col["nested_wide"]), "DECIMAL(19,0) in a list must be unsafe"
+        assert classify(by_col["narrow"]) == []
+        assert classify(by_col["nested_narrow"]) == []
+
     def test_no_registered_oracle_emits_unsafe_types(self, sf_dir):
         """Run every oracle's DuckDB side and assert zero HUGEINT/
         UHUGEINT/UBIGINT columns (nested types included).  This is the

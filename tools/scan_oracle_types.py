@@ -67,7 +67,22 @@ def classify(t) -> list[str]:
     if tid.upper() in UNSAFE or "HUGEINT" in s.upper():
         return [s]
     if tid.upper().startswith("DECIMAL"):
-        return []  # decimals compare via Decimal str() both sides
+        # DECIMAL(p<=18) is INT64-backed in DuckDB and renders
+        # identically to Spark's.  DECIMAL(p>18) is INT128-backed —
+        # the same storage class as HUGEINT, whose rendering the
+        # external driver's hash is sensitive to (r12: the registry's
+        # one wide-decimal output column was the round's one
+        # hash_match=false despite bit-identical values).
+        try:
+            width = getattr(t, "width", None)
+            if width is None:
+                # parse "DECIMAL(38,4)" textual form
+                width = int(s.upper().split("DECIMAL(", 1)[1].split(",", 1)[0])
+            if int(width) > 18:
+                return [s]
+        except Exception:  # noqa: BLE001
+            return [s]  # unparseable decimal: treat as unsafe, force a look
+        return []
     return []
 
 
