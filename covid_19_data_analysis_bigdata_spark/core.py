@@ -43,79 +43,74 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-#: Front-of-registry order for round 12.  External correctness sweeps
-#: sample the first 50 registry entries in iteration order; every id
-#: below is NEVER-sampled in any CORRECTNESS_r01-r11 window (verified
-#: by ``tools/evidence.py``), so CORRECTNESS_r12 ∩ (r01-r11) = ∅ by
-#: construction.  Selection follows the round-11 verdict tasks 1+5:
-#: the two r11-new stream_* ids front-loaded (task 5 — completes the
-#: streaming family's external coverage), then ALL never-sampled
-#: strong-oracle ids from the ml_* (17), agg_* (15 of 18; the other 3
-#: are the declared-weak sketches), graph_* (6), sql_* (5) and ts_*
-#: (5) families = exactly 50, all with strong DuckDB oracles.  The
-#: r13 window plan for the final never-sampled remainder (18 strong
-#: singletons/join/scan ids + the 3 weak sketches, which can only ever
-#: get rows-only driver rows) is documented in SCALE.md §"r13 window
-#: plan".
+#: Front-of-registry order for round 13.  External correctness sweeps
+#: sample the first 50 registry entries in iteration order.  Selection
+#: follows the round-12 verdict task 3 and the committed plan in
+#: SCALE.md §"r13 window plan": the 19 never-sampled STRONG ids first
+#: (closing the pool — cumulative external coverage 529/529 after
+#: r13), then back-fill re-samples (the r13-changed ``agg_decimal_exact``
+#: for its green driver row, the oracle-guard-touched stream joins, the
+#: r13-new ``stream_interval_join_full``, and a refresh of the oldest
+#: r1/r2 evidence), and the 3 declared-weak sketches LAST — their
+#: driver rows are rows-only BY DESIGN (no oracle registered); the
+#: error envelopes are hash-checked via the strong ``_band`` companions
+#: that went green in r12.
 _WINDOW_PRIORITY: list[str] = [
-    # stream_* — the two r11-new ids (verdict task 5)
-    "stream_interval_join",
-    "stream_join_windowed_agg",
-    # ml_* — all 17 never-sampled of 60
-    "ml_welch_ttest",
-    "ml_effect_size_d",
-    "ml_two_proportion_ztest",
-    "ml_xi_correlation",
-    "ml_isotonic_calibration",
-    "ml_rmst",
-    "ml_competing_risks",
-    "ml_diff_in_diff",
-    "ml_cuped_adjustment",
-    "ml_power_mde",
-    "ml_wilson_ci",
-    "ml_sprt_monitor",
-    "ml_ratio_metric_ci",
-    "ml_brier_score",
-    "ml_conformal_interval",
-    "ml_average_precision",
-    "ml_confusion_matrix",
-    # agg_* — all 15 never-sampled STRONG ids of 42 (the 3 weak
-    # sketches agg_sketch_rollup/agg_theta_set_ops/agg_kll_quantile_rollup
-    # are deferred to r13 where rows-only driver rows are expected)
-    "agg_heavy_hitters",
-    "agg_mad",
-    "agg_decimal_exact",
-    "agg_bool_funcs",
-    "agg_mode_exact",
-    "agg_percentile_disc",
-    "agg_winsorized_mean",
-    "agg_hhi_concentration",
-    "agg_arg_minmax",
-    "agg_frequency_moments",
-    "agg_approx_distinct_band",
-    "agg_approx_percentile_band",
-    "agg_sketch_rollup_band",
-    "agg_theta_band",
-    "agg_kll_band",
-    # graph_* — all 6 never-sampled of 19
-    "graph_hits_scores",
-    "graph_closeness_centrality",
-    "graph_reciprocity",
-    "graph_pref_attachment",
-    "graph_katz_centrality",
-    "graph_resource_allocation",
-    # sql_* — all 5 never-sampled of 36
-    "sql_order_by_all",
-    "sql_tpch_q1_pricing_summary",
-    "sql_tpch_q3_shipping_priority",
-    "sql_tpch_q6_forecast_revenue",
-    "sql_tpch_q10_returned_items",
-    # ts_* — all 5 never-sampled of 47
-    "ts_active_outstanding",
-    "ts_pinball_loss",
-    "ts_mase_backtest",
-    "ts_interval_coverage",
-    "ts_theil_u2",
+    # ---- 19 never-sampled strong ids (the whole remaining pool) ----
+    "stream_interval_join_left",
+    "join_range_interval",
+    "join_interval_overlap",
+    "join_spatial_grid",
+    "join_knn_grid",
+    "map_hof_funcs",
+    "date_business_days",
+    "events_markov_removal_attribution",
+    "str_edit_distance",
+    "sink_parquet_sorted",
+    "events_session_percentiles",
+    "dq_functional_dependency",
+    "dq_schema_profile",
+    "report_group_skyline",
+    "report_skyline_dominators",
+    "sample_reservoir_topk",
+    "read_text_lines",
+    "scan_binary_files",
+    "scan_csv_quarantine",
+    # ---- back-fill: r13-changed / r13-new ids ----
+    "agg_decimal_exact",          # r12's one hash-fail, requantized r13
+    "stream_interval_join_full",  # new in r13
+    "stream_join_windowed_agg",   # oracle degenerate-input guard, r13
+    "stream_interval_join",       # companion inner join, refresh
+    # ---- back-fill: refresh the oldest external evidence (r1 window) ----
+    "win_lag_diff",
+    "win_lead",
+    "win_moving_avg",
+    "win_range_frame",
+    "win_cumsum",
+    "win_rank_dense",
+    "win_row_number_topk",
+    "win_ntile_pctrank",
+    # ---- back-fill: refresh r2-window evidence ----
+    "agg_groupby",
+    "agg_global",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_multiway_star",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_theta_range",
+    "join_asof",
+    "filter_compound",
+    "project_compute",
+    "dedup_distinct",
+    "sort_multikey",
+    "topk_limit",
+    # ---- 3 declared-weak sketches: rows-only driver rows BY DESIGN ----
+    "agg_sketch_rollup",
+    "agg_theta_set_ops",
+    "agg_kll_quantile_rollup",
 ]
 
 
