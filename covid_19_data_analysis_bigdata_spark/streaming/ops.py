@@ -1202,10 +1202,15 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_join_windowed_agg",
     oracle="""
-    WITH m AS (SELECT least(
+    WITH m AS (SELECT CASE WHEN max(ts) FILTER (WHERE event_type = 'click')
+                                IS NULL
+                         OR max(ts) FILTER (WHERE event_type = 'purchase')
+                                IS NULL
+                       THEN NULL
+                       ELSE least(
                    max(ts) FILTER (WHERE event_type = 'click'),
                    max(ts) FILTER (WHERE event_type = 'purchase'))
-               AS mx FROM events),
+               END AS mx FROM events),
     p AS (
         SELECT a.ts AS c_ts
         FROM events a
@@ -1292,10 +1297,15 @@ def stream_join_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_interval_join_left",
     oracle="""
-    WITH m AS (SELECT least(
+    WITH m AS (SELECT CASE WHEN max(ts) FILTER (WHERE event_type = 'click')
+                                IS NULL
+                         OR max(ts) FILTER (WHERE event_type = 'purchase')
+                                IS NULL
+                       THEN NULL
+                       ELSE least(
                    max(ts) FILTER (WHERE event_type = 'click'),
                    max(ts) FILTER (WHERE event_type = 'purchase'))
-               - INTERVAL '1 hour' AS wm FROM events),
+               - INTERVAL '1 hour' END AS wm FROM events),
     c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
           FROM events WHERE event_type = 'click'),
     p AS (SELECT event_id AS purchase_id, user_id, ts AS b_ts
@@ -1378,5 +1388,113 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "purchase_id",
         F.col("c_user").alias("user_id"),
+        (F.unix_millis("b_ts") - F.unix_millis("c_ts")).alias("gap_ms"),
+    )
+
+
+@query(
+    "stream_interval_join_full",
+    oracle="""
+    WITH m AS (SELECT CASE WHEN max(ts) FILTER (WHERE event_type = 'click')
+                                IS NULL
+                         OR max(ts) FILTER (WHERE event_type = 'purchase')
+                                IS NULL
+                       THEN NULL
+                       ELSE least(
+                   max(ts) FILTER (WHERE event_type = 'click'),
+                   max(ts) FILTER (WHERE event_type = 'purchase'))
+               - INTERVAL '1 hour' END AS wm FROM events),
+    c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS b_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id                          AS click_id,
+           p.purchase_id                       AS purchase_id,
+           coalesce(c.user_id, p.user_id)      AS user_id,
+           epoch_ms(p.b_ts) - epoch_ms(c.c_ts) AS gap_ms
+    FROM c
+    FULL JOIN p
+      ON p.user_id = c.user_id
+     AND p.b_ts >= c.c_ts
+     AND p.b_ts <= c.c_ts + INTERVAL '30 minutes'
+    CROSS JOIN m
+    WHERE (c.click_id IS NOT NULL AND p.purchase_id IS NOT NULL)
+       OR (p.purchase_id IS NULL AND c.c_ts + INTERVAL '30 minutes' < m.wm)
+       OR (c.click_id IS NULL AND p.b_ts < m.wm)
+    """,
+)
+def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — null-extension on BOTH
+    sides at state expiry, completing the outer-join streaming
+    semantics (inner: ``stream_interval_join``; left:
+    ``stream_interval_join_left``).  One live query answers both
+    funnel questions at once: which clicks never converted AND which
+    purchases have no attributable click (the orphan-conversion stream
+    a revenue-integrity pipeline alerts on).
+
+    Emission contract, pinned empirically (probe fixtures + the
+    cross-micro-batch test
+    tests/test_guards.py::test_full_interval_join_expires_both_sides):
+    matched pairs emit as found; an unmatched CLICK's null row emits
+    iff its match horizon strictly passed the watermark — c_ts +
+    30 min < wm (identical to the left join's pinned contract); an
+    unmatched PURCHASE's null row emits iff b_ts < wm STRICTLY — the
+    purchase side buffers under a DIFFERENT effective horizon because
+    the join condition ``b_ts >= c_ts`` means a purchase is only
+    unmatchable once no future click (c_ts ≥ wm) can precede it, i.e.
+    when b_ts itself falls behind the watermark, with no +30 min
+    extension.  Boundary rows on EITHER side (horizon == wm, b_ts ==
+    wm) stay buffered and emit nothing.  wm = min(per-side maxima) −
+    1 h, per-side because each ``withWatermark`` sits above its
+    event_type filter.  The oracle states both expiry cutoffs
+    verbatim, and guards the degenerate single-type input: when either
+    side is EMPTY, Spark's min-of-watermarks never initializes and the
+    query emits nothing — the CASE collapses wm to NULL so the oracle
+    emits nothing too (the DuckDB ``least()`` NULL-skipping trap).
+
+    Scale: state topology identical to the inner join — per-side
+    buffers bounded by (watermark delay + interval) × stream rate,
+    hash-partitioned on user_id across however many state-store
+    partitions the cluster runs, no hot task; both null-extension
+    classes are eviction-time emits that add NO state.  ``gap_ms`` is
+    an exact epoch-ms integer on matched rows and NULL on both expiry
+    classes in both engines.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    buys = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "b_user = c_user AND "
+            "b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+        "full_outer",
+    )
+    out = run_to_table(
+        spark, joined, "t_interval_join_full", "append",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
+    return out.select(
+        "click_id",
+        "purchase_id",
+        F.coalesce("c_user", "b_user").alias("user_id"),
         (F.unix_millis("b_ts") - F.unix_millis("c_ts")).alias("gap_ms"),
     )

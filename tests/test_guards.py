@@ -753,6 +753,190 @@ def test_left_interval_join_emits_null_on_expiry(spark, tmp_path):
     assert got == {(10, None), (13, 14)}
 
 
+def test_full_interval_join_expires_both_sides(spark, tmp_path):
+    """Both null-extension classes of the FULL outer interval join,
+    across micro-batches: an unmatched click expires iff c_ts + 30 min
+    < wm strictly (same horizon as the left join), while an unmatched
+    purchase expires iff b_ts < wm strictly — a DIFFERENT effective
+    horizon, because ``b_ts >= c_ts`` means a purchase only becomes
+    unmatchable once the watermark itself passes b_ts (no +30 min
+    extension).  Boundary rows on EITHER side (click horizon == wm,
+    purchase b_ts == wm) stay buffered and emit nothing.  The
+    watermark-advancing anchors arrive in a LATER micro-batch, so both
+    expiries fire in state eviction, not at ingest."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from covid_19_data_analysis_bigdata_spark.streaming.ops import (
+        run_to_table,
+    )
+
+    schema = _interval_fixture_schema()
+    D = datetime
+    # final per-side maxima: click 2024-03-02 01:15, purchase 01:20
+    # -> wm = min - 1h = 2024-03-02 00:15
+    batch_a = [
+        # unmatched clicks (users with no purchases)
+        (10, D(2024, 3, 1, 23, 0), 5, "click", 1.0),   # horizon 23:30 < wm
+        (11, D(2024, 3, 1, 23, 45), 6, "click", 1.0),  # horizon == wm: held
+        (12, D(2024, 3, 2, 0, 0), 7, "click", 1.0),    # horizon > wm: held
+        # unmatched purchases (users with no clicks)
+        (20, D(2024, 3, 2, 0, 0), 15, "purchase", 1.0),   # b_ts < wm
+        (21, D(2024, 3, 2, 0, 15), 16, "purchase", 1.0),  # b_ts == wm: held
+        (22, D(2024, 3, 2, 0, 30), 17, "purchase", 1.0),  # b_ts > wm: held
+        # matched pair
+        (13, D(2024, 3, 1, 10, 0), 8, "click", 1.0),
+        (14, D(2024, 3, 1, 10, 10), 8, "purchase", 1.0),
+    ]
+    batch_b = [
+        (30, D(2024, 3, 2, 1, 15), 99, "click", 1.0),
+        (31, D(2024, 3, 2, 1, 20), 98, "purchase", 1.0),
+    ]
+    src = str(tmp_path / "fexp")
+    for rows in (batch_a, batch_b):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 2
+    ev = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    c, b = _interval_sides(ev)
+    joined = c.join(
+        b,
+        F.expr(
+            "b_user = c_user AND "
+            "b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+        "full_outer",
+    )
+    out = run_to_table(spark, joined, "t_full_expiry", "append", 4)
+    got = {(r.c_id, r.b_id) for r in out.collect()}
+    assert got == {(10, None), (None, 20), (13, 14)}
+
+
+def test_left_interval_join_boundary_collision_storm(spark, tmp_path):
+    """r12 verdict task 7: the expiry cutoff is STRICT (c_ts + 30 min
+    < wm), and that must hold when THOUSANDS of clicks share the exact
+    boundary timestamp across many user_id state partitions — guarding
+    against any future Spark change to eviction-batch ordering deciding
+    ties differently in different state stores.  2,000 clicks sit
+    exactly ON the boundary (horizon == wm: all held), 2,000 one minute
+    earlier (horizon < wm: all expire); the assertion is exact set
+    equality, so ONE flipped row on either side of the tie fails."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from covid_19_data_analysis_bigdata_spark.streaming.ops import (
+        run_to_table,
+    )
+
+    schema = _interval_fixture_schema()
+    D = datetime
+    # final per-side maxima: click 2024-03-02 01:15, purchase 01:20
+    # -> wm = 2024-03-02 00:15; boundary horizon == wm at c_ts 23:45
+    n = 2000
+    batch_a = (
+        # event_ids 10000..11999: exact-boundary clicks, 500 distinct users
+        [(10000 + i, D(2024, 3, 1, 23, 45), i % 500, "click", 1.0)
+         for i in range(n)]
+        # event_ids 20000..21999: one minute inside expiry, same users
+        + [(20000 + i, D(2024, 3, 1, 23, 44), i % 500, "click", 1.0)
+           for i in range(n)]
+    )
+    batch_b = [
+        (30, D(2024, 3, 2, 1, 15), 9999, "click", 1.0),
+        (31, D(2024, 3, 2, 1, 20), 9998, "purchase", 1.0),
+    ]
+    src = str(tmp_path / "storm")
+    for rows in (batch_a, batch_b):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 2
+    ev = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    c, b = _interval_sides(ev)
+    joined = c.join(
+        b,
+        F.expr(
+            "b_user = c_user AND "
+            "b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    )
+    out = run_to_table(spark, joined, "t_boundary_storm", "append", 16)
+    got = sorted(r.c_id for r in out.collect())
+    assert got == sorted(20000 + i for i in range(n)), (
+        f"expected exactly the {n} sub-boundary clicks to expire; got "
+        f"{len(got)} rows, first/last {got[:2]}/{got[-2:]}"
+    )
+
+
+def test_interval_join_oracles_emit_nothing_on_single_type_data(
+    spark, tmp_path
+):
+    """r12 ADVICE: DuckDB's ``least()`` ignores NULLs, so on degenerate
+    single-type data (e.g. clicks only) an unguarded oracle's watermark
+    falls back to the present side's max and emits expiry rows/windows
+    — while Spark's min-of-per-side-watermarks never initializes and
+    emits NOTHING.  The oracles now guard with CASE ... IS NULL; this
+    runs BOTH engines end-to-end through the registered queries on a
+    clicks-only events table and asserts both are empty."""
+    import duckdb as _duck
+    from pyspark.sql import functions as F
+
+    from covid_19_data_analysis_bigdata_spark.core import (
+        ORACLES,
+        QUERIES,
+        load_all,
+    )
+
+    load_all()
+
+    # clicks-only events spanning two days: an UNGUARDED oracle would
+    # expire the first click (horizon 3/1 10:30 << 3/3 09:00)
+    rows = [
+        (1, "2024-03-01 10:00:00", 5, "click", 1.0, "{}"),
+        (2, "2024-03-03 10:00:00", 6, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+        "event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf_dir = str(tmp_path / "solo")
+    df.coalesce(1).write.parquet(str(tmp_path / "solo_stage"))
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(sf_dir)
+    part = glob.glob(str(tmp_path / "solo_stage" / "*.parquet"))[0]
+    shutil.copy(part, os.path.join(sf_dir, "events.parquet"))
+
+    con = _duck.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'events.parquet')}')"
+    )
+    for qid in (
+        "stream_interval_join_left",
+        "stream_interval_join_full",
+        "stream_join_windowed_agg",
+    ):
+        assert con.sql(ORACLES[qid]).fetchall() == [], (
+            f"{qid}: guarded oracle must emit nothing on clicks-only data"
+        )
+        assert QUERIES[qid](spark, sf_dir).collect() == [], (
+            f"{qid}: Spark emits nothing when one side never initializes"
+        )
+
+
 class TestDfCappedPostingPairs:
     """Round-11 hardening (r10 ADVICE): the inverted-index candidate
     generator prunes hot grams with a constant-state count aggregate

@@ -464,6 +464,10 @@ EXPECTED_IDS = {
     # null-extension emitted on watermark expiry (state-timeout
     # semantics the inner join never exercises)
     "stream_interval_join_left",
+    # round-13 batch 85: stream-stream FULL OUTER interval join —
+    # null-extension on BOTH sides at expiry; the purchase side
+    # buffers under its own horizon (b_ts < wm, no +interval)
+    "stream_interval_join_full",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
