@@ -118,25 +118,40 @@ def _previous_round_ref(repo: str) -> tuple[str, str] | None:
 
 
 def _previous_committed_total() -> float | None:
-    """Total of the highest-numbered committed BENCH_r*.json, if any."""
+    """Total of the highest-numbered COMMITTED BENCH_r*.json, read from
+    HEAD's tree — never the working directory (r12 ADVICE: the driver
+    writes the current round's artifact into the working tree before
+    committing it, so a directory listing would compare this run
+    against its own round's earlier measurement instead of across
+    rounds; `git show` only sees what a commit recorded)."""
     repo = os.path.dirname(os.path.abspath(__file__))
-    best = None
-    for fname in os.listdir(repo):
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
-        if not m:
-            continue
-        if best is None or int(m.group(1)) > best[0]:
-            best = (int(m.group(1)), fname)
-    if best is None:
-        return None
+
+    def _parse(raw: str) -> float | None:
+        try:
+            d = json.loads(raw)
+            # the driver wraps bench's JSON line under "parsed"
+            if "value" not in d and isinstance(d.get("parsed"), dict):
+                d = d["parsed"]
+            return float(d["value"])
+        except Exception:
+            return None
+
     try:
-        d = json.load(open(os.path.join(repo, best[1])))
-        # the driver wraps bench's JSON line under "parsed"
-        if "value" not in d and isinstance(d.get("parsed"), dict):
-            d = d["parsed"]
-        return float(d["value"])
+        # ls-tree pathspecs don't glob: list the root tree and filter
+        names = _git(repo, "ls-tree", "--name-only", "HEAD").splitlines()
+        numbered = sorted(
+            (int(m.group(1)), n)
+            for n in names
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", n))
+        )
+        # newest committed artifact first; skip unparseable ones
+        for _, fname in reversed(numbered):
+            total = _parse(_git(repo, "show", f"HEAD:{fname}"))
+            if total is not None:
+                return total
     except Exception:
-        return None
+        pass
+    return None
 
 
 def _matched_conditions_ab(head_total: float, sf_dir: str) -> dict:

@@ -937,6 +937,46 @@ def test_interval_join_oracles_emit_nothing_on_single_type_data(
         )
 
 
+def test_bench_previous_total_ignores_uncommitted_artifacts():
+    """r12 ADVICE: the regression trigger's baseline must come from the
+    last COMMIT, not the working tree — the driver writes the current
+    round's BENCH artifact into the working tree before committing it,
+    and a directory listing would make the trigger compare the run
+    against its own round.  Pin: a planted uncommitted higher-numbered
+    artifact changes nothing."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    sys.path.insert(0, str(PKG.parent))
+    import bench
+
+    repo = str(PKG.parent)
+    committed = subprocess.run(
+        ["git", "-C", repo, "ls-tree", "--name-only", "HEAD"],
+        capture_output=True, text=True, check=True, timeout=30,
+    ).stdout.split()
+    rounds = [
+        int(n.split("_r")[1].split(".")[0])
+        for n in committed
+        if n.startswith("BENCH_r") and n.endswith(".json")
+    ]
+    assert rounds, "no committed BENCH artifacts — cannot pin the reader"
+    baseline = bench._previous_committed_total()
+    assert baseline is not None
+    planted = os.path.join(repo, f"BENCH_r{max(rounds) + 500}.json")
+    assert not os.path.exists(planted)
+    try:
+        with open(planted, "w") as fh:
+            json.dump({"metric": "planted", "value": 0.001}, fh)
+        assert bench._previous_committed_total() == baseline, (
+            "reader consulted the working tree instead of HEAD"
+        )
+    finally:
+        os.remove(planted)
+
+
 class TestDfCappedPostingPairs:
     """Round-11 hardening (r10 ADVICE): the inverted-index candidate
     generator prunes hot grams with a constant-state count aggregate

@@ -185,6 +185,93 @@ def _unpartitioned_window_specs(plan: str) -> int:
     return n
 
 
+#: Tree line: optional gutter/arrow prefix, node name, id at end.
+_TREE_LINE = re.compile(r"^[\s:+*-]*([A-Za-z][A-Za-z0-9_ ]*?)\s*\((\d+)\)\s*$")
+#: Detail-block header at column 0.
+_DETAIL_HEADER = re.compile(r"^\((\d+)\)\s+(\S+)", re.MULTILINE)
+#: Node names that bound the row count flowing into a window: any
+#: aggregation (grain-bounded output) or an explicit limit.
+_BOUNDED_WITNESS = re.compile(
+    r"HashAggregate|SortAggregate|ObjectHashAggregate|"
+    r"TakeOrderedAndProject|GlobalLimit|CollectLimit|LocalLimit|"
+    r"WindowGroupLimit|AggregateInPandas"
+)
+
+
+def _detail_blocks(plan: str) -> dict[int, tuple[str, str]]:
+    """{node id: (name, full block text)} for every detail block."""
+    headers = list(_DETAIL_HEADER.finditer(plan))
+    out = {}
+    for h, nxt in zip(headers, headers[1:] + [None]):
+        end = nxt.start() if nxt is not None else len(plan)
+        out[int(h.group(1))] = (h.group(2), plan[h.start():end])
+    return out
+
+
+def _unwitnessed_global_windows(plan: str) -> list[int]:
+    """Node ids of unpartitioned Window nodes with NO bounded-frame
+    witness (Aggregate or Limit) anywhere in their input subtree.
+
+    An unpartitioned WindowExec sorts its WHOLE input in one task; it
+    is scale-safe only when that input is already bounded — aggregated
+    to a fixed grain (day spine, dimension, bins) or pruned by a limit
+    — so the mechanical rule is: every unpartitioned window must sit
+    ABOVE an Aggregate/Limit node.  Budget 0 (r12 verdict task 6: the
+    bench tail's `WindowExec: No Partition Defined` warnings were
+    justified by manual review; this replaces the review).
+
+    The witness is searched in the window's tree subtree (node names)
+    AND in the subtree nodes' detail blocks — the latter catches
+    aggregates hidden inside a materialized InMemoryRelation reprint,
+    which has no tree nodes of its own.
+    """
+    details = _detail_blocks(plan)
+    unpart_ids = [
+        nid
+        for nid, (name, text) in details.items()
+        if name in ("Window", "WindowInPandas")
+        and _unpartitioned_window_specs(text)
+    ]
+    if not unpart_ids:
+        return []
+    # Contiguous tree-line runs (main plan + each subquery plan).
+    runs: list[list[tuple[int, str, int]]] = []
+    cur: list[tuple[int, str, int]] = []
+    for line in plan.splitlines():
+        m = _TREE_LINE.match(line)
+        if m and not line.startswith("("):
+            name, nid = m.group(1).strip(), int(m.group(2))
+            indent = len(line) - len(line.lstrip(" :+-*"))
+            cur.append((indent, name, nid))
+        elif cur:
+            runs.append(cur)
+            cur = []
+    if cur:
+        runs.append(cur)
+    bad = []
+    for wid in unpart_ids:
+        witnessed = False
+        for run in runs:
+            idx = next(
+                (i for i, (_, _, nid) in enumerate(run) if nid == wid), None
+            )
+            if idx is None:
+                continue
+            w_indent = run[idx][0]
+            for indent, name, nid in run[idx + 1:]:
+                if indent <= w_indent:
+                    break
+                if _BOUNDED_WITNESS.search(name) or (
+                    nid in details and _BOUNDED_WITNESS.search(details[nid][1])
+                ):
+                    witnessed = True
+                    break
+            break
+        if not witnessed:
+            bad.append(wid)
+    return bad
+
+
 def audit(spark, names, sf_dir: str) -> dict[str, list[str]]:
     """Build each query's physical plan and return {name: [flags]}.
 
@@ -242,6 +329,12 @@ def audit(spark, names, sf_dir: str) -> dict[str, list[str]]:
         n_gw = _unpartitioned_window_specs(plan)
         if n_gw and name not in BOUNDED_WINDOW_ALLOW:
             flags.append(f"global-window={n_gw}")
+        unwitnessed = _unwitnessed_global_windows(plan)
+        if unwitnessed:
+            flags.append(
+                "global-window-unwitnessed="
+                + ",".join(str(i) for i in unwitnessed)
+            )
         if flags:
             out[name] = flags
     return out
