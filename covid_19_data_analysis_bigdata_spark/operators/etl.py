@@ -1647,32 +1647,59 @@ def dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     finished-order key space (the load-monitoring question 'which id
     ranges did the upstream extract skip?').
 
-    Gaps-and-islands via one lag window over the sorted key column.
-    The global sort is the honest cost of a total-order gap scan; at
-    100 TB the same window is run per key-shard (range-partition the
-    key space first, then only shard boundaries need a second tiny
-    pass — the range partitioner Spark already uses for the sort).
-    All arithmetic is exact BIGINT; the top-N is totally ordered by
+    Distributed gaps-and-islands (r13 — the mechanical unpartitioned-
+    window audit caught the old shape's global pre-limit lag window,
+    a one-task sort of every key): the key space is RANGE-sharded, the
+    lag window runs per shard in parallel, and only the per-shard
+    (min, max) summary — one row per shard, bounded by cluster
+    parallelism, never by data — crosses shards in a second tiny
+    window that closes the boundary gaps.  Any shard-boundary
+    placement yields the same gap set: within-shard consecutive pairs
+    plus consecutive non-empty shard (max, next min) pairs cover every
+    adjacent key pair exactly once, so the sampled range boundaries'
+    run-to-run drift cannot change the output.  The shard-stamped
+    frame is persisted because BOTH consumers (local window, summary
+    aggregate) must observe the same boundaries (the distrank.py
+    barrier rule).  All arithmetic is exact BIGINT; the top-N is a
+    ``TakeOrderedAndProject`` under the total order
     (gap_len DESC, gap_start).
     """
+    from covid_19_data_analysis_bigdata_spark.cache import cached
+
     o = load_table(spark, sf_dir, "orders")
     keys = o.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_orderkey").alias("k")
     )
-    w = Window.orderBy("k")
-    gaps = (
-        keys.select(
-            (F.lag("k").over(w) + 1).alias("gap_start"),
+    sharded = (
+        keys.repartitionByRange(F.col("k"))
+        .withColumn("__shard", F.spark_partition_id())
+        .transform(cached)
+    )
+    wl = Window.partitionBy("__shard").orderBy("k")
+    local = (
+        sharded.select(
+            (F.lag("k").over(wl) + 1).alias("gap_start"),
             (F.col("k") - 1).alias("gap_end"),
-            (F.col("k") - F.lag("k").over(w) - 1).alias("gap_len"),
+            (F.col("k") - F.lag("k").over(wl) - 1).alias("gap_len"),
         )
         .filter(F.col("gap_len") > 0)
     )
-    wt = Window.orderBy(F.desc("gap_len"), F.asc("gap_start"))
+    summ = sharded.groupBy("__shard").agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    )
+    wb = Window.orderBy("__shard")
+    boundary = (
+        summ.select(
+            (F.lag("hi").over(wb) + 1).alias("gap_start"),
+            (F.col("lo") - 1).alias("gap_end"),
+            (F.col("lo") - F.lag("hi").over(wb) - 1).alias("gap_len"),
+        )
+        .filter(F.col("gap_len") > 0)
+    )
     return (
-        gaps.withColumn("rk", F.row_number().over(wt))
-        .filter(F.col("rk") <= IDGAP_TOPN)
-        .drop("rk")
+        local.unionAll(boundary)
+        .orderBy(F.desc("gap_len"), F.asc("gap_start"))
+        .limit(IDGAP_TOPN)
     )
 
 

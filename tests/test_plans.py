@@ -1287,6 +1287,63 @@ def test_full_registry_plan_audit_advisory_set_pinned(spark, sf_dir):
     assert set(flagged) == {"report_rfm_segmentation"}, flagged
 
 
+def test_unwitnessed_global_window_detector(spark, sf_dir):
+    """r12 verdict task 6: the unpartitioned-window audit is mechanical
+    — an unpartitioned WindowExec with no Aggregate/Limit below it
+    (single-task sort of an UNBOUNDED input) must be flagged, and the
+    same window above an aggregate (bounded grain) must not.  The
+    registry-wide budget of 0 is enforced by
+    test_full_registry_plan_audit_advisory_set_pinned; this pins the
+    detector itself on synthetic plans."""
+    import importlib.util
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_plans",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "audit_plans.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey")
+    # VIOLATION: unpartitioned cumulative window directly over the scan
+    bad = li.select("l_orderkey", F.sum("l_quantity").over(w).alias("c"))
+    assert mod._unwitnessed_global_windows(plan_of(bad)), (
+        "unpartitioned window over a raw scan must be flagged"
+    )
+    # WITNESSED: same window above a grain-bounding aggregate
+    good = (
+        li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+        .select("l_returnflag", F.sum("q").over(Window.orderBy("l_returnflag")).alias("c"))
+    )
+    assert mod._unwitnessed_global_windows(plan_of(good)) == []
+    # WITNESSED: same window above an explicit limit
+    pruned = li.orderBy("l_orderkey").limit(10).select(
+        "l_orderkey", F.sum("l_quantity").over(w).alias("c")
+    )
+    assert mod._unwitnessed_global_windows(plan_of(pruned)) == []
+    # PARTITIONED windows are out of scope for this detector
+    pw = Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+    part = li.select("l_orderkey", F.sum("l_quantity").over(pw).alias("c"))
+    assert mod._unwitnessed_global_windows(plan_of(part)) == []
+
+
 def test_reinvoked_queries_never_repersist(spark, sf_dir):
     """Round-9 guard (r8 verdict task 8): re-building a query's DAG
     must hit the cache.py registry for every persist site — zero new

@@ -133,7 +133,7 @@ BOUNDED_WINDOW_ALLOW = {
     "llm_build_vocab", "llm_tokenizer_coverage",
     "llm_ngram_coverage_curve", "llm_dataset_card",
     "llm_pack_sequences", "sample_reservoir_topk",
-    "report_skyline_parts", "graph_jaccard_neighbors", "dq_id_gaps",
+    "report_skyline_parts", "graph_jaccard_neighbors",
     # aggregated bounded dimension
     "report_share_of_total", "report_ratio_to_parent",
     "report_position_attribution", "report_catalog_adoption",
@@ -141,6 +141,10 @@ BOUNDED_WINDOW_ALLOW = {
     "ml_cramers_v", "ml_mutual_information", "dq_entropy_drift",
     "dq_anomalous_partitions", "dq_ks_two_sample",
     "scan_dpp_star_join", "ml_rank_biased_overlap",
+    # per-shard (min,max) summary: one row per range shard, bounded by
+    # cluster parallelism (r13 — the fact-grain lag window is now
+    # partitioned per shard; only the summary crosses shards)
+    "dq_id_gaps",
     # eval-set score curves
     "ml_roc_auc", "ml_pr_curve", "ml_cumulative_gains",
     # part-dimension cumulative (round-9 borderline-accepted)
@@ -190,11 +194,14 @@ _TREE_LINE = re.compile(r"^[\s:+*-]*([A-Za-z][A-Za-z0-9_ ]*?)\s*\((\d+)\)\s*$")
 #: Detail-block header at column 0.
 _DETAIL_HEADER = re.compile(r"^\((\d+)\)\s+(\S+)", re.MULTILINE)
 #: Node names that bound the row count flowing into a window: any
-#: aggregation (grain-bounded output) or an explicit limit.
+#: aggregation (grain-bounded output), an explicit limit, or a
+#: LocalTableScan — driver-materialized data (streaming memory-sink
+#: reads, createDataFrame fixtures), bounded by definition since it
+#: already fits in one driver's memory.
 _BOUNDED_WITNESS = re.compile(
     r"HashAggregate|SortAggregate|ObjectHashAggregate|"
     r"TakeOrderedAndProject|GlobalLimit|CollectLimit|LocalLimit|"
-    r"WindowGroupLimit|AggregateInPandas"
+    r"WindowGroupLimit|AggregateInPandas|LocalTableScan"
 )
 
 
@@ -234,18 +241,24 @@ def _unwitnessed_global_windows(plan: str) -> list[int]:
     ]
     if not unpart_ids:
         return []
-    # Contiguous tree-line runs (main plan + each subquery plan).
+    # Tree-line runs (main plan + each subquery plan).  A run closes
+    # on BLANK lines only: tree sections contain node lines that do
+    # not end with "(N)" — e.g. "InMemoryTableScan (1) (columnarIn=
+    # false, ...)" — and closing on those would cut a window off from
+    # the witnesses deeper in its own subtree.
     runs: list[list[tuple[int, str, int]]] = []
     cur: list[tuple[int, str, int]] = []
     for line in plan.splitlines():
+        if not line.strip():
+            if cur:
+                runs.append(cur)
+                cur = []
+            continue
         m = _TREE_LINE.match(line)
         if m and not line.startswith("("):
             name, nid = m.group(1).strip(), int(m.group(2))
             indent = len(line) - len(line.lstrip(" :+-*"))
             cur.append((indent, name, nid))
-        elif cur:
-            runs.append(cur)
-            cur = []
     if cur:
         runs.append(cur)
     bad = []
