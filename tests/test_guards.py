@@ -937,6 +937,34 @@ def test_interval_join_oracles_emit_nothing_on_single_type_data(
         )
 
 
+def test_compare_sweeps_parses_both_line_shapes(tmp_path):
+    """tools/compare_sweeps.py must parse PASS lines with the
+    spark/oracle split AND WEAK lines without it (weak checks print no
+    oracle timing), and survive the progress-bar junk check.py leaves
+    on the same physical line."""
+    import sys
+
+    sys.path.insert(0, str(PKG.parent / "tools"))
+    from compare_sweeps import parse
+
+    art = tmp_path / "CHECK_x.txt"
+    art.write_text(
+        "[Stage 3:===>   (1 + 2) / 4]  "
+        "PASS agg_groupby: rows=4 (1.2s; spark=1.0s oracle=0.2s)\n"
+        "WEAK agg_approx_distinct: rows=7 (0.8s)\n"
+        "FAIL broken_q: rows=0 (0.1s; spark=0.1s oracle=0.0s)\n"
+        "525 pass, 5 weak, 0 fail / 530 total\n"
+    )
+    got = parse(str(art))
+    assert got["agg_groupby"] == {
+        "status": "PASS", "total": 1.2, "spark": 1.0, "oracle": 0.2
+    }
+    assert got["agg_approx_distinct"]["status"] == "WEAK"
+    assert got["agg_approx_distinct"]["spark"] is None
+    assert got["broken_q"]["status"] == "FAIL"
+    assert len(got) == 3
+
+
 def test_bench_previous_total_ignores_uncommitted_artifacts():
     """r12 ADVICE: the regression trigger's baseline must come from the
     last COMMIT, not the working tree — the driver writes the current
