@@ -717,21 +717,29 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_decimal_exact",
     oracle="""
+    WITH sums AS (
+        SELECT l_returnflag,
+               sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18, 2)))
+                   AS gross,
+               sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18, 2))
+                   * (1 - CAST(round(l_discount, 2) AS DECIMAL(4, 2))))
+                   AS net,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18, 2)))
-                AS DECIMAL(18, 2)) AS gross,
-           CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18, 2))
-                    * (1 - CAST(round(l_discount, 2) AS DECIMAL(4, 2))))
-                AS DECIMAL(18, 4)) AS net,
-           CAST(count(*) AS BIGINT) AS cnt
-    FROM lineitem
-    GROUP BY l_returnflag
+           CAST(gross * 100 AS BIGINT)                 AS gross_cents,
+           CAST(floor(net) AS BIGINT)                  AS net_units,
+           CAST((net - floor(net)) * 10000 AS BIGINT)  AS net_frac_e4,
+           cnt
+    FROM sums
     """,
 )
 def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Money aggregation in exact DECIMAL arithmetic: gross and
-    discounted revenue per return flag, summed as DECIMAL(18,2)
-    instead of floating point.
+    discounted revenue per return flag, accumulated as wide decimals
+    and emitted as scaled integers.
 
     The ledger-grade twin of ``agg_groupby``: double sums are
     accumulation-order-dependent (different partitionings of the same
@@ -740,30 +748,49 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     auditable.  Doubles cross into decimal only where the data is
     already exactly 2dp (price, discount), and the discount product is
     computed IN decimal, so neither engine ever rounds a derived float
-    at a half-cent boundary (the divergence that killed the naive
-    round-then-cast formulation of ``net``); Tungsten stores Decimal(18,2) as a long, so
-    the hash aggregate stays in whole-stage codegen with no
-    performance cliff vs the double path.
+    at a half-cent boundary.
+
+    Output contract (hash-safe AND overflow-safe at 100 TB):
+    DECIMAL-typed OUTPUT columns of any precision are banned from the
+    checked surface — cross-engine drivers render decimals through
+    float64 whose shortest-repr drops trailing zeros ('…8990' →
+    '…899'), so bit-identical values still hash-mismatch (see
+    tools/scan_oracle_types.py, which flags every decimal output).
+    The accumulators stay WIDE (Spark auto-widens sum(decimal(18,2))
+    to decimal(28,2); DuckDB likewise), then the emit step converts to
+    INT64-backed integers without ever narrowing precision mid-sum:
+
+    - ``gross_cents = gross * 100`` — per-flag gross is ~1e15 currency
+      units at SF 1e5 (~100 TB), so cents peak ~1e17: 92× inside
+      INT64.
+    - ``net`` is SPLIT into ``net_units`` (floor, whole currency
+      units, ~1e15 — 4 orders inside INT64) and ``net_frac_e4`` (the
+      scale-4 remainder in [0, 9999]) instead of a single ``net *
+      10000`` that would hit ~1e19 and silently NULL under Spark's
+      non-ANSI decimal overflow while DuckDB throws.  Both engines
+      keep floor/subtract in the decimal domain (verified: DuckDB
+      floor(DECIMAL(38,4)) → DECIMAL(38,0), exact past 2^53), and
+      every emitted value is integral before the BIGINT cast, so
+      truncate-vs-round cast semantics can never diverge.  net >= 0
+      (price > 0, discount <= 1), so floor == truncation on both
+      sides.
     """
     li = load_table(spark, sf_dir, "lineitem")
     gross_d = F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")
     disc_d = F.round(F.col("l_discount"), 2).cast("decimal(4,2)")
     net_d = gross_d * (F.lit(1).cast("decimal(4,2)") - disc_d)
-    # net keeps SCALE 4 (the exact product scale — no rounding, so no
-    # tie-rule exposure) but is narrowed to PRECISION 18: a
-    # precision-only narrowing at the same scale quantizes nothing,
-    # and DECIMAL(p<=18) stays INT64-backed in both engines (DuckDB
-    # stores p>18 as INT128 — the HUGEINT storage class whose driver
-    # hash rendering diverges; see tools/scan_oracle_types.py).
-    # Values are ~1e9 at any SF slice here, 5 orders below the
-    # 18-digit ceiling.
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.sum(gross_d).cast("decimal(18,2)").alias("gross"),
-            F.sum(net_d).cast("decimal(18,4)").alias("net"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
+    sums = li.groupBy("l_returnflag").agg(
+        F.sum(gross_d).alias("gross"),  # decimal(28,2): wide accumulator
+        F.sum(net_d).alias("net"),      # decimal(33,4)
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    net = F.col("net")
+    return sums.select(
+        "l_returnflag",
+        (F.col("gross") * 100).cast("bigint").alias("gross_cents"),
+        F.floor(net).cast("bigint").alias("net_units"),
+        ((net - F.floor(net)) * 10000).cast("bigint").alias("net_frac_e4"),
+        "cnt",
     )
 
 

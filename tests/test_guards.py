@@ -297,12 +297,14 @@ class TestOracleTypeLattice:
         )
         assert type_problems(["s", "t", "d"], sch, rel.columns, rel.types) == []
 
-    def test_classify_flags_wide_decimal(self):
-        """DECIMAL(p>18) is INT128-backed in DuckDB — the same storage
-        class as HUGEINT, and the r12 driver window proved its rendering
-        is hash-sensitive (agg_decimal_exact: bit-identical values,
-        hash_match=false).  classify() must flag p>18 (bare and nested)
-        and keep whitelisting p<=18, which is INT64-backed."""
+    def test_classify_flags_every_decimal(self):
+        """DECIMAL output columns of ANY precision are hash-unsafe.
+        The r12 'p<=18 is INT64-backed, so safe' whitelist was disproved
+        in r13: the external driver renders DuckDB decimals via the
+        pandas/float64 path, and float64 shortest-repr drops trailing
+        zeros at the declared scale ('…8990' → '…899') while Spark's
+        Decimal keeps scale — bit-identical values, hash mismatch.
+        classify() must flag every decimal, bare and nested."""
         import sys
 
         sys.path.insert(0, str(PKG.parent / "tools"))
@@ -314,13 +316,17 @@ class TestOracleTypeLattice:
             "SELECT CAST(1 AS DECIMAL(38,4)) AS wide, "
             "CAST(1 AS DECIMAL(18,4)) AS narrow, "
             "[CAST(1 AS DECIMAL(19,0))] AS nested_wide, "
-            "{'v': CAST(1 AS DECIMAL(12,2))} AS nested_narrow"
+            "{'v': CAST(1 AS DECIMAL(12,2))} AS nested_narrow, "
+            "CAST(1 AS BIGINT) AS ok_int, "
+            "CAST(1.5 AS DOUBLE) AS ok_dbl"
         )
         by_col = dict(zip(rel.columns, rel.types))
         assert classify(by_col["wide"]), "DECIMAL(38,4) must be unsafe"
         assert classify(by_col["nested_wide"]), "DECIMAL(19,0) in a list must be unsafe"
-        assert classify(by_col["narrow"]) == []
-        assert classify(by_col["nested_narrow"]) == []
+        assert classify(by_col["narrow"]), "DECIMAL(18,4) must be unsafe too (r13 witness)"
+        assert classify(by_col["nested_narrow"]), "DECIMAL(12,2) in a struct must be unsafe"
+        assert classify(by_col["ok_int"]) == []
+        assert classify(by_col["ok_dbl"]) == []
 
     def test_no_registered_oracle_emits_unsafe_types(self, sf_dir):
         """Run every oracle's DuckDB side and assert zero HUGEINT/

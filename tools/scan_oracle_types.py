@@ -67,22 +67,17 @@ def classify(t) -> list[str]:
     if tid.upper() in UNSAFE or "HUGEINT" in s.upper():
         return [s]
     if tid.upper().startswith("DECIMAL"):
-        # DECIMAL(p<=18) is INT64-backed in DuckDB and renders
-        # identically to Spark's.  DECIMAL(p>18) is INT128-backed —
-        # the same storage class as HUGEINT, whose rendering the
-        # external driver's hash is sensitive to (r12: the registry's
-        # one wide-decimal output column was the round's one
-        # hash_match=false despite bit-identical values).
-        try:
-            width = getattr(t, "width", None)
-            if width is None:
-                # parse "DECIMAL(38,4)" textual form
-                width = int(s.upper().split("DECIMAL(", 1)[1].split(",", 1)[0])
-            if int(width) > 18:
-                return [s]
-        except Exception:  # noqa: BLE001
-            return [s]  # unparseable decimal: treat as unsafe, force a look
-        return []
+        # DECIMAL of ANY precision is hash-unsafe as an OUTPUT column.
+        # The r12 "p<=18 is INT64-backed and therefore safe" rule was
+        # empirically DISPROVED in r13: the external driver renders
+        # DuckDB decimal columns through the pandas/float64 path, and
+        # float64 shortest-repr drops trailing zeros at the declared
+        # scale (net('N') 1003322369.8990 -> '1003322369.899') while
+        # Spark's Decimal keeps scale — bit-identical values,
+        # guaranteed hash mismatch whenever any value ends in a zero
+        # digit.  Decimals are fine INTERNALLY (wide accumulators);
+        # the emit step must cast to BIGINT / scaled integers / DOUBLE.
+        return [s]
     return []
 
 
