@@ -154,6 +154,37 @@ def _previous_committed_total() -> float | None:
     return None
 
 
+# Comparability threshold for the ambient-load canary (round-10
+# methodology pin; hoisted to module level in r14 so the A/B reference
+# bench obeys the same discipline as the primary path — the r13 A/B
+# accepted a reference run with spread 2.279).
+CANARY_SPREAD_MAX = 1.8
+
+
+def _run_child_bench(repo: str, wt: str, sf_dir: str) -> tuple[dict | None, str | None]:
+    """Run the worktree's bench.py once; return (payload, error)."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_CHILD="1",
+        SPARK_GRAFT_SF_DIR=sf_dir,
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=wt,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=2400,
+    )
+    line = next(
+        (ln for ln in reversed(proc.stdout.splitlines()) if ln.startswith("{")),
+        None,
+    )
+    if proc.returncode != 0 or line is None:
+        return None, f"child bench failed rc={proc.returncode}"
+    return json.loads(line), None
+
+
 def _matched_conditions_ab(head_total: float, sf_dir: str) -> dict:
     """Same-hour A/B against the previous round's code (r11 verdict
     task 4): when the final canary spread exceeds the comparability
@@ -181,40 +212,37 @@ def _matched_conditions_ab(head_total: float, sf_dir: str) -> dict:
                 timeout=60,
             )
         _git(repo, "worktree", "add", "--force", "--detach", wt, sha)
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_BENCH_CHILD="1",
-            SPARK_GRAFT_SF_DIR=sf_dir,
+        # The reference bench obeys the SAME canary discipline as the
+        # primary path (r13 verdict task 5): a reference run whose final
+        # spread exceeds CANARY_SPREAD_MAX is re-measured once and the
+        # lower-spread attempt is the one ratioed against HEAD.  Every
+        # reference attempt's spread is recorded so readers can audit
+        # whether the exonerating ratio came from a clean or a noisy
+        # reference (the r13 A/B accepted spread 2.279 silently).
+        prev, err = _run_child_bench(repo, wt, sf_dir)
+        ref_attempt_spreads = (
+            [prev.get("canary_spread")] if prev is not None else []
         )
-        proc = subprocess.run(
-            [sys.executable, "bench.py"],
-            cwd=wt,
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=2400,
-        )
-        line = next(
-            (
-                ln
-                for ln in reversed(proc.stdout.splitlines())
-                if ln.startswith("{")
-            ),
-            None,
-        )
-        if proc.returncode != 0 or line is None:
-            return {
-                "ref": sha,
-                "ref_source": source,
-                "error": f"child bench failed rc={proc.returncode}",
-            }
-        prev = json.loads(line)
+        if (
+            prev is not None
+            and (prev.get("canary_spread") or 0) > CANARY_SPREAD_MAX
+        ):
+            prev2, err2 = _run_child_bench(repo, wt, sf_dir)
+            if prev2 is not None:
+                ref_attempt_spreads.append(prev2.get("canary_spread"))
+                if (prev2.get("canary_spread") or float("inf")) < prev[
+                    "canary_spread"
+                ]:
+                    prev = prev2
+        if prev is None:
+            return {"ref": sha, "ref_source": source, "error": err}
         prev_total = float(prev["value"])
         return {
             "ref": sha,
             "ref_source": source,
             "prev_total_sec": prev_total,
             "prev_canary_spread": prev.get("canary_spread"),
+            "ref_attempt_spreads": ref_attempt_spreads,
             "matched_conditions_ratio": round(head_total / prev_total, 3),
         }
     except Exception as exc:  # never let the A/B sink the bench itself
@@ -307,7 +335,6 @@ def main() -> int:
     # with the lower spread is reported.  The threshold and every
     # attempt's spread are recorded in the JSON so readers can audit
     # which rule fired.
-    CANARY_SPREAD_MAX = 1.8
     times, canaries, spread = measure()
     attempt_spreads = [spread]
     if spread > CANARY_SPREAD_MAX:

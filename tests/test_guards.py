@@ -1011,6 +1011,50 @@ def test_bench_previous_total_ignores_uncommitted_artifacts():
         os.remove(planted)
 
 
+def test_bench_ab_reference_obeys_canary_discipline(monkeypatch):
+    """r13 verdict task 5: the matched-conditions A/B accepted a
+    reference re-bench with canary spread 2.279 — above the 1.8
+    threshold that forces a re-measure on the primary path.  Pin: when
+    the reference child's spread exceeds CANARY_SPREAD_MAX the child is
+    re-run once, the lower-spread attempt is the one ratioed, and every
+    reference attempt's spread lands in ``ref_attempt_spreads``."""
+    import sys
+
+    sys.path.insert(0, str(PKG.parent))
+    import bench
+
+    attempts = [
+        {"value": 60.0, "canary_spread": 2.3},   # noisy first reference
+        {"value": 40.0, "canary_spread": 1.2},   # clean re-measure
+    ]
+    calls = []
+
+    def fake_child(repo, wt, sf_dir):
+        calls.append(wt)
+        return attempts[len(calls) - 1], None
+
+    monkeypatch.setattr(bench, "_run_child_bench", fake_child)
+    monkeypatch.setattr(
+        bench, "_previous_round_ref", lambda repo: ("deadbeef", "tag")
+    )
+    monkeypatch.setattr(bench, "_git", lambda *a, **k: "")
+
+    out = bench._matched_conditions_ab(40.0, "/root/testdata/sf0.1")
+    assert len(calls) == 2, "noisy reference must be re-measured once"
+    assert out["ref_attempt_spreads"] == [2.3, 1.2]
+    assert out["prev_total_sec"] == 40.0, "lower-spread attempt must win"
+    assert out["prev_canary_spread"] == 1.2
+    assert out["matched_conditions_ratio"] == 1.0
+
+    # Clean first attempt: exactly one child run, no re-measure.
+    calls.clear()
+    attempts[:] = [{"value": 50.0, "canary_spread": 1.1}]
+    out2 = bench._matched_conditions_ab(40.0, "/root/testdata/sf0.1")
+    assert len(calls) == 1
+    assert out2["ref_attempt_spreads"] == [1.1]
+    assert out2["prev_total_sec"] == 50.0
+
+
 class TestDfCappedPostingPairs:
     """Round-11 hardening (r10 ADVICE): the inverted-index candidate
     generator prunes hot grams with a constant-state count aggregate

@@ -58,6 +58,19 @@ def test_dynamic_partition_pruning_on_star_join(spark, sf_dir):
     assert "dynamicpruning" in pf
 
 
+def test_unpivot_melt_keeps_expand_and_partial_agg(spark, sf_dir):
+    """r13 verdict task 6 shrank unpivot_melt's CHECKED output to a
+    per-(flag, var) summary (~100 s of sweep time was the harness
+    hashing 2.4M melted rows) — but the operator under test is the
+    melt itself, so the plan must still contain the Expand node
+    (Spark's physical UNPIVOT, 4 rows out per row in over the full
+    lineitem) feeding a partial+final HashAggregate, not some
+    rewritten union-of-scans."""
+    plan = _plan(spark, sf_dir, "unpivot_melt")
+    assert "Expand" in plan
+    assert "HashAggregate" in plan
+
+
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "topk_limit")
     assert "TakeOrderedAndProject" in plan
