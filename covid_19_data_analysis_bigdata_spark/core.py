@@ -43,74 +43,73 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-#: Front-of-registry order for round 13.  External correctness sweeps
-#: sample the first 50 registry entries in iteration order.  Selection
-#: follows the round-12 verdict task 3 and the committed plan in
-#: SCALE.md §"r13 window plan": the 19 never-sampled STRONG ids first
-#: (closing the pool — cumulative external coverage 529/529 after
-#: r13), then back-fill re-samples (the r13-changed ``agg_decimal_exact``
-#: for its green driver row, the oracle-guard-touched stream joins, the
-#: r13-new ``stream_interval_join_full``, and a refresh of the oldest
-#: r1/r2 evidence), and the 3 declared-weak sketches LAST — their
-#: driver rows are rows-only BY DESIGN (no oracle registered); the
-#: error envelopes are hash-checked via the strong ``_band`` companions
-#: that went green in r12.
+#: Front-of-registry order for round 14.  External correctness sweeps
+#: sample the first 50 registry entries in iteration order.  The
+#: never-sampled pool CLOSED in r13 (530/530 external coverage), so
+#: from r14 the window's job is FRESHNESS (SCALE.md §"r14 window
+#: plan"): (1) the round's new ids first (never-sampled by
+#: construction), (2) the r13-verdict front-loads — the post-fix
+#: ``agg_decimal_exact`` plus the two ids whose only driver rows are
+#: stale r04 hash-fails fixed since r05 — and the two r14-changed
+#: queries, (3) a refresh of the oldest external evidence: 30 of the
+#: 49 ids whose latest row is r03 (exactly at the ≤60% share cap vs
+#: the r03 artifact; the rest roll to r15) back-filled with 13 of the
+#: 34 r02-stale ids.
 _WINDOW_PRIORITY: list[str] = [
-    # ---- 19 never-sampled strong ids (the whole remaining pool) ----
-    "stream_interval_join_left",
-    "join_range_interval",
-    "join_interval_overlap",
-    "join_spatial_grid",
-    "join_knn_grid",
-    "map_hof_funcs",
-    "date_business_days",
-    "events_markov_removal_attribution",
-    "str_edit_distance",
-    "sink_parquet_sorted",
-    "events_session_percentiles",
-    "dq_functional_dependency",
-    "dq_schema_profile",
-    "report_group_skyline",
-    "report_skyline_dominators",
-    "sample_reservoir_topk",
-    "read_text_lines",
-    "scan_binary_files",
-    "scan_csv_quarantine",
-    # ---- back-fill: r13-changed / r13-new ids ----
-    "agg_decimal_exact",          # r12's one hash-fail, requantized r13
-    "stream_interval_join_full",  # new in r13
-    "stream_join_windowed_agg",   # oracle degenerate-input guard, r13
-    "stream_interval_join",       # companion inner join, refresh
-    # ---- back-fill: refresh the oldest external evidence (r1 window) ----
-    "win_lag_diff",
-    "win_lead",
-    "win_moving_avg",
-    "win_range_frame",
-    "win_cumsum",
-    "win_rank_dense",
-    "win_row_number_topk",
-    "win_ntile_pctrank",
-    # ---- back-fill: refresh r2-window evidence ----
-    "agg_groupby",
-    "agg_global",
-    "join_broadcast",
-    "join_sortmerge",
-    "join_multiway_star",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_theta_range",
-    "join_asof",
-    "filter_compound",
-    "project_compute",
-    "dedup_distinct",
-    "sort_multikey",
-    "topk_limit",
-    # ---- 3 declared-weak sketches: rows-only driver rows BY DESIGN ----
-    "agg_sketch_rollup",
-    "agg_theta_set_ops",
-    "agg_kll_quantile_rollup",
+    # ---- r14-new ids ----
+    "stream_interval_join_right",
+    "llm_ann_beam",
+    # ---- r13-verdict front-loads + r14-changed queries ----
+    "agg_decimal_exact",     # scaled-BIGINT emit: first hash-safe driver row
+    "dq_expectations",       # stale r04 fail; green in every sweep since r05
+    "etl_incremental_agg",   # stale r04 fail; green in every sweep since r05
+    "unpivot_melt",          # r14: checked output shrunk to summary
+    "dq_id_gaps",            # r14: deterministic key-range sharding
+    # ---- freshness refresh: 30 of the 49 r03-stale ids ----
+    "str_funcs",
+    "str_split_regex",
+    "date_funcs",
+    "ts_funcs",
+    "cond_funcs",
+    "hash_funcs",
+    "array_funcs",
+    "array_hof",
+    "map_funcs",
+    "json_funcs",
+    "safe_arith_funcs",
+    "bit_funcs",
+    "json_variant_funcs",
+    "udf_python_scalar",
+    "udf_pandas_vectorized",
+    "udaf_applyinpandas",
+    "udaf_pandas_grouped_agg",
+    "udtf_table_fn",
+    "multimodal_decode_stub",
+    "udf_mapinarrow",
+    "obs_metrics_passthrough",
+    "udtf_analyze_polymorphic",
+    "stream_tumbling_counts",
+    "stream_sliding",
+    "stream_session",
+    "stream_watermark_late",
+    "stream_dedup",
+    "stream_stateful_running",
+    "stream_static_join",
+    "stream_stream_join",
+    # ---- freshness refresh: 13 of the 34 r02-stale ids ----
+    "filter_simple",
+    "filter_null_handling",
+    "cast_types",
+    "sample_rows",
+    "limit_offset",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_union_by_name",
+    "join_cross",
+    "join_null_safe",
+    "join_shuffle_hash",
 ]
 
 

@@ -1623,6 +1623,10 @@ def dq_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 IDGAP_TOPN = 20
+# Number of deterministic key-range shards for the per-shard lag window.
+# Each shard is one window task sorting ~n/IDGAP_NSHARDS keys; the
+# cross-shard summary window sees exactly one row per non-empty shard.
+IDGAP_NSHARDS = 512
 
 
 @query(
@@ -1651,29 +1655,38 @@ def dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     window audit caught the old shape's global pre-limit lag window,
     a one-task sort of every key): the key space is RANGE-sharded, the
     lag window runs per shard in parallel, and only the per-shard
-    (min, max) summary — one row per shard, bounded by cluster
-    parallelism, never by data — crosses shards in a second tiny
-    window that closes the boundary gaps.  Any shard-boundary
-    placement yields the same gap set: within-shard consecutive pairs
-    plus consecutive non-empty shard (max, next min) pairs cover every
-    adjacent key pair exactly once, so the sampled range boundaries'
-    run-to-run drift cannot change the output.  The shard-stamped
-    frame is persisted because BOTH consumers (local window, summary
-    aggregate) must observe the same boundaries (the distrank.py
-    barrier rule).  All arithmetic is exact BIGINT; the top-N is a
-    ``TakeOrderedAndProject`` under the total order
+    (min, max) summary — one row per shard, bounded by ``IDGAP_NSHARDS``,
+    never by data — crosses shards in a second tiny window that closes
+    the boundary gaps.  Any shard-boundary placement yields the same
+    gap set: within-shard consecutive pairs plus consecutive non-empty
+    shard (max, next min) pairs cover every adjacent key pair exactly
+    once.
+
+    The shard id is a DETERMINISTIC function of the key itself (r13
+    ADVICE): ``(k - kmin) div width`` with ``width`` derived from the
+    broadcast 1-row (min, max) scalar in exact BIGINT — NOT
+    ``spark_partition_id()`` over a sampled ``repartitionByRange``,
+    whose stamp was only held consistent across the two consumers by a
+    best-effort persist(): a lost/evicted cached partition would
+    recompute through a FRESH range sample and new partition ids, and
+    divergent boundary sets between the consumers silently drop gaps
+    straddling a relocated boundary.  Pure arithmetic cannot diverge
+    under recomputation, so no barrier (and no persist) is needed at
+    all.  Value-range sharding is count-balanced here because order
+    keys are dense in their range; all arithmetic is exact BIGINT; the
+    top-N is a ``TakeOrderedAndProject`` under the total order
     (gap_len DESC, gap_start).
     """
-    from covid_19_data_analysis_bigdata_spark.cache import cached
-
     o = load_table(spark, sf_dir, "orders")
     keys = o.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_orderkey").alias("k")
     )
-    sharded = (
-        keys.repartitionByRange(F.col("k"))
-        .withColumn("__shard", F.spark_partition_id())
-        .transform(cached)
+    bounds = keys.agg(F.min("k").alias("kmin"), F.max("k").alias("kmax"))
+    sharded = keys.crossJoin(F.broadcast(bounds)).select(
+        "k",
+        F.expr(
+            f"(k - kmin) div ((kmax - kmin) div {IDGAP_NSHARDS} + 1)"
+        ).alias("__shard"),
     )
     wl = Window.partitionBy("__shard").orderBy("k")
     local = (

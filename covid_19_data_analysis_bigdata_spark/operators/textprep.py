@@ -758,6 +758,214 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HNSW-style hierarchical beam search over the IVF quantizer: number
+#: of coarse groups the fine cells are partitioned into, how many
+#: coarse groups each probe descends into, and the fine-cell beam
+#: width inside the probed groups.
+ANN_BEAM_GROUPS = 3
+ANN_BEAM_B2 = 2
+ANN_BEAM_WIDTH = 3
+
+
+@query(
+    "llm_ann_beam",
+    oracle=f"""
+    WITH {_IVF_CENT_SQL},
+    cellrank AS (SELECT cell, row_number() OVER (ORDER BY c, cell) - 1 AS rn,
+                        count(*) OVER () AS nc
+                 FROM cent WHERE ord = 1),
+    cellgrp AS (SELECT cell, rn * {ANN_BEAM_GROUPS} // nc AS grp
+                FROM cellrank),
+    l2cent AS (SELECT g.grp, c.ord, avg(c.c) AS c2
+               FROM cent c JOIN cellgrp g USING (cell)
+               GROUP BY g.grp, c.ord),
+    l2d AS (SELECT e.vec_id, l.grp,
+                   sum((e.val - l.c2) * (e.val - l.c2)) AS d2
+            FROM ex e JOIN l2cent l ON e.ord = l.ord
+            WHERE e.vec_id < 5 GROUP BY e.vec_id, l.grp),
+    probegrps AS (SELECT vec_id AS probe_id, grp FROM l2d
+                  QUALIFY row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, grp)
+                          <= {ANN_BEAM_B2}),
+    beamcells AS (SELECT d.vec_id AS probe_id, d.cell
+                  FROM dists d
+                  JOIN cellgrp cg USING (cell)
+                  JOIN probegrps pg ON pg.probe_id = d.vec_id
+                                   AND pg.grp = cg.grp
+                  QUALIFY row_number() OVER (PARTITION BY d.vec_id
+                                             ORDER BY d.dist2, d.cell)
+                          <= {ANN_BEAM_WIDTH}),
+    cand AS (SELECT bc.probe_id, a.vec_id AS neighbor_id, bc.cell
+             FROM beamcells bc JOIN assigned a USING (cell)
+             WHERE a.vec_id <> bc.probe_id)
+    SELECT c.probe_id, c.neighbor_id, c.cell,
+           round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                        CAST(n.embedding AS DOUBLE[])), 6)
+               AS sim
+    FROM cand c
+    JOIN embeddings p ON p.vec_id = c.probe_id
+    JOIN embeddings n ON n.vec_id = c.neighbor_id
+    QUALIFY row_number() OVER (
+        PARTITION BY c.probe_id
+        ORDER BY round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                              CAST(n.embedding AS DOUBLE[])),
+                       6) DESC, c.neighbor_id) <= {IVF_TOPK}
+    """,
+)
+def llm_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-style hierarchical beam ANN: a two-level navigable
+    hierarchy over the IVF quantizer — probes descend coarse→fine
+    (nearest ``ANN_BEAM_B2`` of ``ANN_BEAM_GROUPS`` coarse groups,
+    then a beam of ``ANN_BEAM_WIDTH`` fine cells INSIDE the probed
+    groups) before scanning any data points.  Complements the flat
+    probes of ``llm_ann_ivf``: there every query ranks ALL k fine
+    cells; here the per-query cell scan is B2·(k/groups), which is
+    what keeps query cost sublinear when the quantizer itself grows
+    with the corpus (k ≈ √n at 100 TB: 65k cells for 4B vectors — a
+    65k-row scan per query beats nothing, a 2·(65k/256)-cell beam
+    does).  This is the essence of HNSW's layered navigation,
+    re-expressed as declarative dataflow; a per-node proximity-graph
+    walk is inherently sequential per hop and has no
+    shuffle-parallel form, so the hierarchy IS the Spark-first beam.
+
+    Deterministic end-to-end, so the oracle is strong: coarse groups
+    are contiguous runs of fine cells ranked by their first centroid
+    coordinate (group id = rank·groups div k — RELATIVE to the cell
+    count, no absolute cap); coarse centroids are the unweighted mean
+    of member fine centroids; every rank breaks ties on the id.
+    Recall loss vs flat IVF happens exactly when a best fine cell
+    lives in an unprobed coarse group — the inherent hierarchy
+    tradeoff, tunable via B2.  All centroid/group tables are O(k)
+    broadcasts; the only corpus-sized joins are the IVF assignment
+    and the final candidate join, both hash-partitioned on cell.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg(_d(F.col("val"))).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell"), "centroid")
+    )
+    # (cent is deliberately NOT cached: the round-5 CacheManager rule —
+    # never cache a frame that a LATER cached frame with HOF lambdas
+    # nests — and recomputing this bounded aggregate is cheap.)
+    # Coarse grouping: rank the (bounded, aggregate-witnessed) cell
+    # table by first centroid coordinate; contiguous runs become groups.
+    w_rank = Window.orderBy(F.col("centroid")[0].asc(), F.col("cell").asc())
+    nc = cent.agg(F.count(F.lit(1)).alias("nc"))
+    cellgrp = (
+        cent.withColumn("rn", F.row_number().over(w_rank) - 1)
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "cell",
+            "centroid",
+            F.expr(f"rn * {ANN_BEAM_GROUPS} div nc").alias("grp"),
+        )
+    )
+    l2cent = (
+        cellgrp.select("grp", F.posexplode("centroid").alias("pos", "c"))
+        .groupBy("grp", "pos")
+        .agg(F.avg("c").alias("c2"))
+        .groupBy("grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c2"))),
+                lambda s: s.getField("c2"),
+            ).alias("l2centroid")
+        )
+    )
+
+    def _dist2(vec: Column, ctr: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(vec, ctr, lambda x, c: (_d(x) - c) * (_d(x) - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    w_grp = Window.partitionBy("probe_id").orderBy(F.asc("d2"), F.asc("grp"))
+    probegrps = (
+        probes.crossJoin(F.broadcast(l2cent))
+        .select(
+            "probe_id",
+            "grp",
+            _dist2(F.col("embedding"), F.col("l2centroid")).alias("d2"),
+        )
+        .withColumn("rk", F.row_number().over(w_grp))
+        .filter(F.col("rk") <= ANN_BEAM_B2)
+        .select("probe_id", "grp")
+    )
+    # ONE corpus×cells distance frame (the IVF shape), group-stamped,
+    # cached for its two consumers: full-corpus assignment and the
+    # probe-side beam ranks.
+    dists = (
+        e.crossJoin(F.broadcast(cellgrp))
+        .select(
+            "vec_id",
+            "cell",
+            "grp",
+            _dist2(F.col("embedding"), F.col("centroid")).alias("dist2"),
+        )
+        .transform(cached)
+    )
+    w_beam = Window.partitionBy("probe_id").orderBy(
+        F.asc("dist2"), F.asc("cell")
+    )
+    beamcells = (
+        dists.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("probe_id"), "cell", "grp", "dist2"
+        )
+        .join(F.broadcast(probegrps), ["probe_id", "grp"])
+        .withColumn("rk", F.row_number().over(w_beam))
+        .filter(F.col("rk") <= ANN_BEAM_WIDTH)
+        .select("probe_id", "cell")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.asc("dist2"), F.asc("cell")
+    )
+    assigned = (
+        dists.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+    cand = (
+        F.broadcast(beamcells)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "cell")
+    )
+    pe = e.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pemb")
+    )
+    ne = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nemb")
+    )
+    sim = F.round(_cosine(F.col("pemb"), F.col("nemb")), 6)
+    w_top = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(pe), "probe_id")
+        .join(ne, "neighbor_id")
+        .select("probe_id", "neighbor_id", "cell", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= IVF_TOPK)
+        .drop("rk")
+    )
+
+
 @query(
     "str_edit_distance",
     oracle="""

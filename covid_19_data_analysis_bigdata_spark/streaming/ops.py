@@ -1498,3 +1498,105 @@ def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c_user", "b_user").alias("user_id"),
         (F.unix_millis("b_ts") - F.unix_millis("c_ts")).alias("gap_ms"),
     )
+
+
+@query(
+    "stream_interval_join_right",
+    oracle="""
+    WITH m AS (SELECT CASE WHEN max(ts) FILTER (WHERE event_type = 'click')
+                                IS NULL
+                         OR max(ts) FILTER (WHERE event_type = 'purchase')
+                                IS NULL
+                       THEN NULL
+                       ELSE least(
+                   max(ts) FILTER (WHERE event_type = 'click'),
+                   max(ts) FILTER (WHERE event_type = 'purchase'))
+               - INTERVAL '1 hour' END AS wm FROM events),
+    c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS b_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id                          AS click_id,
+           p.purchase_id                       AS purchase_id,
+           p.user_id                           AS user_id,
+           epoch_ms(p.b_ts) - epoch_ms(c.c_ts) AS gap_ms
+    FROM c
+    RIGHT JOIN p
+      ON p.user_id = c.user_id
+     AND p.b_ts >= c.c_ts
+     AND p.b_ts <= c.c_ts + INTERVAL '30 minutes'
+    CROSS JOIN m
+    WHERE c.click_id IS NOT NULL
+       OR p.b_ts < m.wm
+    """,
+)
+def stream_interval_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join — null-extension on the
+    purchase side only, completing the outer-join matrix whose inner /
+    left / full contracts are already empirically pinned.  The live
+    form of the orphan-conversion stream alone: every purchase emits
+    either its attributable clicks within [c_ts, c_ts + 30 min] or,
+    once the watermark proves no click can still claim it, ONE
+    null-extended row — without the left side's funnel-drop rows that
+    the full join also carries.
+
+    Emission contract (the purchase-expiry half of the full join's
+    pinned contract, re-verified by
+    tests/test_guards.py::test_right_interval_join_expires_purchases):
+    matched pairs emit as found; an unmatched purchase's null row
+    emits iff b_ts < wm STRICTLY — no +30 min extension, because the
+    join condition ``b_ts >= c_ts`` makes a purchase unmatchable only
+    once no future click (c_ts ≥ wm) can precede it, i.e. when b_ts
+    itself falls behind the watermark.  Boundary purchases (b_ts ==
+    wm) stay buffered and emit nothing.  wm = min(per-side maxima) −
+    1 h, per-side because each ``withWatermark`` sits above its
+    event_type filter.  The oracle states the cutoff verbatim and
+    inherits the degenerate single-type guard: an empty side collapses
+    wm to NULL (the CASE around DuckDB's NULL-skipping ``least()``),
+    matching Spark's never-initialized min-watermark emitting nothing.
+
+    Scale: state topology identical to the inner join — per-side
+    buffers bounded by (watermark delay + interval) × stream rate,
+    hash-partitioned on user_id, no hot task; the null-extension is an
+    eviction-time emit that adds NO state.  ``gap_ms`` is an exact
+    epoch-ms integer on matched rows and NULL on expiry rows in both
+    engines.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    buys = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "b_user = c_user AND "
+            "b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+        "right_outer",
+    )
+    out = run_to_table(
+        spark, joined, "t_interval_join_right", "append",
+        state_partitions=_state_partitions(spark, sf_dir),
+    )
+    return out.select(
+        "click_id",
+        "purchase_id",
+        F.col("b_user").alias("user_id"),
+        (F.unix_millis("b_ts") - F.unix_millis("c_ts")).alias("gap_ms"),
+    )

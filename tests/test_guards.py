@@ -823,6 +823,68 @@ def test_full_interval_join_expires_both_sides(spark, tmp_path):
     assert got == {(10, None), (None, 20), (13, 14)}
 
 
+def test_right_interval_join_expires_purchases(spark, tmp_path):
+    """The RIGHT outer interval join's single null-extension class,
+    across micro-batches: an unmatched purchase expires iff b_ts < wm
+    STRICTLY (no +30 min extension — ``b_ts >= c_ts`` makes a purchase
+    unmatchable only once the watermark passes b_ts itself); boundary
+    purchases (b_ts == wm) stay buffered; unmatched CLICKS never emit
+    anything, at any horizon.  The watermark-advancing anchors arrive
+    in a LATER micro-batch, so expiry fires in state eviction, not at
+    ingest."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from covid_19_data_analysis_bigdata_spark.streaming.ops import (
+        run_to_table,
+    )
+
+    schema = _interval_fixture_schema()
+    D = datetime
+    # final per-side maxima: click 2024-03-02 01:15, purchase 01:20
+    # -> wm = min - 1h = 2024-03-02 00:15
+    batch_a = [
+        # unmatched clicks: must NEVER null-extend in a right join,
+        # even when fully expired
+        (10, D(2024, 3, 1, 23, 0), 5, "click", 1.0),   # horizon < wm
+        (12, D(2024, 3, 2, 0, 0), 7, "click", 1.0),    # horizon > wm
+        # unmatched purchases (users with no clicks)
+        (20, D(2024, 3, 2, 0, 0), 15, "purchase", 1.0),   # b_ts < wm: expires
+        (21, D(2024, 3, 2, 0, 15), 16, "purchase", 1.0),  # b_ts == wm: held
+        (22, D(2024, 3, 2, 0, 30), 17, "purchase", 1.0),  # b_ts > wm: held
+        # matched pair
+        (13, D(2024, 3, 1, 10, 0), 8, "click", 1.0),
+        (14, D(2024, 3, 1, 10, 10), 8, "purchase", 1.0),
+    ]
+    batch_b = [
+        (30, D(2024, 3, 2, 1, 15), 99, "click", 1.0),
+        (31, D(2024, 3, 2, 1, 20), 98, "purchase", 1.0),
+    ]
+    src = str(tmp_path / "rexp")
+    for rows in (batch_a, batch_b):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 2
+    ev = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    c, b = _interval_sides(ev)
+    joined = c.join(
+        b,
+        F.expr(
+            "b_user = c_user AND "
+            "b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+        "right_outer",
+    )
+    out = run_to_table(spark, joined, "t_right_expiry", "append", 4)
+    got = {(r.c_id, r.b_id) for r in out.collect()}
+    assert got == {(None, 20), (13, 14)}
+
+
 def test_left_interval_join_boundary_collision_storm(spark, tmp_path):
     """r12 verdict task 7: the expiry cutoff is STRICT (c_ts + 30 min
     < wm), and that must hold when THOUSANDS of clicks share the exact
@@ -954,11 +1016,17 @@ def test_compare_sweeps_parses_both_line_shapes(tmp_path):
     from compare_sweeps import parse
 
     art = tmp_path / "CHECK_x.txt"
+    # Every line below is a shape check.py ACTUALLY emits (r13 ADVICE:
+    # the old fixture pinned a FAIL-with-timing shape that check.py
+    # never prints, so real failures fell out of the census).
     art.write_text(
         "[Stage 3:===>   (1 + 2) / 4]  "
         "PASS agg_groupby: rows=4 (1.2s; spark=1.0s oracle=0.2s)\n"
-        "WEAK agg_approx_distinct: rows=7 (0.8s)\n"
-        "FAIL broken_q: rows=0 (0.1s; spark=0.1s oracle=0.0s)\n"
+        "WEAK agg_approx_distinct: rows=7 cols=['a', 'b'] (0.8s)\n"
+        "FAIL broken_spark: spark error: AnalysisException: no column\n"
+        "FAIL broken_duck: duckdb error: BinderException: nope\n"
+        "FAIL broken_vals: rowcount spark=3 oracle=4 | values differ "
+        "in 2 rows; spark-only=('x',) oracle-only=('y',)\n"
         "525 pass, 5 weak, 0 fail / 530 total\n"
     )
     got = parse(str(art))
@@ -967,8 +1035,33 @@ def test_compare_sweeps_parses_both_line_shapes(tmp_path):
     }
     assert got["agg_approx_distinct"]["status"] == "WEAK"
     assert got["agg_approx_distinct"]["spark"] is None
-    assert got["broken_q"]["status"] == "FAIL"
-    assert len(got) == 3
+    assert got["agg_approx_distinct"]["total"] == 0.8
+    for q in ("broken_spark", "broken_duck", "broken_vals"):
+        assert got[q]["status"] == "FAIL"
+        assert got[q]["total"] is None
+    assert len(got) == 5
+
+
+def test_compare_sweeps_censuses_pass_to_fail(tmp_path, capsys):
+    """A genuine PASS->FAIL flip must surface in STATUS CHANGES even
+    though the FAIL line carries no timing (it must not silently drop
+    into only-old)."""
+    import sys
+
+    sys.path.insert(0, str(PKG.parent / "tools"))
+    import compare_sweeps
+
+    old = tmp_path / "CHECK_a.txt"
+    new = tmp_path / "CHECK_b.txt"
+    old.write_text("PASS q1: rows=4 (1.0s; spark=0.8s oracle=0.2s)\n"
+                   "PASS q2: rows=4 (2.0s; spark=1.8s oracle=0.2s)\n")
+    new.write_text("FAIL q1: spark error: Py4JJavaError: boom\n"
+                   "PASS q2: rows=4 (2.1s; spark=1.9s oracle=0.2s)\n")
+    sys.argv = ["compare_sweeps.py", str(old), str(new)]
+    compare_sweeps.main()
+    out = capsys.readouterr().out
+    assert "q1: PASS -> FAIL" in out
+    assert "only-new=none" in out and "only-old=none" in out
 
 
 def test_bench_previous_total_ignores_uncommitted_artifacts():

@@ -110,6 +110,17 @@ def test_ivf_broadcasts_centroids(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_ann_beam_broadcasts_hierarchy_never_corpus(spark, sf_dir):
+    """The hierarchical beam ANN must broadcast only O(k) frames
+    (cell-group table, coarse centroids, probe sets) — the corpus side
+    of every join stays partitioned.  A corpus-side SortMergeJoin or a
+    non-broadcast nested loop would mean the hierarchy got shuffled
+    the wrong way."""
+    plan = _plan(spark, sf_dir, "llm_ann_beam")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sim_topk_runs_vectorized_not_sql_lambdas(spark, sf_dir):
     # The bench-critical guard (SURVEY.md §7.3.1): top-k similarity must
     # go through the Arrow-batched block-pair matmul (applyInPandas →

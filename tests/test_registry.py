@@ -468,6 +468,10 @@ EXPECTED_IDS = {
     # null-extension on BOTH sides at expiry; the purchase side
     # buffers under its own horizon (b_ts < wm, no +interval)
     "stream_interval_join_full",
+    # round-14 batch 86: RIGHT outer interval join (completes the
+    # stream-stream outer-join matrix) + HNSW-style hierarchical beam
+    # ANN (coarse->fine navigation over the IVF quantizer)
+    "stream_interval_join_right", "llm_ann_beam",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):
@@ -538,9 +542,24 @@ def test_window_rotation_is_never_sampled():
         ).stdout.split()
         current = max(int(t.split("-")[1]) for t in tags) + 1
     except (ValueError, OSError, subprocess.SubprocessError):
-        # no tags visible (e.g. judge worktree without refs): fall back
-        # to excluding only the single highest-numbered artifact
-        current = max(rounds)
+        # No tags visible (e.g. a clone/worktree without refs).  The
+        # old fallback (current = max artifact round) excluded the
+        # newest committed artifact from enforcement — re-opening the
+        # unrotated-window masking this pin exists to close, exactly
+        # in the tag-less environment that motivated it (r13 ADVICE).
+        # Round attribution now has a tracked second source: the
+        # ROUND_MARKER file, committed at round start alongside the
+        # round-(N-1) tag, so any checkout carries it.  Only if BOTH
+        # sources are absent does the pin fail loudly instead of
+        # weakening the check.
+        marker = os.path.join(repo, "ROUND_MARKER")
+        assert os.path.exists(marker), (
+            "round attribution unavailable: no round-* tags visible and "
+            "no ROUND_MARKER file — cannot safely exclude any artifact "
+            "from the rotation pin; commit ROUND_MARKER (round start) "
+            "or fetch tags"
+        )
+        current = int(open(marker).read().strip()) + 1
     assert current in (max(rounds), max(rounds) + 1), (
         f"round attribution drifted: tags say current={current}, "
         f"artifacts reach r{max(rounds)} — tag the new round or rotate"

@@ -22,9 +22,16 @@ import argparse
 import re
 
 _LINE = re.compile(
-    r"(PASS|WEAK|FAIL) (\S+): rows=\d+ "
+    r"(PASS|WEAK|FAIL) (\S+): rows=\d+ (?:cols=\[[^]]*\] )?"
     r"\(([\d.]+)s(?:; spark=([\d.]+)s oracle=([\d.]+)s)?\)"
 )
+# check.py's REAL failure shapes carry no rows=/timing at all:
+#   FAIL name: spark error: Type: msg
+#   FAIL name: duckdb error: Type: msg
+#   FAIL name: rowcount spark=3 oracle=4 | values differ ...
+# (r13 ADVICE: without this pattern a genuine PASS->FAIL never appears
+# in the STATUS CHANGES census — the query just drops into only-old.)
+_FAIL_LINE = re.compile(r"FAIL (\S+): (?!rows=\d)")
 
 
 def parse(path: str) -> dict[str, dict]:
@@ -38,6 +45,15 @@ def parse(path: str) -> dict[str, dict]:
                 "total": float(tot),
                 "spark": float(sp) if sp else None,
                 "oracle": float(orc) if orc else None,
+            }
+            continue
+        f = _FAIL_LINE.search(line)
+        if f:
+            out[f.group(1)] = {
+                "status": "FAIL",
+                "total": None,
+                "spark": None,
+                "oracle": None,
             }
     return out
 
@@ -61,8 +77,14 @@ def main() -> int:
         for q in common
         if a[q]["status"] != b[q]["status"]
     ]
-    ta = sum(a[q]["total"] for q in common)
-    tb = sum(b[q]["total"] for q in common)
+    # FAIL rows parsed from the error-line shapes carry no timing;
+    # totals and timing deltas are computed over the timed subset only.
+    timed = [
+        q for q in common
+        if a[q]["total"] is not None and b[q]["total"] is not None
+    ]
+    ta = sum(a[q]["total"] for q in timed)
+    tb = sum(b[q]["total"] for q in timed)
     print(f"{len(common)} common queries; only-old={only_a or 'none'}; "
           f"only-new={only_b or 'none'}")
     print(f"common-query total: {ta:.1f}s -> {tb:.1f}s "
@@ -81,7 +103,7 @@ def main() -> int:
         return f" [{side}-side: spark {sa:.1f}->{sb:.1f} oracle {oa:.1f}->{ob:.1f}]"
 
     regs = [
-        q for q in common
+        q for q in timed
         if b[q]["total"] - a[q]["total"] > args.min_delta
         and b[q]["total"] / max(a[q]["total"], 0.05) > args.min_ratio
     ]
@@ -92,7 +114,7 @@ def main() -> int:
             print(f"  {q}: {a[q]['total']}s -> {b[q]['total']}s"
                   f"{attributed(q)}")
     imps = [
-        q for q in common
+        q for q in timed
         if a[q]["total"] - b[q]["total"] > args.min_delta
     ]
     imps.sort(key=lambda q: b[q]["total"] - a[q]["total"])
