@@ -65,6 +65,11 @@ EXCHANGE_OVERRIDES = {
     "llm_ann_ivfpq": 24,
     # dq_fk_containment (18): one semi/anti pair per FK edge, 7 edges.
     "dq_fk_containment": 22,
+    # llm_ann_beam (15): the IVF pipeline's exchanges plus the
+    # hierarchy's O(k) stages (cell ranking, coarse-centroid rollup,
+    # probe-group ranks) — every extra exchange moves centroid-count
+    # rows, none corpus-sized.
+    "llm_ann_beam": 19,
     # ml_pca_power (17): POWER_ITERS unrolled Gram-vector products.
     "ml_pca_power": 21,
     # report_lorenz_points (16) / ml_spearman_corr (16) /
@@ -145,6 +150,12 @@ BOUNDED_WINDOW_ALLOW = {
     # cluster parallelism (r13 — the fact-grain lag window is now
     # partitioned per shard; only the summary crosses shards)
     "dq_id_gaps",
+    # r14: hierarchical beam ANN — the cell-rank window (coarse
+    # grouping) orders the k-row AGGREGATED centroid table, k = fine
+    # cell count (bounded by the quantizer, never by corpus); it
+    # appears twice in the plan because cellgrp feeds both the
+    # corpus-distance frame and the coarse centroids
+    "llm_ann_beam",
     # eval-set score curves
     "ml_roc_auc", "ml_pr_curve", "ml_cumulative_gains",
     # part-dimension cumulative (round-9 borderline-accepted)
