@@ -967,6 +967,158 @@ def llm_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_ann_recall",
+    oracle=f"""
+    WITH {_IVF_CENT_SQL},
+    -- flat-IVF candidate rule (llm_ann_ivf verbatim)
+    probecells AS (SELECT vec_id AS probe_id, cell
+                   FROM dists WHERE vec_id < 5
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist2, cell)
+                           <= {IVF_NPROBE}),
+    ivf_topk AS (
+        SELECT c.probe_id, c.neighbor_id
+        FROM (SELECT pc.probe_id, a.vec_id AS neighbor_id
+              FROM probecells pc JOIN assigned a USING (cell)
+              WHERE a.vec_id <> pc.probe_id) c
+        JOIN embeddings p ON p.vec_id = c.probe_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id
+        QUALIFY row_number() OVER (
+            PARTITION BY c.probe_id
+            ORDER BY round(list_cosine_similarity(
+                         CAST(p.embedding AS DOUBLE[]),
+                         CAST(n.embedding AS DOUBLE[])), 6) DESC,
+                     c.neighbor_id) <= {IVF_TOPK}),
+    -- hierarchical-beam candidate rule (llm_ann_beam verbatim)
+    cellrank AS (SELECT cell, row_number() OVER (ORDER BY c, cell) - 1 AS rn,
+                        count(*) OVER () AS nc
+                 FROM cent WHERE ord = 1),
+    cellgrp AS (SELECT cell, rn * {ANN_BEAM_GROUPS} // nc AS grp
+                FROM cellrank),
+    l2cent AS (SELECT g.grp, c.ord, avg(c.c) AS c2
+               FROM cent c JOIN cellgrp g USING (cell)
+               GROUP BY g.grp, c.ord),
+    l2d AS (SELECT e.vec_id, l.grp,
+                   sum((e.val - l.c2) * (e.val - l.c2)) AS d2
+            FROM ex e JOIN l2cent l ON e.ord = l.ord
+            WHERE e.vec_id < 5 GROUP BY e.vec_id, l.grp),
+    probegrps AS (SELECT vec_id AS probe_id, grp FROM l2d
+                  QUALIFY row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, grp)
+                          <= {ANN_BEAM_B2}),
+    beamcells AS (SELECT d.vec_id AS probe_id, d.cell
+                  FROM dists d
+                  JOIN cellgrp cg USING (cell)
+                  JOIN probegrps pg ON pg.probe_id = d.vec_id
+                                   AND pg.grp = cg.grp
+                  QUALIFY row_number() OVER (PARTITION BY d.vec_id
+                                             ORDER BY d.dist2, d.cell)
+                          <= {ANN_BEAM_WIDTH}),
+    beam_topk AS (
+        SELECT c.probe_id, c.neighbor_id
+        FROM (SELECT bc.probe_id, a.vec_id AS neighbor_id
+              FROM beamcells bc JOIN assigned a USING (cell)
+              WHERE a.vec_id <> bc.probe_id) c
+        JOIN embeddings p ON p.vec_id = c.probe_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id
+        QUALIFY row_number() OVER (
+            PARTITION BY c.probe_id
+            ORDER BY round(list_cosine_similarity(
+                         CAST(p.embedding AS DOUBLE[]),
+                         CAST(n.embedding AS DOUBLE[])), 6) DESC,
+                     c.neighbor_id) <= {IVF_TOPK}),
+    -- exhaustive ground truth for the same probes and k
+    exact_topk AS (
+        SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id
+        FROM embeddings p JOIN embeddings n ON n.vec_id <> p.vec_id
+        WHERE p.vec_id < 5
+        QUALIFY row_number() OVER (
+            PARTITION BY p.vec_id
+            ORDER BY round(list_cosine_similarity(
+                         CAST(p.embedding AS DOUBLE[]),
+                         CAST(n.embedding AS DOUBLE[])), 6) DESC,
+                     n.vec_id) <= {IVF_TOPK}),
+    counts AS (
+        SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS hits
+        FROM ivf_topk i JOIN exact_topk e
+          ON e.probe_id = i.probe_id AND e.neighbor_id = i.neighbor_id
+        UNION ALL
+        SELECT 'beam' AS method, CAST(count(*) AS BIGINT) AS hits
+        FROM beam_topk b JOIN exact_topk e
+          ON e.probe_id = b.probe_id AND e.neighbor_id = b.neighbor_id),
+    totals AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact_topk)
+    SELECT method, hits, n_exact,
+           round(hits * 1.0 / n_exact, 6) AS recall
+    FROM counts, totals
+    """,
+)
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation of the two navigable ANN indexes against
+    exhaustive ground truth — index quality as a FIRST-CLASS OUTPUT.
+
+    The r9 lesson, institutionalized as a query: a flat scaling ratio
+    (or a fast index) only counts if the OUTPUT is verified — an ANN
+    index that silently degrades to recall 0.3 after a quantizer
+    retrain "passes" every latency dashboard.  This query computes,
+    for the shared probe set and k={IVF_TOPK}: the exhaustive cosine
+    top-k (ground truth), the flat-IVF top-k (``llm_ann_ivf``'s exact
+    candidate rule), and the hierarchical-beam top-k
+    (``llm_ann_beam``'s rule), then emits per-method hit counts and
+    recall — the number every index-maintenance pipeline alerts on,
+    and the measured price of the beam's coarse-group pruning.
+
+    Composition is by CALLING the registered index queries (the Spark
+    side literally invokes ``llm_ann_ivf``/``llm_ann_beam``, so the
+    evaluated dataflow IS the production dataflow, not a re-model);
+    every stage is deterministic (rounded sims, id tie-breaks), so the
+    oracle is strong.  Scale: ground truth is probe-bounded — a
+    broadcast probe set streamed against the corpus map-side, linear
+    in corpus size with NO corpus shuffle; at 100 TB recall is
+    estimated over exactly this kind of bounded probe sample (the
+    probe filter is the sample), never all-pairs.
+    """
+    from covid_19_data_analysis_bigdata_spark.core import QUERIES
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    n = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    sim = F.round(_cosine(F.col("pe"), F.col("ne")), 6)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    exact = (
+        n.join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= IVF_TOPK)
+        .select("probe_id", "neighbor_id")
+    )
+
+    def method_hits(name: str, label: str) -> DataFrame:
+        topk = QUERIES[name](spark, sf_dir).select("probe_id", "neighbor_id")
+        return (
+            topk.join(exact, ["probe_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.lit(label).alias("method"), "hits")
+        )
+
+    counts = method_hits("llm_ann_ivf", "ivf").unionAll(
+        method_hits("llm_ann_beam", "beam")
+    )
+    totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "method",
+        "hits",
+        "n_exact",
+        F.round(F.col("hits") / F.col("n_exact"), 6).alias("recall"),
+    )
+
+
+@query(
     "str_edit_distance",
     oracle="""
     SELECT a.n_name AS a_name, b.n_name AS b_name,

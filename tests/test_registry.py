@@ -472,6 +472,9 @@ EXPECTED_IDS = {
     # stream-stream outer-join matrix) + HNSW-style hierarchical beam
     # ANN (coarse->fine navigation over the IVF quantizer)
     "stream_interval_join_right", "llm_ann_beam",
+    # round-14 batch 87: recall@k of both navigable indexes vs
+    # exhaustive ground truth — index quality as a verified output
+    "llm_ann_recall",
 }
 
 #: Queries intentionally shipped without a DuckDB oracle (weak check):

@@ -70,6 +70,12 @@ EXCHANGE_OVERRIDES = {
     # probe-group ranks) — every extra exchange moves centroid-count
     # rows, none corpus-sized.
     "llm_ann_beam": 19,
+    # llm_ann_recall (31): the eval query COMPOSES three full index
+    # pipelines (exhaustive ground truth + flat IVF + hierarchical
+    # beam) and intersects their top-k sets — breadth of evaluated
+    # indexes, not depth of one pipeline; per-method hit joins are
+    # probe-bounded (≤ probes·k rows).
+    "llm_ann_recall": 38,
     # ml_pca_power (17): POWER_ITERS unrolled Gram-vector products.
     "ml_pca_power": 21,
     # report_lorenz_points (16) / ml_spearman_corr (16) /
@@ -156,6 +162,9 @@ BOUNDED_WINDOW_ALLOW = {
     # appears twice in the plan because cellgrp feeds both the
     # corpus-distance frame and the coarse centroids
     "llm_ann_beam",
+    # r14: the recall eval composes llm_ann_beam's dataflow, so it
+    # inherits the same bounded cell-rank window (same witness)
+    "llm_ann_recall",
     # eval-set score curves
     "ml_roc_auc", "ml_pr_curve", "ml_cumulative_gains",
     # part-dimension cumulative (round-9 borderline-accepted)
