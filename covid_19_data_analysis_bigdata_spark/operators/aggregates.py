@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_19_data_analysis_bigdata_spark.core import query
-from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table, spread
 
 
 @query(
@@ -1047,6 +1047,13 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlations are then pure scalar math on one broadcastable row.
     A 100 TB corr matrix is therefore exactly one scan + one 14-number
     combine.
+
+    r14 note (guide §1.3, measured): a ``spread`` of the scan was
+    tried and REVERTED — the partial-aggregate pass already runs at
+    the scan's 3-task parallelism, and round-robin-shuffling the raw
+    rows from those same 3 tasks costs more than the parallel decimal
+    math buys back (drill medians 2.14 s → 2.49 s).  Single-pass
+    partial+final over the scan is the floor for this layout.
     """
     li = load_table(spark, sf_dir, "lineitem")
     names = list(_CORR_VARS)

@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.operators.llm import _cosine, _d
-from covid_19_data_analysis_bigdata_spark.sources.io import fixture_dir, load_table
+from covid_19_data_analysis_bigdata_spark.sources.io import (
+    fixture_dir,
+    load_table,
+    spread,
+)
 
 KMEANS_ITERS = 2
 
@@ -75,11 +79,25 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector to its nearest centroid (argmin with cluster tie-break),
     recompute centroids as per-(cluster, dimension) means.  Emits each
     final cluster's size and mean component value.
+
+    r14 (guide §2.5): the scan is ``spread`` — every stage of this
+    query (64× posexplode, per-vector×per-centroid distances) is
+    CPU-dense on tiny bytes, and the local single-row-group layout
+    otherwise serializes the whole pipeline on one task.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    ex = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
-    ).select("vec_id", "label", "pos", _d(F.col("val")).alias("val"))
+    e = spread(spark, sf_dir, "embeddings")
+    # Persisted (r14, guide §5): the 64×-exploded component table feeds
+    # FOUR consumers (seed centroids, each iteration's recompute, the
+    # final rollup); unpersisted each one re-scans and re-explodes the
+    # corpus.  Eviction merely recomputes, so the persist is a pure
+    # speedup at any scale.
+    ex = (
+        e.select(
+            "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+        )
+        .select("vec_id", "label", "pos", _d(F.col("val")).alias("val"))
+        .transform(cached)
+    )
 
     cent = (
         ex.groupBy(F.col("label").alias("cluster"), "pos")
@@ -130,7 +148,11 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.join(assigned, "vec_id")
         .groupBy("cluster")
         .agg(
-            F.countDistinct("vec_id").alias("n_members"),
+            # count(*) div 64 == countDistinct(vec_id): every vector
+            # contributes exactly its 64 exploded components, so the
+            # exact-distinct's Expand + extra exchange buy nothing
+            # (r14, guide §2.3 — shuffle fewer bytes).
+            F.expr("count(*) div 64").alias("n_members"),
             F.round(F.sum("val") / 64, 6).alias("mean_component"),
         )
     )
@@ -551,6 +573,14 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     the squared-norm fold is an explicit sequential left fold in both
     engines — every iterate is bit-identical, which is what lets an
     iterative eigensolver carry an exact value oracle.
+
+    r14 note (guide §1.3, measured): a ``spread`` of the scan was
+    tried and REVERTED (drill medians 1.86 s → 2.88 s): the corpus
+    side is tiny here and each iteration's stages are row-cheap, so
+    32-way task scheduling costs more than the single-task compute it
+    displaces.  A 64-wide single-row sum aggregate replacing the
+    posexplode was likewise tried and reverted (1.64 s → 3.63 s —
+    64 declarative agg buffers fall off the codegen fast path).
     """
     e = load_table(spark, sf_dir, "embeddings")
     x = e.select(

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
-from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table, spread
 
 TOPK = 20
 KNN_K = 5
@@ -317,8 +317,14 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verify stage only genuinely-fuzzy candidates.  The 64× rung
     measures the uncomposed worst case (every doc 64-way duplicated)
     and is sublinear in output even there.
+
+    r14 (guide §2.5): the documents scan is ``spread`` — shingling and
+    the 32-permutation MinHash are CPU-dense map work on few bytes,
+    and the local single-row-group layout otherwise runs the whole
+    signature stage (and the cached shingle table's partitioning that
+    every verify join inherits) on one task.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, sf_dir, "documents")
     sh = (
         d.select("doc_id", _shingles(_words()).alias("shingles"))
         .filter(F.size("shingles") > 0)

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.operators.distrank import global_ntile
-from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table, spread
 
 
 @query(
@@ -389,6 +389,12 @@ def report_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The supplier-side nation tag rides a broadcast; the customer-side
     region filter collapses region→nation into one broadcast build.
+
+    r14 note (guide §1.3, measured): a ``spread`` of the fact scan was
+    tried and REVERTED (drill medians 1.12 s → 2.35 s): the pipeline is
+    broadcast-probe + partial agg — so row-cheap that round-robin-
+    shuffling the fact rows out of the 3 scan tasks costs 2× what the
+    added parallelism recovers.
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")

@@ -51,7 +51,7 @@ from covid_19_data_analysis_bigdata_spark.operators.textprep import (
     _POLY_SQL,
     _polyhash,
 )
-from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table, spread
 
 # --------------------------------------------------------------------------
 # BM25 lexical ranking
@@ -359,8 +359,13 @@ def llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     result pair shares ≥ 8 such grams (probed), and on the 16×
     replica every identical-clone pair shares all its grams, so the
     candidate stage retains them.
+
+    r14 (guide §2.5): the documents scan is ``spread`` — tokenize +
+    trigram explode + tf counting are CPU-dense map work, and the
+    cached tf/tfk/tfc tables otherwise inherit the local single-task
+    scan layout, serializing the candidate self-join's sort inputs.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, sf_dir, "documents")
     ws = F.split(F.lower("text"), " ")
     g = (
         d.select("doc_id", _tri_grams(ws).alias("grams"))

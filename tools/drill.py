@@ -32,6 +32,11 @@ def main() -> int:
     ap.add_argument("--plan-dir", default=None)
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--samples", type=int, default=3)
+    ap.add_argument(
+        "--plan-only",
+        action="store_true",
+        help="dump plans without executing (no warm run, no timing)",
+    )
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
@@ -56,6 +61,9 @@ def main() -> int:
             out = os.path.join(args.plan_dir, f"{name}_{args.suffix}.txt")
             with open(out, "w") as f:
                 f.write(plan)
+        if args.plan_only:
+            print(f"{name}\tplan-only")
+            continue
         # warm once (scan caches, codegen), then timed noop runs
         df.write.format("noop").mode("overwrite").save()
         samples = []
