@@ -287,9 +287,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(PR_SCALE).cast("long").alias("r")
     )
     for _ in range(PR_ITERS):
+        # ranks and outw are nation-grain (≤ |nation| rows) BY
+        # CONSTRUCTION at any corpus size, so both iteration joins are
+        # explicit broadcasts (r14, guide §3.1): the static planner
+        # cannot size these derived frames and was emitting
+        # SortMergeJoin + two exchanges per iteration that AQE then had
+        # to demote at runtime.
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(outw, "src")
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            .join(F.broadcast(outw), "src")
             .select("dst", F.expr("(r * w) div ow").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))

@@ -334,12 +334,26 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cached)
     )
 
-    tok = sh.select("doc_id", F.explode("shingles").alias("tok"))
-    minhash = tok.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"h{i}")
-            for i in range(MINHASH_PERMS)
-        ]
+    # MinHash signatures computed ARRAY-SIDE (r14, guide §2.4): each
+    # permutation's min is an array_min over the document's own shingle
+    # array, so the signature stage is pure map work in the same stage
+    # as the (cached) shingle projection — the previous explode +
+    # 32-min groupBy shuffled every shingle occurrence just to bring a
+    # document's tokens back together, a co-location the array already
+    # has.  Values are bit-identical (same xxhash64 calls, min is
+    # order-free); one exchange leaves the plan here and the removed
+    # shuffle is corpus-token-grain at any scale.
+    def _perm_min(i: int) -> Column:
+        # single-arg lambda: a second parameter would flip pyspark's
+        # transform() into its (element, index) form and shadow the
+        # permutation constant with the array index.
+        return F.array_min(
+            F.transform("shingles", lambda t: F.xxhash64(F.lit(i), t))
+        )
+
+    minhash = sh.select(
+        "doc_id",
+        *[_perm_min(i).alias(f"h{i}") for i in range(MINHASH_PERMS)],
     )
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     band_structs = F.array(
