@@ -40,7 +40,7 @@ from covid_19_data_analysis_bigdata_spark.operators.textprep import (
     _polyhash,
     _words,
 )
-from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table, spread
 
 #: Span width (tokens) for exact substring-level dedup.  Lee et al. use
 #: 50 BPE tokens on web text; the synthetic corpus documents are only
@@ -121,6 +121,11 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the same key — all shuffle-partitioned by span hash, no skew
     (digests are uniform), no all-pairs stage at any point.
     """
+    # r14 note (guide §1.3, measured): a ``spread`` of the scan was
+    # tried and REVERTED (drill medians 1.41 s -> 3.29 s): the md5
+    # window pass lives in the cached frame (paid once), and the
+    # sample-path dup-aggregate + span join run faster from the
+    # few-partition cache than 32-way scheduled.
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", _words().alias("words"))

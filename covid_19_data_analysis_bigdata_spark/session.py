@@ -31,16 +31,32 @@ RUNTIME_CONFS: dict[str, str] = {
     # Adaptive execution: runtime re-planning at shuffle boundaries.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # Let AQE coalesce below defaultParallelism (the Spark docs'
-    # recommended cluster setting).  The default (true) pins every
-    # post-shuffle stage at >= 32 partitions, so doc-grain /
-    # bucket-grain stages (LSH buckets, band tables, candidate pairs)
-    # pay ~30 empty-task schedules per shuffle — measured round 7:
-    # an 8-query mixed bench fell 10.1 s -> 9.0 s with ZERO per-query
-    # regressions (llm_dedup_fuzzy 1.79->1.43, ml_knn_classify
-    # 1.05->0.79).  Advisory partition size still governs real
-    # volumes, so genuinely large shuffles keep their parallelism.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # AQE small-shuffle coalescing policy.  Round 7 set this false
+    # (respect the 64 MB advisory, collapse doc-grain stages to 1-2
+    # partitions; measured then: 8-query bench 10.1 s -> 9.0 s).  Round
+    # 14 re-measured after the spread()/persist topology changes and
+    # the workload's CPU-dense tail grew dominant: a 14-query drill A/B
+    # read false=22.9 s vs true=20.6 s with wins on 11/14 (join_sortmerge
+    # 1.06->0.59, llm_sim_topk 1.43->0.95, llm_span_dedup 1.18->0.79) —
+    # byte-light stages here are CPU-heavy, so keeping partitions up to
+    # the 1 MB minPartitionSize floor (the upstream Spark DEFAULT)
+    # beats advisory-size collapse.  Env-parameterized: busy shared
+    # clusters should set SPARK_GRAFT_AQE_PARALLELISM_FIRST=false per
+    # the Spark docs' resource-efficiency guidance.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": os.environ.get(
+        "SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"
+    ),
+    # AQE runtime SMJ->shuffled-hash demotion (guide §3.1): when every
+    # post-shuffle build partition is under this threshold, the sort on
+    # both sides is skipped at runtime.  Static plans (and the plan-pin
+    # tests) are untouched; partitions over the threshold keep SMJ, so
+    # the OOM risk SHJ normally carries is bounded by construction.
+    # r14 drill A/B (14-query set, after the parallelismFirst flip):
+    # 20.6 s -> 19.4 s, wins on 10/14 (llm_dedup_clusters 2.41->1.63,
+    # report_volume_shipping 1.46->1.17), losses within run noise.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
+        "SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "64m"
+    ),
     # Runtime-settable, so externally-built sessions (the driver's plain
     # session defaults to 200) also get a parallelism-matched value; AQE
     # coalesces further downward per-stage.  Overridable for bench A/B
