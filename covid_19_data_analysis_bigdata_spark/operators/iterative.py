@@ -4300,9 +4300,13 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = None
     for _ in range(HITS_ITERS):
+        # Every frame in the loop is nation-grain (≤ |nation| rows) or
+        # edge-grain (≤ |nation|² rows) BY CONSTRUCTION — broadcast
+        # them explicitly (r14, guide §3.1) so the static plan skips
+        # the per-half-round SortMergeJoin exchanges AQE had to demote.
         araw = (
-            nodes.join(edges, edges.dst == nodes.node, "left")
-            .join(h.select(F.col("node").alias("hn"), "h"),
+            nodes.join(F.broadcast(edges), edges.dst == nodes.node, "left")
+            .join(F.broadcast(h.select(F.col("node").alias("hn"), "h")),
                   F.col("src") == F.col("hn"), "left")
             .groupBy("node")
             .agg(
@@ -4322,8 +4326,8 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("a"),
         )
         hraw = (
-            nodes.join(edges, edges.src == nodes.node, "left")
-            .join(a.select(F.col("node").alias("an"), "a"),
+            nodes.join(F.broadcast(edges), edges.src == nodes.node, "left")
+            .join(F.broadcast(a.select(F.col("node").alias("an"), "a")),
                   F.col("dst") == F.col("an"), "left")
             .groupBy("node")
             .agg(

@@ -406,29 +406,37 @@ def llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # +0.5 s warm at sf0.1); same for hot, whose emptiness at the
     # committed SFs AQE can then see once instead of deriving twice.
     tfc = tfk.join(candgrams, "t").transform(cached)
-    ca = tfc.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("t").alias("ta"),
-        F.col("tf").alias("tfa"),
+    # Candidate pass (r14 rewrite, guide §2.4): each capped gram's
+    # postings collapse to ONE sorted array and the u<v pairs explode
+    # ARRAY-SIDE inside codegen (the round-7 LSH pair-generation
+    # idiom) — replacing the postings SELF-JOIN, whose two shuffled+
+    # sorted sides re-derived exactly this per-gram pair set.  The
+    # fanout per gram stays bounded by the SAME df ≤ cap rule that
+    # bounded the join output (≤ cap²/2 pairs from a ≤ cap-entry
+    # array), so the candidate volume is unchanged — only the plan
+    # shrinks (SMJ + two sorts → one keyed aggregate).  sort_array on
+    # struct(doc_id, tf) orders by the unique doc_id, so a_id < b_id
+    # holds by construction, identical to the join predicate.
+    # The explicit keyed repartition (round-8) stays: the pair
+    # aggregate hashes CPU-bound, byte-light rows; a partition COUNT
+    # opts it out of AQE coalescing and defaultParallelism scales with
+    # the cluster.
+    pg = tfc.groupBy("t").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("ps")
     )
-    cb = tfc.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("t").alias("tb"),
-        F.col("tf").alias("tfb"),
+    pair_expr = (
+        "flatten(transform(ps, (a, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "b -> struct(a.doc_id AS a_id, b.doc_id AS b_id, "
+        "a.tf * b.tf AS p))))"
     )
-    # Candidate pass: the CAPPED dot and shared count per pair, with
-    # the minoverlap gate.  Explicit keyed repartition (round-8): this
-    # pair aggregate hashes CPU-bound, byte-light rows down to ~|pairs|
-    # keys — the session's parallelism-second AQE coalescing collapses
-    # its exchange to ~1-2 partitions and the agg runs serial.  An
-    # explicit partition COUNT opts this one exchange out of AQE
-    # coalescing; defaultParallelism scales with the cluster.
     cand = (
-        ca.join(cb, (F.col("ta") == F.col("tb")) & (F.col("a_id") < F.col("b_id")))
+        pg.select(F.explode(F.expr(pair_expr)).alias("pr"))
+        .select("pr.a_id", "pr.b_id", "pr.p")
         .repartition(spark.sparkContext.defaultParallelism, "a_id", "b_id")
         .groupBy("a_id", "b_id")
         .agg(
-            F.sum(F.col("tfa") * F.col("tfb")).alias("dotc"),
+            F.sum("p").alias("dotc"),
             F.count(F.lit(1)).alias("nsc"),
         )
         .filter(F.col("nsc") >= SPARSE_CAND_MIN_SHARED)
