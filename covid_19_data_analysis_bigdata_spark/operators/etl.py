@@ -806,17 +806,25 @@ def dq_uniqueness_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for label, table, cols in CANDIDATE_KEYS:
         t = load_table(spark, sf_dir, table)
-        n = t.agg(F.count(F.lit(1)).alias("n_rows"))
-        nd = (
-            t.select(*cols)
-            .distinct()
-            .agg(F.count(F.lit(1)).alias("n_distinct"))
-        )
-        row = n.crossJoin(nd).select(
-            F.lit(label).alias("key_name"),
-            F.col("n_rows").cast("long"),
-            F.col("n_distinct").cast("long"),
-            (F.col("n_rows") == F.col("n_distinct")).alias("is_unique"),
+        # ONE scan per table (r14, guide §1.2): group by the key and
+        # derive both facts from the group counts (n_rows = Σ cnt,
+        # n_distinct = #groups).  The previous count + distinct pair
+        # scanned every table twice and crossJoined two 1-row
+        # aggregates — at 100 TB this change halves the I/O of the
+        # whole screen; exact integers throughout.
+        row = (
+            t.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_rows"),
+            )
+            .select(
+                F.lit(label).alias("key_name"),
+                F.col("n_rows").cast("long"),
+                F.col("n_distinct").cast("long"),
+                (F.col("n_rows") == F.col("n_distinct")).alias("is_unique"),
+            )
         )
         out = row if out is None else out.unionAll(row)
     return out
