@@ -472,23 +472,26 @@ def test_bm25_broadcasts_stats_no_cartesian_blowup(spark, sf_dir):
 
 
 def test_sparse_cosine_candidates_join_on_gram(spark, sf_dir):
-    # The pair stage must be an equi-join on the trigram (inverted
-    # index), never a nested-loop over doc pairs.  The only permitted
-    # nested-loop joins are the condition-free 1-row Cross attaches of
-    # the data-relative candidate cap (broadcast n_docs onto the
-    # vocabulary-sized df table — the bm25 stats-attach pattern); a
-    # doc-pair nested loop would surface as an Inner/conditioned
-    # BroadcastNestedLoopJoin or a CartesianProduct.
+    # The pair stage must come from the inverted index (per-gram
+    # postings), never a nested-loop over doc pairs.  r14 form: the
+    # postings SELF-JOIN was replaced by a gram-keyed collect_list +
+    # array-side u<v pair explode (the LSH pair-generation idiom), so
+    # the plan must carry (a) the gram-keyed postings aggregate and
+    # (b) no doc-pair nested loop — an Inner/conditioned
+    # BroadcastNestedLoopJoin or CartesianProduct would mean the
+    # inverted-index discipline was lost.  The only permitted
+    # nested-loops remain the condition-free 1-row Cross attaches of
+    # the data-relative candidate cap.
     import re
 
     plan = _plan(spark, sf_dir, "llm_sparse_cosine")
     assert "CartesianProduct" not in plan
     assert not re.search(r"BroadcastNestedLoopJoin[^\n]*Inner", plan)
     assert re.search(
-        r"Left keys \[1\]: \[ta#\d+\]", plan
-    ) and re.search(
-        r"Right keys \[1\]: \[tb#\d+\]", plan
-    ), "gram equi-join missing"
+        r"Keys \[1\]: \[t#\d+\]", plan
+    ) and "collect_list" in plan, "gram-keyed postings aggregate missing"
+    # and the old doc-pair self-join really is gone
+    assert not re.search(r"Left keys \[1\]: \[ta#\d+\]", plan)
 
 
 def test_winnowing_selection_is_arrayside_no_python(spark, sf_dir):
