@@ -120,16 +120,23 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster"))
 
     assigned = None
     for _ in range(KMEANS_ITERS):
+        # argmin as min(struct(d2, cluster)) — the PQ trainer's assign
+        # idiom (r14, guide §2.3): lexicographic struct-min IS the
+        # (d2 asc, cluster asc) order the window used, but it partial-
+        # aggregates map-side (k rows per vector fold to 1 before the
+        # exchange) instead of shuffling and sorting every (vector,
+        # cluster) pair through a window.
         assigned = (
             e.crossJoin(F.broadcast(cent))
-            .select("vec_id", "cluster", dist2.alias("d2"))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "cluster")
+            .select(
+                "vec_id",
+                F.struct(dist2.alias("d2"), F.col("cluster")).alias("s"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("s").getField("cluster").alias("cluster"))
         )
         cent = (
             ex.join(assigned, "vec_id")

@@ -723,10 +723,15 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cached)  # feeds both the assignment and the probe-cell ranks
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    # argmin as min(struct(dist2, cell)) — identical (dist2, cell)
+    # order, but partial-aggregated map-side instead of a corpus-wide
+    # window shuffle+sort (r14, guide §2.3; the PQ trainer's idiom).
+    # The probe-cell ranks below keep the window: rk <= nprobe over 5
+    # probes is not an argmin.
     assigned = (
-        dists.withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cell")
+        dists.select("vec_id", F.struct("dist2", "cell").alias("s"))
+        .groupBy("vec_id")
+        .agg(F.min("s").getField("cell").alias("cell"))
     )
     probecells = (
         dists.filter(F.col("vec_id") < 5)
@@ -932,13 +937,11 @@ def llm_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= ANN_BEAM_WIDTH)
         .select("probe_id", "cell")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.asc("dist2"), F.asc("cell")
-    )
+    # argmin as a map-side partial min(struct) — see llm_ann_ivf (r14).
     assigned = (
-        dists.withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cell")
+        dists.select("vec_id", F.struct("dist2", "cell").alias("s"))
+        .groupBy("vec_id")
+        .agg(F.min("s").getField("cell").alias("cell"))
     )
     cand = (
         F.broadcast(beamcells)
@@ -2389,11 +2392,18 @@ def llm_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.sqrt(_l2_fold(F.col("embedding"), F.col("centroid"))).alias("cd"),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("cd"), F.asc("cell"))
+    # argmin as min(struct(cd, cell, embedding)) — (cd, cell) is unique
+    # per vector (one row per cell), so the struct-min equals the old
+    # (cd asc, cell asc) window head and the embedding rides along;
+    # map-side partial agg replaces the corpus-wide window sort (r14,
+    # guide §2.3).
     assigned = (
-        cdist.withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "cell", "cd")
+        cdist.select(
+            "vec_id", F.struct("cd", "cell", "embedding").alias("s")
+        )
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("s"))
+        .select("vec_id", "s.embedding", "s.cell", "s.cd")
         .transform(cached)  # feeds cell radii AND the candidate scan
     )
     radii = assigned.groupBy("cell").agg(F.max("cd").alias("r_cell"))
