@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from covid_19_data_analysis_bigdata_spark.core import query
-from covid_19_data_analysis_bigdata_spark.sources.io import load_table, spread
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
 
 
 @query(

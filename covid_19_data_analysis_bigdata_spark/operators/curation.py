@@ -40,7 +40,7 @@ from covid_19_data_analysis_bigdata_spark.operators.textprep import (
     _polyhash,
     _words,
 )
-from covid_19_data_analysis_bigdata_spark.sources.io import load_table, spread
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
 
 #: Span width (tokens) for exact substring-level dedup.  Lee et al. use
 #: 50 BPE tokens on web text; the synthetic corpus documents are only

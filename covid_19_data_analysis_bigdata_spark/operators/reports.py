@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from covid_19_data_analysis_bigdata_spark.cache import cached
 from covid_19_data_analysis_bigdata_spark.core import query
 from covid_19_data_analysis_bigdata_spark.operators.distrank import global_ntile
-from covid_19_data_analysis_bigdata_spark.sources.io import load_table, spread
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
 
 
 @query(

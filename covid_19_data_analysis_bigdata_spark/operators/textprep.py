@@ -37,7 +37,7 @@ from covid_19_data_analysis_bigdata_spark.operators.llm import (
     _shingles,
     _words,
 )
-from covid_19_data_analysis_bigdata_spark.sources.io import load_table, spread
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
 
 MOD = 1_000_000_007
 SIMHASH_BITS = 28

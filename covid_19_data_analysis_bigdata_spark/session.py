@@ -15,8 +15,41 @@ the same code runs on local[32] and on a 1000-executor cluster.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+
+def _env_bool(name: str, default: str) -> str:
+    """Read a boolean env override, normalized to 'true'/'false'.
+
+    A typo ('True ', '1', 'yes') would otherwise surface only as an
+    opaque session-build failure deep inside conf application
+    (ADVICE r14) — normalize the common spellings and fall back to the
+    default with the raw value ignored when unrecognizable.
+    """
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    v = raw.strip().lower()
+    if v in ("true", "1", "yes", "on"):
+        return "true"
+    if v in ("false", "0", "no", "off"):
+        return "false"
+    return default
+
+
+def _env_size(name: str, default: str) -> str:
+    """Read a byte-size env override (Spark size-string: '64m', '1g',
+    '0', '262144b', ...), falling back to the default on malformed
+    input rather than failing session build."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    v = raw.strip().lower()
+    if re.fullmatch(r"\d+[bkmgt]?", v):
+        return v
+    return default
 
 #: Runtime-settable SQL confs every query depends on.
 RUNTIME_CONFS: dict[str, str] = {
@@ -43,7 +76,7 @@ RUNTIME_CONFS: dict[str, str] = {
     # beats advisory-size collapse.  Env-parameterized: busy shared
     # clusters should set SPARK_GRAFT_AQE_PARALLELISM_FIRST=false per
     # the Spark docs' resource-efficiency guidance.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": os.environ.get(
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": _env_bool(
         "SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"
     ),
     # AQE runtime SMJ->shuffled-hash demotion (guide §3.1): when every
@@ -54,7 +87,7 @@ RUNTIME_CONFS: dict[str, str] = {
     # r14 drill A/B (14-query set, after the parallelismFirst flip):
     # 20.6 s -> 19.4 s, wins on 10/14 (llm_dedup_clusters 2.41->1.63,
     # report_volume_shipping 1.46->1.17), losses within run noise.
-    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": _env_size(
         "SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "64m"
     ),
     # Runtime-settable, so externally-built sessions (the driver's plain

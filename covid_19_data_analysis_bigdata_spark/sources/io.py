@@ -111,11 +111,15 @@ def spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session's parallelism immediately after the read.
 
     Scale discipline: the repartition is CONDITIONAL on the planned
-    scan partition count being under half the session's cores, probed
-    from the actual file layout (memoized per session).  On a real
-    cluster reading a 100 TB table laid out as thousands of files the
-    condition is false and this is byte-for-byte ``load_table`` — no
-    extra exchange ever enters the plan.  Only operators whose map
+    scan partition count being under half the session's cores (strictly:
+    ``n * 2 > cores`` keeps the raw scan, so exactly half still
+    repartitions), probed from the actual file layout and memoized per
+    applicationId — the memo assumes the files are not rewritten
+    mid-session, which holds for the read-only testdata and any
+    immutable warehouse layout.  On a real cluster reading a 100 TB
+    table laid out as thousands of files the condition is false and
+    this is byte-for-byte ``load_table`` — no extra exchange ever
+    enters the plan.  Only operators whose map
     stage is CPU-dense opt in; plain scans/filters keep the raw scan.
     """
     df = load_table(spark, sf_dir, name)

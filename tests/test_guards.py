@@ -1084,10 +1084,16 @@ def test_bench_previous_total_ignores_uncommitted_artifacts():
         ["git", "-C", repo, "ls-tree", "--name-only", "HEAD"],
         capture_output=True, text=True, check=True, timeout=30,
     ).stdout.split()
+    # Match bench._previous_committed_total's own filename rule: strict
+    # BENCH_r<N>.json only — the driver also commits side artifacts like
+    # BENCH_r14_c8.json (the 8-core scaling run) that the reader ignores
+    # and a naive split() would trip over (r15 inherited-state fix).
+    import re
+
     rounds = [
-        int(n.split("_r")[1].split(".")[0])
+        int(m.group(1))
         for n in committed
-        if n.startswith("BENCH_r") and n.endswith(".json")
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", n))
     ]
     assert rounds, "no committed BENCH artifacts — cannot pin the reader"
     baseline = bench._previous_committed_total()
