@@ -26,7 +26,6 @@ from covid_19_data_analysis_bigdata_spark.operators.llm import _cosine, _d
 from covid_19_data_analysis_bigdata_spark.sources.io import (
     fixture_dir,
     load_table,
-    spread,
 )
 
 KMEANS_ITERS = 2
@@ -80,12 +79,19 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute centroids as per-(cluster, dimension) means.  Emits each
     final cluster's size and mean component value.
 
-    r14 (guide §2.5): the scan is ``spread`` — every stage of this
-    query (64× posexplode, per-vector×per-centroid distances) is
-    CPU-dense on tiny bytes, and the local single-row-group layout
-    otherwise serializes the whole pipeline on one task.
+    r15 (VERDICT r14 item 2): the r14 ``spread`` on this scan was
+    re-measured with an isolated same-session alternating A/B
+    (plans/r15/ab_spread.json: spread-on 1.997 s vs spread-off
+    1.699 s median, cleanly separated samples — spread LOSES 0.85×)
+    and dropped.  Since the r14 argmin → map-side min(struct) rewrite,
+    the per-iteration assign folds k rows per vector before any
+    exchange, so the un-cached ``e`` consumer no longer needs wide
+    scan parallelism and the repartition exchange (paid once per
+    Lloyd iteration) was pure cost.  The driver's 8-vs-32-core ratio
+    (1.02, PERF_r14 scaling block) independently corroborates: no
+    core sensitivity at this corpus size.
     """
-    e = spread(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings")
     # Persisted (r14, guide §5): the 64×-exploded component table feeds
     # FOUR consumers (seed centroids, each iteration's recompute, the
     # final rollup); unpersisted each one re-scans and re-explodes the

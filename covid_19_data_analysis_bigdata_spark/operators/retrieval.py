@@ -51,7 +51,7 @@ from covid_19_data_analysis_bigdata_spark.operators.textprep import (
     _POLY_SQL,
     _polyhash,
 )
-from covid_19_data_analysis_bigdata_spark.sources.io import load_table, spread
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table
 
 # --------------------------------------------------------------------------
 # BM25 lexical ranking
@@ -360,12 +360,16 @@ def llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica every identical-clone pair shares all its grams, so the
     candidate stage retains them.
 
-    r14 (guide §2.5): the documents scan is ``spread`` — tokenize +
-    trigram explode + tf counting are CPU-dense map work, and the
-    cached tf/tfk/tfc tables otherwise inherit the local single-task
-    scan layout, serializing the candidate self-join's sort inputs.
+    r15 (VERDICT r14 item 2): the r14 ``spread`` on this scan was
+    re-measured with an isolated same-session alternating A/B
+    (plans/r15/ab_spread.json + ab_spread_sparse_cosine.json: 1.149×
+    then 1.054× over 7+11 interleaved sample pairs) — under the ≥1.2×
+    keep bar, because the tokenize+tf pass lands in the CACHED ``tf``
+    frame (warm in every timed sample), so the repartition exchange
+    only taxes re-materialization.  Dropped; the plain scan deletes
+    the round-robin exchange (guide §2.4).
     """
-    d = spread(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.lower("text"), " ")
     g = (
         d.select("doc_id", _tri_grams(ws).alias("grams"))

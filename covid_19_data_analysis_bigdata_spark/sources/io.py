@@ -97,6 +97,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: memoized so repeated bench samples pay it once per session.
 _SCAN_PARTS_MEMO: dict[tuple[str, str, str], int] = {}
 
+#: Measurement toggle (r15, VERDICT item 2): when False, ``spread`` is
+#: byte-for-byte ``load_table``.  Exists so tools/ab_flag.py can run a
+#: same-session alternating A/B of each spread call site (the only
+#: attributable measurement on this box — OPTIMIZATION_r14.md ambient
+#: drift note) without editing operator code between samples.
+SPREAD_ENABLED = True
+
 
 def spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``load_table`` + parallelism repair for under-parallelized scans.
@@ -123,6 +130,8 @@ def spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     stage is CPU-dense opt in; plain scans/filters keep the raw scan.
     """
     df = load_table(spark, sf_dir, name)
+    if not SPREAD_ENABLED:
+        return df
     try:
         cores = spark.sparkContext.defaultParallelism
         key = (spark.sparkContext.applicationId, sf_dir, name)
