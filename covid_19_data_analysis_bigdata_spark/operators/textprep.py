@@ -1814,22 +1814,33 @@ def _pq_model(spark: SparkSession, sf_dir: str):
             lambda acc, x: acc + x,
         )
 
-        def assign(centroids):
+        def assign(centroids, with_sub: bool = False):
+            # with_sub (r15, guide §2.4): the Lloyd recompute used to
+            # join ``assigned`` back to ``subs`` on (vec_id, m) — one
+            # |corpus|·M-row shuffle join per iteration — only to
+            # recover the ``sub`` array the argmin already had in hand.
+            # Carrying it through the aggregate deletes that join:
+            # every row of a (vec_id, m) group holds the IDENTICAL
+            # ``sub`` (one subvector replicated against K centroids),
+            # so ``first(sub)`` is exact, not order-dependent.
+            aggs = [F.min("s").getField("cid").alias("cid")]
+            if with_sub:
+                aggs.append(F.first("sub").alias("sub"))
             return (
                 subs.join(F.broadcast(centroids), "m")
                 .select(
                     "vec_id",
                     "m",
                     F.struct(d2.alias("d2"), F.col("cid")).alias("s"),
+                    "sub",
                 )
                 .groupBy("vec_id", "m")
-                .agg(F.min("s").getField("cid").alias("cid"))
+                .agg(*aggs)
             )
 
         for _ in range(PQ_ITERS):
-            assigned = assign(cent)
             cent = (
-                subs.join(assigned, ["vec_id", "m"])
+                assign(cent, with_sub=True)
                 .select("m", "cid", F.posexplode("sub").alias("pos", "val"))
                 .groupBy("m", "cid", "pos")
                 # exact integer sum, one correctly-rounded division,
@@ -1846,9 +1857,22 @@ def _pq_model(spark: SparkSession, sf_dir: str):
                         lambda s: s.getField("c"),
                     ).alias("center")
                 )
-                # cache the M×K-row codebook: referenced by the next
-                # assign, the final codes, and the ADC LUT
-                .transform(cached)
+                # r15 (VERDICT r14 item 4, guide §5/§3.3): eager
+                # localCheckpoint instead of persist — the M×K-row
+                # codebook is referenced by the next assign, the final
+                # codes, AND the ADC LUT, so without truncation every
+                # downstream plan embeds the whole unrolled trainer
+                # (measured cold at sf0.1: 5.9 s plan-build + 15.0 s
+                # first execution for llm_ann_pq alone).  Values are
+                # bit-identical (the checkpoint stores the same exact
+                # fixed-point BIGINT rows the lazy plan computes); the
+                # llm_dedup_clusters label loop uses the same idiom.
+                # Trade-off, documented: lineage is gone, so executor
+                # loss cannot recompute a 128-row frame — at cluster
+                # scale the equivalent is writing trained codebooks to
+                # storage, which is the offline-training contract
+                # anyway.
+                .localCheckpoint(eager=True)
             )
         codes = assign(cent).transform(cached)
 

@@ -105,6 +105,18 @@ def test_bucketed_join_has_no_input_shuffle(spark, sf_dir):
     assert not any("Exchange" in l for l in tree[join_at:])
 
 
+def test_pq_trainer_lineage_truncated(spark, sf_dir):
+    """r15 (VERDICT r14 item 4): the trained PQ codebook must enter
+    consumer plans as a checkpointed leaf (Scan ExistingRDD), not as
+    the full unrolled Lloyd trainer — without truncation every ADC
+    consumer re-embeds the 3-iteration training tree and cold
+    plan-build/analysis dominates (measured 5.9 s plan-build + 15.0 s
+    first execution at sf0.1 before the change; the before/after dumps
+    are plans/r15/llm_ann_pq_{before,after}.txt, 1050 -> 431 lines)."""
+    plan = _plan(spark, sf_dir, "llm_ann_pq")
+    assert "Scan ExistingRDD" in plan
+
+
 def test_ivf_broadcasts_centroids(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_ann_ivf")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
