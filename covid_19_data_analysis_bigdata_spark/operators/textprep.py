@@ -37,7 +37,7 @@ from covid_19_data_analysis_bigdata_spark.operators.llm import (
     _shingles,
     _words,
 )
-from covid_19_data_analysis_bigdata_spark.sources.io import load_table
+from covid_19_data_analysis_bigdata_spark.sources.io import load_table, spread
 
 MOD = 1_000_000_007
 SIMHASH_BITS = 28
@@ -144,7 +144,7 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded token join, which is the shape the Spark side
     deliberately avoids.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, sf_dir, "documents")
     words = _words()
     # Ascending language order; -idx in the comparison struct makes
     # array_max prefer the lexicographically first language on tied
