@@ -295,20 +295,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cached)  # ≤600 rows; reused every iteration — never rescan facts
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    # r15 (guide §2.4): the out-weight is a property of the edge list,
+    # not of the iteration — join it into the cached edge table ONCE
+    # instead of broadcasting `outw` inside every iteration (was one
+    # extra broadcast build per round; measured same-session
+    # alternating A/B at sf0.1: 2.144 s -> 1.721 s median of 5,
+    # values identical).  `edges_w` stays ≤ |nation|² rows by
+    # construction.
+    edges_w = edges.join(F.broadcast(outw), "src").transform(cached)
     nodes = n.select(F.col("n_nationkey").alias("node"), "n_name")
     ranks = nodes.select(
         "node", F.lit(PR_SCALE).cast("long").alias("r")
     )
     for _ in range(PR_ITERS):
-        # ranks and outw are nation-grain (≤ |nation| rows) BY
-        # CONSTRUCTION at any corpus size, so both iteration joins are
-        # explicit broadcasts (r14, guide §3.1): the static planner
-        # cannot size these derived frames and was emitting
-        # SortMergeJoin + two exchanges per iteration that AQE then had
-        # to demote at runtime.
+        # ranks is nation-grain (≤ |nation| rows) BY CONSTRUCTION at
+        # any corpus size, so the iteration join is an explicit
+        # broadcast (r14, guide §3.1): the static planner cannot size
+        # these derived frames and was emitting SortMergeJoin + two
+        # exchanges per iteration that AQE then had to demote at
+        # runtime.
         contrib = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
-            .join(F.broadcast(outw), "src")
+            edges_w.join(F.broadcast(ranks), edges_w.src == ranks.node)
             .select("dst", F.expr("(r * w) div ow").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
